@@ -1,13 +1,130 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.compile.QueryCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-data-pipeline extension), expressed Spark-first; `oracleSql`
+  * holds the equivalent DuckDB SQL the driver uses as correctness oracle.
+  * Column names are aliased identically on both sides (the driver's compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
+    // read it as a long of epoch-nanos instead.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(t(dir, name))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val q = QuerySpec(
+      id = "flagship",
+      filter = Some(Binary(Field("event_type"), ListExpr(Seq(Lit("click"), Lit("view"))), BinOp.EQUALS_ANY)),
+      aggregation = GroupBy(
+        fields = Seq("event_type" -> "etype"),
+        ops = Seq(GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "total"))))
+    QueryCompiler.run(rd(spark, "/root/testdata/sf0.001", "events"), q)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 filter + RAW(limit): deterministic via ORDER BY for the oracle.
+    "q_raw_filter" -> ((s, dir) => {
+      val pred = Binary(Field("event_type"), Lit("click"), BinOp.EQUALS)
+      rd(s, dir, "events").filter(graft.compile.ExprCompiler.compile(pred))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id").limit(500)
+    }),
+
+    // §2.2 projection with computed columns + map-ish subfield via JSON props.
+    "q_filter_project" -> ((s, dir) => {
+      val q = QuerySpec(
+        id = "fp",
+        filter = Some(NAry(NAryOp.AND, Seq(
+          Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN),
+          Binary(Binary(Field("user_id"), Lit(7L), BinOp.MOD), Lit(0L), BinOp.EQUALS)))),
+        projection = Some(Seq(
+          "event_id" -> Field("event_id"),
+          "etype" -> Unary(UnaryOp.UPPER, Field("event_type")),
+          "dval" -> Binary(Field("value"), Lit(2.0), BinOp.MUL))))
+      QueryCompiler.run(rd(s, dir, "events"), q).orderBy("event_id")
+    }),
+
+    // §2.4 GROUP(all): COUNT/SUM/MIN/MAX + manual AVG (sum/count division is
+    // bit-deterministic across engines; built-in AVG accumulation order isn't).
+    "q_group_all" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_quantity") > 10)
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    }),
+
+    // §2.4 GROUP BY keys with rename + multiple ops.
+    "q_group_by" -> ((s, dir) => {
+      val q = QuerySpec(
+        id = "gb",
+        aggregation = GroupBy(
+          fields = Seq("l_returnflag" -> "rflag", "l_linestatus" -> "lstatus"),
+          ops = Seq(
+            GroupOp(GroupOpType.COUNT, None, "cnt"),
+            GroupOp(GroupOpType.SUM, Some("l_quantity"), "sum_qty"),
+            GroupOp(GroupOpType.MIN, Some("l_extendedprice"), "min_price"),
+            GroupOp(GroupOpType.MAX, Some("l_extendedprice"), "max_price"))))
+      QueryCompiler.run(rd(s, dir, "lineitem"), q)
+    }),
+
+    // §2.4 COUNT_DISTINCT via Theta sketch (exact regime: lgK=17 ≥ card).
+    "q_count_distinct" -> ((s, dir) => {
+      val q = QuerySpec(id = "cd",
+        aggregation = CountDistinct(Seq("l_orderkey"), name = "count", lgK = 17))
+      QueryCompiler.run(rd(s, dir, "lineitem"), q)
+    }),
+
+    // §2.4 COUNT_DISTINCT over a field tuple.
+    "q_count_distinct_multi" -> ((s, dir) => {
+      val q = QuerySpec(id = "cdm",
+        aggregation = CountDistinct(Seq("l_orderkey", "l_suppkey"), name = "count", lgK = 17))
+      QueryCompiler.run(rd(s, dir, "lineitem"), q)
+    }),
+
+    // §2.4 TOP_K via FrequentItems (exact: map > #distinct), with threshold.
+    "q_topk" -> ((s, dir) => {
+      val q = QuerySpec(id = "tk",
+        aggregation = TopK(Seq("l_returnflag" -> "rflag", "l_linestatus" -> "lstatus"),
+          k = 3, countName = "cnt", threshold = Some(1L), maxMapSize = 1024))
+      QueryCompiler.run(rd(s, dir, "lineitem"), q)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_raw_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'click' ORDER BY event_id LIMIT 500",
+    "q_filter_project" ->
+      "SELECT event_id, upper(event_type) AS etype, value * 2.0 AS dval FROM events WHERE value > 10.0 AND user_id % 7 = 0 ORDER BY event_id",
+    "q_group_all" ->
+      "SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, sum(l_quantity) / count(*) AS avg_qty FROM lineitem WHERE l_quantity > 10",
+    "q_group_by" ->
+      "SELECT l_returnflag AS rflag, l_linestatus AS lstatus, count(*) AS cnt, sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_count_distinct" ->
+      "SELECT count(DISTINCT l_orderkey) AS count FROM lineitem",
+    "q_count_distinct_multi" ->
+      "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
+    "q_topk" ->
+      "SELECT l_returnflag AS rflag, l_linestatus AS lstatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY cnt DESC, rflag, lstatus LIMIT 3",
+  )
 }

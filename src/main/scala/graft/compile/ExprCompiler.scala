@@ -1,0 +1,137 @@
+package graft.compile
+
+import graft.model._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Compiles the engine-agnostic [[graft.model.Expr]] AST into Catalyst
+ * [[Column]] trees. Pure function — no SparkSession needed; everything stays
+ * inside whole-stage codegen (built-in functions only, zero UDFs).
+ *
+ * Semantics notes (reference parity):
+ *  - Map-subfield access `Field(f, Some(k))` compiles to `col(f)(k)` which
+ *    Catalyst resolves for both MapType and StructType columns
+ *    (reference FieldExpression(field, subfield), FilterBoltTest.java:269).
+ *  - Missing fields / null values follow Spark three-valued logic; the
+ *    reference's typed-null behavior matches (a filter on a missing field
+ *    does not match).
+ */
+object ExprCompiler {
+
+  def compile(e: Expr): Column = e match {
+    case Field(name, None)      => col(name)
+    case Field(name, Some(sub)) => col(name)(sub)
+    case Lit(null)              => lit(null)
+    case Lit(v)                 => lit(v)
+    case ListExpr(items)        => array(items.map(compile): _*)
+    case Cast(op, to)           => compile(op).cast(sparkType(to))
+    case Unary(op, x)           => compileUnary(op, compile(x), x)
+    case Binary(l, r, op)       => compileBinary(compile(l), r, op)
+    case NAry(op, xs)           => compileNAry(op, xs)
+  }
+
+  def sparkType(t: FieldType.Value): DataType = t match {
+    case FieldType.STRING    => StringType
+    case FieldType.INTEGER   => IntegerType
+    case FieldType.LONG      => LongType
+    case FieldType.FLOAT     => FloatType
+    case FieldType.DOUBLE    => DoubleType
+    case FieldType.BOOLEAN   => BooleanType
+    case FieldType.TIMESTAMP => TimestampType
+  }
+
+  private def compileUnary(op: UnaryOp.Value, c: Column, raw: Expr): Column = {
+    import UnaryOp._
+    op match {
+      case NOT         => !c
+      case IS_NULL     => c.isNull
+      case IS_NOT_NULL => c.isNotNull
+      // SIZE_OF: strings → length; lists/maps → size (reference sizeof works
+      // on strings, lists and maps). Pick by AST shape: size() for lists.
+      case SIZE_OF     => raw match {
+        case ListExpr(_) => size(c)
+        case _           => length(c.cast(StringType))
+      }
+      case TRIM        => trim(c)
+      case LOWER       => lower(c)
+      case UPPER       => upper(c)
+      case ABS         => abs(c)
+    }
+  }
+
+  /** For the ANY/ALL families the right side must be a list expression;
+    * `exists`/`forall` keep evaluation inside codegen'd higher-order funcs. */
+  private def compileBinary(l: Column, rightExpr: Expr, op: BinOp.Value): Column = {
+    import BinOp._
+    lazy val r = compile(rightExpr)
+    def anyOf(f: (Column, Column) => Column): Column = exists(r, x => f(l, x))
+    def allOf(f: (Column, Column) => Column): Column = forall(r, x => f(l, x))
+    op match {
+      case EQUALS            => l === r
+      case NOT_EQUALS        => l =!= r
+      case GREATER_THAN      => l > r
+      case LESS_THAN         => l < r
+      case GREATER_OR_EQUALS => l >= r
+      case LESS_OR_EQUALS    => l <= r
+
+      case EQUALS_ANY            => anyOf(_ === _)
+      case EQUALS_ALL            => allOf(_ === _)
+      case NOT_EQUALS_ANY        => anyOf(_ =!= _)
+      case NOT_EQUALS_ALL        => allOf(_ =!= _)
+      case GREATER_THAN_ANY      => anyOf(_ > _)
+      case GREATER_THAN_ALL      => allOf(_ > _)
+      case LESS_THAN_ANY         => anyOf(_ < _)
+      case LESS_THAN_ALL         => allOf(_ < _)
+      case GREATER_OR_EQUALS_ANY => anyOf(_ >= _)
+      case GREATER_OR_EQUALS_ALL => allOf(_ >= _)
+      case LESS_OR_EQUALS_ANY    => anyOf(_ <= _)
+      case LESS_OR_EQUALS_ALL    => allOf(_ <= _)
+
+      case AND => l && r
+      case OR  => l || r
+      case XOR => l =!= r // boolean xor
+
+      case IN             => array_contains(r, l)
+      case NOT_IN         => !array_contains(r, l)
+      case CONTAINS_KEY   => map_contains_key(l, r)
+      case CONTAINS_VALUE => array_contains(map_values(l), r)
+      case REGEX_LIKE     => l.rlike(rightExpr match {
+        case Lit(s: String) => s
+        case _ => throw new IllegalArgumentException("REGEX_LIKE needs a string literal pattern")
+      })
+      case SIZE_IS        => size(l) === r
+
+      case ADD => l + r
+      case SUB => l - r
+      case MUL => l * r
+      case DIV => l / r
+      case MOD => l % r
+    }
+  }
+
+  private def compileNAry(op: NAryOp.Value, xs: Seq[Expr]): Column = {
+    import NAryOp._
+    lazy val cs = xs.map(compile)
+    op match {
+      case AND => cs.reduce(_ && _)
+      case OR  => cs.reduce(_ || _)
+      case IF  => when(cs(0), cs(1)).otherwise(cs(2))
+      case BETWEEN     => cs(0) >= cs(1) && cs(0) <= cs(2)
+      case NOT_BETWEEN => !(cs(0) >= cs(1) && cs(0) <= cs(2))
+      case SUBSTRING =>
+        if (cs.length == 3) substring(cs(0), lit2int(xs(1)), lit2int(xs(2)))
+        else cs(0).substr(cs(1), length(cs(0)))
+      case UNIX_TIMESTAMP =>
+        if (cs.isEmpty) unix_timestamp()
+        else unix_timestamp(cs(0))
+    }
+  }
+
+  private def lit2int(e: Expr): Int = e match {
+    case Lit(i: Int)  => i
+    case Lit(l: Long) => l.toInt
+    case _ => throw new IllegalArgumentException("SUBSTRING pos/len must be int literals")
+  }
+}

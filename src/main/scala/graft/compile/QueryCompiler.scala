@@ -1,0 +1,115 @@
+package graft.compile
+
+import graft.agg._
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/**
+ * Compiles a [[QuerySpec]] into a DataFrame transformation (batch mode; the
+ * streaming runner reuses the same pieces per micro-batch).
+ *
+ * The plan shape is always `filter(raw-record predicate) → project →
+ * aggregate → post-aggregations`, mirroring the reference's evaluation order
+ * (filter on the RAW record BEFORE projection — FilterBoltTest.java:349-393).
+ * Everything is declarative DataFrame API: Catalyst handles partial/final agg
+ * split, predicate pushdown into the scan, and column pruning.
+ */
+object QueryCompiler {
+  import SketchAggregators.{FieldSep, NullString}
+
+  /** Apply the full query to a batch DataFrame. */
+  def run(df: DataFrame, q: QuerySpec): DataFrame = {
+    val filtered = q.filter.map(f => df.filter(ExprCompiler.compile(f))).getOrElse(df)
+    val projected = q.projection match {
+      case Some(fields) =>
+        filtered.select(fields.map { case (n, e) => ExprCompiler.compile(e).as(n) }: _*)
+      case None => filtered
+    }
+    val aggregated = aggregate(projected, q.aggregation)
+    q.postAggregations.foldLeft(aggregated)(applyPost)
+  }
+
+  /** Stringify a group value the way the reference does: null → "null",
+    * everything else via toString (FilterBoltTest.java:827-828). */
+  private def strKey(name: String): Column =
+    coalesce(col(name).cast(StringType), lit(NullString))
+
+  /** Concatenated composite key for sketch updates over field tuples. A
+    * missing/null field contributes the literal "null", so the tuple is
+    * never silently shortened. */
+  def compositeKey(fields: Seq[String]): Column =
+    concat_ws(FieldSep, fields.map(strKey): _*)
+
+  def aggregate(df: DataFrame, agg: Aggregation): DataFrame = agg match {
+    case Raw(size) =>
+      df.limit(size)
+
+    case GroupAll(ops) =>
+      df.agg(groupCols(ops).head, groupCols(ops).tail: _*)
+
+    case GroupBy(fields, ops, entries) =>
+      // Exact while |groups| ≤ entries — the reference's Tuple-sketch exact
+      // regime. Beyond the cap we keep the first `entries` groups in key
+      // order (deterministic; the sketch samples instead — documented
+      // deviation, same bounded-memory guarantee via partial agg + limit).
+      val keyed = fields.foldLeft(df) { case (d, (f, alias)) =>
+        d.withColumn(alias, strKey(f))
+      }
+      val out = keyed
+        .groupBy(fields.map { case (_, alias) => col(alias) }: _*)
+        .agg(groupCols(ops).head, groupCols(ops).tail: _*)
+      out.orderBy(fields.map { case (_, alias) => col(alias) }: _*).limit(entries)
+
+    case CountDistinct(fields, name, lgK) =>
+      val agg = udaf(new ThetaCountDistinctAgg(lgK), Encoders.STRING)
+      df.agg(agg(compositeKey(fields)).as(name))
+
+    case Distribution(field, dtype, points, k) =>
+      val agg = udaf(new KllDistributionAgg(dtype.toString, points.toArray, k),
+        Encoders.DOUBLE)
+      val rows = df.agg(agg(col(field).cast("double")).as("rows"))
+        .select(explode(col("rows")).as("r"))
+      dtype match {
+        case DistributionType.QUANTILE =>
+          rows.select(col("r.quantile").as("Quantile"), col("r.value").as("Value"))
+        case _ =>
+          rows.select(col("r.range").as("Range"), col("r.count").as("Count"),
+            col("r.probability").as("Probability"))
+      }
+
+    case TopK(fields, k, countName, threshold, maxMapSize) =>
+      val agg = udaf(new FreqItemsTopKAgg(k, threshold.getOrElse(0L), maxMapSize),
+        Encoders.STRING)
+      val rows = df.agg(agg(compositeKey(fields.map(_._1))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+      val keyCols = fields.zipWithIndex.map { case ((_, alias), i) =>
+        // split_part is 1-indexed; keys were joined with FieldSep
+        split_part(col("r.key"), lit(FieldSep), lit(i + 1)).as(alias)
+      }
+      rows.select(keyCols :+ col("r.count").as(countName): _*)
+  }
+
+  private def groupCols(ops: Seq[GroupOp]): Seq[Column] = ops.map { op =>
+    import GroupOpType._
+    val c = op.op match {
+      case COUNT       => count(lit(1))
+      case COUNT_FIELD => count(col(op.field.get))
+      case SUM         => sum(col(op.field.get))
+      case MIN         => min(col(op.field.get))
+      case MAX         => max(col(op.field.get))
+      case AVG         => avg(col(op.field.get))
+    }
+    c.as(op.name)
+  }
+
+  private def applyPost(df: DataFrame, post: PostAggregation): DataFrame = post match {
+    case Having(e)       => df.filter(ExprCompiler.compile(e))
+    case OrderBy(fields) => df.orderBy(fields.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc }: _*)
+    case Computation(fs) => fs.foldLeft(df) { case (d, (n, e)) =>
+      d.withColumn(n, ExprCompiler.compile(e)) }
+    case Culling(names)  => df.drop(names: _*)
+  }
+}
