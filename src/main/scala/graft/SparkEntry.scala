@@ -55,8 +55,10 @@ object SparkEntry {
         projection = Some(Seq(
           "event_id" -> Field("event_id"),
           "etype" -> Unary(UnaryOp.UPPER, Field("event_type")),
-          "dval" -> Binary(Field("value"), Lit(2.0), BinOp.MUL))))
-      QueryCompiler.run(rd(s, dir, "events"), q).orderBy("event_id")
+          "dval" -> Binary(Field("value"), Lit(2.0), BinOp.MUL))),
+        aggregation = Raw(500),
+        postAggregations = Seq(OrderBy(Seq("event_id" -> true))))
+      QueryCompiler.run(rd(s, dir, "events"), q)
     }),
 
     // §2.4 GROUP(all): COUNT/SUM/MIN/MAX + manual AVG (sum/count division is
@@ -100,6 +102,32 @@ object SparkEntry {
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
 
+    // §2.4 DISTRIBUTION QUANTILE via KLL (exact regime: n ≤ k keeps every
+    // value in the sketch's level-0 buffer, so quantiles are exact and
+    // INCLUSIVE search == SQL percentile_disc).
+    "q_dist_quantile" -> ((s, dir) => {
+      val q = QuerySpec(id = "dq",
+        aggregation = Distribution("c_acctbal", DistributionType.QUANTILE,
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0), k = 32768))
+      QueryCompiler.run(rd(s, dir, "customer"), q).orderBy("Quantile")
+    }),
+
+    // §2.4 DISTRIBUTION PMF: ±∞ end bins, [a,b) ranges (EXCLUSIVE split).
+    "q_dist_pmf" -> ((s, dir) => {
+      val q = QuerySpec(id = "dp",
+        aggregation = Distribution("c_acctbal", DistributionType.PMF,
+          Seq(0.0, 2500.0, 7500.0), k = 32768))
+      QueryCompiler.run(rd(s, dir, "customer"), q).orderBy("Range")
+    }),
+
+    // §2.4 DISTRIBUTION CDF: cumulative (-∞, s) bins.
+    "q_dist_cdf" -> ((s, dir) => {
+      val q = QuerySpec(id = "dc",
+        aggregation = Distribution("c_acctbal", DistributionType.CDF,
+          Seq(0.0, 2500.0, 7500.0), k = 32768))
+      QueryCompiler.run(rd(s, dir, "customer"), q).orderBy("Range")
+    }),
+
     // §2.4 TOP_K via FrequentItems (exact: map > #distinct), with threshold.
     "q_topk" -> ((s, dir) => {
       val q = QuerySpec(id = "tk",
@@ -115,7 +143,7 @@ object SparkEntry {
     "q_raw_filter" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'click' ORDER BY event_id LIMIT 500",
     "q_filter_project" ->
-      "SELECT event_id, upper(event_type) AS etype, value * 2.0 AS dval FROM events WHERE value > 10.0 AND user_id % 7 = 0 ORDER BY event_id",
+      "SELECT event_id, upper(event_type) AS etype, value * 2.0 AS dval FROM events WHERE value > 10.0 AND user_id % 7 = 0 ORDER BY event_id LIMIT 500",
     "q_group_all" ->
       "SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, sum(l_quantity) / count(*) AS avg_qty FROM lineitem WHERE l_quantity > 10",
     "q_group_by" ->
@@ -124,6 +152,24 @@ object SparkEntry {
       "SELECT count(DISTINCT l_orderkey) AS count FROM lineitem",
     "q_count_distinct_multi" ->
       "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
+    "q_dist_quantile" ->
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
+        s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\""),
+    "q_dist_pmf" ->
+      ("""SELECT * FROM (
+         | SELECT '(-∞, 0.0)' AS "Range", count(*) FILTER (WHERE c_acctbal < 0.0) AS "Count", count(*) FILTER (WHERE c_acctbal < 0.0)::DOUBLE / count(c_acctbal) AS "Probability" FROM customer
+         | UNION ALL SELECT '[0.0, 2500.0)', count(*) FILTER (WHERE c_acctbal >= 0.0 AND c_acctbal < 2500.0), count(*) FILTER (WHERE c_acctbal >= 0.0 AND c_acctbal < 2500.0)::DOUBLE / count(c_acctbal) FROM customer
+         | UNION ALL SELECT '[2500.0, 7500.0)', count(*) FILTER (WHERE c_acctbal >= 2500.0 AND c_acctbal < 7500.0), count(*) FILTER (WHERE c_acctbal >= 2500.0 AND c_acctbal < 7500.0)::DOUBLE / count(c_acctbal) FROM customer
+         | UNION ALL SELECT '[7500.0, +∞)', count(*) FILTER (WHERE c_acctbal >= 7500.0), count(*) FILTER (WHERE c_acctbal >= 7500.0)::DOUBLE / count(c_acctbal) FROM customer
+         |) ORDER BY "Range"""".stripMargin.replace("\n", " ")),
+    "q_dist_cdf" ->
+      ("""SELECT * FROM (
+         | SELECT '(-∞, 0.0)' AS "Range", count(*) FILTER (WHERE c_acctbal < 0.0) AS "Count", count(*) FILTER (WHERE c_acctbal < 0.0)::DOUBLE / count(c_acctbal) AS "Probability" FROM customer
+         | UNION ALL SELECT '(-∞, 2500.0)', count(*) FILTER (WHERE c_acctbal < 2500.0), count(*) FILTER (WHERE c_acctbal < 2500.0)::DOUBLE / count(c_acctbal) FROM customer
+         | UNION ALL SELECT '(-∞, 7500.0)', count(*) FILTER (WHERE c_acctbal < 7500.0), count(*) FILTER (WHERE c_acctbal < 7500.0)::DOUBLE / count(c_acctbal) FROM customer
+         | UNION ALL SELECT '(-∞, +∞)', count(c_acctbal), count(c_acctbal)::DOUBLE / count(c_acctbal) FROM customer
+         |) ORDER BY "Range"""".stripMargin.replace("\n", " ")),
     "q_topk" ->
       "SELECT l_returnflag AS rflag, l_linestatus AS lstatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY cnt DESC, rflag, lstatus LIMIT 3",
   )

@@ -26,8 +26,6 @@ import java.io.{ObjectInputStream, ObjectOutputStream}
  * O(sketch entries), never O(data).
  */
 object SketchAggregators {
-  /** Separator for composite field tuples (multi-field COUNT_DISTINCT/TOP_K). */
-  val FieldSep = ""
   /** Reference convention: missing/null grouped field stringifies to "null"
     * (FilterBoltTest.java:827-828). */
   val NullString = "null"

@@ -20,16 +20,42 @@ import org.apache.spark.sql.types._
  */
 object ExprCompiler {
 
-  def compile(e: Expr): Column = e match {
+  def compile(e: Expr): Column = compile(e, None)
+
+  /** Compile with an optional input schema. The schema drives type dispatch
+    * for the few ops whose Spark builtin differs by operand type (SIZE_OF,
+    * CONTAINS_VALUE); everything else is type-agnostic. */
+  def compile(e: Expr, schema: Option[StructType]): Column = e match {
     case Field(name, None)      => col(name)
     case Field(name, Some(sub)) => col(name)(sub)
     case Lit(null)              => lit(null)
     case Lit(v)                 => lit(v)
-    case ListExpr(items)        => array(items.map(compile): _*)
-    case Cast(op, to)           => compile(op).cast(sparkType(to))
-    case Unary(op, x)           => compileUnary(op, compile(x), x)
-    case Binary(l, r, op)       => compileBinary(compile(l), r, op)
-    case NAry(op, xs)           => compileNAry(op, xs)
+    case ListExpr(items)        => array(items.map(compile(_, schema)): _*)
+    case Cast(op, to)           => compile(op, schema).cast(sparkType(to))
+    case Unary(op, x)           => compileUnary(op, compile(x, schema), x, schema)
+    case Binary(l, r, op)       => compileBinary(compile(l, schema), l, r, op, schema)
+    case NAry(op, xs)           => compileNAry(op, xs, schema)
+  }
+
+  /** Best-effort static type of an expression against the input schema. */
+  def resolvedType(e: Expr, schema: Option[StructType]): Option[DataType] = e match {
+    case Field(name, None) =>
+      schema.flatMap(_.find(_.name == name)).map(_.dataType)
+    case Field(name, Some(sub)) =>
+      schema.flatMap(_.find(_.name == name)).map(_.dataType).flatMap {
+        case MapType(_, vt, _)  => Some(vt)
+        case st: StructType     => st.find(_.name == sub).map(_.dataType)
+        case _                  => None
+      }
+    case Lit(_: String)  => Some(StringType)
+    case Lit(_: Int)     => Some(IntegerType)
+    case Lit(_: Long)    => Some(LongType)
+    case Lit(_: Double)  => Some(DoubleType)
+    case Lit(_: Boolean) => Some(BooleanType)
+    case ListExpr(items) =>
+      Some(ArrayType(items.headOption.flatMap(resolvedType(_, schema)).getOrElse(StringType)))
+    case Cast(_, to) => Some(sparkType(to))
+    case _           => None
   }
 
   def sparkType(t: FieldType.Value): DataType = t match {
@@ -42,17 +68,20 @@ object ExprCompiler {
     case FieldType.TIMESTAMP => TimestampType
   }
 
-  private def compileUnary(op: UnaryOp.Value, c: Column, raw: Expr): Column = {
+  private def compileUnary(op: UnaryOp.Value, c: Column, raw: Expr,
+                           schema: Option[StructType]): Column = {
     import UnaryOp._
     op match {
       case NOT         => !c
       case IS_NULL     => c.isNull
       case IS_NOT_NULL => c.isNotNull
-      // SIZE_OF: strings → length; lists/maps → size (reference sizeof works
-      // on strings, lists and maps). Pick by AST shape: size() for lists.
-      case SIZE_OF     => raw match {
-        case ListExpr(_) => size(c)
-        case _           => length(c.cast(StringType))
+      // SIZE_OF: lists/maps → element count via size(); strings (and
+      // unresolvable types) → character length. Dispatch on the resolved
+      // schema type, falling back to AST shape for literal lists.
+      case SIZE_OF     => resolvedType(raw, schema) match {
+        case Some(_: ArrayType) | Some(_: MapType) => size(c)
+        case None if raw.isInstanceOf[ListExpr]    => size(c)
+        case _                                     => length(c.cast(StringType))
       }
       case TRIM        => trim(c)
       case LOWER       => lower(c)
@@ -63,9 +92,10 @@ object ExprCompiler {
 
   /** For the ANY/ALL families the right side must be a list expression;
     * `exists`/`forall` keep evaluation inside codegen'd higher-order funcs. */
-  private def compileBinary(l: Column, rightExpr: Expr, op: BinOp.Value): Column = {
+  private def compileBinary(l: Column, leftExpr: Expr, rightExpr: Expr,
+                            op: BinOp.Value, schema: Option[StructType]): Column = {
     import BinOp._
-    lazy val r = compile(rightExpr)
+    lazy val r = compile(rightExpr, schema)
     def anyOf(f: (Column, Column) => Column): Column = exists(r, x => f(l, x))
     def allOf(f: (Column, Column) => Column): Column = forall(r, x => f(l, x))
     op match {
@@ -96,7 +126,13 @@ object ExprCompiler {
       case IN             => array_contains(r, l)
       case NOT_IN         => !array_contains(r, l)
       case CONTAINS_KEY   => map_contains_key(l, r)
-      case CONTAINS_VALUE => array_contains(map_values(l), r)
+      // CONTAINS_VALUE applies to both list and map fields in the reference;
+      // dispatch on the resolved type (map without a schema stays the default
+      // since map-subfield access is the only evidenced use).
+      case CONTAINS_VALUE => resolvedType(leftExpr, schema) match {
+        case Some(_: ArrayType) => array_contains(l, r)
+        case _                  => array_contains(map_values(l), r)
+      }
       case REGEX_LIKE     => l.rlike(rightExpr match {
         case Lit(s: String) => s
         case _ => throw new IllegalArgumentException("REGEX_LIKE needs a string literal pattern")
@@ -111,9 +147,10 @@ object ExprCompiler {
     }
   }
 
-  private def compileNAry(op: NAryOp.Value, xs: Seq[Expr]): Column = {
+  private def compileNAry(op: NAryOp.Value, xs: Seq[Expr],
+                          schema: Option[StructType]): Column = {
     import NAryOp._
-    lazy val cs = xs.map(compile)
+    lazy val cs = xs.map(compile(_, schema))
     op match {
       case AND => cs.reduce(_ && _)
       case OR  => cs.reduce(_ || _)

@@ -4,7 +4,7 @@ import graft.agg._
 import graft.model._
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /**
  * Compiles a [[QuerySpec]] into a DataFrame transformation (batch mode; the
@@ -17,18 +17,31 @@ import org.apache.spark.sql.types.StringType
  * split, predicate pushdown into the scan, and column pruning.
  */
 object QueryCompiler {
-  import SketchAggregators.{FieldSep, NullString}
+  import SketchAggregators.NullString
 
   /** Apply the full query to a batch DataFrame. */
   def run(df: DataFrame, q: QuerySpec): DataFrame = {
-    val filtered = q.filter.map(f => df.filter(ExprCompiler.compile(f))).getOrElse(df)
+    val schema = Some(df.schema)
+    val filtered = q.filter.map(f => df.filter(ExprCompiler.compile(f, schema))).getOrElse(df)
     val projected = q.projection match {
       case Some(fields) =>
-        filtered.select(fields.map { case (n, e) => ExprCompiler.compile(e).as(n) }: _*)
+        filtered.select(fields.map { case (n, e) => ExprCompiler.compile(e, schema).as(n) }: _*)
       case None => filtered
     }
-    val aggregated = aggregate(projected, q.aggregation)
-    q.postAggregations.foldLeft(aggregated)(applyPost)
+    q.aggregation match {
+      case Raw(size) =>
+        // Deterministic RAW: an ORDER BY post-aggregation is applied BEFORE
+        // the size cap so the kept rows are well-defined. Spark compiles
+        // orderBy+limit to TakeOrderedAndProject (per-partition top-k heap +
+        // driver merge of k rows) — no global sort materializes, scale-safe.
+        // The reference's RAW keeps an arbitrary first-`size` subset
+        // (JoinBoltTest.java:644-660); ordering is a determinism upgrade.
+        val (orderPosts, rest) = q.postAggregations.partition(_.isInstanceOf[OrderBy])
+        val ordered = orderPosts.foldLeft(projected)(applyPost)
+        rest.foldLeft(ordered.limit(size))(applyPost)
+      case agg =>
+        q.postAggregations.foldLeft(aggregate(projected, agg))(applyPost)
+    }
   }
 
   /** Stringify a group value the way the reference does: null → "null",
@@ -36,11 +49,16 @@ object QueryCompiler {
   private def strKey(name: String): Column =
     coalesce(col(name).cast(StringType), lit(NullString))
 
-  /** Concatenated composite key for sketch updates over field tuples. A
-    * missing/null field contributes the literal "null", so the tuple is
-    * never silently shortened. */
+  /** Composite key for sketch updates over field tuples, serialized as a
+    * JSON string array — injective for any key content (no separator to
+    * collide with), cheap to parse back. A missing/null field contributes
+    * the literal "null", so the tuple is never silently shortened. */
   def compositeKey(fields: Seq[String]): Column =
-    concat_ws(FieldSep, fields.map(strKey): _*)
+    to_json(array(fields.map(strKey): _*))
+
+  /** Recover the i-th (1-based) tuple element from a [[compositeKey]]. */
+  def keyElement(key: Column, i: Int): Column =
+    element_at(from_json(key, ArrayType(StringType)), i)
 
   def aggregate(df: DataFrame, agg: Aggregation): DataFrame = agg match {
     case Raw(size) =>
@@ -85,8 +103,7 @@ object QueryCompiler {
       val rows = df.agg(agg(compositeKey(fields.map(_._1))).as("rows"))
         .select(explode(col("rows")).as("r"))
       val keyCols = fields.zipWithIndex.map { case ((_, alias), i) =>
-        // split_part is 1-indexed; keys were joined with FieldSep
-        split_part(col("r.key"), lit(FieldSep), lit(i + 1)).as(alias)
+        keyElement(col("r.key"), i + 1).as(alias)
       }
       rows.select(keyCols :+ col("r.count").as(countName): _*)
   }
@@ -105,11 +122,11 @@ object QueryCompiler {
   }
 
   private def applyPost(df: DataFrame, post: PostAggregation): DataFrame = post match {
-    case Having(e)       => df.filter(ExprCompiler.compile(e))
+    case Having(e)       => df.filter(ExprCompiler.compile(e, Some(df.schema)))
     case OrderBy(fields) => df.orderBy(fields.map { case (f, asc) =>
       if (asc) col(f).asc else col(f).desc }: _*)
     case Computation(fs) => fs.foldLeft(df) { case (d, (n, e)) =>
-      d.withColumn(n, ExprCompiler.compile(e)) }
+      d.withColumn(n, ExprCompiler.compile(e, Some(d.schema))) }
     case Culling(names)  => df.drop(names: _*)
   }
 }
