@@ -2,6 +2,7 @@ package graft
 
 import graft.model._
 import graft.compile.QueryCompiler
+import graft.pipeline.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -135,6 +136,36 @@ object SparkEntry {
           k = 3, countName = "cnt", threshold = Some(1L), maxMapSize = 1024))
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
+
+    // --- LLM-data-pipeline: deduplication ---
+
+    // Exact dedup by content hash: survivor + copy count per digest.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // Exact dedup by key tuple.
+    "q_dedup_key" -> ((s, dir) =>
+      Dedup.exactByKey(rd(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")),
+
+    // Fuzzy dedup: exact word-3-gram Jaccard pairs via inverted index.
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("id1", "id2")),
+
+    // Fuzzy dedup at scale: MinHash-LSH candidates + exact-Jaccard verify.
+    // Same oracle as q_dedup_ngram: b=16,r=2 catches J ≥ 0.5 pairs w.p.
+    // ≈ 0.98 and the planted near-dups here are J ≈ 0.98 (miss p < 1e-22).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("id1", "id2")),
+
+    // SimHash near-dup pairs (banded 64-bit signatures). Hash-function
+    // dependent → no SQL oracle; driver records rows-only.
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxHamming = 3).orderBy("id1", "id2")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -172,5 +203,30 @@ object SparkEntry {
          |) ORDER BY "Range"""".stripMargin.replace("\n", " ")),
     "q_topk" ->
       "SELECT l_returnflag AS rflag, l_linestatus AS lstatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY cnt DESC, rflag, lstatus LIMIT 3",
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY 2",
+    "q_dedup_key" ->
+      "SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_dedup_ngram" -> ngramJaccardOracle,
+    "q_dedup_minhash" -> ngramJaccardOracle,
   )
+
+  /** Exact word-3-gram Jaccard pairs with threshold 0.5, as DuckDB SQL —
+    * oracle for both the inverted-index and the MinHash-LSH variants. */
+  private val ngramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |)
+      |SELECT id1, id2, jaccard FROM (
+      |  SELECT id1, id2, CAST(ic AS DOUBLE) / (s1.sz + s2.sz - ic) AS jaccard
+      |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |) WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
 }

@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines: exact
+ * (content-hash / key), n-gram Jaccard (inverted index), MinHash-LSH
+ * (banded signatures), and SimHash (banded bit signatures).
+ *
+ * Every fuzzy variant is bucketed — candidate pairs come from shared
+ * shingles / LSH bands, NEVER an all-pairs cross join — so the shuffle
+ * volume is O(sum of bucket sizes squared), not O(N²). At 100 TB the
+ * MinHash/SimHash paths are the primary ones (constant-size signatures per
+ * document); the exact n-gram join is the reference answer for verification
+ * and smaller corpora, with a document-frequency cutoff as the skew guard.
+ *
+ * All plans use built-in codegen'd functions only (split/transform/slice/
+ * hash/array_intersect...) — zero UDFs.
+ */
+object Dedup {
+
+  /** Distinct word n-grams ("shingles") of whitespace-tokenized `text`,
+    * space-joined. Documents shorter than n words have no shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup by content hash: one survivor (min id) and a copy count
+    * per identical content value. Single hash-shuffle on the digest. */
+  def exactByContent(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup by a key tuple: survivor + copy count per key. */
+  def exactByKey(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, grams) pairs — the shingle-set form shared by the fuzzy ops. */
+  private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))
+
+  /**
+   * Exact n-gram Jaccard near-duplicate pairs via an inverted index:
+   * explode shingles → self-join on the shingle (co-occurrence counts) →
+   * Jaccard from |A∩B| and set sizes. Only documents sharing ≥1 shingle
+   * ever meet, and the join shuffles by shingle — no all-pairs.
+   *
+   * `maxDocFreq` drops shingles present in more than that many documents
+   * before the join — the skew guard at scale (a stop-shingle appearing in
+   * 1M docs would otherwise form a 10¹²-pair bucket). Dropping ubiquitous
+   * shingles lowers measured Jaccard slightly; leave None for exactness.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val gs = gramSets(df, idCol, textCol, n)
+    val exploded = gs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val posting = maxDocFreq match {
+      case Some(m) =>
+        val hot = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("g")
+        exploded.join(hot, Seq("g"), "left_anti")
+      case None => exploded
+    }
+    val sizes = gs.select(col("doc_id"), size(col("grams")).as("sz"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * MinHash signatures: `numHashes` min-hashes per document, one column
+   * each. Hash family = Murmur3 of (shingle, seed i) — built-in `hash`,
+   * whole-stage codegen. One groupBy(doc) over the exploded shingles.
+   */
+  def minhashSignatures(gs: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = gs.filter(size(col("grams")) > 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val sigCols = (0 until numHashes).map(i => min(hash(col("g"), lit(i))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: banded signatures → documents sharing
+   * a (band, band-hash) bucket become candidates → exact Jaccard verify on
+   * candidates only. With b bands of r rows, P[candidate] = 1-(1-J^r)^b —
+   * the standard S-curve; defaults (b=16, r=2) catch J ≥ 0.5 with
+   * probability ≈ 1-2·10⁻² and J ≥ 0.9 with ≈ 1-10⁻¹⁷.
+   *
+   * Scale shape: signatures are numHashes ints per doc (constant);
+   * candidates shuffle by bucket; the verify join touches only candidate
+   * pairs. This is the 100 TB fuzzy-dedup path.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val gs = gramSets(df, idCol, textCol, n)
+    val sigs = minhashSignatures(gs, numHashes)
+    val numBands = numHashes / bandRows
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), hash(cols :+ lit(b): _*).as("bkey"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val g1 = gs.select(col("doc_id").as("id1"), col("grams").as("g1"))
+    val g2 = gs.select(col("doc_id").as("id2"), col("grams").as("g2"))
+    cands.join(g1, "id1").join(g2, "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: per-bit majority vote over xxhash64 of
+    * each shingle. One groupBy(doc) with 64 conditional sums — wide but
+    * fully codegen'd, constant state per doc. Tie (sum = 0) votes 1. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val gs = gramSets(df, idCol, textCol, n)
+    val ex = gs.filter(size(col("grams")) > 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val sums = ex.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /**
+   * SimHash near-duplicate pairs: split the 64-bit signature into
+   * `bands` equal bit-bands; pairs sharing any band are candidates
+   * (pigeonhole: hamming < bands ⟹ some band equal); verify
+   * popcount(xor) ≤ maxHamming. Candidates bucket by 16-bit band value.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = simhashSignatures(df, idCol, textCol, n)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

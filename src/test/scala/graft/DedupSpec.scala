@@ -1,0 +1,90 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  // Planted corpus: 1-2 near-identical, 3 unrelated, 4 exact copy of 3.
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark query engines here"),
+      (4L, "completely different text about spark query engines here"),
+      (5L, "a b") // shorter than n=3 → no shingles
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word n-grams; short docs have none") {
+    val out = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).size === 8)
+    assert(out(1L).contains("the quick brown"))
+    assert(out(5L) === Seq.empty)
+  }
+
+  test("exactByContent groups identical docs under one survivor") {
+    val out = Dedup.exactByContent(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
+  test("ngramJaccardPairs finds near-dups and exact dups, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minhashLshPairs agrees with the exact inverted-index answer") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; near-dups within budget") {
+    val s = spark
+    import s.implicits._
+    // long docs (many shingles) so per-bit majorities are stable: 1↔2
+    // differ in one word of fifty, 3 is an exact copy of 1, 4 unrelated.
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w25", "changed")
+    val other = (1 to 50).map(i => s"v$i").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, base), (4L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", 3, maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 3L)) === 0) // exact copies → identical signature
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 12)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash signature is a stable deterministic long per content") {
+    val a = Dedup.simhashSignatures(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashSignatures(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a(3L) === a(4L))
+    assert(a(1L) !== a(3L))
+  }
+
+  test("maxDocFreq drops ubiquitous shingles from the posting list") {
+    val s = spark
+    import s.implicits._
+    // "x y z" appears in all 3 docs → dropped at maxDocFreq=2; docs 1/2
+    // still pair through their other shared shingles.
+    val d = Seq(
+      (1L, "x y z a b c d e"),
+      (2L, "x y z a b c d f"),
+      (3L, "x y z q r s t u")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.3, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 2L)))
+  }
+}
