@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.compile.QueryCompiler
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +166,29 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, maxHamming = 3).orderBy("id1", "id2")),
+
+    // --- LLM-data-pipeline: similarity search ---
+
+    // Exact cosine top-10 for 5 query vectors (broadcast queries, one
+    // corpus pass, WindowGroupLimit per-partition heaps).
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", k = 10).orderBy("query_id", "neighbor_id")
+    }),
+
+    // Approximate top-10 via random-hyperplane LSH with Hamming-1
+    // multi-probe — the bucketed scale path. Approximate → rows-only check.
+    // Plane count sizes buckets: ≈ log2(N / targetBucketSize); 6 planes
+    // (64 buckets) suits the 500–5000-vector test corpus. On uniformly
+    // random embeddings recall is inherently poor (no locality to exploit);
+    // see SimilaritySpec for recall on clustered data.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", k = 10, dim = 64, numPlanes = 6)
+        .orderBy("query_id", "neighbor_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -209,6 +232,19 @@ object SparkEntry {
       "SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), sims AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
+        |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
   )
 
   /** Exact word-3-gram Jaccard pairs with threshold 0.5, as DuckDB SQL —

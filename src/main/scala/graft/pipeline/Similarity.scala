@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, mirroring how a 100 TB corpus is actually served:
+ *  - [[bruteForceTopK]]: exact top-k — broadcast the (small) query set,
+ *    stream the corpus once, rank per query. The correctness baseline and
+ *    the right tool whenever |queries| is small.
+ *  - [[lshTopK]] / [[cosineNearDupPairs]]: random-hyperplane LSH — constant
+ *    per-vector signature, candidates meet only inside a bucket, so shuffle
+ *    volume is O(sum of bucket sizes), never O(N²) / full-corpus per query.
+ *
+ * All math is codegen'd built-ins: `zip_with` + `aggregate` compute the dot
+ * product as a sequential double fold (bit-identical to the DuckDB oracle's
+ * `list_dot_product`).
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** cosine(a, b) with the exact operation order the oracle uses. */
+  def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    dotd(qv, cv) / (qn * cn)
+
+  /**
+   * Exact top-k nearest neighbors by cosine for each query vector.
+   * Queries are broadcast (no corpus shuffle for the similarity scan);
+   * the rank filter compiles to WindowGroupLimit (Spark ≥ 3.5), i.e. a
+   * per-partition top-k heap before the per-query shuffle — the shuffled
+   * volume is O(|queries| · k · partitions), not O(|queries| · N).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic random hyperplanes (fixed seed → stable signatures). */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Pack sign(v · p_i) bits into an int signature column. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotd(vec, typedLit(p.toSeq)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /**
+   * Approximate top-k via random-hyperplane LSH. Corpus vectors hash to one
+   * bucket each; queries multi-probe their bucket plus each Hamming-1
+   * neighbor bucket (flip one bit), trading numPlanes× query fan-out for
+   * recall. Candidates are ranked exactly by cosine. At scale the bucket
+   * join shuffles only by signature — the corpus is never scanned per query.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              numPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      .withColumn("sig", lshSignature(col("cv"), planes))
+    val q0 = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+      .withColumn("sig0", lshSignature(col("qv"), planes))
+    // multi-probe: own bucket + each bucket at Hamming distance 1
+    val probeSigs = array(
+      col("sig0") +: (0 until numPlanes).map(i => col("sig0").bitwiseXOR(lit(1 << i))): _*)
+    val q = q0.select(col("query_id"), col("qv"), col("qn"),
+      explode(probeSigs).as("sig"))
+    val cands = c.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
+   * (any of `bands` sub-signatures) become candidates; candidates are
+   * verified with exact cosine ≥ threshold. The standard banded-LSH dedup
+   * shape: recall rises with bands, cost stays bucket-local.
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, dim: Int,
+                         numPlanes: Int = 16, bands: Int = 4,
+                         seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val perBand = numPlanes / bands
+    val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
+      .withColumn("nrm", sqrt(dotd(col("ev"), col("ev"))))
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val banded = (0 until bands).map { b =>
+      val sub = planes.slice(b * perBand, (b + 1) * perBand)
+      struct(lit(b).as("band"), lshSignature(col("ev"), sub).as("bkey"))
+    }
+    val buckets = v.select(col("vid"), col("ev"), col("nrm"),
+      explode(array(banded: _*)).as("bb"))
+      .select(col("vid"), col("ev"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        cosine(col("a.ev"), col("b.ev"), col("a.nrm"), col("b.nrm")).as("sim"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("sim") >= threshold)
+  }
+}

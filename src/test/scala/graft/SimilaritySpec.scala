@@ -1,0 +1,91 @@
+package graft
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  /** Planted corpus: 3 tight clusters around orthogonal axes + one
+    * near-duplicate pair (ids 1 and 101). dim=8. */
+  private lazy val vecs = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def around(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 8).map(i => ((if (i == axis) 1.0 else 0.0) + jitter * rnd.nextGaussian()).toFloat)
+    val base = around(0, 0.0)
+    val rows =
+      Seq((1L, base)) ++
+      Seq((101L, base.map(x => x + 0.001f))) ++ // near-dup of 1
+      (2L to 20L).map(i => (i, around((i % 3).toInt, 0.05))) :+
+      (200L, around(7, 0.05))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: the near-duplicate is every query's top neighbor") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 1L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy(desc("sim")).collect()
+    assert(out.head.getLong(1) === 101L)
+    assert(out.head.getDouble(2) > 0.999)
+    assert(out.length === 3)
+  }
+
+  test("bruteForceTopK returns exactly k rows per query, self excluded") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") <= 3L), vecs, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length === 15)
+    assert(!out.exists(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("lshTopK finds the planted near-duplicate as top-1") {
+    val out = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 1L), vecs, "vec_id", "embedding",
+      k = 3, dim = 8)
+      .orderBy(desc("sim")).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(1) === 101L)
+  }
+
+  test("lshTopK top-1 agrees with brute force on clustered queries") {
+    val queries = vecs.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("sim"), col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = top1(Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 3))
+    val lsh = top1(Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 3, dim = 8))
+    // clustered vectors share buckets with their nearest neighbor
+    assert(lsh === bf)
+  }
+
+  test("cosineNearDupPairs matches all-pairs ground truth at 0.999") {
+    val pairs = Similarity.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.999, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact all-pairs cosine on the tiny fixture
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (i, vi) <- rows; (j, vj) <- rows
+      if i < j && cos(vi, vj) >= 0.999
+    } yield (i, j)).toSet
+    assert(pairs === truth)
+    assert(pairs.contains((1L, 101L)))
+  }
+
+  test("lshSignature is deterministic across invocations") {
+    val planes = Similarity.hyperplanes(8, 12)
+    val s1 = vecs.select(Similarity.lshSignature(
+      col("embedding").cast("array<double>"), planes)).collect().map(_.getInt(0)).toSeq
+    val s2 = vecs.select(Similarity.lshSignature(
+      col("embedding").cast("array<double>"), planes)).collect().map(_.getInt(0)).toSeq
+    assert(s1 === s2)
+  }
+}
