@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.compile.QueryCompiler
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,40 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, dim = 64, numPlanes = 6)
         .orderBy("query_id", "neighbor_id")
     }),
+
+    // --- LLM-data-pipeline: text analysis ---
+
+    // Quality statistics + composite score per document.
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Stopword-marker language ID with CJK detection.
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprints (hash-function specific → rows-only check).
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(rd(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("fp_size"), col("fp_hash"))
+        .orderBy("doc_id")),
+
+    // --- LLM-data-pipeline: multimodal columns ---
+
+    // Metadata-only scan over the binary-content convention (content
+    // column pruned away — never read).
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaStats(Multimodal.fromDocuments(rd(s, dir, "documents")))
+        .orderBy("media_id")),
+
+    // Decode(stub) → feature pipeline over binary content via
+    // mapPartitions (rows-only: features come from the fake decoder).
+    "q_multimodal_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.featureSummary(Multimodal.fromDocuments(rd(s, dir, "documents")))
+        .orderBy("media_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,6 +279,37 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_c,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9 ])')) AS BIGINT) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' ')) AS stop_ratio,
+        |  least(1.0, len(string_split(text, ' ')) / 100.0) * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' '))) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws, text FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','un','une','est'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(ws, w -> w IN ('el','los','las','y','uno','una','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ein','ist'))) AS BIGINT) AS s_de,
+        |  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk FROM t)
+        |SELECT doc_id, s_en, s_fr, s_es, s_de,
+        |  CASE WHEN cjk THEN 'zh'
+        |       WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+        |       WHEN s_de > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
+        |  CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id % 5) * 16 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+        |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
   )
 
   /** Exact word-3-gram Jaccard pairs with threshold 0.5, as DuckDB SQL —

@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the cat and the dog ran to the house of cards"),
+      (2L, "le chat et la maison est une belle chose pour un jour"),
+      (3L, "der hund und die katze ist ein tier"),
+      (4L, "你好 世界 这 是 中文"),
+      (5L, "zzz qqq www"),
+      (6L, "mixed42 tokens, with punct! and digits 7")
+    ).toDF("doc_id", "text")
+  }
+
+  test("langId: marker languages, CJK, and und are all detected") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out === Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "zh", 5L -> "und", 6L -> "en"))
+  }
+
+  test("textStats: counts and ratios") {
+    val row = TextAnalysis.textStats(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(row.getLong(1) === 45L)  // chars
+    assert(row.getLong(2) === 11L)  // words
+    assert(row.getDouble(4) === 6.0 / 11.0) // the×3, and, to, of
+  }
+
+  test("tokenCount splits letter runs, digit runs, and symbols") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("ab12cd, x!")).toDF("t")
+    // ab | 12 | cd | , | x | ! → 6
+    assert(df.select(TextAnalysis.tokenCount(col("t"))).collect()(0).getInt(0) === 6)
+  }
+
+  test("fingerprints: identical docs share fp_hash; edits preserve overlap") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w15", "x")
+    val d = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(3))).toMap
+    assert(fp(1L)._2 === fp(2L)._2) // identical → identical fingerprint hash
+    val sim = d.filter(col("doc_id").isin(1L, 3L))
+    val fps = TextAnalysis.fingerprints(sim, "doc_id", "text")
+    val pair = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(TextAnalysis.fingerprintSimilarity(col("a.fingerprint"), col("b.fingerprint")))
+      .collect()(0).getDouble(0)
+    assert(pair > 0.5 && pair < 1.0) // local edit: high but not full overlap
+  }
+
+  test("fingerprints: short docs degrade gracefully") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(fp(1L) === 1) // 2 grams < w → single min
+    assert(fp(2L) === 0) // shorter than k → empty
+    assert(fp(3L) === 0)
+  }
+}
