@@ -190,6 +190,42 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // --- Streaming multi-query runner (SURVEY §3): two queries, ONE shared
+    // pass over the batch; driver merges the byte[] partials and finishes
+    // at duration expiry. Metric choice keeps doubles order-independent
+    // (long sums; min/max) so the oracle hash-matches.
+    "q_runner_multi" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("ga",
+        filter = Some(Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("user_id"), "su"),
+          GroupOp(GroupOpType.MIN, Some("value"), "mn"),
+          GroupOp(GroupOpType.MAX, Some("value"), "mx")))))
+      runner.register(QuerySpec("cd",
+        aggregation = CountDistinct(Seq("user_id"), name = "du")))
+      runner.processBatch(rd(s, dir, "events"))
+      clock.advance(100000)
+      val clips = runner.onTick().map(c => c.queryId -> c).toMap
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ga = mapper.readTree(clips("ga").records.head)
+      val cd = mapper.readTree(clips("cd").records.head)
+      val row = org.apache.spark.sql.Row(
+        ga.get("cnt").asLong(), ga.get("su").asLong(),
+        ga.get("mn").asDouble(), ga.get("mx").asDouble(),
+        cd.get("du").asLong())
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("su", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mx", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("du", org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(java.util.Arrays.asList(row), schema)
+    }),
+
     // --- LLM-data-pipeline: text analysis ---
 
     // Quality statistics + composite score per document.
@@ -279,6 +315,9 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_runner_multi" ->
+      ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn, max(value) AS mx, " +
+        "(SELECT count(DISTINCT user_id) FROM events) AS du FROM events WHERE value > 10.0"),
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_c,

@@ -31,6 +31,61 @@ object SketchAggregators {
   val NullString = "null"
 }
 
+/** Serialize/deserialize sketch buffers — the `byte[]` intermediate form the
+  * streaming runner ships from the shared micro-batch pass to the driver
+  * combine stage (the reference's FilterBolt→JoinBolt contract,
+  * FilterBolt.java:187-199 / JoinBolt.java:154-155). */
+object BufSerde {
+  def ser(x: Serializable): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(x); oos.close()
+    bos.toByteArray
+  }
+  def de[T](bytes: Array[Byte]): T = {
+    val ois = new ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    ois.readObject().asInstanceOf[T]
+  }
+}
+
+/** Partial-form aggregators: identical update/merge to their finishing
+  * counterparts, but `finish` emits the serialized buffer so a downstream
+  * combiner (the streaming runner's driver state) can keep merging across
+  * micro-batches. */
+final class ThetaPartialAgg(lgK: Int = 17)
+    extends Aggregator[String, ThetaBuf, Array[Byte]] {
+  def zero: ThetaBuf = new ThetaBuf(lgK)
+  def reduce(b: ThetaBuf, in: String): ThetaBuf = { if (in != null) b.update(in); b }
+  def merge(b1: ThetaBuf, b2: ThetaBuf): ThetaBuf = b1.merge(b2)
+  def finish(b: ThetaBuf): Array[Byte] = BufSerde.ser(b)
+  def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+final class KllPartialAgg(k: Int = 2048)
+    extends Aggregator[java.lang.Double, KllBuf, Array[Byte]] {
+  def zero: KllBuf = new KllBuf(k)
+  def reduce(b: KllBuf, in: java.lang.Double): KllBuf = {
+    if (in != null) b.update(in.doubleValue); b
+  }
+  def merge(b1: KllBuf, b2: KllBuf): KllBuf = b1.merge(b2)
+  def finish(b: KllBuf): Array[Byte] = BufSerde.ser(b)
+  def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+final class FreqItemsPartialAgg(maxMapSize: Int = 1024)
+    extends Aggregator[String, FreqItemsBuf, Array[Byte]] {
+  def zero: FreqItemsBuf = new FreqItemsBuf(maxMapSize)
+  def reduce(b: FreqItemsBuf, in: String): FreqItemsBuf = {
+    if (in != null) b.update(in); b
+  }
+  def merge(b1: FreqItemsBuf, b2: FreqItemsBuf): FreqItemsBuf = b1.merge(b2)
+  def finish(b: FreqItemsBuf): Array[Byte] = BufSerde.ser(b)
+  def bufferEncoder: Encoder[FreqItemsBuf] = Encoders.javaSerialization[FreqItemsBuf]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 // ---------------------------------------------------------------------------
 // COUNT_DISTINCT — Theta sketch (exact ≤ 2^lgK entries, ~2% RSE beyond)
 // Reference: ThetaSketchingStrategy, FilterBoltTest.java:680-710.

@@ -60,6 +60,10 @@ object QueryCompiler {
   def keyElement(key: Column, i: Int): Column =
     element_at(from_json(key, ArrayType(StringType)), i)
 
+  /** As [[compositeKey]] but over arbitrary pre-stringified expressions. */
+  def compositeKeyOf(cols: Seq[Column]): Column =
+    to_json(array(cols.map(c => coalesce(c.cast(StringType), lit(NullString))): _*))
+
   def aggregate(df: DataFrame, agg: Aggregation): DataFrame = agg match {
     case Raw(size) =>
       df.limit(size)

@@ -1,0 +1,411 @@
+package graft.streaming
+
+import graft.agg._
+import graft.compile.{ExprCompiler, QueryCompiler}
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable
+
+/** Processing-time clock, injectable for tests (the reference drives all
+  * timing off processing-time ticks — SURVEY §2.8). */
+trait Clock { def now(): Long }
+object SystemClock extends Clock { def now(): Long = System.currentTimeMillis() }
+final class ManualClock(start: Long = 0L) extends Clock {
+  private var t = start
+  def now(): Long = t
+  def advance(ms: Long): Unit = t += ms
+}
+
+/**
+ * The streaming multi-query runner — the engine's core component (SURVEY §3):
+ * N forward-looking queries evaluated over ONE shared pass per micro-batch.
+ *
+ * Execution shape, re-expressed Spark-first from the reference's
+ * FilterBolt/JoinBolt split:
+ *
+ *  - **Shared pass** (= FilterBolt partials): all active non-grouped queries
+ *    compile into conditional aggregate expressions over one `df.agg(...)` —
+ *    each query's filter becomes `when(pred, input)` gating its aggregator
+ *    input, so a 100-query workload costs ONE scan of the batch, not 100
+ *    jobs. Sketch aggregators emit their partial as serialized bytes
+ *    (`*PartialAgg`), exactly the reference's `byte[]` DATA_STREAM tuples
+ *    (FilterBolt.java:187-199). Spark's partial/final agg split runs inside
+ *    the batch; GROUP BY key-sets each add one grouped job over the same
+ *    (cached) batch.
+ *  - **Driver combine** (= JoinBolt): [[AggState]] merges per-batch partials
+ *    across batches (`Querier.combine`, JoinBolt.java:154-155), owns window
+ *    emission + reset (JoinBolt.java:252-259), duration expiry
+ *    (JoinBolt.java:214-233), rate-limit kills (JoinBolt.java:199-208),
+ *    duplicate suppression (FilterBolt.java:117-124), and error Clips
+ *    (JoinBolt.java:297-308). Driver state is O(queries × sketch), never
+ *    O(data).
+ *
+ * At 100 TB/1000 executors: the batch scan distributes; only O(bytes-per-
+ * sketch × queries) crosses to the driver per batch. Queries prune from the
+ * plan the batch after they complete (early termination, FilterBolt.java:
+ * 160-163).
+ *
+ * Window semantics: processing-time, micro-batch granularity. RECORD
+ * windows emit when ≥ `emitEvery` matched records have accumulated (the
+ * reference's per-record emission coalesces to per-batch — documented
+ * deviation, SURVEY §7.3); TIME windows emit when the wall/manual clock
+ * passes the boundary, aligned to the registration instant; `include ALL`
+ * (additive) skips the reset.
+ */
+final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
+
+  private final class RQ(val spec: QuerySpec, val registeredAt: Long) {
+    val state: AggState = AggState.forSpec(spec.aggregation)
+    var emitted: Long = 0L          // total records emitted (rate limiting)
+    var recordsSinceEmit: Long = 0L // RECORD-window accumulator
+    var lastEmitAt: Long = registeredAt
+    var windowsEmitted: Long = 0L
+    var done: Boolean = false
+    def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
+  }
+
+  private val queries = mutable.LinkedHashMap.empty[String, RQ]
+  private val emissions = mutable.ArrayBuffer.empty[Clip]
+  var duplicatesSuppressed: Long = 0L
+
+  def activeQueryIds: Seq[String] = queries.keys.toSeq
+  def results: Seq[Clip] = emissions.toSeq
+
+  // -------------------------------------------------------------------------
+  // Registration / control plane
+  // -------------------------------------------------------------------------
+
+  /** Register a query. Invalid specs produce an error Clip with FAIL
+    * (JoinBolt.java:297-308); duplicate ids are suppressed and counted
+    * (FilterBolt.java:117-124). Returns the FAIL clip if rejected. */
+  def register(spec: QuerySpec): Option[Clip] = {
+    if (queries.contains(spec.id)) { duplicatesSuppressed += 1; return None }
+    val errors = validate(spec)
+    if (errors.nonEmpty) {
+      val clip = Clip(spec.id, baseMeta(spec.id, clock.now()) ++
+        Map("signal" -> Signal.FAIL.toString, "errors" -> errors), Seq.empty)
+      emissions += clip
+      Some(clip)
+    } else {
+      queries += spec.id -> new RQ(spec, clock.now())
+      None
+    }
+  }
+
+  /** External KILL signal: remove the query everywhere, emit a KILL clip. */
+  def kill(id: String): Option[Clip] = queries.remove(id).map { rq =>
+    val clip = Clip(id, baseMeta(id, rq.registeredAt) ++
+      Map("signal" -> Signal.KILL.toString, "finish_time" -> clock.now()), Seq.empty)
+    emissions += clip
+    clip
+  }
+
+  def validate(spec: QuerySpec): Seq[String] = {
+    val errs = mutable.ArrayBuffer.empty[String]
+    if (spec.id == null || spec.id.isEmpty) errs += "query id must be non-empty"
+    if (spec.durationMs <= 0) errs += "durationMs must be positive"
+    spec.aggregation match {
+      case Raw(s) if s <= 0 => errs += "RAW size must be positive"
+      case GroupAll(ops) => errs ++= opErrors(ops)
+      case GroupBy(f, ops, e) =>
+        if (f.isEmpty) errs += "GROUP BY needs at least one field"
+        if (e <= 0) errs += "GROUP BY entries cap must be positive"
+        errs ++= opErrors(ops)
+      case CountDistinct(f, _, _) if f.isEmpty => errs += "COUNT_DISTINCT needs fields"
+      case Distribution(_, _, p, _) if p.isEmpty => errs += "DISTRIBUTION needs points"
+      case TopK(f, k, _, _, _) =>
+        if (f.isEmpty) errs += "TOP_K needs fields"
+        if (k <= 0) errs += "TOP_K k must be positive"
+      case _ =>
+    }
+    spec.window.foreach { w =>
+      if (w.emitEvery <= 0) errs += "window emitEvery must be positive"
+    }
+    errs.toSeq
+  }
+
+  private def opErrors(ops: Seq[GroupOp]): Seq[String] = {
+    val needField = ops.filter(o => o.op != GroupOpType.COUNT && o.field.isEmpty)
+    (if (ops.isEmpty) Seq("GROUP needs at least one operation") else Nil) ++
+      needField.map(o => s"${o.op} '${o.name}' needs a field")
+  }
+
+  // -------------------------------------------------------------------------
+  // Micro-batch processing
+  // -------------------------------------------------------------------------
+
+  /** Process one micro-batch: shared partial pass + driver combine + window
+    * and lifecycle evaluation. Returns the Clips emitted for this batch. */
+  def processBatch(batch: DataFrame): Seq[Clip] = {
+    val active = queries.values.filter(!_.done).toSeq
+    val (grouped, simple) = active.partition(_.isGrouped)
+    val needsCache = (if (simple.nonEmpty) 1 else 0) + grouped.size > 1
+    val df = if (needsCache) batch.persist() else batch
+    try {
+      if (simple.nonEmpty) {
+        val schema = df.schema
+        val cols = simple.flatMap(rq => partialColumns(rq, schema))
+        val row = df.agg(cols.head, cols.tail: _*).collect()(0)
+        simple.foreach(rq => mergePartial(rq, row))
+      }
+      grouped.foreach(rq => mergeGrouped(rq, df))
+    } finally {
+      if (needsCache) df.unpersist()
+    }
+    lifecycle()
+  }
+
+  /** Clock-only evaluation (the reference's tick path, FilterBolt.java:
+    * 153-158): catches duration expiry and time-window emits with no data. */
+  def onTick(): Seq[Clip] = lifecycle()
+
+  /** Force-finish every remaining query (end of stream). */
+  def finishAll(): Seq[Clip] = {
+    val out = queries.values.map(finish).toSeq
+    queries.clear()
+    emissions ++= out
+    out
+  }
+
+  /** Attach to a streaming DataFrame: one shared pass per micro-batch. */
+  def runStream(stream: DataFrame, checkpoint: Option[String] = None,
+                triggerMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch((b: DataFrame, _: Long) => { processBatch(b); () })
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
+  // -------------------------------------------------------------------------
+  // Shared-pass plan construction (FilterBolt partials)
+  // -------------------------------------------------------------------------
+
+  private def pred(rq: RQ, schema: StructType): Column =
+    rq.spec.filter.map(f => ExprCompiler.compile(f, Some(schema))).getOrElse(lit(true))
+
+  /** Field reference as the aggregation sees it: through the projection when
+    * one exists (filter→project→aggregate order), else the raw column. */
+  private def fieldCol(rq: RQ, name: String, schema: StructType): Column =
+    rq.spec.projection match {
+      case Some(fields) => fields.find(_._1 == name)
+        .map { case (_, e) => ExprCompiler.compile(e, Some(schema)) }
+        .getOrElse(lit(null))
+      case None => col(name)
+    }
+
+  private def n(id: String) = s"${id}__n"
+  private def p(id: String) = s"${id}__p"
+  private def m(id: String, i: Int) = s"${id}__m$i"
+  private def c(id: String, i: Int) = s"${id}__c$i"
+
+  /** Per-op aggregate columns (shared by GROUP all and GROUP BY jobs). */
+  private def opColumns(id: String, ops: Seq[GroupOp], gate: Column,
+                        field: String => Column): Seq[Column] =
+    ops.zipWithIndex.flatMap { case (op, i) =>
+      import GroupOpType._
+      op.op match {
+        case COUNT =>
+          Seq(sum(when(gate, lit(1L))).as(m(id, i)))
+        case COUNT_FIELD =>
+          Seq(count(when(gate, field(op.field.get))).as(m(id, i)))
+        case SUM | MIN | MAX =>
+          val f = when(gate, field(op.field.get))
+          val agg = op.op match {
+            case SUM => sum(f); case MIN => min(f); case MAX => max(f)
+            case _ => throw new IllegalStateException
+          }
+          Seq(agg.as(m(id, i)))
+        case AVG =>
+          val f = when(gate, field(op.field.get))
+          Seq(sum(f).as(m(id, i)), count(f).as(c(id, i)))
+      }
+    }
+
+  private def partialColumns(rq: RQ, schema: StructType): Seq[Column] = {
+    val id = rq.spec.id
+    val g = pred(rq, schema)
+    val matched = sum(when(g, lit(1L))).as(n(id))
+    val fld: String => Column = f => fieldCol(rq, f, schema)
+    val aggCols: Seq[Column] = rq.spec.aggregation match {
+      case Raw(_) =>
+        val recordStruct = rq.spec.projection match {
+          case Some(fields) => struct(fields.map { case (nm, e) =>
+            ExprCompiler.compile(e, Some(schema)).as(nm) }: _*)
+          case None => struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+        }
+        val cap = rq.state.asInstanceOf[RawState].remaining
+        val agg = udaf(new CappedCollectAgg(math.max(cap, 0)), Encoders.STRING)
+        Seq(agg(when(g, to_json(recordStruct))).as(p(id)))
+      case GroupAll(ops) =>
+        opColumns(id, ops, g, fld)
+      case CountDistinct(fields, _, lgK) =>
+        val key = QueryCompiler.compositeKeyOf(fields.map(fld))
+        val agg = udaf(new ThetaPartialAgg(lgK), Encoders.STRING)
+        Seq(agg(when(g, key)).as(p(id)))
+      case Distribution(field, _, _, k) =>
+        val agg = udaf(new KllPartialAgg(k), Encoders.DOUBLE)
+        Seq(agg(when(g, fld(field).cast("double"))).as(p(id)))
+      case TopK(fields, _, _, _, maxMapSize) =>
+        val key = QueryCompiler.compositeKeyOf(fields.map(f => fld(f._1)))
+        val agg = udaf(new FreqItemsPartialAgg(maxMapSize), Encoders.STRING)
+        Seq(agg(when(g, key)).as(p(id)))
+      case _: GroupBy => Seq.empty // handled by mergeGrouped
+    }
+    matched +: aggCols
+  }
+
+  // -------------------------------------------------------------------------
+  // Driver combine (JoinBolt)
+  // -------------------------------------------------------------------------
+
+  private def longAt(row: Row, name: String): Long = {
+    val v = row.getAs[Any](name)
+    if (v == null) 0L else v.asInstanceOf[Number].longValue
+  }
+
+  private def mergePartial(rq: RQ, row: Row): Unit = {
+    val id = rq.spec.id
+    val matched = longAt(row, n(id))
+    rq.recordsSinceEmit += matched
+    rq.spec.aggregation match {
+      case Raw(_) =>
+        rq.state.asInstanceOf[RawState].add(
+          row.getAs[scala.collection.Seq[String]](p(id)).toSeq)
+      case GroupAll(ops) =>
+        val st = rq.state.asInstanceOf[GroupAllState]
+        ops.zipWithIndex.foreach { case (op, i) =>
+          import GroupOpType._
+          op.op match {
+            case COUNT       => st.acc.update(i, longAt(row, m(id, i)), null)
+            case COUNT_FIELD => st.acc.update(i, longAt(row, m(id, i)), null)
+            case AVG         => st.acc.update(i, longAt(row, c(id, i)), row.getAs[Any](m(id, i)))
+            case _           => st.acc.update(i, matched, row.getAs[Any](m(id, i)))
+          }
+        }
+      case _: CountDistinct =>
+        val buf = BufSerde.de[ThetaBuf](row.getAs[Array[Byte]](p(id)))
+        rq.state.asInstanceOf[CountDistinctState].buf.merge(buf)
+      case _: Distribution =>
+        val buf = BufSerde.de[KllBuf](row.getAs[Array[Byte]](p(id)))
+        rq.state.asInstanceOf[DistributionState].buf.merge(buf)
+      case _: TopK =>
+        val buf = BufSerde.de[FreqItemsBuf](row.getAs[Array[Byte]](p(id)))
+        rq.state.asInstanceOf[TopKState].buf.merge(buf)
+      case _: GroupBy => // not in the shared pass
+    }
+  }
+
+  /** One grouped job per GROUP BY query (distinct key-sets can't share one
+    * aggregate); still scans the shared cached batch. Batch-local groups are
+    * capped to the smallest `entries` keys — merging per-batch smallest-E
+    * sets keeps exactly the global smallest-E keys. */
+  private def mergeGrouped(rq: RQ, df: DataFrame): Unit = {
+    val spec = rq.spec.aggregation.asInstanceOf[GroupBy]
+    val id = rq.spec.id
+    val schema = df.schema
+    val g = pred(rq, schema)
+    val fld: String => Column = f => fieldCol(rq, f, schema)
+    val keyCols = spec.fields.map { case (f, alias) =>
+      coalesce(fld(f).cast("string"), lit(SketchAggregators.NullString)).as(alias)
+    }
+    val filtered = df.filter(g)
+    val aggCols = opColumns(id, spec.ops, lit(true), fld) :+
+      sum(lit(1L)).as(n(id))
+    val rows = filtered
+      .groupBy(keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(spec.fields.map { case (_, alias) => col(alias) }: _*)
+      .limit(spec.entries)
+      .collect()
+    val st = rq.state.asInstanceOf[GroupByState]
+    var matched = 0L
+    rows.foreach { row =>
+      val key = spec.fields.indices.map(row.getString)
+      val acc = st.accFor(key)
+      spec.ops.zipWithIndex.foreach { case (op, i) =>
+        import GroupOpType._
+        op.op match {
+          case COUNT | COUNT_FIELD => acc.update(i, longAt(row, m(id, i)), null)
+          case AVG                 => acc.update(i, longAt(row, c(id, i)), row.getAs[Any](m(id, i)))
+          case _                   => acc.update(i, longAt(row, n(id)), row.getAs[Any](m(id, i)))
+        }
+      }
+      matched += longAt(row, n(id))
+    }
+    rq.recordsSinceEmit += matched
+  }
+
+  // -------------------------------------------------------------------------
+  // Lifecycle: windows, duration, rate limiting (JoinBolt tick path)
+  // -------------------------------------------------------------------------
+
+  private def baseMeta(id: String, receiveTime: Long): Map[String, Any] =
+    Map("query_id" -> id, "receive_time" -> receiveTime)
+
+  private def windowClip(rq: RQ): Clip = {
+    val records = rq.state.finishRecords()
+    rq.emitted += records.size
+    rq.windowsEmitted += 1
+    Clip(rq.spec.id,
+      baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
+        Map("emit_time" -> clock.now(), "window_number" -> rq.windowsEmitted),
+      records)
+  }
+
+  private def finish(rq: RQ): Clip = {
+    rq.done = true
+    val records = rq.state.finishRecords()
+    rq.emitted += records.size
+    Clip(rq.spec.id,
+      baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
+        Map("finish_time" -> clock.now(), "signal" -> Signal.COMPLETE.toString),
+      records)
+  }
+
+  private def rateLimitKill(rq: RQ): Clip =
+    Clip(rq.spec.id, baseMeta(rq.spec.id, rq.registeredAt) ++ Map(
+      "signal" -> Signal.KILL.toString,
+      "errors" -> Seq(s"query exceeded rate limit of ${rq.spec.rateLimitMaxEmit.get} emitted records"),
+      "finish_time" -> clock.now()), Seq.empty)
+
+  private def lifecycle(): Seq[Clip] = {
+    val out = mutable.ArrayBuffer.empty[Clip]
+    val now = clock.now()
+    val finished = mutable.ArrayBuffer.empty[String]
+    queries.values.foreach { rq =>
+      // window emission
+      rq.spec.window.foreach { w =>
+        val due = w.emitUnit match {
+          case WindowUnit.RECORD => rq.recordsSinceEmit >= w.emitEvery
+          case WindowUnit.TIME   => now - rq.lastEmitAt >= w.emitEvery
+          case WindowUnit.ALL    => false
+        }
+        if (due && !rq.done) {
+          out += windowClip(rq)
+          if (w.emitUnit == WindowUnit.TIME)
+            rq.lastEmitAt = now - ((now - rq.lastEmitAt) % w.emitEvery)
+          rq.recordsSinceEmit = 0L
+          if (!w.isAdditive) rq.state.reset()
+        }
+      }
+      // rate limiting (after emission accounting)
+      if (!rq.done && rq.spec.rateLimitMaxEmit.exists(rq.emitted > _)) {
+        out += rateLimitKill(rq)
+        rq.done = true
+        finished += rq.spec.id
+      }
+      // duration expiry
+      if (!rq.done && now >= rq.registeredAt + rq.spec.durationMs) {
+        out += finish(rq)
+        finished += rq.spec.id
+      }
+    }
+    finished.foreach(queries.remove)
+    emissions ++= out
+    out.toSeq
+  }
+}

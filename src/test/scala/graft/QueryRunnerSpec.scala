@@ -1,0 +1,263 @@
+package graft
+
+import graft.model._
+import graft.compile.QueryCompiler
+import graft.streaming._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Conformance tests for the streaming multi-query runner, mirroring the
+  * reference's FilterBolt/JoinBolt round-trips (duration expiry, window
+  * emit+reset, duplicate suppression, rate-limit kill, error clips, and
+  * cross-batch partial merging). */
+class QueryRunnerSpec extends SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+  private def parse(json: String): Map[String, Any] =
+    mapper.readValue(json, classOf[java.util.Map[String, Any]]).asScala.toMap
+
+  private lazy val events = {
+    val s = spark
+    import s.implicits._
+    (1L to 100L).map { i =>
+      (i, if (i % 3 == 0) "click" else "view", i.toDouble, s"u${i % 7}")
+    }.toDF("event_id", "etype", "value", "user")
+  }
+
+  private def clickCountSpec(id: String, durationMs: Long = 10000L,
+                             window: Option[WindowSpec] = None,
+                             rateLimit: Option[Long] = None) = QuerySpec(
+    id = id,
+    filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+    aggregation = GroupAll(Seq(
+      GroupOp(GroupOpType.COUNT, None, "cnt"),
+      GroupOp(GroupOpType.SUM, Some("value"), "sv"),
+      GroupOp(GroupOpType.AVG, Some("value"), "av"))),
+    window = window, durationMs = durationMs, rateLimitMaxEmit = rateLimit)
+
+  test("batch equivalence: runner results match QueryCompiler for every aggregation type") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    val specs = Seq(
+      clickCountSpec("g_all"),
+      QuerySpec("g_by", aggregation = GroupBy(Seq("etype" -> "e"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt"), GroupOp(GroupOpType.SUM, Some("value"), "sv")))),
+      QuerySpec("cd", aggregation = CountDistinct(Seq("user"))),
+      QuerySpec("tk", aggregation = TopK(Seq("user" -> "u"), k = 2, countName = "cnt")),
+      QuerySpec("dist", aggregation = Distribution("value", DistributionType.QUANTILE, Seq(0.0, 0.5, 1.0), k = 1024)),
+      QuerySpec("raw", filter = Some(Binary(Field("event_id"), Lit(95L), BinOp.GREATER_THAN)),
+        aggregation = Raw(100)))
+    specs.foreach(s => assert(runner.register(s).isEmpty))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val clips = runner.onTick()
+    assert(clips.size === specs.size)
+    val byId = clips.map(c => c.queryId -> c).toMap
+    assert(byId.values.forall(_.signal.contains("COMPLETE")))
+
+    // compare against the batch compiler, record by record
+    def recordsOf(id: String) = byId(id).records.map(parse)
+    val gAll = recordsOf("g_all").head
+    assert(gAll("cnt") === 33)           // 33 clicks in 1..100
+    assert(gAll("sv").asInstanceOf[Number].doubleValue ===
+      (3 to 99 by 3).map(_.toDouble).sum)
+    assert(gAll("av").asInstanceOf[Number].doubleValue ===
+      (3 to 99 by 3).map(_.toDouble).sum / 33)
+
+    val gBy = recordsOf("g_by").map(r => r("e") -> r("cnt")).toMap
+    assert(gBy === Map("click" -> 33, "view" -> 67))
+
+    assert(recordsOf("cd").head("count") === 7)
+
+    val tk = recordsOf("tk").map(r => (r("u"), r("cnt")))
+    val expectTk = QueryCompiler.run(events,
+      QuerySpec("x", aggregation = TopK(Seq("user" -> "u"), k = 2, countName = "cnt")))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt)).toSeq
+    assert(tk === expectTk)
+
+    val dist = recordsOf("dist").map(r => r("Quantile") -> r("Value")).toMap
+    assert(dist === Map(0.0 -> 1.0, 0.5 -> 50.0, 1.0 -> 100.0))
+
+    assert(recordsOf("raw").size === 5)
+    assert(recordsOf("raw").forall(_("event_id").asInstanceOf[Number].longValue > 95))
+  }
+
+  test("cross-batch partial merge equals single-batch result") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("q"))
+    runner.register(QuerySpec("cd", aggregation = CountDistinct(Seq("user"))))
+    val b1 = events.filter(col("event_id") <= 50)
+    val b2 = events.filter(col("event_id") > 50)
+    runner.processBatch(b1)
+    runner.processBatch(b2)
+    clock.advance(20000)
+    val clips = runner.onTick()
+    val byId = clips.map(c => c.queryId -> c).toMap
+    val r = parse(byId("q").records.head)
+    assert(r("cnt") === 33)
+    assert(parse(byId("cd").records.head)("count") === 7)
+  }
+
+  test("no consumption after done: expired query ignores later batches") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("q", durationMs = 1000))
+    runner.processBatch(events)
+    clock.advance(2000)
+    val clips = runner.onTick()
+    assert(clips.size === 1 && clips.head.signal.contains("COMPLETE"))
+    assert(parse(clips.head.records.head)("cnt") === 33)
+    // a later batch must not produce anything for q
+    assert(runner.processBatch(events).isEmpty)
+    assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("duplicate registration is suppressed and counted") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    assert(runner.register(clickCountSpec("dup")).isEmpty)
+    assert(runner.register(clickCountSpec("dup")).isEmpty)
+    assert(runner.duplicatesSuppressed === 1)
+    assert(runner.activeQueryIds === Seq("dup"))
+  }
+
+  test("invalid query yields an error Clip with FAIL signal") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val bad = QuerySpec("bad",
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.SUM, None, "s"))))
+    val clip = runner.register(bad)
+    assert(clip.isDefined)
+    assert(clip.get.signal.contains("FAIL"))
+    assert(clip.get.meta("errors").asInstanceOf[Seq[String]].exists(_.contains("SUM")))
+    assert(runner.activeQueryIds.isEmpty)
+    // the envelope renders as {meta, records}
+    val json = parse(clip.get.asJson)
+    assert(json.contains("meta") && json.contains("records"))
+  }
+
+  test("KILL removes the query and emits a KILL clip") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("k"))
+    runner.processBatch(events)
+    val clip = runner.kill("k")
+    assert(clip.isDefined && clip.get.signal.contains("KILL"))
+    assert(runner.activeQueryIds.isEmpty)
+    assert(runner.kill("k").isEmpty)
+  }
+
+  test("rate limit exceeded → KILL clip with RateLimitError") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // every record-window emission emits one record; limit 2 → killed
+    runner.register(clickCountSpec("rl",
+      window = Some(WindowSpec(WindowUnit.RECORD, 10, WindowUnit.RECORD, 10)),
+      rateLimit = Some(2L)))
+    runner.processBatch(events) // 33 matched → window emit (1 record)
+    runner.processBatch(events)
+    runner.processBatch(events) // emitted 3 > 2 → kill
+    val kills = runner.results.filter(_.signal.contains("KILL"))
+    assert(kills.size === 1)
+    assert(kills.head.meta("errors").asInstanceOf[Seq[String]].head.contains("rate limit"))
+    assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("tumbling time window: emit + reset per interval") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("w", durationMs = 100000,
+      window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.TIME, 1000))))
+    runner.processBatch(events)
+    clock.advance(1000)
+    val w1 = runner.onTick()
+    assert(w1.size === 1)
+    assert(parse(w1.head.records.head)("cnt") === 33)
+    assert(w1.head.meta("window_number") === 1L)
+    // next window: state was reset, no new data → zero counts
+    runner.processBatch(events.filter(col("event_id") <= 9)) // 3 clicks
+    clock.advance(1000)
+    val w2 = runner.onTick()
+    assert(w2.size === 1)
+    assert(parse(w2.head.records.head)("cnt") === 3)
+  }
+
+  test("additive window accumulates across emissions (no reset)") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("a", durationMs = 100000,
+      window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.ALL, 0))))
+    runner.processBatch(events.filter(col("event_id") <= 30)) // 10 clicks
+    clock.advance(1000)
+    assert(parse(runner.onTick().head.records.head)("cnt") === 10)
+    runner.processBatch(events.filter(col("event_id") > 30)) // 23 clicks
+    clock.advance(1000)
+    assert(parse(runner.onTick().head.records.head)("cnt") === 33)
+  }
+
+  test("record window: emits once enough matched records accumulate") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("r", durationMs = 100000,
+      window = Some(WindowSpec(WindowUnit.RECORD, 20, WindowUnit.RECORD, 20))))
+    val none = runner.processBatch(events.filter(col("event_id") <= 30)) // 10 clicks < 20
+    assert(none.isEmpty)
+    val emitted = runner.processBatch(events.filter(col("event_id") > 30)) // +23 ≥ 20
+    assert(emitted.size === 1)
+    assert(parse(emitted.head.records.head)("cnt") === 33)
+  }
+
+  test("COUNT_DISTINCT clip carries sketch estimation metadata") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(QuerySpec("cd", aggregation = CountDistinct(Seq("user")), durationMs = 1))
+    runner.processBatch(events)
+    clock.advance(10)
+    val clip = runner.onTick().head
+    val est = clip.meta("estimation").asInstanceOf[Map[String, Any]]
+    assert(est("estimate").asInstanceOf[Double] === 7.0)
+    assert(est("was_estimated") === false)
+  }
+
+  test("shared pass: 20 concurrent queries in one batch, all correct") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    (0 until 20).foreach { i =>
+      runner.register(QuerySpec(s"q$i",
+        filter = Some(Binary(Binary(Field("event_id"), Lit(7L), BinOp.MOD), Lit(i.toLong % 7), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    }
+    runner.processBatch(events)
+    clock.advance(20000)
+    val clips = runner.onTick()
+    assert(clips.size === 20)
+    clips.foreach { c =>
+      val i = c.queryId.drop(1).toInt % 7
+      val expected = (1L to 100L).count(_ % 7 == i)
+      assert(parse(c.records.head)("cnt") === expected, s"query ${c.queryId}")
+    }
+  }
+
+  test("streaming end-to-end via MemoryStream + foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("stream_q"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, String)]
+    val sq = runner.runStream(mem.toDF().toDF("event_id", "etype", "value", "user"), triggerMs = 50)
+    try {
+      mem.addData((1L, "click", 1.0, "u1"), (2L, "view", 2.0, "u2"))
+      sq.processAllAvailable()
+      mem.addData((3L, "click", 3.0, "u3"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    clock.advance(20000)
+    val clips = runner.onTick()
+    assert(clips.size === 1)
+    assert(parse(clips.head.records.head)("cnt") === 2)
+  }
+}
