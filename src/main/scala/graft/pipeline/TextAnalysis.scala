@@ -88,15 +88,19 @@ object TextAnalysis {
    */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
-    // ordered (non-distinct) k-gram hashes
+    // ordered (non-distinct) k-gram hashes; sliding-window minima via the
+    // same shifted-slices-fold trick as Dedup.shingles (no per-element
+    // slice inside an interpreted lambda)
     val t = toks(col(textCol))
-    val hashes = when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - lit(k)),
-        i => xxhash64(concat_ws(" ", slice(t, i + lit(1), lit(k))))))
+    val gramLen = size(t) - lit(k - 1)
+    val gramSlices = (1 to k).map(i => slice(t, lit(i), gramLen))
+    val grams = gramSlices.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val hashes = when(size(t) >= k, transform(grams, g => xxhash64(g)))
       .otherwise(array().cast("array<bigint>"))
-    val selected = when(size(hashes) >= w,
-      array_distinct(transform(sequence(lit(0), size(hashes) - lit(w)),
-        i => array_min(slice(hashes, i + lit(1), lit(w))))))
+    val winLen = size(hashes) - lit(w - 1)
+    val winSlices = (1 to w).map(i => slice(hashes, lit(i), winLen))
+    val winMins = winSlices.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    val selected = when(size(hashes) >= w, array_distinct(winMins))
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
         .otherwise(array().cast("array<bigint>")))
     df.select(col(idCol), selected.as("fingerprint"))
