@@ -135,22 +135,8 @@ final class ThetaCountDistinctAgg(lgK: Int = 17)
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
-/** Same sketch, full detail output (estimate + bounds + theta) for the
-  * meta/estimation surface. */
-final case class ThetaEstimate(estimate: Double, lowerBound: Double,
-                               upperBound: Double, isEstimation: Boolean)
-final class ThetaCountDistinctDetailAgg(lgK: Int = 17)
-    extends Aggregator[String, ThetaBuf, ThetaEstimate] {
-  def zero: ThetaBuf = new ThetaBuf(lgK)
-  def reduce(b: ThetaBuf, in: String): ThetaBuf = { if (in != null) b.update(in); b }
-  def merge(b1: ThetaBuf, b2: ThetaBuf): ThetaBuf = b1.merge(b2)
-  def finish(b: ThetaBuf): ThetaEstimate = {
-    val s = b.result
-    ThetaEstimate(s.getEstimate, s.getLowerBound(2), s.getUpperBound(2), s.isEstimationMode)
-  }
-  def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
-  def outputEncoder: Encoder[ThetaEstimate] = Encoders.product[ThetaEstimate]
-}
+// (Estimation detail — estimate/bounds/isEstimation — surfaces through the
+// runner's Clip metadata: CountDistinctState.metaEntries in AggState.scala.)
 
 // ---------------------------------------------------------------------------
 // DISTRIBUTION — KLL doubles sketch; QUANTILE / PMF / CDF result shapes

@@ -147,8 +147,27 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
     try {
       if (simple.nonEmpty) {
         val schema = df.schema
-        val cols = simple.flatMap(rq => partialColumns(rq, schema))
-        val row = df.agg(cols.head, cols.tail: _*).collect()(0)
+        // Predicate CSE — the Spark analog of the reference's query
+        // partitioner (SimpleEqualityPartitioner, SURVEY §4): queries
+        // sharing a filter evaluate it ONCE per record. Distinct filter
+        // ASTs (structural equality) pre-project to boolean columns; each
+        // query's aggregators gate on its column. A 100-query workload
+        // with 7 distinct filters evaluates 7 predicates per record, not
+        // 100.
+        val distinctFilters = simple.flatMap(_.spec.filter).distinct
+        val predIdx = distinctFilters.zipWithIndex.toMap
+        val predCols = distinctFilters.zipWithIndex.map { case (f, i) =>
+          ExprCompiler.compile(f, Some(schema)).as(s"__pred$i")
+        }
+        val withPreds =
+          if (predCols.isEmpty) df
+          else df.select(col("*") +: predCols: _*)
+        def gate(rq: RQ): Column = rq.spec.filter match {
+          case Some(f) => col(s"__pred${predIdx(f)}")
+          case None    => lit(true)
+        }
+        val cols = simple.flatMap(rq => partialColumns(rq, schema, gate(rq)))
+        val row = withPreds.agg(cols.head, cols.tail: _*).collect()(0)
         simple.foreach(rq => mergePartial(rq, row))
       }
       grouped.foreach(rq => mergeGrouped(rq, df))
@@ -225,9 +244,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
       }
     }
 
-  private def partialColumns(rq: RQ, schema: StructType): Seq[Column] = {
+  private def partialColumns(rq: RQ, schema: StructType, g: Column): Seq[Column] = {
     val id = rq.spec.id
-    val g = pred(rq, schema)
     val matched = sum(when(g, lit(1L))).as(n(id))
     val fld: String => Column = f => fieldCol(rq, f, schema)
     val aggCols: Seq[Column] = rq.spec.aggregation match {
