@@ -198,15 +198,18 @@ object SparkEntry {
       import graft.streaming.{ManualClock, QueryRunner}
       val clock = new ManualClock(0)
       val runner = new QueryRunner(s, clock)
-      runner.register(QuerySpec("ga",
+      // register through the JSON control plane (queries as data)
+      val gaJson = graft.streaming.QueryJson.render(QuerySpec("ga",
         filter = Some(Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN)),
         aggregation = GroupAll(Seq(
           GroupOp(GroupOpType.COUNT, None, "cnt"),
           GroupOp(GroupOpType.SUM, Some("user_id"), "su"),
           GroupOp(GroupOpType.MIN, Some("value"), "mn"),
           GroupOp(GroupOpType.MAX, Some("value"), "mx")))))
-      runner.register(QuerySpec("cd",
-        aggregation = CountDistinct(Seq("user_id"), name = "du")))
+      runner.handleMessage(s"""{"type":"REGISTER","query":$gaJson}""")
+      runner.handleMessage(
+        """{"type":"REGISTER","query":{"id":"cd","aggregation":""" +
+          """{"type":"COUNT_DISTINCT","fields":["user_id"],"name":"du"}}}""")
       runner.processBatch(rd(s, dir, "events"))
       clock.advance(100000)
       val clips = runner.onTick().map(c => c.queryId -> c).toMap

@@ -69,10 +69,18 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
 
   private val queries = mutable.LinkedHashMap.empty[String, RQ]
   private val emissions = mutable.ArrayBuffer.empty[Clip]
+  private val sinks = mutable.ArrayBuffer.empty[Clip => Unit]
   var duplicatesSuppressed: Long = 0L
 
   def activeQueryIds: Seq[String] = queries.keys.toSeq
   def results: Seq[Clip] = emissions.toSeq
+
+  /** Result sink (reference ResultBolt, ResultBolt.java:38-43): every Clip
+    * the engine emits — window results, finals, errors — flows to each
+    * registered callback (publish to Kafka/REST/file from here). */
+  def onResult(cb: Clip => Unit): Unit = sinks += cb
+
+  private def record(c: Clip): Clip = { emissions += c; sinks.foreach(_(c)); c }
 
   // -------------------------------------------------------------------------
   // Registration / control plane
@@ -85,10 +93,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
     if (queries.contains(spec.id)) { duplicatesSuppressed += 1; return None }
     val errors = validate(spec)
     if (errors.nonEmpty) {
-      val clip = Clip(spec.id, baseMeta(spec.id, clock.now()) ++
-        Map("signal" -> Signal.FAIL.toString, "errors" -> errors), Seq.empty)
-      emissions += clip
-      Some(clip)
+      Some(record(Clip(spec.id, baseMeta(spec.id, clock.now()) ++
+        Map("signal" -> Signal.FAIL.toString, "errors" -> errors), Seq.empty)))
     } else {
       queries += spec.id -> new RQ(spec, clock.now())
       None
@@ -97,11 +103,36 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
 
   /** External KILL signal: remove the query everywhere, emit a KILL clip. */
   def kill(id: String): Option[Clip] = queries.remove(id).map { rq =>
-    val clip = Clip(id, baseMeta(id, rq.registeredAt) ++
-      Map("signal" -> Signal.KILL.toString, "finish_time" -> clock.now()), Seq.empty)
-    emissions += clip
-    clip
+    record(Clip(id, baseMeta(id, rq.registeredAt) ++
+      Map("signal" -> Signal.KILL.toString, "finish_time" -> clock.now()), Seq.empty))
   }
+
+  /** Control-plane entry: queries and signals as JSON data (the reference's
+    * PubSub query channel, QuerySpout.java:113-148). Malformed messages
+    * produce an error Clip instead of failing silently. */
+  def handleMessage(json: String): Option[Clip] =
+    try {
+      QueryJson.parseMessage(json) match {
+        case RegisterQuery(spec) => register(spec)
+        case KillQuery(id)       => kill(id)
+      }
+    } catch {
+      case e: Exception =>
+        Some(record(Clip("unknown", Map(
+          "query_id" -> "unknown",
+          "signal" -> Signal.FAIL.toString,
+          "errors" -> Seq(s"malformed control message: ${e.getMessage}")), Seq.empty)))
+    }
+
+  /** Attach the control plane to a streaming source of JSON messages. */
+  def runControlStream(control: org.apache.spark.sql.Dataset[String],
+                       triggerMs: Long = 200L): org.apache.spark.sql.streaming.StreamingQuery =
+    control.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[String], _: Long) => {
+        b.collect().foreach(handleMessage); ()
+      })
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
 
   def validate(spec: QuerySpec): Seq[String] = {
     val errs = mutable.ArrayBuffer.empty[String]
@@ -185,7 +216,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
   def finishAll(): Seq[Clip] = {
     val out = queries.values.map(finish).toSeq
     queries.clear()
-    emissions ++= out
+    out.foreach(record)
     out
   }
 
@@ -423,7 +454,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
       }
     }
     finished.foreach(queries.remove)
-    emissions ++= out
+    out.foreach(record)
     out.toSeq
   }
 }
