@@ -1,0 +1,77 @@
+package graft
+
+/**
+ * Plan audits: assert the physical plans keep their scale-critical
+ * properties (predicate pushdown, column pruning, top-k instead of global
+ * sort, broadcast instead of shuffle, two-phase aggregation, no cartesian
+ * products). These are the properties that make the same code viable at
+ * 100 TB; a regression here passes correctness tests and still ruins the
+ * plan shape.
+ */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_raw_filter: filter pushes into the parquet scan") {
+    val p = plan("q_raw_filter")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("EqualTo(event_type,click)"), p.take(800))
+  }
+
+  test("q_raw_filter: ORDER BY + LIMIT compiles to TakeOrderedAndProject") {
+    assert(plan("q_raw_filter").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_filter_project: RAW order-before-limit also uses TakeOrderedAndProject") {
+    assert(plan("q_filter_project").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_group_by: scan reads only the referenced columns") {
+    val p = plan("q_group_by")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("sketch aggregations run as two-phase partial/final") {
+    val p = plan("q_count_distinct")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("q_ann_bruteforce: query side is broadcast — corpus never shuffles for the scan") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("Broadcast"), p.take(800))
+  }
+
+  test("no cartesian products anywhere in the fuzzy-dedup plans") {
+    Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("metaStats on a materialized media table never reads the content column") {
+    // The pruning claim holds for the STORED convention (content + meta as
+    // parquet columns) — materialize, re-read, and audit the scan schema.
+    val tmp = java.nio.file.Files.createTempDirectory("media").toString
+    graft.pipeline.Multimodal.fromDocuments(
+      spark.read.format("parquet").load(s"$dir/documents.parquet"))
+      .write.mode("overwrite").parquet(tmp)
+    val p = graft.pipeline.Multimodal.metaStats(spark.read.parquet(tmp))
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("content"), readSchema)
+    assert(readSchema.contains("meta"), readSchema)
+  }
+
+  test("q_group_all: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q_group_all")
+    assert(p.contains("partial_"), p.take(1200))
+  }
+}
