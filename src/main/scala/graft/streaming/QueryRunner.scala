@@ -55,7 +55,8 @@ final class ManualClock(start: Long = 0L) extends Clock {
  * passes the boundary, aligned to the registration instant; `include ALL`
  * (additive) skips the reset.
  */
-final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
+final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
+                        postFinishGraceMs: Long = 0L) {
 
   private final class RQ(val spec: QuerySpec, val registeredAt: Long) {
     val state: AggState = AggState.forSpec(spec.aggregation)
@@ -64,6 +65,10 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
     var lastEmitAt: Long = registeredAt
     var windowsEmitted: Long = 0L
     var done: Boolean = false
+    /** Set when duration expired but the post-finish grace buffer is still
+      * open (the reference's straggler budget, JoinBolt.java:214-233):
+      * late partials keep merging until the grace elapses. */
+    var finishingSince: Option[Long] = None
     def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
   }
 
@@ -72,8 +77,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
   private val sinks = mutable.ArrayBuffer.empty[Clip => Unit]
   var duplicatesSuppressed: Long = 0L
 
-  def activeQueryIds: Seq[String] = queries.keys.toSeq
-  def results: Seq[Clip] = emissions.toSeq
+  def activeQueryIds: Seq[String] = synchronized(queries.keys.toSeq)
+  def results: Seq[Clip] = synchronized(emissions.toSeq)
 
   /** Result sink (reference ResultBolt, ResultBolt.java:38-43): every Clip
     * the engine emits — window results, finals, errors — flows to each
@@ -89,7 +94,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
   /** Register a query. Invalid specs produce an error Clip with FAIL
     * (JoinBolt.java:297-308); duplicate ids are suppressed and counted
     * (FilterBolt.java:117-124). Returns the FAIL clip if rejected. */
-  def register(spec: QuerySpec): Option[Clip] = {
+  def register(spec: QuerySpec): Option[Clip] = synchronized {
     if (queries.contains(spec.id)) { duplicatesSuppressed += 1; return None }
     val errors = validate(spec)
     if (errors.nonEmpty) {
@@ -102,15 +107,15 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
   }
 
   /** External KILL signal: remove the query everywhere, emit a KILL clip. */
-  def kill(id: String): Option[Clip] = queries.remove(id).map { rq =>
+  def kill(id: String): Option[Clip] = synchronized(queries.remove(id).map { rq =>
     record(Clip(id, baseMeta(id, rq.registeredAt) ++
       Map("signal" -> Signal.KILL.toString, "finish_time" -> clock.now()), Seq.empty))
-  }
+  })
 
   /** Control-plane entry: queries and signals as JSON data (the reference's
     * PubSub query channel, QuerySpout.java:113-148). Malformed messages
     * produce an error Clip instead of failing silently. */
-  def handleMessage(json: String): Option[Clip] =
+  def handleMessage(json: String): Option[Clip] = synchronized {
     try {
       QueryJson.parseMessage(json) match {
         case RegisterQuery(spec) => register(spec)
@@ -123,6 +128,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
           "signal" -> Signal.FAIL.toString,
           "errors" -> Seq(s"malformed control message: ${e.getMessage}")), Seq.empty)))
     }
+  }
 
   /** Attach the control plane to a streaming source of JSON messages. */
   def runControlStream(control: org.apache.spark.sql.Dataset[String],
@@ -170,7 +176,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
 
   /** Process one micro-batch: shared partial pass + driver combine + window
     * and lifecycle evaluation. Returns the Clips emitted for this batch. */
-  def processBatch(batch: DataFrame): Seq[Clip] = {
+  def processBatch(batch: DataFrame): Seq[Clip] = synchronized {
     val active = queries.values.filter(!_.done).toSeq
     val (grouped, simple) = active.partition(_.isGrouped)
     val needsCache = (if (simple.nonEmpty) 1 else 0) + grouped.size > 1
@@ -210,24 +216,39 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
 
   /** Clock-only evaluation (the reference's tick path, FilterBolt.java:
     * 153-158): catches duration expiry and time-window emits with no data. */
-  def onTick(): Seq[Clip] = lifecycle()
+  def onTick(): Seq[Clip] = synchronized(lifecycle())
 
   /** Force-finish every remaining query (end of stream). */
-  def finishAll(): Seq[Clip] = {
+  def finishAll(): Seq[Clip] = synchronized {
     val out = queries.values.map(finish).toSeq
     queries.clear()
     out.foreach(record)
     out
   }
 
-  /** Attach to a streaming DataFrame: one shared pass per micro-batch. */
+  /** Attach to a streaming DataFrame: one shared pass per micro-batch,
+    * plus a driver tick thread (the reference's TickSpout, TickSpout.java:
+    * 60-69) so duration expiry and time windows advance even when no data
+    * arrives — foreachBatch alone never fires on an idle source. */
   def runStream(stream: DataFrame, checkpoint: Option[String] = None,
-                triggerMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
+                triggerMs: Long = 1000L,
+                tickIntervalMs: Long = 100L): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = stream.writeStream
       .foreachBatch((b: DataFrame, _: Long) => { processBatch(b); () })
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
     checkpoint.foreach(c => w.option("checkpointLocation", c))
-    w.start()
+    val sq = w.start()
+    val ticker = new Thread(() => {
+      try {
+        while (sq.isActive) {
+          try onTick() catch { case _: Exception => () }
+          Thread.sleep(tickIntervalMs)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-tick")
+    ticker.setDaemon(true)
+    ticker.start()
+    sq
   }
 
   // -------------------------------------------------------------------------
@@ -426,14 +447,14 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
     val now = clock.now()
     val finished = mutable.ArrayBuffer.empty[String]
     queries.values.foreach { rq =>
-      // window emission
+      // window emission (suspended once the query enters its grace period)
       rq.spec.window.foreach { w =>
         val due = w.emitUnit match {
           case WindowUnit.RECORD => rq.recordsSinceEmit >= w.emitEvery
           case WindowUnit.TIME   => now - rq.lastEmitAt >= w.emitEvery
           case WindowUnit.ALL    => false
         }
-        if (due && !rq.done) {
+        if (due && !rq.done && rq.finishingSince.isEmpty) {
           out += windowClip(rq)
           if (w.emitUnit == WindowUnit.TIME)
             rq.lastEmitAt = now - ((now - rq.lastEmitAt) % w.emitEvery)
@@ -447,10 +468,19 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock) {
         rq.done = true
         finished += rq.spec.id
       }
-      // duration expiry
+      // duration expiry, with the post-finish straggler grace: the query
+      // stops being a new-data consumer conceptually but its state stays
+      // mergeable for `postFinishGraceMs` so late partials land in the
+      // final result (reference: 3-tick buffer, JoinBolt.java:130-136).
       if (!rq.done && now >= rq.registeredAt + rq.spec.durationMs) {
-        out += finish(rq)
-        finished += rq.spec.id
+        rq.finishingSince match {
+          case None if postFinishGraceMs > 0 =>
+            rq.finishingSince = Some(now)
+          case Some(t) if now - t < postFinishGraceMs => // grace open
+          case _ =>
+            out += finish(rq)
+            finished += rq.spec.id
+        }
       }
     }
     finished.foreach(queries.remove)

@@ -240,6 +240,42 @@ class QueryRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("post-finish grace: late partials merge into the final result") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock, postFinishGraceMs = 1000)
+    runner.register(clickCountSpec("g", durationMs = 100))
+    runner.processBatch(events.filter(col("event_id") <= 30)) // 10 clicks
+    clock.advance(200) // expired → grace opens, no COMPLETE yet
+    assert(runner.onTick().isEmpty)
+    assert(runner.activeQueryIds === Seq("g"))
+    // straggler batch lands inside the grace window and still merges
+    runner.processBatch(events.filter(col("event_id") > 30)) // +23 clicks
+    clock.advance(1000) // grace elapses
+    val clips = runner.onTick()
+    assert(clips.size === 1 && clips.head.signal.contains("COMPLETE"))
+    assert(parse(clips.head.records.head)("cnt") === 33)
+  }
+
+  test("tick thread finishes an expired query with no data flowing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val runner = new QueryRunner(spark) // real clock
+    runner.register(clickCountSpec("idle_q", durationMs = 500))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, String)]
+    val sq = runner.runStream(mem.toDF().toDF("event_id", "etype", "value", "user"),
+      triggerMs = 100, tickIntervalMs = 50)
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (runner.results.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally sq.stop()
+    // never received a record; duration expiry came from the tick thread
+    val clips = runner.results
+    assert(clips.size === 1 && clips.head.signal.contains("COMPLETE"))
+    assert(parse(clips.head.records.head)("cnt") === 0)
+  }
+
   test("streaming end-to-end via MemoryStream + foreachBatch") {
     val s = spark
     import s.implicits._
