@@ -24,14 +24,19 @@ object Bench {
   private def hundredQueries: Seq[QuerySpec] = (0 until 100).map { i =>
     val filter = Some(Binary(
       Binary(Field("user_id"), Lit(7L), BinOp.MOD), Lit(i.toLong % 7), BinOp.EQUALS))
-    val agg: Aggregation = i % 5 match {
+    val agg: Aggregation = i % 6 match {
       case 0 => GroupAll(Seq(
         GroupOp(GroupOpType.COUNT, None, "cnt"),
         GroupOp(GroupOpType.SUM, Some("value"), "sv")))
       case 1 => CountDistinct(Seq("user_id"), lgK = 14)
       case 2 => TopK(Seq("event_type" -> "et"), k = 3, countName = "cnt", maxMapSize = 64)
       case 3 => Distribution("value", DistributionType.QUANTILE, Seq(0.1, 0.5, 0.9), k = 1024)
-      case _ => Raw(100)
+      case 4 => Raw(100)
+      // same (filter, fields, projection) signatures fuse into shared
+      // grouped jobs — ~16 GROUP BY queries over 7 filters → 7 jobs
+      case _ => GroupBy(Seq("event_type" -> "et"), Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv")), entries = 32)
     }
     QuerySpec(s"bench_q$i", filter = filter, aggregation = agg, durationMs = 3600000L)
   }

@@ -207,7 +207,13 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         val row = withPreds.agg(cols.head, cols.tail: _*).collect()(0)
         simple.foreach(rq => mergePartial(rq, row))
       }
-      grouped.foreach(rq => mergeGrouped(rq, df))
+      // GROUP BY fusion: queries with the same (filter, key fields,
+      // projection) share one grouped job — their metric aggregators ride
+      // the same groupBy. Distinct signatures still need their own job
+      // (different key sets can't share a grouping).
+      grouped.groupBy(rq => (rq.spec.filter,
+          rq.spec.aggregation.asInstanceOf[GroupBy].fields, rq.spec.projection))
+        .values.foreach(g => mergeGrouped(g.toSeq, df))
     } finally {
       if (needsCache) df.unpersist()
     }
@@ -369,44 +375,54 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     }
   }
 
-  /** One grouped job per GROUP BY query (distinct key-sets can't share one
-    * aggregate); still scans the shared cached batch. Batch-local groups are
-    * capped to the smallest `entries` keys — merging per-batch smallest-E
-    * sets keeps exactly the global smallest-E keys. */
-  private def mergeGrouped(rq: RQ, df: DataFrame): Unit = {
-    val spec = rq.spec.aggregation.asInstanceOf[GroupBy]
-    val id = rq.spec.id
+  /** One grouped job per GROUP BY signature (same filter, key fields, and
+    * projection — callers group by that); all fused queries' metric
+    * aggregators ride a single groupBy over the shared cached batch.
+    * Batch-local groups are capped to the smallest max-`entries` keys:
+    * because fused queries share filter and keys, their group sets are
+    * identical, so merging per-batch smallest-E sets keeps exactly the
+    * global smallest-E keys for every fused query. */
+  private def mergeGrouped(rqs: Seq[RQ], df: DataFrame): Unit = {
+    val head = rqs.head
+    val spec0 = head.spec.aggregation.asInstanceOf[GroupBy]
     val schema = df.schema
-    val g = pred(rq, schema)
-    val fld: String => Column = f => fieldCol(rq, f, schema)
-    val keyCols = spec.fields.map { case (f, alias) =>
+    val g = pred(head, schema)
+    val fld: String => Column = f => fieldCol(head, f, schema)
+    val keyCols = spec0.fields.map { case (f, alias) =>
       coalesce(fld(f).cast("string"), lit(SketchAggregators.NullString)).as(alias)
     }
     val filtered = df.filter(g)
-    val aggCols = opColumns(id, spec.ops, lit(true), fld) :+
-      sum(lit(1L)).as(n(id))
+    val groupN = "__group_n" // shared per-group matched count
+    val aggCols = rqs.flatMap { rq =>
+      opColumns(rq.spec.id, rq.spec.aggregation.asInstanceOf[GroupBy].ops, lit(true), fld)
+    } :+ sum(lit(1L)).as(groupN)
+    val entriesMax = rqs.map(_.spec.aggregation.asInstanceOf[GroupBy].entries).max
     val rows = filtered
       .groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
-      .orderBy(spec.fields.map { case (_, alias) => col(alias) }: _*)
-      .limit(spec.entries)
+      .orderBy(spec0.fields.map { case (_, alias) => col(alias) }: _*)
+      .limit(entriesMax)
       .collect()
-    val st = rq.state.asInstanceOf[GroupByState]
     var matched = 0L
-    rows.foreach { row =>
-      val key = spec.fields.indices.map(row.getString)
-      val acc = st.accFor(key)
-      spec.ops.zipWithIndex.foreach { case (op, i) =>
-        import GroupOpType._
-        op.op match {
-          case COUNT | COUNT_FIELD => acc.update(i, longAt(row, m(id, i)), null)
-          case AVG                 => acc.update(i, longAt(row, c(id, i)), row.getAs[Any](m(id, i)))
-          case _                   => acc.update(i, longAt(row, n(id)), row.getAs[Any](m(id, i)))
+    rows.foreach(row => matched += longAt(row, groupN))
+    rqs.foreach { rq =>
+      val spec = rq.spec.aggregation.asInstanceOf[GroupBy]
+      val id = rq.spec.id
+      val st = rq.state.asInstanceOf[GroupByState]
+      rows.foreach { row =>
+        val key = spec0.fields.indices.map(row.getString)
+        val acc = st.accFor(key)
+        spec.ops.zipWithIndex.foreach { case (op, i) =>
+          import GroupOpType._
+          op.op match {
+            case COUNT | COUNT_FIELD => acc.update(i, longAt(row, m(id, i)), null)
+            case AVG                 => acc.update(i, longAt(row, c(id, i)), row.getAs[Any](m(id, i)))
+            case _                   => acc.update(i, longAt(row, groupN), row.getAs[Any](m(id, i)))
+          }
         }
       }
-      matched += longAt(row, n(id))
+      rq.recordsSinceEmit += matched
     }
-    rq.recordsSinceEmit += matched
   }
 
   // -------------------------------------------------------------------------

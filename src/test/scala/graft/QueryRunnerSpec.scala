@@ -240,6 +240,36 @@ class QueryRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("fused GROUP BY queries with a shared signature stay independently correct") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    val filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS))
+    runner.register(QuerySpec("f1", filter = filter,
+      aggregation = GroupBy(Seq("user" -> "u"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.register(QuerySpec("f2", filter = filter,
+      aggregation = GroupBy(Seq("user" -> "u"),
+        Seq(GroupOp(GroupOpType.SUM, Some("value"), "sv")), entries = 3)))
+    runner.register(QuerySpec("f3", // different signature: no filter, other keys
+      aggregation = GroupBy(Seq("etype" -> "e"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    val clicks = (1L to 100L).filter(_ % 3 == 0)
+    val f1 = byId("f1").records.map(parse).map(r => r("u") -> r("cnt")).toMap
+    assert(f1 === clicks.groupBy(i => s"u${i % 7}").view.mapValues(_.size).toMap)
+    val f2 = byId("f2").records.map(parse)
+    assert(f2.size === 3) // entries cap respected despite fusion with f1
+    val expectedSums = clicks.groupBy(i => s"u${i % 7}")
+      .view.mapValues(_.map(_.toDouble).sum).toMap
+    f2.foreach { r =>
+      assert(r("sv").asInstanceOf[Number].doubleValue === expectedSums(r("u").toString))
+    }
+    val f3 = byId("f3").records.map(parse).map(r => r("e") -> r("cnt")).toMap
+    assert(f3 === Map("click" -> 33, "view" -> 67))
+  }
+
   test("post-finish grace: late partials merge into the final result") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock, postFinishGraceMs = 1000)
