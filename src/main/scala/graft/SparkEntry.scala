@@ -190,6 +190,43 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // §2.6 post-aggregations: HAVING → COMPUTATION → CULLING → ORDER BY
+    // applied to a GROUP BY result.
+    "q_post_aggs" -> ((s, dir) => {
+      val q = QuerySpec(id = "pa",
+        aggregation = GroupBy(Seq("event_type" -> "etype"), Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.MIN, Some("user_id"), "mn"))),
+        postAggregations = Seq(
+          Having(Binary(Field("cnt"), Lit(2000L), BinOp.GREATER_THAN)),
+          Computation(Seq("ratio" -> Binary(Field("cnt"), Lit(100.0), BinOp.DIV))),
+          Culling(Seq("mn")),
+          OrderBy(Seq("etype" -> true))))
+      QueryCompiler.run(rd(s, dir, "events"), q)
+    }),
+
+    // §2.2 scalar-op family: SIZE_OF/CAST, BETWEEN+IF, SUBSTRING+UPPER,
+    // ABS/SUB, REGEX_LIKE and IN in the filter.
+    "q_expr_ops" -> ((s, dir) => {
+      val q = QuerySpec(id = "xo",
+        filter = Some(NAry(NAryOp.AND, Seq(
+          Binary(Field("event_type"), Lit("^(cl|vi)"), BinOp.REGEX_LIKE),
+          Binary(Binary(Field("user_id"), Lit(3L), BinOp.MOD),
+            ListExpr(Seq(Lit(0L), Lit(1L))), BinOp.IN)))),
+        projection = Some(Seq(
+          "event_id" -> Field("event_id"),
+          "type_len" -> Cast(Unary(UnaryOp.SIZE_OF, Field("event_type")), FieldType.LONG),
+          "band" -> NAry(NAryOp.IF, Seq(
+            NAry(NAryOp.BETWEEN, Seq(Field("value"), Lit(10.0), Lit(50.0))),
+            Lit("mid"), Lit("out"))),
+          "prefix" -> Unary(UnaryOp.UPPER,
+            NAry(NAryOp.SUBSTRING, Seq(Field("event_type"), Lit(1), Lit(3)))),
+          "dist50" -> Unary(UnaryOp.ABS, Binary(Field("value"), Lit(50.0), BinOp.SUB)))),
+        aggregation = Raw(400),
+        postAggregations = Seq(OrderBy(Seq("event_id" -> true))))
+      QueryCompiler.run(rd(s, dir, "events"), q)
+    }),
+
     // --- Streaming multi-query runner (SURVEY §3): two queries, ONE shared
     // pass over the batch; driver merges the byte[] partials and finishes
     // at duration expiry. Metric choice keeps doubles order-independent
@@ -318,6 +355,19 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_post_aggs" ->
+      ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
+        "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +
+        "WHERE cnt > 2000 ORDER BY etype"),
+    "q_expr_ops" ->
+      ("""SELECT event_id,
+         |  CAST(length(event_type) AS BIGINT) AS type_len,
+         |  CASE WHEN value BETWEEN 10.0 AND 50.0 THEN 'mid' ELSE 'out' END AS band,
+         |  upper(substr(event_type, 1, 3)) AS prefix,
+         |  abs(value - 50.0) AS dist50
+         |FROM events
+         |WHERE regexp_matches(event_type, '^(cl|vi)') AND user_id % 3 IN (0, 1)
+         |ORDER BY event_id LIMIT 400""".stripMargin.replace("\n", " ")),
     "q_runner_multi" ->
       ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn, max(value) AS mx, " +
         "(SELECT count(DISTINCT user_id) FROM events) AS du FROM events WHERE value > 10.0"),
