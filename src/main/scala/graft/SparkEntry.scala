@@ -266,6 +266,21 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(row), schema)
     }),
 
+    // Skew-resilient salted two-stage aggregation — result must equal the
+    // plain GROUP BY (long sums: order-independent).
+    "q_skew_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(rd(s, dir, "events"),
+        Seq("event_type"), "user_id", buckets = 16).orderBy("event_type")),
+
+    // IVF approximate top-k — the partitioned serving layout; approximate →
+    // rows-only check (recall shown on clustered data in SimilaritySpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", k = 10, dim = 64, nlist = 8, nprobe = 3)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // --- LLM-data-pipeline: text analysis ---
 
     // Quality statistics + composite score per document.
@@ -355,6 +370,8 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_skew_salted" ->
+      "SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum FROM events GROUP BY 1 ORDER BY 1",
     "q_post_aggs" ->
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +

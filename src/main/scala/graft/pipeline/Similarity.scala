@@ -100,6 +100,61 @@ object Similarity {
     cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Deterministic IVF coarse centroids (seeded gaussian directions). In a
+    * production pipeline these come from k-means over a sample; the
+    * assignment/probe plumbing is identical. */
+  def ivfCentroids(dim: Int, nlist: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nlist) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Index of the centroid with the largest dot product (struct-ordering
+    * argmax — ties break to the lower index). */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotd(vec, typedLit(c.toSeq)).as("d"), lit(-i).as("ni"))
+    }: _*)).getField("ni") * lit(-1)
+
+  /**
+   * IVF (inverted-file) approximate top-k: the corpus partitions into
+   * `nlist` coarse cells (one assignment per vector); each query scans only
+   * its `nprobe` nearest cells and ranks those candidates exactly. The
+   * standard billion-vector serving layout: per-cell storage co-locates
+   * candidates, and the scan cost drops by ~nlist/nprobe.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    val cents = ivfCentroids(dim, nlist, seed)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      .withColumn("cell", ivfAssign(col("cv"), cents))
+    // query probes its nprobe nearest cells (top-nprobe centroid dots)
+    val probeCells = { q: Column =>
+      val scored = array(cents.zipWithIndex.map { case (cent, i) =>
+        struct(dotd(q, typedLit(cent.toSeq)).as("d"), lit(i).as("i"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, nprobe)
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+      .withColumn("probe", explode(probeCells(col("qv"))))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.i").as("cell"))
+    val cands = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
    * (any of `bands` sub-signatures) become candidates; candidates are

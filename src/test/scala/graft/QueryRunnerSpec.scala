@@ -240,6 +240,26 @@ class QueryRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("sliding-record RAW window emits the collected records, then resets") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(QuerySpec("sr",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = Raw(100),
+      window = Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 5)),
+      durationMs = 100000))
+    // 10 matched records ≥ 5 → one (coalesced) window emit with the records
+    val w1 = runner.processBatch(events.filter(col("event_id") <= 30))
+    assert(w1.size === 1)
+    assert(w1.head.records.size === 10)
+    // reset: 3 matched < 5 → nothing
+    assert(runner.processBatch(events.filter(col("event_id").between(31, 40))).isEmpty)
+    // +4 matched crosses the threshold → emits the 7 buffered records
+    val w2 = runner.processBatch(events.filter(col("event_id").between(41, 52)))
+    assert(w2.size === 1)
+    assert(w2.head.records.size === 7)
+  }
+
   test("fused GROUP BY queries with a shared signature stay independently correct") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)

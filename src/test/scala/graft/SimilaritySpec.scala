@@ -80,6 +80,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.contains((1L, 101L)))
   }
 
+  test("ivfTopK finds the planted near-duplicate and agrees with brute force top-1") {
+    val queries = vecs.filter(col("vec_id").isin(1L, 2L, 3L))
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("sim"), col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = top1(Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 3))
+    val ivf = top1(Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 3,
+      dim = 8, nlist = 4, nprobe = 2))
+    assert(ivf === bf)
+    assert(ivf(1L) === 101L) // the planted near-dup shares its query's cell
+  }
+
+  test("ivfAssign is deterministic and covers all cells within range") {
+    val cents = Similarity.ivfCentroids(8, 4)
+    val cells = vecs.select(Similarity.ivfAssign(
+      col("embedding").cast("array<double>"), cents).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(cells.forall(c => c >= 0 && c < 4))
+    val again = vecs.select(Similarity.ivfAssign(
+      col("embedding").cast("array<double>"), cents).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(cells === again)
+  }
+
   test("lshSignature is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 12)
     val s1 = vecs.select(Similarity.lshSignature(
