@@ -266,6 +266,18 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(row), schema)
     }),
 
+    // §2.1 DSL-converter path: raw JSON-string column → typed record →
+    // aggregate (the DSLSpout deserialize+convert stage).
+    "q_json_ingest" -> ((s, dir) => {
+      val parsed = graft.sources.JsonRecords.convert(rd(s, dir, "events"), "props", "k INT")
+      parsed.groupBy(col("event_type").as("etype"))
+        .agg(
+          sum(col("props_rec.k")).as("ks"),
+          min(col("props_rec.k")).as("kmin"),
+          max(col("props_rec.k")).as("kmax"))
+        .orderBy("etype")
+    }),
+
     // Skew-resilient salted two-stage aggregation — result must equal the
     // plain GROUP BY (long sums: order-independent).
     "q_skew_salted" -> ((s, dir) =>
@@ -370,6 +382,11 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_json_ingest" ->
+      ("SELECT event_type AS etype, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS ks, " +
+        "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +
+        "max(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmax " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum FROM events GROUP BY 1 ORDER BY 1",
     "q_post_aggs" ->

@@ -140,6 +140,16 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .start()
 
+  /** Registry snapshot as JSON lines — the reference's query-replay storage
+    * (ReplayBolt/StorageManager) collapses to this in Spark: persist the
+    * lines next to the checkpoint; on restart [[restoreRegistry]] re-arms
+    * the queries and aggregation state rebuilds from the stream. */
+  def snapshotRegistry(): Seq[String] =
+    synchronized(queries.values.map(rq => QueryJson.render(rq.spec)).toSeq)
+
+  def restoreRegistry(lines: Seq[String]): Unit =
+    lines.foreach(l => register(QueryJson.parse(l)))
+
   def validate(spec: QuerySpec): Seq[String] = {
     val errs = mutable.ArrayBuffer.empty[String]
     if (spec.id == null || spec.id.isEmpty) errs += "query id must be non-empty"

@@ -98,4 +98,14 @@ class QueryJsonSpec extends SparkTestBase {
     val revived = lines.map(QueryJson.parse)
     assert(revived === specs)
   }
+
+  test("runner registry snapshot/restore re-arms queries after a restart") {
+    val r1 = new QueryRunner(spark, new ManualClock(0))
+    r1.register(fullSpec)
+    r1.register(QuerySpec("r2", aggregation = Raw(10)))
+    val snapshot = r1.snapshotRegistry()
+    val r2 = new QueryRunner(spark, new ManualClock(0))
+    r2.restoreRegistry(snapshot)
+    assert(r2.activeQueryIds.toSet === Set("q-full", "r2"))
+  }
 }
