@@ -69,6 +69,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       * open (the reference's straggler budget, JoinBolt.java:214-233):
       * late partials keep merging until the grace elapses. */
     var finishingSince: Option[Long] = None
+    var recordsSeen: Long = 0L // total matched records (metrics surface)
+    var batchesSeen: Long = 0L
     def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
   }
 
@@ -353,10 +355,21 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     if (v == null) 0L else v.asInstanceOf[Number].longValue
   }
 
+  /** Per-query engine metrics (reference built-in metrics,
+    * bullet_storm_defaults.yaml:31-37): matched records and batches seen. */
+  def queryStats(id: String): Option[Map[String, Long]] =
+    synchronized(queries.get(id).map(rq => Map(
+      "records_seen" -> rq.recordsSeen,
+      "batches_seen" -> rq.batchesSeen,
+      "records_emitted" -> rq.emitted,
+      "windows_emitted" -> rq.windowsEmitted)))
+
   private def mergePartial(rq: RQ, row: Row): Unit = {
     val id = rq.spec.id
     val matched = longAt(row, n(id))
     rq.recordsSinceEmit += matched
+    rq.recordsSeen += matched
+    rq.batchesSeen += 1
     rq.spec.aggregation match {
       case Raw(_) =>
         rq.state.asInstanceOf[RawState].add(
@@ -432,6 +445,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       }
       rq.recordsSinceEmit += matched
+      rq.recordsSeen += matched
+      rq.batchesSeen += 1
     }
   }
 
@@ -458,7 +473,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     rq.emitted += records.size
     Clip(rq.spec.id,
       baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
-        Map("finish_time" -> clock.now(), "signal" -> Signal.COMPLETE.toString),
+        Map("finish_time" -> clock.now(), "signal" -> Signal.COMPLETE.toString,
+          "records_seen" -> rq.recordsSeen, "batches_seen" -> rq.batchesSeen),
       records)
   }
 
