@@ -266,6 +266,15 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(row), schema)
     }),
 
+    // BQL string front-end (§2.10 stretch): SQL-ish text → QuerySpec →
+    // the same compiled plan.
+    "q_bql" -> ((s, dir) => {
+      val q = graft.bql.Bql.parse(
+        "SELECT event_type AS etype, COUNT(*) AS cnt, MIN(user_id) AS mu, MAX(user_id) AS xu " +
+          "FROM STREAM WHERE value > 20.0 GROUP BY event_type ORDER BY etype")
+      QueryCompiler.run(rd(s, dir, "events"), q)
+    }),
+
     // §2.1 DSL-converter path: raw JSON-string column → typed record →
     // aggregate (the DSLSpout deserialize+convert stage).
     "q_json_ingest" -> ((s, dir) => {
@@ -382,6 +391,8 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_bql" ->
+      "SELECT event_type AS etype, count(*) AS cnt, min(user_id) AS mu, max(user_id) AS xu FROM events WHERE value > 20.0 GROUP BY 1 ORDER BY 1",
     "q_json_ingest" ->
       ("SELECT event_type AS etype, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS ks, " +
         "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +

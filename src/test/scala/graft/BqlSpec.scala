@@ -1,0 +1,96 @@
+package graft
+
+import graft.bql.Bql
+import graft.compile.QueryCompiler
+import graft.model._
+
+class BqlSpec extends SparkTestBase {
+
+  test("RAW with filter, projection, order and limit") {
+    val q = Bql.parse(
+      "SELECT event_id, UPPER(etype) AS e FROM STREAM WHERE value > 10.0 AND etype != 'x' ORDER BY event_id LIMIT 50")
+    assert(q.aggregation === Raw(50))
+    assert(q.filter === Some(NAry(NAryOp.AND, Seq(
+      Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN),
+      Binary(Field("etype"), Lit("x"), BinOp.NOT_EQUALS)))))
+    assert(q.projection === Some(Seq(
+      "event_id" -> Field("event_id"),
+      "e" -> Unary(UnaryOp.UPPER, Field("etype")))))
+    assert(q.postAggregations === Seq(OrderBy(Seq("event_id" -> true))))
+  }
+
+  test("GROUP BY with renames, HAVING, ORDER BY DESC and window") {
+    val q = Bql.parse(
+      "SELECT etype AS e, COUNT(*) AS cnt, SUM(value) AS sv FROM STREAM " +
+        "GROUP BY etype HAVING cnt > 2 ORDER BY cnt DESC " +
+        "WINDOWING EVERY 1000 TIME ALL DURATION 60000")
+    assert(q.aggregation === GroupBy(Seq("etype" -> "e"), Seq(
+      GroupOp(GroupOpType.COUNT, None, "cnt"),
+      GroupOp(GroupOpType.SUM, Some("value"), "sv"))))
+    assert(q.postAggregations === Seq(
+      Having(Binary(Field("cnt"), Lit(2L), BinOp.GREATER_THAN)),
+      OrderBy(Seq("cnt" -> false))))
+    assert(q.window === Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.ALL, 1000)))
+    assert(q.durationMs === 60000L)
+  }
+
+  test("COUNT DISTINCT / TOP / QUANTILE / FREQ forms") {
+    assert(Bql.parse("SELECT COUNT(DISTINCT a, b) AS du FROM STREAM").aggregation
+      === CountDistinct(Seq("a", "b"), "du"))
+    assert(Bql.parse("SELECT TOP(5, user) AS cnt FROM STREAM").aggregation
+      === TopK(Seq("user" -> "user"), 5, "cnt"))
+    assert(Bql.parse("SELECT QUANTILE(v, [0.1, 0.5, 0.9]) FROM STREAM").aggregation
+      === Distribution("v", DistributionType.QUANTILE, Seq(0.1, 0.5, 0.9)))
+    assert(Bql.parse("SELECT FREQ(v, [0, 10]) FROM STREAM").aggregation
+      === Distribution("v", DistributionType.PMF, Seq(0.0, 10.0)))
+    assert(Bql.parse("SELECT CUMFREQ(v, [0, 10]) FROM STREAM").aggregation
+      === Distribution("v", DistributionType.CDF, Seq(0.0, 10.0)))
+  }
+
+  test("expression surface: IN, RLIKE, BETWEEN, CAST, map access, arithmetic") {
+    val q = Bql.parse(
+      "SELECT * FROM STREAM WHERE user_id % 7 IN [0, 1] AND etype RLIKE 'cl.*' " +
+        "AND value BETWEEN 1.5 AND 9.5 AND CAST(m.age AS INTEGER) > 65 AND NOT (x = 1)")
+    val f = q.filter.get.asInstanceOf[NAry]
+    assert(f.op === NAryOp.AND)
+    val flat = flattenAnd(f)
+    assert(flat.contains(Binary(
+      Binary(Field("user_id"), Lit(7L), BinOp.MOD),
+      ListExpr(Seq(Lit(0L), Lit(1L))), BinOp.IN)))
+    assert(flat.contains(Binary(Field("etype"), Lit("cl.*"), BinOp.REGEX_LIKE)))
+    assert(flat.contains(NAry(NAryOp.BETWEEN, Seq(Field("value"), Lit(1.5), Lit(9.5)))))
+    assert(flat.contains(Binary(
+      Cast(Field("m", Some("age")), FieldType.INTEGER), Lit(65L), BinOp.GREATER_THAN)))
+    assert(flat.contains(Unary(UnaryOp.NOT, Binary(Field("x"), Lit(1L), BinOp.EQUALS))))
+  }
+
+  private def flattenAnd(e: Expr): Seq[Expr] = e match {
+    case NAry(NAryOp.AND, xs) => xs.flatMap(flattenAnd)
+    case other => Seq(other)
+  }
+
+  test("parsed query executes end-to-end and matches the hand-built spec") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "click" else "view", i.toDouble))
+      .toDF("event_id", "etype", "value")
+    val bql = Bql.parse(
+      "SELECT etype AS e, COUNT(*) AS cnt FROM STREAM WHERE value > 50.0 GROUP BY etype ORDER BY e")
+    val hand = QuerySpec("h",
+      filter = Some(Binary(Field("value"), Lit(50.0), BinOp.GREATER_THAN)),
+      aggregation = GroupBy(Seq("etype" -> "e"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      postAggregations = Seq(OrderBy(Seq("e" -> true))))
+    val a = QueryCompiler.run(df, bql).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = QueryCompiler.run(df, hand).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a === b)
+    assert(a === Seq(("click", 17L), ("view", 33L)))
+  }
+
+  test("malformed BQL raises a clear error") {
+    val e = intercept[IllegalArgumentException](Bql.parse("SELECT FROM STREAM"))
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException](Bql.parse("SELECT * FROM STREAM WHERE"))
+    intercept[Exception](Bql.parse("SELECT * STREAM"))
+  }
+}
