@@ -335,6 +335,16 @@ object SparkEntry {
       Multimodal.featureSummary(Multimodal.fromDocuments(rd(s, dir, "documents")))
         .orderBy("media_id")
     }),
+
+    // Frame sampling (stub demux): one media row → strided frame rows
+    // (rows-only: frames come from the fake chunker).
+    "q_multimodal_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFramesStub(
+          Multimodal.fromDocuments(rd(s, dir, "documents")), everyN = 2)
+        .toDF().select(col("media_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

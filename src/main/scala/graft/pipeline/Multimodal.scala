@@ -89,6 +89,70 @@ object Multimodal {
     }
   }
 
+  /** Resized-media row: metadata updated, content re-encoded. */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          content: Array[Byte])
+
+  /**
+   * "Resize" each media item to target dimensions, per-partition batched.
+   *
+   * STUB: a real implementation decodes, resamples, and re-encodes here.
+   * The deterministic fake truncates/pads content proportionally to the
+   * area ratio — stable, and it preserves the real pipeline property that
+   * output size tracks target dimensions.
+   */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)
+                (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val meta = r.getStruct(metaIdx)
+        val (w, h) = (meta.getInt(1), meta.getInt(2))
+        // --- begin deterministic fake resize ---
+        val ratio = (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1)
+        val newLen = math.max(1, math.min((bytes.length * ratio).toInt, bytes.length * 4))
+        val out = Array.tabulate[Byte](newLen)(i => bytes(i % math.max(bytes.length, 1)))
+        // --- end fake resize ---
+        ResizedMedia(r.getLong(idIdx), targetW, targetH, out)
+      }
+    }
+  }
+
+  /** One sampled frame of a media item. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Sample every `everyN`-th "frame" from each media item — the video
+   * frame-sampling shape: one input row explodes to a bounded number of
+   * frame rows, processed per partition so a real demuxer opens once.
+   *
+   * STUB: a real implementation demuxes the container and decodes key
+   * frames. The deterministic fake treats content as fixed-size chunks
+   * (`frameBytes` each) and keeps chunks 0, everyN, 2·everyN, ...
+   */
+  def sampleFramesStub(media: DataFrame, everyN: Int, frameBytes: Int = 64)
+                      (implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    require(everyN > 0 && frameBytes > 0)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by everyN).map { f =>
+          val start = f * frameBytes
+          Frame(id, f, bytes.slice(start, math.min(start + frameBytes, bytes.length)))
+        }
+      }
+    }
+  }
+
   /** Decode + summarize: feature-vector norms per format — the typical
     * decode → aggregate pipeline shape, one shuffle on the small side. */
   def featureSummary(media: DataFrame)(implicit spark: SparkSession): DataFrame = {

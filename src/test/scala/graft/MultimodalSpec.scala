@@ -46,6 +46,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(again(10L) === feats(10L).features.toSeq)
   }
 
+  test("resizeStub: output size tracks target area, metadata updates") {
+    implicit val s: SparkSession = spark
+    val out = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 32, 32)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.values.forall(r => r.width == 32 && r.height == 32))
+    // doc 1: 80x80=6400 → 32x32=1024 area → ~16% of 11 bytes ≥ 1
+    assert(out(1L).content.length >= 1)
+    val again = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 32, 32)
+      .collect().map(r => r.media_id -> r.content.toSeq).toMap
+    assert(again === out.view.mapValues(_.content.toSeq).toMap)
+  }
+
+  test("sampleFramesStub: bounded frames per item, strided indices") {
+    implicit val s: SparkSession = spark
+    val frames = Multimodal.sampleFramesStub(
+      Multimodal.fromDocuments(docs), everyN = 2, frameBytes = 4)
+      .collect().groupBy(_.media_id)
+    // doc 10: 21 bytes / 4 = 5 frames → indices 0, 2, 4
+    assert(frames(10L).map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
+    assert(frames(10L).forall(_.frame.length <= 4))
+    // doc 2: 3 bytes → 1 frame, index 0
+    assert(frames(2L).map(_.frame_idx).toSeq === Seq(0))
+  }
+
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
     val out = Multimodal.featureSummary(Multimodal.fromDocuments(docs))
