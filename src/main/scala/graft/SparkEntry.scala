@@ -302,6 +302,14 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // Embedding-cosine near-dup pairs: exact baseline on a bounded subset
+    // (the LSH-banded variant is the scale path; see cosineNearDupPairs).
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Similarity.bruteForcePairs(e, "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id1", "id2")
+    }),
+
     // --- LLM-data-pipeline: text analysis ---
 
     // Quality statistics + composite score per document.
@@ -403,6 +411,13 @@ object SparkEntry {
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
     "q_bql" ->
       "SELECT event_type AS etype, count(*) AS cnt, min(user_id) AS mu, max(user_id) AS xu FROM events WHERE value > 20.0 GROUP BY 1 ORDER BY 1",
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id < 200)
+        |SELECT id1, id2, sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS sim
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id
+        |) WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_json_ingest" ->
       ("SELECT event_type AS etype, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS ks, " +
         "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +

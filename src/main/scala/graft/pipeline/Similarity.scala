@@ -54,6 +54,19 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Exact cosine near-duplicate pairs via all-pairs comparison — the
+    * correctness baseline ONLY (O(N²): use on bounded subsets / samples).
+    * [[cosineNearDupPairs]] is the banded-LSH scale path. */
+  def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
+      .withColumn("nrm", sqrt(dotd(col("ev"), col("ev"))))
+    v.as("a").join(broadcast(v.as("b")), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        cosine(col("a.ev"), col("b.ev"), col("a.nrm"), col("b.nrm")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic random hyperplanes (fixed seed → stable signatures). */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
