@@ -6,6 +6,8 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each `queries` entry is one operator from SURVEY.md §2 (or a
@@ -266,6 +268,38 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(row), schema)
     }),
 
+    // Streaming post-aggregations (§2.6 on the runner path): GROUP BY
+    // through the shared-pass runner with HAVING → COMPUTATION → CULLING →
+    // ORDER BY applied at the combiner on finish (PostAggEval).
+    "q_runner_postagg" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("pa",
+        aggregation = GroupBy(Seq("event_type" -> "etype"), Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.MIN, Some("user_id"), "mn"))),
+        postAggregations = Seq(
+          Having(Binary(Field("cnt"), Lit(2000L), BinOp.GREATER_THAN)),
+          Computation(Seq("ratio" -> Binary(Field("cnt"), Lit(100.0), BinOp.DIV))),
+          Culling(Seq("mn")),
+          OrderBy(Seq("etype" -> true)))))
+      runner.processBatch(rd(s, dir, "events"))
+      clock.advance(100000)
+      val clips = runner.onTick()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = clips.head.records.map { rec =>
+        val n = mapper.readTree(rec)
+        org.apache.spark.sql.Row(n.get("etype").asText(), n.get("cnt").asLong(),
+          n.get("ratio").asDouble())
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("etype", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ratio", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows.asJava, schema)
+    }),
+
     // BQL string front-end (§2.10 stretch): SQL-ish text → QuerySpec →
     // the same compiled plan.
     "q_bql" -> ((s, dir) => {
@@ -441,6 +475,10 @@ object SparkEntry {
     "q_runner_multi" ->
       ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn, max(value) AS mx, " +
         "(SELECT count(DISTINCT user_id) FROM events) AS du FROM events WHERE value > 10.0"),
+    "q_runner_postagg" ->
+      ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
+        "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +
+        "WHERE cnt > 2000 ORDER BY etype"),
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_c,

@@ -56,11 +56,14 @@ final class ManualClock(start: Long = 0L) extends Clock {
  * (additive) skips the reset.
  */
 final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
-                        postFinishGraceMs: Long = 0L) {
+                        postFinishGraceMs: Long = 0L,
+                        rateCheckIntervalMs: Long = 1000L) {
 
   private final class RQ(val spec: QuerySpec, val registeredAt: Long) {
     val state: AggState = AggState.forSpec(spec.aggregation)
-    var emitted: Long = 0L          // total records emitted (rate limiting)
+    var emitted: Long = 0L          // total records emitted (metrics)
+    var emittedSinceRateCheck: Long = 0L // rate-limit window accumulator
+    var lastRateCheckAt: Long = registeredAt
     var recordsSinceEmit: Long = 0L // RECORD-window accumulator
     var lastEmitAt: Long = registeredAt
     var windowsEmitted: Long = 0L
@@ -190,11 +193,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     * and lifecycle evaluation. Returns the Clips emitted for this batch. */
   def processBatch(batch: DataFrame): Seq[Clip] = synchronized {
     val active = queries.values.filter(!_.done).toSeq
-    val (grouped, simple) = active.partition(_.isGrouped)
-    val needsCache = (if (simple.nonEmpty) 1 else 0) + grouped.size > 1
+    val grouped = active.filter(_.isGrouped)
+    val needsCache = (if (active.nonEmpty) 1 else 0) + grouped.size > 1
     val df = if (needsCache) batch.persist() else batch
     try {
-      if (simple.nonEmpty) {
+      if (active.nonEmpty) {
         val schema = df.schema
         // Predicate CSE — the Spark analog of the reference's query
         // partitioner (SimpleEqualityPartitioner, SURVEY §4): queries
@@ -202,8 +205,12 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         // ASTs (structural equality) pre-project to boolean columns; each
         // query's aggregators gate on its column. A 100-query workload
         // with 7 distinct filters evaluates 7 predicates per record, not
-        // 100.
-        val distinctFilters = simple.flatMap(_.spec.filter).distinct
+        // 100. GROUP BY queries contribute only their matched-record count
+        // here (their grouped state rides mergeGrouped): the count must be
+        // computed UNGROUPED — summing over the kept top-`entries` groups
+        // would undercount once the key space exceeds the cap, starving
+        // RECORD windows and the records_seen metric.
+        val distinctFilters = active.flatMap(_.spec.filter).distinct
         val predIdx = distinctFilters.zipWithIndex.toMap
         val predCols = distinctFilters.zipWithIndex.map { case (f, i) =>
           ExprCompiler.compile(f, Some(schema)).as(s"__pred$i")
@@ -215,9 +222,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
           case Some(f) => col(s"__pred${predIdx(f)}")
           case None    => lit(true)
         }
-        val cols = simple.flatMap(rq => partialColumns(rq, schema, gate(rq)))
+        val cols = active.flatMap(rq => partialColumns(rq, schema, gate(rq)))
         val row = withPreds.agg(cols.head, cols.tail: _*).collect()(0)
-        simple.foreach(rq => mergePartial(rq, row))
+        active.foreach(rq => mergePartial(rq, row))
       }
       // GROUP BY fusion: queries with the same (filter, key fields,
       // projection) share one grouped job — their metric aggregators ride
@@ -320,14 +327,17 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     val fld: String => Column = f => fieldCol(rq, f, schema)
     val aggCols: Seq[Column] = rq.spec.aggregation match {
       case Raw(_) =>
-        val recordStruct = rq.spec.projection match {
-          case Some(fields) => struct(fields.map { case (nm, e) =>
-            ExprCompiler.compile(e, Some(schema)).as(nm) }: _*)
-          case None => struct(schema.fieldNames.map(col).toIndexedSeq: _*)
-        }
         val cap = rq.state.asInstanceOf[RawState].remaining
-        val agg = udaf(new CappedCollectAgg(math.max(cap, 0)), Encoders.STRING)
-        Seq(agg(when(g, to_json(recordStruct))).as(p(id)))
+        if (cap <= 0) Seq.empty // full buffer: stop to_json-ing matches
+        else {
+          val recordStruct = rq.spec.projection match {
+            case Some(fields) => struct(fields.map { case (nm, e) =>
+              ExprCompiler.compile(e, Some(schema)).as(nm) }: _*)
+            case None => struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+          }
+          val agg = udaf(new CappedCollectAgg(cap), Encoders.STRING)
+          Seq(agg(when(g, to_json(recordStruct))).as(p(id)))
+        }
       case GroupAll(ops) =>
         opColumns(id, ops, g, fld)
       case CountDistinct(fields, _, lgK) =>
@@ -372,8 +382,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     rq.batchesSeen += 1
     rq.spec.aggregation match {
       case Raw(_) =>
-        rq.state.asInstanceOf[RawState].add(
-          row.getAs[scala.collection.Seq[String]](p(id)).toSeq)
+        if (row.schema.fieldNames.contains(p(id)))
+          rq.state.asInstanceOf[RawState].add(
+            row.getAs[scala.collection.Seq[String]](p(id)).toSeq)
       case GroupAll(ops) =>
         val st = rq.state.asInstanceOf[GroupAllState]
         ops.zipWithIndex.foreach { case (op, i) =>
@@ -426,8 +437,10 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       .orderBy(spec0.fields.map { case (_, alias) => col(alias) }: _*)
       .limit(entriesMax)
       .collect()
-    var matched = 0L
-    rows.foreach(row => matched += longAt(row, groupN))
+    // matched-record counters (recordsSinceEmit/recordsSeen/batchesSeen) are
+    // NOT derived from these capped rows — they ride the ungrouped shared
+    // pass (processBatch → mergePartial), so they stay exact when distinct
+    // groups exceed the entries cap.
     rqs.foreach { rq =>
       val spec = rq.spec.aggregation.asInstanceOf[GroupBy]
       val id = rq.spec.id
@@ -444,9 +457,6 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
           }
         }
       }
-      rq.recordsSinceEmit += matched
-      rq.recordsSeen += matched
-      rq.batchesSeen += 1
     }
   }
 
@@ -457,9 +467,24 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   private def baseMeta(id: String, receiveTime: Long): Map[String, Any] =
     Map("query_id" -> id, "receive_time" -> receiveTime)
 
+  /** Finished records with the spec's post-aggregations applied — the
+    * reference runs the FULL query (incl. HAVING/COMPUTATION/CULLING/
+    * ORDER BY) at the combiner on window close / finish (bullet-core
+    * Querier.finish; SURVEY §2.6). Results are bounded, so this is a tiny
+    * driver-side pass ([[PostAggEval]]). Deviation (documented): for RAW,
+    * the batch path orders BEFORE the size cap; streaming caps on arrival,
+    * so ORDER BY here sorts the kept first-`size` subset. */
+  private def finishedRecords(rq: RQ): Seq[String] =
+    PostAggEval(rq.spec.postAggregations, rq.state.finishRecords())
+
+  private def countEmit(rq: RQ, n: Int): Unit = {
+    rq.emitted += n
+    rq.emittedSinceRateCheck += n
+  }
+
   private def windowClip(rq: RQ): Clip = {
-    val records = rq.state.finishRecords()
-    rq.emitted += records.size
+    val records = finishedRecords(rq)
+    countEmit(rq, records.size)
     rq.windowsEmitted += 1
     Clip(rq.spec.id,
       baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
@@ -469,8 +494,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 
   private def finish(rq: RQ): Clip = {
     rq.done = true
-    val records = rq.state.finishRecords()
-    rq.emitted += records.size
+    val records = finishedRecords(rq)
+    countEmit(rq, records.size)
     Clip(rq.spec.id,
       baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
         Map("finish_time" -> clock.now(), "signal" -> Signal.COMPLETE.toString,
@@ -481,7 +506,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   private def rateLimitKill(rq: RQ): Clip =
     Clip(rq.spec.id, baseMeta(rq.spec.id, rq.registeredAt) ++ Map(
       "signal" -> Signal.KILL.toString,
-      "errors" -> Seq(s"query exceeded rate limit of ${rq.spec.rateLimitMaxEmit.get} emitted records"),
+      "errors" -> Seq(s"query exceeded rate limit of ${rq.spec.rateLimitMaxEmit.get} " +
+        s"emitted records per ${rateCheckIntervalMs} ms"),
       "finish_time" -> clock.now()), Seq.empty)
 
   private def lifecycle(): Seq[Clip] = {
@@ -504,11 +530,32 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
           if (!w.isAdditive) rq.state.reset()
         }
       }
-      // rate limiting (after emission accounting)
-      if (!rq.done && rq.spec.rateLimitMaxEmit.exists(rq.emitted > _)) {
-        out += rateLimitKill(rq)
-        rq.done = true
-        finished += rq.spec.id
+      // rate limiting: emitted records PER CHECK INTERVAL, not lifetime
+      // total (JoinBolt.java:199-208 — RateLimiter counts since last check);
+      // a long-lived windowed query emitting steadily under the rate
+      // survives indefinitely, a burst inside one interval is killed.
+      if (!rq.done && rq.spec.rateLimitMaxEmit.isDefined &&
+          now - rq.lastRateCheckAt >= rateCheckIntervalMs) {
+        val exceeded = rq.emittedSinceRateCheck > rq.spec.rateLimitMaxEmit.get
+        rq.emittedSinceRateCheck = 0L
+        rq.lastRateCheckAt = now
+        if (exceeded) {
+          out += rateLimitKill(rq)
+          rq.done = true
+          finished += rq.spec.id
+        }
+      }
+      // RAW early termination (FilterBolt.java:160-163 / Querier.isDone):
+      // a windowless RAW query whose buffer hit its cap finishes NOW — no
+      // reason to wait out the duration, and the partial pass already
+      // stopped collecting for it (cap-0 → no collect column).
+      if (!rq.done && rq.spec.window.isEmpty) {
+        rq.state match {
+          case rs: RawState if rs.isFull =>
+            out += finish(rq)
+            finished += rq.spec.id
+          case _ =>
+        }
       }
       // duration expiry, with the post-finish straggler grace: the query
       // stops being a new-data consumer conceptually but its state stays

@@ -149,20 +149,115 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(runner.kill("k").isEmpty)
   }
 
-  test("rate limit exceeded → KILL clip with RateLimitError") {
+  test("rate limit: burst inside one check interval → KILL clip") {
     val clock = new ManualClock(0)
-    val runner = new QueryRunner(spark, clock)
-    // every record-window emission emits one record; limit 2 → killed
-    runner.register(clickCountSpec("rl",
+    val runner = new QueryRunner(spark, clock, rateCheckIntervalMs = 1000)
+    // every record-window emission emits one record; 3 emits in one check
+    // interval > limit 2 → killed at the interval boundary
+    runner.register(clickCountSpec("rl", durationMs = 100000,
       window = Some(WindowSpec(WindowUnit.RECORD, 10, WindowUnit.RECORD, 10)),
       rateLimit = Some(2L)))
     runner.processBatch(events) // 33 matched → window emit (1 record)
     runner.processBatch(events)
-    runner.processBatch(events) // emitted 3 > 2 → kill
+    runner.processBatch(events) // 3 emitted inside the interval
+    clock.advance(1000)         // check fires: 3 > 2 → kill
+    runner.onTick()
     val kills = runner.results.filter(_.signal.contains("KILL"))
     assert(kills.size === 1)
     assert(kills.head.meta("errors").asInstanceOf[Seq[String]].head.contains("rate limit"))
     assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("rate limit is a RATE: steady low-rate query survives past the old cumulative cap") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock, rateCheckIntervalMs = 1000)
+    runner.register(clickCountSpec("steady", durationMs = 1000000,
+      window = Some(WindowSpec(WindowUnit.RECORD, 10, WindowUnit.RECORD, 10)),
+      rateLimit = Some(2L)))
+    // 6 window emissions, one per check interval: lifetime total (6) is far
+    // past the per-interval limit (2), but the per-interval rate (1) is under
+    // it — the query must stay alive (reference JoinBolt.java:199-208).
+    (1 to 6).foreach { _ =>
+      runner.processBatch(events) // 33 matched → one window emit (1 record)
+      clock.advance(1000)
+      runner.onTick()
+    }
+    assert(runner.results.count(_.signal.contains("KILL")) === 0)
+    assert(runner.activeQueryIds === Seq("steady"))
+  }
+
+  test("streaming post-aggregations match the batch compiler path") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    val spec = QuerySpec("pa",
+      aggregation = GroupBy(Seq("user" -> "u"), Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.MIN, Some("value"), "mn"))),
+      postAggregations = Seq(
+        Having(Binary(Field("cnt"), Lit(14L), BinOp.GREATER_OR_EQUALS)),
+        Computation(Seq("ratio" -> Binary(Field("cnt"), Lit(2.0), BinOp.DIV))),
+        Culling(Seq("mn")),
+        OrderBy(Seq("cnt" -> false, "u" -> true))))
+    runner.register(spec)
+    runner.processBatch(events)
+    clock.advance(20000)
+    val clips = runner.onTick()
+    assert(clips.size === 1)
+    val got = clips.head.records.map(parse)
+    val expected = QueryCompiler.run(events, spec).collect().map { r =>
+      Map("u" -> r.getAs[String]("u"), "cnt" -> r.getAs[Long]("cnt"),
+        "ratio" -> r.getAs[Double]("ratio"))
+    }.toSeq
+    assert(got.map(r => (r("u"), r("cnt"), r("ratio"))) ===
+      expected.map(r => (r("u"), r("cnt"), r("ratio"))))
+    // culled column is gone
+    assert(got.forall(!_.contains("mn")))
+  }
+
+  test("streaming HAVING filters windowed emissions too") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(QuerySpec("wh",
+      aggregation = GroupBy(Seq("etype" -> "e"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.TIME, 1000)),
+      durationMs = 100000,
+      postAggregations = Seq(Having(Binary(Field("cnt"), Lit(50L), BinOp.GREATER_THAN)))))
+    runner.processBatch(events) // click=33, view=67 → only view survives HAVING
+    clock.advance(1000)
+    val w1 = runner.onTick()
+    assert(w1.size === 1)
+    val recs = w1.head.records.map(parse)
+    assert(recs.size === 1 && recs.head("e") === "view" && recs.head("cnt") === 67)
+  }
+
+  test("RAW early termination: full buffer finishes before duration expiry") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(QuerySpec("raw_full",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = Raw(10), durationMs = 1000000))
+    // 33 clicks > cap 10 → COMPLETE immediately inside processBatch
+    val clips = runner.processBatch(events)
+    assert(clips.size === 1 && clips.head.signal.contains("COMPLETE"))
+    assert(clips.head.records.size === 10)
+    assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("GROUP BY record-window counts matched records beyond the entries cap") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // 7 distinct users but entries cap 2: the kept top-2 groups cover only a
+    // fraction of the 100 matched records; the RECORD window (and metrics)
+    // must still see all 100.
+    runner.register(QuerySpec("gw",
+      aggregation = GroupBy(Seq("user" -> "u"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt")), entries = 2),
+      window = Some(WindowSpec(WindowUnit.RECORD, 100, WindowUnit.RECORD, 100)),
+      durationMs = 100000))
+    val emitted = runner.processBatch(events) // 100 matched ≥ 100 → emit
+    assert(emitted.size === 1, "record window must fire from the ungrouped matched count")
+    assert(runner.queryStats("gw").get("records_seen") === 100L)
   }
 
   test("tumbling time window: emit + reset per interval") {
