@@ -26,6 +26,31 @@ object SparkEntry {
     s.read.parquet(t(dir, name))
   }
 
+  /** Clustered embedding fixture derived from the embeddings table: 8
+    * cluster centers (vec_id < 8); every vector collapses toward its center
+    * (center + 0.05·v). Gives LSH/IVF locality to exploit, so recall vs
+    * brute force becomes a meaningful, pinnable gate — on uniform random
+    * vectors ANN recall is inherently ~0 and verifies nothing. */
+  private def clusteredEmbeddings(e: DataFrame): DataFrame = {
+    val centers = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    e.select((col("vec_id") % 8).as("cid"), col("vec_id"),
+        col("embedding").cast("array<double>").as("ev"))
+      .join(broadcast(centers), "cid")
+      .select(col("vec_id"),
+        zip_with(col("cv"), col("ev"), (c, v) => c + lit(0.05) * v).as("embedding"))
+  }
+
+  /** Documents plus an exact copy of every doc_id < 100 at doc_id +
+    * 1,000,000 — the planted-duplicate fixture for hash-function-dependent
+    * operators (SimHash, winnowing): an identical text MUST get an identical
+    * signature, which the DuckDB oracle can pin without knowing the hash. */
+  private def withPlantedCopies(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val q = QuerySpec(
@@ -156,6 +181,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5).orderBy("id1", "id2")),
 
+    // Same inverted index WITH the document-frequency skew guard armed —
+    // the configuration a 100 TB run uses (a stop-shingle in 1M docs would
+    // otherwise form a quadratic bucket). The cutoff is far above any
+    // shingle's doc-frequency in this corpus, so the answer is unchanged
+    // and the same oracle pins it.
+    "q_dedup_ngram_guarded" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = Some(200)).orderBy("id1", "id2")),
+
     // Fuzzy dedup at scale: MinHash-LSH candidates + exact-Jaccard verify.
     // Same oracle as q_dedup_ngram: b=16,r=2 catches J ≥ 0.5 pairs w.p.
     // ≈ 0.98 and the planted near-dups here are J ≈ 0.98 (miss p < 1e-22).
@@ -163,11 +197,18 @@ object SparkEntry {
       Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5).orderBy("id1", "id2")),
 
-    // SimHash near-dup pairs (banded 64-bit signatures). Hash-function
-    // dependent → no SQL oracle; driver records rows-only.
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(rd(s, dir, "documents"), "doc_id", "text",
-        n = 3, maxHamming = 3).orderBy("id1", "id2")),
+    // SimHash near-dup pairs (banded 64-bit signatures). The raw pair set
+    // is hash-function dependent, so the oracle pins the planted-duplicate
+    // invariant instead: an identical text has an identical SimHash
+    // (Hamming 0), so EVERY planted copy pair must surface. Docs shorter
+    // than the shingle width have no signature — excluded on both sides.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(withPlantedCopies(rd(s, dir, "documents")),
+        "doc_id", "text", n = 3, maxHamming = 3)
+      pairs.filter(col("id2") === col("id1") + 1000000L && col("id1") < 100)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id1")
+    }),
 
     // --- LLM-data-pipeline: similarity search ---
 
@@ -180,16 +221,19 @@ object SparkEntry {
     }),
 
     // Approximate top-10 via random-hyperplane LSH with Hamming-1
-    // multi-probe — the bucketed scale path. Approximate → rows-only check.
-    // Plane count sizes buckets: ≈ log2(N / targetBucketSize); 6 planes
-    // (64 buckets) suits the 500–5000-vector test corpus. On uniformly
-    // random embeddings recall is inherently poor (no locality to exploit);
-    // see SimilaritySpec for recall on clustered data.
+    // multi-probe — the bucketed scale path. Approximate → the oracle pins
+    // an in-Spark recall@10 gate vs bruteForceTopK on the clustered
+    // fixture (on uniform random vectors recall is inherently ~0; with
+    // clusters the bucketed probe must recover ≥90% of exact neighbors).
     "q_ann_lsh" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      Similarity.lshTopK(e.filter(col("vec_id") < 5), e,
-        "vec_id", "embedding", k = 10, dim = 64, numPlanes = 6)
-        .orderBy("query_id", "neighbor_id")
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 10, dim = 64, numPlanes = 6)
+      Similarity.recallPerQuery(approx, exact)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.9).as("recall_ok"))
     }),
 
     // §2.6 post-aggregations: HAVING → COMPUTATION → CULLING → ORDER BY
@@ -328,12 +372,17 @@ object SparkEntry {
         Seq("event_type"), "user_id", buckets = 16).orderBy("event_type")),
 
     // IVF approximate top-k — the partitioned serving layout; approximate →
-    // rows-only check (recall shown on clustered data in SimilaritySpec).
+    // same in-Spark recall@10 gate as q_ann_lsh (cell-probe must recover
+    // ≥90% of exact neighbors on the clustered fixture).
     "q_ann_ivf" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
-      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
-        "vec_id", "embedding", k = 10, dim = 64, nlist = 8, nprobe = 3)
-        .orderBy("query_id", "neighbor_id")
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 10, dim = 64, nlist = 8, nprobe = 3)
+      Similarity.recallPerQuery(approx, exact)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.9).as("recall_ok"))
     }),
 
     // Embedding-cosine near-dup pairs: exact baseline on a bounded subset
@@ -341,6 +390,17 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => {
       val e = rd(s, dir, "embeddings").filter(col("vec_id") < 200)
       Similarity.bruteForcePairs(e, "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id1", "id2")
+    }),
+
+    // The banded-LSH scale path on the SAME fixture and oracle: 16 planes
+    // in 8 bands of 2 — P[two planes both agree] per band is high enough
+    // at sim ≥ 0.4 that 8 bands recover every qualifying pair here
+    // (recall verified by the hash-exact oracle match itself).
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4,
+        dim = 64, numPlanes = 16, bands = 8)
         .orderBy("id1", "id2")
     }),
 
@@ -356,11 +416,25 @@ object SparkEntry {
       TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Winnowing fingerprints (hash-function specific → rows-only check).
-    "q_text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(rd(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("fp_size"), col("fp_hash"))
-        .orderBy("doc_id")),
+    // Winnowing fingerprints. The selected hashes are hash-function
+    // specific, so the oracle pins the planted-duplicate invariant: an
+    // identical text yields an identical fingerprint set (equal fp_hash,
+    // equal size), and any ≥3-word doc fingerprints non-empty.
+    "q_text_fingerprint" -> ((s, dir) => {
+      val fps = TextAnalysis.fingerprints(withPlantedCopies(rd(s, dir, "documents")),
+        "doc_id", "text")
+      val orig = fps.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("orig_id"), col("fp_hash").as("h1"), col("fp_size").as("s1"))
+      val copy = fps.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("orig_id"), col("fp_hash").as("h2"),
+          col("fp_size").as("s2"))
+      orig.join(copy, "orig_id")
+        .select(col("orig_id"),
+          (col("h1") === col("h2") && col("s1") === col("s2")).as("fp_copy_equal"),
+          (col("s1") > 0).as("fp_nonempty"))
+        .filter(col("fp_nonempty")) // short docs (<3 words) have no k-grams
+        .orderBy("orig_id")
+    }),
 
     // --- LLM-data-pipeline: multimodal columns ---
 
@@ -371,21 +445,40 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // Decode(stub) → feature pipeline over binary content via
-    // mapPartitions (rows-only: features come from the fake decoder).
+    // mapPartitions. The fake features aren't SQL-expressible, but their
+    // invariants are: 16 bins, and a normalized histogram sums to exactly
+    // n_bytes/max(n_bytes,1); n_bytes itself is oracle-checked per row.
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.featureSummary(Multimodal.fromDocuments(rd(s, dir, "documents")))
+      val feats = Multimodal.decodeStub(
+        Multimodal.fromDocuments(rd(s, dir, "documents"))).toDF()
+      feats.select(col("media_id"), col("n_bytes"),
+          (size(col("features")) === 16).as("dim_ok"),
+          (abs(aggregate(col("features"), lit(0.0), (a, x) => a + x) -
+            when(col("n_bytes") > 0, lit(1.0)).otherwise(lit(0.0))) < 1e-9).as("norm_ok"))
         .orderBy("media_id")
     }),
 
-    // Frame sampling (stub demux): one media row → strided frame rows
-    // (rows-only: frames come from the fake chunker).
+    // Frame sampling (stub demux): one media row → strided frame rows.
+    // The chunking math is deterministic in the content length, so the
+    // oracle reproduces the full (media_id, frame_idx, frame_bytes) set.
     "q_multimodal_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFramesStub(
           Multimodal.fromDocuments(rd(s, dir, "documents")), everyN = 2)
         .toDF().select(col("media_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // Resize (stub re-encode): output length tracks the target/source area
+    // ratio deterministically, so the oracle reproduces it per row.
+    "q_multimodal_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resizeStub(
+          Multimodal.fromDocuments(rd(s, dir, "documents")), targetW = 128, targetH = 128)
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          octet_length(col("content")).as("content_bytes"))
+        .orderBy("media_id")
     }),
   )
 
@@ -429,7 +522,35 @@ object SparkEntry {
     "q_dedup_key" ->
       "SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
     "q_dedup_ngram" -> ngramJaccardOracle,
+    "q_dedup_ngram_guarded" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_dedup_simhash" ->
+      ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
+        "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
+    "q_ann_lsh" ->
+      "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    "q_ann_ivf" ->
+      "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    "q_text_fingerprint" ->
+      ("SELECT doc_id AS orig_id, CAST(1 AS BOOLEAN) AS fp_copy_equal, CAST(1 AS BOOLEAN) AS fp_nonempty " +
+        "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
+    "q_multimodal_features" ->
+      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(1 AS BOOLEAN) AS dim_ok, CAST(1 AS BOOLEAN) AS norm_ok FROM documents ORDER BY doc_id"),
+    "q_multimodal_frames" ->
+      ("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+         |f AS (SELECT doc_id, len, unnest(range(0, greatest(1, len // 64), 2)) AS frame_idx FROM d)
+         |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |CAST(least(64, len - 64 * frame_idx) AS INTEGER) AS frame_bytes
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
+    "q_multimodal_resize" ->
+      ("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
+         |64 + (doc_id % 8) * 16 AS w, 64 + (doc_id % 5) * 16 AS h FROM documents)
+         |SELECT doc_id AS media_id, CAST(128 AS INTEGER) AS width, CAST(128 AS INTEGER) AS height,
+         |CAST(CASE WHEN len = 0 THEN 0 ELSE
+         |greatest(1, least(CAST(trunc(len * (16384.0 / greatest(w * h, 1))) AS BIGINT), len * 4))
+         |END AS INTEGER) AS content_bytes
+         |FROM d ORDER BY media_id""".stripMargin.replace("\n", " ")),
     "q_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5
@@ -445,6 +566,13 @@ object SparkEntry {
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
     "q_bql" ->
       "SELECT event_type AS etype, count(*) AS cnt, min(user_id) AS mu, max(user_id) AS xu FROM events WHERE value > 20.0 GROUP BY 1 ORDER BY 1",
+    "q_embed_neardup_lsh" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id < 200)
+        |SELECT id1, id2, sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS sim
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id
+        |) WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_embed_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id < 200)
         |SELECT id1, id2, sim FROM (

@@ -180,13 +180,16 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // Hamming is pair-determined, so filtering BEFORE the distinct is
+    // equivalent and shrinks the dedup shuffle to only surviving pairs
+    // (a multi-band pair would otherwise be carried `bands` times).
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
   }
 }

@@ -78,7 +78,7 @@ object Multimodal {
       // per-partition setup happens HERE in a real codec (decoder init)
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
         // --- begin deterministic fake decode ---
         val hist = new Array[Double](16)
         bytes.foreach(b => hist((b & 0xFF) >> 4) += 1.0)
@@ -109,13 +109,19 @@ object Multimodal {
     val metaIdx = media.schema.fieldIndex("meta")
     media.mapPartitions { rows: Iterator[Row] =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
         val meta = r.getStruct(metaIdx)
         val (w, h) = (meta.getInt(1), meta.getInt(2))
         // --- begin deterministic fake resize ---
-        val ratio = (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1)
-        val newLen = math.max(1, math.min((bytes.length * ratio).toInt, bytes.length * 4))
-        val out = Array.tabulate[Byte](newLen)(i => bytes(i % math.max(bytes.length, 1)))
+        // empty/null content stays empty (a zero-byte media row must not
+        // fail the job — index math below assumes non-empty bytes)
+        val out =
+          if (bytes.isEmpty) Array.emptyByteArray
+          else {
+            val ratio = (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1)
+            val newLen = math.max(1, math.min((bytes.length * ratio).toInt, bytes.length * 4))
+            Array.tabulate[Byte](newLen)(i => bytes(i % bytes.length))
+          }
         // --- end fake resize ---
         ResizedMedia(r.getLong(idIdx), targetW, targetH, out)
       }
@@ -143,7 +149,7 @@ object Multimodal {
     media.mapPartitions { rows: Iterator[Row] =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
         val nFrames = math.max(1, bytes.length / frameBytes)
         (0 until nFrames by everyN).map { f =>
           val start = f * frameBytes

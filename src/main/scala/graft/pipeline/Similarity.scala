@@ -113,6 +113,19 @@ object Similarity {
     cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Per-query recall of `approx` against `exact` top-k (both shaped
+    * (query_id, neighbor_id, ...)): the fraction of each query's exact
+    * neighbors the approximate result recovered. The in-Spark verification
+    * gate for the ANN paths — approximate indexes have no SQL oracle, but
+    * recall vs [[bruteForceTopK]] is a checkable invariant. */
+  def recallPerQuery(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+    hits.groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
+  }
+
   /** Deterministic IVF coarse centroids (seeded gaussian directions). In a
     * production pipeline these come from k-means over a sample; the
     * assignment/probe plumbing is identical. */
