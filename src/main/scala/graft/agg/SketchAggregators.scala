@@ -202,19 +202,25 @@ final class KllDistributionAgg(dtype: String, points: Array[Double], k: Int = 20
         points.toSeq.map { p =>
           DistRow(null, 0L, 0.0, p, s.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
         }
+      // Probability is the sketch's own mass `p`. In estimation mode it is
+      // emitted directly — deriving it from the rounded count (round(p·n)/n)
+      // skews the mass by up to 0.5/n. In the exact regime p·n is an
+      // integral count, so count/n IS the mass; dividing the integer count
+      // matches an exact-SQL oracle to the last ULP (the sketch's internal
+      // c_hi/n − c_lo/n ordering does not).
       case "PMF" =>
         val probs = s.getPMF(points, QuantileSearchCriteria.EXCLUSIVE)
         val ranges = pmfRanges(points)
         ranges.zip(probs.toSeq).map { case (r, p) =>
           val cnt = Math.round(p * n)
-          DistRow(r, cnt, cnt.toDouble / n, 0.0, 0.0)
+          DistRow(r, cnt, if (s.isEstimationMode) p else cnt.toDouble / n, 0.0, 0.0)
         }
       case "CDF" =>
         val probs = s.getCDF(points, QuantileSearchCriteria.EXCLUSIVE)
         val ranges = cdfRanges(points)
         ranges.zip(probs.toSeq).map { case (r, p) =>
           val cnt = Math.round(p * n)
-          DistRow(r, cnt, cnt.toDouble / n, 0.0, 0.0)
+          DistRow(r, cnt, if (s.isEstimationMode) p else cnt.toDouble / n, 0.0, 0.0)
         }
     }
   }

@@ -298,6 +298,13 @@ object Bql {
       "LOWER" -> UnaryOp.LOWER, "UPPER" -> UnaryOp.UPPER)
 
     private def parseUnary(): Expr = peek match {
+      case Some(Sym("-")) => // unary minus: negative literals fold directly
+        pos += 1
+        parseUnary() match {
+          case Lit(l: Long)   => Lit(-l)
+          case Lit(d: Double) => Lit(-d)
+          case e              => Binary(Lit(0L), e, BinOp.SUB)
+        }
       case Some(Ident(fn)) if unaryFns.contains(fn.toUpperCase) &&
           toks.lift(pos + 1).contains(Sym("(")) =>
         pos += 1; eatSym("(")
@@ -364,8 +371,11 @@ object Bql {
               case ExprItem(Field(`k`, None), Some(as)) => as
             }.getOrElse(k)
           }
+          // LIMIT maps to the aggregation size (the reference's BQL LIMIT
+          // sets aggregation.size): it caps the retained group entries.
           GroupBy(renames, aggItems.zipWithIndex.map { case (a, i) =>
-            GroupOp(a.op, a.field, opName(a, i)) })
+            GroupOp(a.op, a.field, opName(a, i)) },
+            entries = limit.getOrElse(512))
         } else if (aggItems.nonEmpty) {
           require(exprItems.isEmpty, "mixing aggregates and plain columns requires GROUP BY")
           GroupAll(aggItems.zipWithIndex.map { case (a, i) =>
@@ -391,8 +401,10 @@ object Bql {
       having.foreach(h => posts += Having(h))
       orderBy.foreach(o => posts += OrderBy(o))
       aggregation match {
-        case _: Raw => // LIMIT consumed as RAW size
-        case _ => limit.foreach(_ => ()) // grouped results: entries cap governs
+        case _: Raw     => // LIMIT consumed as RAW size
+        case _: GroupBy => // LIMIT consumed as the entries cap
+        case _ => require(limit.isEmpty,
+          "LIMIT is not supported for this aggregation type (use TOP/QUANTILE size arguments)")
       }
 
       QuerySpec(id, filter, projection, aggregation, window, duration, posts.result())

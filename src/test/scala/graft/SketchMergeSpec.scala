@@ -102,6 +102,23 @@ class SketchMergeSpec extends AnyFunSuite {
     assert(rows.map(r => (r.key, r.count)) === Seq(("x", 2L), ("y", 2L)))
   }
 
+  test("KLL PMF/CDF emit the sketch's own mass in estimation mode (n >> k)") {
+    val points = Array(100.0, 500.0)
+    val agg = new KllDistributionAgg("PMF", points, k = 8) // tiny k → estimation
+    val buf = agg.zero
+    (1 to 100000).foreach(i => buf.update(((i * 7919) % 1000).toDouble))
+    val s = buf.result
+    assert(s.isEstimationMode)
+    val rows = agg.finish(buf)
+    // probability IS getPMF's mass, not the rounded count re-divided
+    val expect = s.getPMF(points,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.EXCLUSIVE)
+    assert(rows.map(_.probability) === expect.toSeq)
+    assert(math.abs(rows.map(_.probability).sum - 1.0) < 1e-9)
+    // counts remain the rounded masses
+    assert(rows.map(_.count) === expect.toSeq.map(p => Math.round(p * s.getN)))
+  }
+
   test("CappedCollectAgg: truncates at cap across merges") {
     val agg = new CappedCollectAgg(3)
     val b1 = Seq("a", "b").foldLeft(agg.zero)(agg.reduce)
