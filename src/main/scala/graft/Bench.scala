@@ -43,7 +43,7 @@ object Bench {
 
   private def runnerPass(spark: SparkSession, sfDir: String, n: Int): Long = {
     val runner = new QueryRunner(spark, new ManualClock(0))
-    hundredQueries.take(n).foreach(runner.register)
+    hundredQueries.take(n).foreach(q => runner.register(q))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
     runner.finishAll().size

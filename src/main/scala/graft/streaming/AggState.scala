@@ -161,8 +161,24 @@ final class TopKState(spec: TopK) extends AggState {
 }
 
 object AggState {
-  def forSpec(agg: Aggregation): AggState = agg match {
-    case Raw(size)            => new RawState(size)
+  def forSpec(agg: Aggregation): AggState = forQuery(QuerySpec("_", aggregation = agg))
+
+  /** Window-aware state: a RAW RECORD window `every N include first M` with
+    * M < N caps each window's collected records at M — the reference's
+    * include-first surface (bullet-core Window; only the RAW shape is
+    * meaningful, enforced by QueryRunner.validate). M == N is the plain
+    * sliding window: no cap, so the per-batch coalesced emit keeps every
+    * matched record (documented deviation, SURVEY §7.3). */
+  def forQuery(spec: QuerySpec): AggState = spec.aggregation match {
+    case Raw(size) =>
+      val cap = spec.window match {
+        case Some(w) if w.emitUnit == WindowUnit.RECORD &&
+            w.includeUnit == WindowUnit.RECORD &&
+            w.includeFirst > 0 && w.includeFirst < w.emitEvery =>
+          math.min(size.toLong, w.includeFirst).toInt
+        case _ => size
+      }
+      new RawState(cap)
     case GroupAll(ops)        => new GroupAllState(ops)
     case GroupBy(f, ops, e)   => new GroupByState(f, ops, e)
     case cd: CountDistinct    => new CountDistinctState(cd)

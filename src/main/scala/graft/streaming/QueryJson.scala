@@ -251,12 +251,14 @@ object QueryJson {
 
   // ------------------------------------------------------ control messages
 
-  /** Control message: {"type":"REGISTER","query":{...}} or
-    * {"type":"KILL","id":"..."}. */
+  /** Control message: {"type":"REGISTER","query":{...}[,"queryString":"…"]}
+    * or {"type":"KILL","id":"..."}. `queryString` is free-form original
+    * query text echoed via the QUERY_STRING Meta concept. */
   def parseMessage(json: String): ControlMessage = {
     val n = mapper.readTree(json)
     req(n, "type").asText() match {
-      case "REGISTER" => RegisterQuery(parseSpec(req(n, "query")))
+      case "REGISTER" => RegisterQuery(parseSpec(req(n, "query")),
+        opt(n, "queryString").map(_.asText()))
       case "KILL"     => KillQuery(req(n, "id").asText())
       case other => throw new IllegalArgumentException(s"unknown message type: $other")
     }
@@ -264,5 +266,6 @@ object QueryJson {
 }
 
 sealed trait ControlMessage
-final case class RegisterQuery(spec: QuerySpec) extends ControlMessage
+final case class RegisterQuery(spec: QuerySpec,
+                               queryString: Option[String] = None) extends ControlMessage
 final case class KillQuery(id: String) extends ControlMessage

@@ -59,8 +59,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
                         postFinishGraceMs: Long = 0L,
                         rateCheckIntervalMs: Long = 1000L) {
 
-  private final class RQ(val spec: QuerySpec, val registeredAt: Long) {
-    val state: AggState = AggState.forSpec(spec.aggregation)
+  private final class RQ(val spec: QuerySpec, val registeredAt: Long,
+                         val queryString: Option[String] = None) {
+    val state: AggState = AggState.forQuery(spec)
     var emitted: Long = 0L          // total records emitted (metrics)
     var emittedSinceRateCheck: Long = 0L // rate-limit window accumulator
     var lastRateCheckAt: Long = registeredAt
@@ -82,6 +83,40 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   private val sinks = mutable.ArrayBuffer.empty[Clip => Unit]
   var duplicatesSuppressed: Long = 0L
 
+  /** Configurable Meta concept → emitted key names, the reference's
+    * `bullet.result.metadata.metrics` mapping (JoinBoltTest.java:524-616):
+    * when QUERY_METADATA is mapped, every result clip nests the other
+    * mapped concepts under its key. Unknown concept names are ignored
+    * (testUnknownConceptMetadata). */
+  @volatile private var metaConcepts: Map[String, String] = Map.empty
+  def configureMeta(concepts: Map[String, String]): Unit = metaConcepts = concepts
+
+  object Concepts {
+    val QueryMetadata = "QUERY_METADATA"
+    val QueryId = "QUERY_ID"
+    val QueryObject = "QUERY_OBJECT"
+    val QueryString = "QUERY_STRING"
+    val QueryReceiveTime = "QUERY_RECEIVE_TIME"
+    val QueryFinishTime = "QUERY_FINISH_TIME"
+  }
+
+  private def conceptMeta(rq: RQ, finishTime: Option[Long]): Map[String, Any] =
+    metaConcepts.get(Concepts.QueryMetadata) match {
+      case None => Map.empty
+      case Some(envelopeKey) =>
+        val inner = mutable.LinkedHashMap.empty[String, Any]
+        metaConcepts.get(Concepts.QueryId).foreach(k => inner += k -> rq.spec.id)
+        metaConcepts.get(Concepts.QueryObject)
+          .foreach(k => inner += k -> QueryJson.render(rq.spec))
+        metaConcepts.get(Concepts.QueryString)
+          .foreach(k => rq.queryString.foreach(s => inner += k -> s))
+        metaConcepts.get(Concepts.QueryReceiveTime)
+          .foreach(k => inner += k -> rq.registeredAt)
+        finishTime.foreach(t =>
+          metaConcepts.get(Concepts.QueryFinishTime).foreach(k => inner += k -> t))
+        Map(envelopeKey -> inner.toMap)
+    }
+
   def activeQueryIds: Seq[String] = synchronized(queries.keys.toSeq)
   def results: Seq[Clip] = synchronized(emissions.toSeq)
 
@@ -98,21 +133,25 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 
   /** Register a query. Invalid specs produce an error Clip with FAIL
     * (JoinBolt.java:297-308); duplicate ids are suppressed and counted
-    * (FilterBolt.java:117-124). Returns the FAIL clip if rejected. */
-  def register(spec: QuerySpec): Option[Clip] = synchronized {
+    * (FilterBolt.java:117-124). Returns the FAIL clip if rejected.
+    * `queryString` is the original query text (BQL or control JSON) echoed
+    * back through the QUERY_STRING Meta concept when configured. */
+  def register(spec: QuerySpec, queryString: Option[String] = None): Option[Clip] = synchronized {
     if (queries.contains(spec.id)) { duplicatesSuppressed += 1; return None }
     val errors = validate(spec)
     if (errors.nonEmpty) {
       Some(record(Clip(spec.id, baseMeta(spec.id, clock.now()) ++
         Map("signal" -> Signal.FAIL.toString, "errors" -> errors), Seq.empty)))
     } else {
-      queries += spec.id -> new RQ(spec, clock.now())
+      queries += spec.id -> new RQ(spec, clock.now(), queryString)
+      persistRegistry()
       None
     }
   }
 
   /** External KILL signal: remove the query everywhere, emit a KILL clip. */
   def kill(id: String): Option[Clip] = synchronized(queries.remove(id).map { rq =>
+    persistRegistry()
     record(Clip(id, baseMeta(id, rq.registeredAt) ++
       Map("signal" -> Signal.KILL.toString, "finish_time" -> clock.now()), Seq.empty))
   })
@@ -123,8 +162,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   def handleMessage(json: String): Option[Clip] = synchronized {
     try {
       QueryJson.parseMessage(json) match {
-        case RegisterQuery(spec) => register(spec)
-        case KillQuery(id)       => kill(id)
+        case RegisterQuery(spec, qs) => register(spec, qs)
+        case KillQuery(id)           => kill(id)
       }
     } catch {
       case e: Exception =>
@@ -155,6 +194,49 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   def restoreRegistry(lines: Seq[String]): Unit =
     lines.foreach(l => register(QueryJson.parse(l)))
 
+  // ---- durable registry (ReplayBolt.java:111-143 analog) ------------------
+  // When enabled (runStream wires it under `<checkpoint>/graft-registry`),
+  // every registry change rewrites one small JSON-lines file atomically
+  // (tmp + rename): `{"registeredAt": t, "query": {...}}` per active query.
+  // On restart the queries re-arm with their ORIGINAL registration time, so
+  // remaining duration is honored; aggregation state rebuilds from the
+  // stream (the reference replays queries, not partials, on worker loss).
+
+  private var registryDir: Option[java.nio.file.Path] = None
+
+  /** Enable persistence under `dir`: restore any previous registry first,
+    * then keep the file in sync with every register/kill/finish. */
+  def enableRegistryPersistence(dir: String): Unit = synchronized {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    registryDir = None // restore without re-persisting per line
+    val f = p.resolve("registry.jsonl")
+    if (java.nio.file.Files.exists(f)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      java.nio.file.Files.readAllLines(f).forEach { line =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          val spec = QueryJson.parseSpec(n.get("query"))
+          if (!queries.contains(spec.id))
+            queries += spec.id -> new RQ(spec, n.get("registeredAt").asLong())
+        }
+      }
+    }
+    registryDir = Some(p)
+    persistRegistry()
+  }
+
+  private def persistRegistry(): Unit = registryDir.foreach { p =>
+    val lines = queries.values.map { rq =>
+      s"""{"registeredAt":${rq.registeredAt},"query":${QueryJson.render(rq.spec)}}"""
+    }.mkString("", "\n", "\n")
+    val tmp = p.resolve("registry.jsonl.tmp")
+    java.nio.file.Files.write(tmp, lines.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p.resolve("registry.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def validate(spec: QuerySpec): Seq[String] = {
     val errs = mutable.ArrayBuffer.empty[String]
     if (spec.id == null || spec.id.isEmpty) errs += "query id must be non-empty"
@@ -175,6 +257,14 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     }
     spec.window.foreach { w =>
       if (w.emitEvery <= 0) errs += "window emitEvery must be positive"
+      // `every N include first M` with M ≠ N only has well-defined
+      // semantics for RAW RECORD windows (cap the collected records at M);
+      // for metric aggregations the reference restricts include to ALL or
+      // first == every — reject loudly rather than approximate.
+      val additive = w.includeUnit == WindowUnit.ALL
+      if (!additive && w.includeFirst > 0 && w.includeFirst != w.emitEvery &&
+          !(w.includeUnit == WindowUnit.RECORD && spec.aggregation.isInstanceOf[Raw]))
+        errs += "window include-first != emit-every is only supported for RAW RECORD windows"
     }
     errs.toSeq
   }
@@ -247,6 +337,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   def finishAll(): Seq[Clip] = synchronized {
     val out = queries.values.map(finish).toSeq
     queries.clear()
+    persistRegistry()
     out.foreach(record)
     out
   }
@@ -258,6 +349,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   def runStream(stream: DataFrame, checkpoint: Option[String] = None,
                 triggerMs: Long = 1000L,
                 tickIntervalMs: Long = 100L): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the registry survives restarts alongside the stream's own checkpoint:
+    // re-arm persisted queries BEFORE the first batch
+    checkpoint.foreach(c => enableRegistryPersistence(s"$c/graft-registry"))
     val w = stream.writeStream
       .foreachBatch((b: DataFrame, _: Long) => { processBatch(b); () })
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
@@ -488,6 +582,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     rq.windowsEmitted += 1
     Clip(rq.spec.id,
       baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
+        conceptMeta(rq, None) ++
         Map("emit_time" -> clock.now(), "window_number" -> rq.windowsEmitted),
       records)
   }
@@ -498,6 +593,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     countEmit(rq, records.size)
     Clip(rq.spec.id,
       baseMeta(rq.spec.id, rq.registeredAt) ++ rq.state.metaEntries ++
+        conceptMeta(rq, Some(clock.now())) ++
         Map("finish_time" -> clock.now(), "signal" -> Signal.COMPLETE.toString,
           "records_seen" -> rq.recordsSeen, "batches_seen" -> rq.batchesSeen),
       records)
@@ -573,6 +669,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       }
     }
     finished.foreach(queries.remove)
+    if (finished.nonEmpty) persistRegistry()
     out.foreach(record)
     out.toSeq
   }

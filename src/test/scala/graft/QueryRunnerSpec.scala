@@ -401,6 +401,95 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(clips.head.records.head)("cnt") === 33)
   }
 
+  test("RAW RECORD window `every N include first M`: emits only the first M records") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // emit every 5 matched records, but each window keeps only the first 3
+    runner.register(QuerySpec("inc",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = Raw(100),
+      window = Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 3)),
+      durationMs = 100000))
+    val w1 = runner.processBatch(events.filter(col("event_id") <= 30)) // 10 clicks ≥ 5
+    assert(w1.size === 1)
+    assert(w1.head.records.size === 3)
+    // reset, next window caps again
+    val w2 = runner.processBatch(events.filter(col("event_id") > 30)) // 23 clicks
+    assert(w2.size === 1)
+    assert(w2.head.records.size === 3)
+  }
+
+  test("include-first != every on a metric aggregation is rejected loudly") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val clip = runner.register(clickCountSpec("bad_inc", durationMs = 10000,
+      window = Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 3))))
+    assert(clip.isDefined && clip.get.signal.contains("FAIL"))
+    assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("Meta concepts: configured keys nest query metadata in result clips") {
+    // mirrors JoinBoltTest.java:570-616 (testMultipleMeta): QUERY_METADATA
+    // envelope + id/object/string/receive/finish concept keys, unknown
+    // concepts ignored
+    val clock = new ManualClock(1234)
+    val runner = new QueryRunner(spark, clock)
+    runner.configureMeta(Map(
+      "QUERY_METADATA" -> "meta", "QUERY_ID" -> "id",
+      "QUERY_OBJECT" -> "query object", "QUERY_STRING" -> "query string",
+      "QUERY_RECEIVE_TIME" -> "created", "QUERY_FINISH_TIME" -> "finished",
+      "foo" -> "bar")) // unknown concept: ignored
+    runner.handleMessage(
+      """{"type":"REGISTER","queryString":"SELECT COUNT then some","query":""" +
+        """{"id":"m1","durationMs":1000,"aggregation":{"type":"GROUP_ALL","ops":""" +
+        """[{"op":"COUNT","name":"cnt"}]}}}""")
+    runner.processBatch(events)
+    clock.advance(2000)
+    val clip = runner.onTick().head
+    val qm = clip.meta("meta").asInstanceOf[Map[String, Any]]
+    assert(qm("id") === "m1")
+    assert(qm("query string") === "SELECT COUNT then some")
+    assert(qm("created") === 1234L)
+    assert(qm("finished") === 3234L)
+    assert(qm("query object").toString.contains("\"GROUP_ALL\""))
+    assert(!qm.contains("bar"))
+    // envelope absent when QUERY_METADATA is not configured
+    val clock2 = new ManualClock(0)
+    val r2 = new QueryRunner(spark, clock2)
+    r2.register(clickCountSpec("m2", durationMs = 1))
+    r2.processBatch(events)
+    clock2.advance(10)
+    assert(!r2.onTick().head.meta.contains("meta"))
+  }
+
+  test("registry persistence: a restarted runner resumes registered queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-registry").toString
+    val clock = new ManualClock(0)
+    val r1 = new QueryRunner(spark, clock)
+    r1.enableRegistryPersistence(dir)
+    r1.register(clickCountSpec("survivor", durationMs = 10000))
+    r1.register(clickCountSpec("killed", durationMs = 10000))
+    r1.kill("killed")
+    r1.processBatch(events.filter(col("event_id") <= 30)) // 10 clicks pre-crash
+    clock.advance(5000)
+
+    // "crash": rebuild from the same directory; killed query must NOT revive
+    val r2 = new QueryRunner(spark, clock)
+    r2.enableRegistryPersistence(dir)
+    assert(r2.activeQueryIds === Seq("survivor"))
+    // original registration time is honored: 5s remain, not a fresh 10s
+    r2.processBatch(events.filter(col("event_id") > 30)) // 23 clicks post-restart
+    clock.advance(5000) // t = 10000 = original expiry
+    val clips = r2.onTick()
+    assert(clips.size === 1 && clips.head.signal.contains("COMPLETE"))
+    // pre-crash partials are lost by design (state rebuilds from the stream):
+    // only the post-restart batch counts
+    assert(parse(clips.head.records.head)("cnt") === 23)
+    // COMPLETE removed it from the persisted registry too
+    val r3 = new QueryRunner(spark, clock)
+    r3.enableRegistryPersistence(dir)
+    assert(r3.activeQueryIds.isEmpty)
+  }
+
   test("tick thread finishes an expired query with no data flowing") {
     val s = spark
     import s.implicits._
