@@ -46,7 +46,40 @@ object Bench {
     hundredQueries.take(n).foreach(q => runner.register(q))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
-    runner.finishAll().size
+    runner.finishAll()
+    // full RAW queries COMPLETE during the batch (early termination), the
+    // rest at finishAll — count every completion
+    runner.results.count(_.signal.contains("COMPLETE"))
+  }
+
+  /** BASELINE.md B8: tumbling 1 s GROUP(all) window over a live rate
+    * stream for `seconds`. Returns (windows emitted, mean |emit − expected
+    * boundary| ms, dropped windows vs the expected count). */
+  private def b8Pass(spark: SparkSession, seconds: Int): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions.col
+    val runner = new QueryRunner(spark) // real clock: measures actual jitter
+    runner.register(QuerySpec("b8",
+      aggregation = GroupAll(Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+      window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.TIME, 1000)),
+      durationMs = seconds * 1000L + 10000L))
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "5000").load()
+      .select(col("value"))
+    val sq = runner.runStream(stream, triggerMs = 200, tickIntervalMs = 50)
+    try Thread.sleep(seconds * 1000L + 300) finally sq.stop()
+    val emits = runner.results
+      .filter(c => c.queryId == "b8" && c.meta.contains("window_number"))
+    val reg = emits.headOption.map(_.meta("receive_time").asInstanceOf[Long]).getOrElse(0L)
+    val jitters = emits.map { c =>
+      val k = c.meta("window_number").asInstanceOf[Long]
+      val t = c.meta("emit_time").asInstanceOf[Long]
+      math.abs(t - (reg + k * 1000L)).toDouble
+    }
+    val emitted = emits.size.toLong
+    val dropped = math.max(0L, seconds.toLong - emitted)
+    (emitted, if (jitters.nonEmpty) jitters.sum / jitters.size else -1.0, dropped)
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,18 +109,23 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    val b8Secs = sys.env.getOrElse("SPARK_GRAFT_B8_SECS", "60").toInt
+    var b8 = (0L, -1.0, 0L)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).count())
     } :+ timed("b7_runner_100q") {
       val finished = runnerPass(spark, sfDir, 100)
       require(finished == 100, s"runner finished $finished of 100 queries")
+    } :+ timed("b8_stream_tumbling") {
+      b8 = b8Pass(spark, b8Secs)
     }
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val b8Json = s"""{"windows":${b8._1},"expected":$b8Secs,"jitter_ms_avg":${b8._2},"dropped":${b8._3}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b8":$b8Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
