@@ -2,26 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit main: prints the formatted physical plan of selected
-  * SparkEntry queries (all by default). Usage:
-  *   runMain graft.Explain [sfDir] [queryName ...]
-  */
+/** Plan-audit tool: `runMain graft.Explain <entry> [sfDir]` prints the
+  * formatted physical plan of a driver-contract entry — the loop used to
+  * check pushdown/broadcast/codegen shape before each round's bench. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
+    require(args.nonEmpty, "usage: Explain <queryName> [sfDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      println(s"\n========== $name ==========")
-      try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"ERROR: $e") }
-    }
+    val fn = SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown entry '$name'; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

@@ -73,9 +73,13 @@ object Dedup {
       explode(col("grams")).as("g"))
     val posting = maxDocFreq match {
       case Some(m) =>
+        // the hot set is tiny (stop-shingles above the cutoff) and its
+        // count aggregation map-side-combines; broadcast EXPLICITLY so the
+        // anti-join can never degrade to shuffling the full posting list
+        // when size estimates are missing
         val hot = exploded.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > m).select("g")
-        exploded.join(hot, Seq("g"), "left_anti")
+        exploded.join(broadcast(hot), Seq("g"), "left_anti")
       case None => exploded
     }
     posting.as("a")

@@ -210,7 +210,10 @@ object Similarity {
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
         cosine(col("a.ev"), col("b.ev"), col("a.nrm"), col("b.nrm")).as("sim"))
-      .dropDuplicates("id1", "id2")
+      // sim is pair-determined: filter BEFORE the distinct so only
+      // surviving pairs reach the dedup shuffle (a multi-band pair is
+      // otherwise carried once per shared band)
       .filter(col("sim") >= threshold)
+      .dropDuplicates("id1", "id2")
   }
 }
