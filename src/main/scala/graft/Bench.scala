@@ -52,6 +52,25 @@ object Bench {
     runner.results.count(_.signal.contains("COMPLETE"))
   }
 
+  /** `n` queries `user_id == i` sharing one aggregation signature: the
+    * equality partitioner folds them into ONE groupBy(user_id) job — one
+    * hash probe per record regardless of query count (SURVEY §4). */
+  private def eqRunnerPass(spark: SparkSession, sfDir: String, n: Int): Long = {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    (0 until n).foreach { i =>
+      runner.register(QuerySpec(s"eq_q$i",
+        filter = Some(Binary(Field("user_id"), Lit(i.toLong), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 3600000L))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
+    runner.finishAll()
+    runner.results.count(_.signal.contains("COMPLETE"))
+  }
+
   /** BASELINE.md B8: tumbling 1 s GROUP(all) window over a live rate
     * stream for `seconds`. Returns (windows emitted, mean |emit − expected
     * boundary| ms, dropped windows vs the expected count). */
@@ -116,6 +135,9 @@ object Bench {
     } :+ timed("b7_runner_100q") {
       val finished = runnerPass(spark, sfDir, 100)
       require(finished == 100, s"runner finished $finished of 100 queries")
+    } :+ timed("b9_runner_200eq") {
+      val finished = eqRunnerPass(spark, sfDir, 200)
+      require(finished == 200, s"eq runner finished $finished of 200 queries")
     } :+ timed("b8_stream_tumbling") {
       b8 = b8Pass(spark, b8Secs)
     }

@@ -279,28 +279,51 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   // Micro-batch processing
   // -------------------------------------------------------------------------
 
+  /** Equality-partitioner key (reference SimpleEqualityPartitioner, SURVEY
+    * §4): a query whose whole filter is `field == literal` is a candidate
+    * for value-partitioned evaluation. */
+  private def eqPartitionKey(rq: RQ): Option[(String, Any)] = rq.spec.filter match {
+    case Some(Binary(Field(f, None), Lit(v), BinOp.EQUALS)) if v != null => Some((f, v))
+    case _ => None
+  }
+
   /** Process one micro-batch: shared partial pass + driver combine + window
     * and lifecycle evaluation. Returns the Clips emitted for this batch. */
   def processBatch(batch: DataFrame): Seq[Clip] = synchronized {
     val active = queries.values.filter(!_.done).toSeq
     val grouped = active.filter(_.isGrouped)
-    val needsCache = (if (active.nonEmpty) 1 else 0) + grouped.size > 1
+    // Candidate-set pruning — the full query-partitioner analog: ≥2
+    // non-grouped, non-RAW queries whose filters are plain `field == value`
+    // on the SAME field share ONE groupBy(field) job; per-record cost is a
+    // single hash probe regardless of the number of such queries (the
+    // reference routes records to only the queries whose partition value
+    // matches). RAW stays on the generic path (per-query collect caps).
+    val eqByField = active
+      .filter(rq => !rq.isGrouped && !rq.spec.aggregation.isInstanceOf[Raw] &&
+        eqPartitionKey(rq).isDefined)
+      .groupBy(rq => eqPartitionKey(rq).get._1)
+      .filter(_._2.size >= 2)
+    val eqSet = eqByField.values.flatten.toSet
+    // grouped queries stay in the shared pass for their UNGROUPED matched
+    // counts (partialColumns emits only the count column for GroupBy)
+    val simple = active.filterNot(eqSet.contains)
+    val jobCount = (if (simple.nonEmpty) 1 else 0) + eqByField.size + grouped.size
+    val needsCache = jobCount > 1
     val df = if (needsCache) batch.persist() else batch
     try {
-      if (active.nonEmpty) {
+      if (simple.nonEmpty) {
         val schema = df.schema
-        // Predicate CSE — the Spark analog of the reference's query
-        // partitioner (SimpleEqualityPartitioner, SURVEY §4): queries
-        // sharing a filter evaluate it ONCE per record. Distinct filter
-        // ASTs (structural equality) pre-project to boolean columns; each
-        // query's aggregators gate on its column. A 100-query workload
-        // with 7 distinct filters evaluates 7 predicates per record, not
-        // 100. GROUP BY queries contribute only their matched-record count
-        // here (their grouped state rides mergeGrouped): the count must be
-        // computed UNGROUPED — summing over the kept top-`entries` groups
-        // would undercount once the key space exceeds the cap, starving
-        // RECORD windows and the records_seen metric.
-        val distinctFilters = active.flatMap(_.spec.filter).distinct
+        // Predicate CSE — queries sharing a filter evaluate it ONCE per
+        // record. Distinct filter ASTs (structural equality) pre-project to
+        // boolean columns; each query's aggregators gate on its column. A
+        // 100-query workload with 7 distinct filters evaluates 7 predicates
+        // per record, not 100. GROUP BY queries contribute only their
+        // matched-record count here (their grouped state rides
+        // mergeGrouped): the count must be computed UNGROUPED — summing
+        // over the kept top-`entries` groups would undercount once the key
+        // space exceeds the cap, starving RECORD windows and the
+        // records_seen metric.
+        val distinctFilters = simple.flatMap(_.spec.filter).distinct
         val predIdx = distinctFilters.zipWithIndex.toMap
         val predCols = distinctFilters.zipWithIndex.map { case (f, i) =>
           ExprCompiler.compile(f, Some(schema)).as(s"__pred$i")
@@ -312,10 +335,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
           case Some(f) => col(s"__pred${predIdx(f)}")
           case None    => lit(true)
         }
-        val cols = active.flatMap(rq => partialColumns(rq, schema, gate(rq)))
+        val cols = simple.flatMap(rq => partialColumns(rq, schema, gate(rq)))
         val row = withPreds.agg(cols.head, cols.tail: _*).collect()(0)
-        active.foreach(rq => mergePartial(rq, row))
+        simple.foreach(rq => mergePartial(rq, row))
       }
+      eqByField.foreach { case (f, rqs) => mergeEqPartitioned(f, rqs.toSeq, df) }
       // GROUP BY fusion: queries with the same (filter, key fields,
       // projection) share one grouped job — their metric aggregators ride
       // the same groupBy. Distinct signatures still need their own job
@@ -327,6 +351,46 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       if (needsCache) df.unpersist()
     }
     lifecycle()
+  }
+
+  /** Normalize a partition value for driver-side matching between the
+    * query's literal and the batch's native column type (a Long literal
+    * must meet a Double column group: whole numbers collapse to Long). */
+  private def normValue(v: Any): Any = v match {
+    case n: Number =>
+      val d = n.doubleValue
+      if (d.isWhole && math.abs(d) < 9e15) n.longValue else d
+    case other => other
+  }
+
+  /**
+   * One job for ALL equality-partitioned queries on `field`: filter to the
+   * watched values (InSet — one hash probe per record), groupBy(field), and
+   * compute each distinct (aggregation, projection) signature's partial
+   * columns ONCE. The driver routes each value-group row to the queries
+   * watching that value. 1000 COUNT queries on 1000 user ids cost one
+   * hash-shuffled count job, not 1000 predicate evaluations per record.
+   */
+  private def mergeEqPartitioned(field: String, rqs: Seq[RQ], df: DataFrame): Unit = {
+    val schema = df.schema
+    val values = rqs.map(rq => eqPartitionKey(rq).get._2).distinct
+    val sigs = rqs.groupBy(rq => (rq.spec.aggregation, rq.spec.projection)).toSeq
+    val sigCols = sigs.zipWithIndex.flatMap { case (((_, _), sigRqs), i) =>
+      partialColumns(sigRqs.head, schema, lit(true), s"__sig$i")
+    }
+    val rows = df.filter(col(field).isin(values: _*))
+      .groupBy(col(field).as("__pv"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .collect()
+    val byValue = rows.map(r => normValue(r.getAs[Any]("__pv")) -> r).toMap
+    sigs.zipWithIndex.foreach { case ((_, sigRqs), i) =>
+      sigRqs.foreach { rq =>
+        byValue.get(normValue(eqPartitionKey(rq).get._2)) match {
+          case Some(row) => mergePartial(rq, row, s"__sig$i")
+          case None      => rq.batchesSeen += 1 // no matching records this batch
+        }
+      }
+    }
   }
 
   /** Clock-only evaluation (the reference's tick path, FilterBolt.java:
@@ -415,8 +479,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       }
     }
 
-  private def partialColumns(rq: RQ, schema: StructType, g: Column): Seq[Column] = {
-    val id = rq.spec.id
+  /** Partial-aggregate columns for one query (or one shared signature when
+    * `key` overrides the per-query column prefix). */
+  private def partialColumns(rq: RQ, schema: StructType, g: Column,
+                             key: String = null): Seq[Column] = {
+    val id = if (key != null) key else rq.spec.id
     val matched = sum(when(g, lit(1L))).as(n(id))
     val fld: String => Column = f => fieldCol(rq, f, schema)
     val aggCols: Seq[Column] = rq.spec.aggregation match {
@@ -468,8 +535,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       "records_emitted" -> rq.emitted,
       "windows_emitted" -> rq.windowsEmitted)))
 
-  private def mergePartial(rq: RQ, row: Row): Unit = {
-    val id = rq.spec.id
+  private def mergePartial(rq: RQ, row: Row, key: String = null): Unit = {
+    val id = if (key != null) key else rq.spec.id
     val matched = longAt(row, n(id))
     rq.recordsSinceEmit += matched
     rq.recordsSeen += matched

@@ -355,6 +355,65 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(w2.head.records.size === 7)
   }
 
+  test("equality partitioner: value-partitioned queries match the generic path") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // 7 queries `user == 'uX'` with one shared signature → ONE groupBy job
+    (0 until 7).foreach { i =>
+      runner.register(QuerySpec(s"eq$i",
+        filter = Some(Binary(Field("user"), Lit(s"u$i"), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv")))))
+    }
+    // a watched value with zero records in the batch
+    runner.register(QuerySpec("eq_miss",
+      filter = Some(Binary(Field("user"), Lit("nope"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    // generic-path and grouped queries coexist in the same batch
+    runner.register(clickCountSpec("generic"))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    (0 until 7).foreach { i =>
+      val expect = (1L to 100L).filter(_ % 7 == i)
+      val r = parse(byId(s"eq$i").records.head)
+      assert(r("cnt") === expect.size, s"eq$i")
+      assert(r("sv").asInstanceOf[Number].doubleValue === expect.map(_.toDouble).sum)
+    }
+    assert(parse(byId("eq_miss").records.head)("cnt") === 0)
+    assert(parse(byId("generic").records.head)("cnt") === 33)
+  }
+
+  test("equality partitioner: mixed aggregation signatures and numeric literals") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // same field, different signatures (COUNT vs COUNT_DISTINCT), and a
+    // long literal against the long event_id column
+    runner.register(QuerySpec("sig_a",
+      filter = Some(Binary(Field("user"), Lit("u1"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.register(QuerySpec("sig_b",
+      filter = Some(Binary(Field("user"), Lit("u1"), BinOp.EQUALS)),
+      aggregation = CountDistinct(Seq("etype"), name = "de")))
+    runner.register(QuerySpec("num_a",
+      filter = Some(Binary(Field("event_id"), Lit(42L), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.register(QuerySpec("num_b",
+      filter = Some(Binary(Field("event_id"), Lit(43L), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    val u1 = (1L to 100L).filter(_ % 7 == 1)
+    assert(parse(byId("sig_a").records.head)("cnt") === u1.size)
+    // u1 ids: some %3==0 (click) and some not (view) → 2 distinct etypes
+    assert(parse(byId("sig_b").records.head)("de") ===
+      u1.map(i => if (i % 3 == 0) "click" else "view").distinct.size)
+    assert(parse(byId("num_a").records.head)("cnt") === 1)
+    assert(parse(byId("num_b").records.head)("cnt") === 1)
+  }
+
   test("fused GROUP BY queries with a shared signature stay independently correct") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
