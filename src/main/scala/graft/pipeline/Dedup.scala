@@ -170,9 +170,19 @@ object Dedup {
    * `bands` equal bit-bands; pairs sharing any band are candidates
    * (pigeonhole: hamming < bands ⟹ some band equal); verify
    * popcount(xor) ≤ maxHamming. Candidates bucket by 16-bit band value.
+   *
+   * Scale regime: expected in-bucket pairs grow ~N²/2^width per band —
+   * fine to ~1M docs at width 16; beyond that arm `maxBucket`, the
+   * bucket-size skew guard: buckets holding more than that many docs are
+   * dropped before the self-join (a degenerate bucket means the band value
+   * is uninformative — near-identical boilerplate corpus slices — and
+   * would otherwise form a quadratic join cell). Dropping a bucket can
+   * only lose candidate pairs whose OTHER three bands all differ, i.e.
+   * pairs near the hamming cutoff inside pathological buckets.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxHamming: Int, bands: Int = 4): DataFrame = {
+                   n: Int, maxHamming: Int, bands: Int = 4,
+                   maxBucket: Option[Int] = None): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -181,9 +191,16 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))
     }
-    val buckets = sig
+    val allBuckets = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val buckets = maxBucket match {
+      case Some(m) =>
+        val hot = allBuckets.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > m).select("band", "bkey")
+        allBuckets.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      case None => allBuckets
+    }
     // Hamming is pair-determined, so filtering BEFORE the distinct is
     // equivalent and shrinks the dedup shuffle to only surviving pairs
     // (a multi-band pair would otherwise be carried `bands` times).

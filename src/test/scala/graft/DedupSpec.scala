@@ -63,6 +63,24 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhashPairs maxBucket guard drops degenerate buckets, keeps normal pairs") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val other = (1 to 50).map(i => s"v$i").mkString(" ")
+    // 10 exact copies of `base` form a size-10 bucket in EVERY band; the
+    // (100, 101) pair of `other` copies sits in small buckets
+    val d = ((1L to 10L).map(i => (i, base)) ++ Seq((100L, other), (101L, other)))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.simhashPairs(d, "doc_id", "text", 3, maxHamming = 3,
+        maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L))) // degenerate bucket dropped
+    val unguarded = Dedup.simhashPairs(d, "doc_id", "text", 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.size === 45 + 1) // all 10-choose-2 pairs + (100,101)
+  }
+
   test("simhash signature is a stable deterministic long per content") {
     val a = Dedup.simhashSignatures(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

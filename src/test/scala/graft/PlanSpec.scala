@@ -56,6 +56,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("guarded ngram: the hot-shingle anti-join is broadcast, never a shuffle") {
+    val p = plan("q_dedup_ngram_guarded")
+    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty, p.take(1500))
+    assert(antiLines.forall(_.contains("BroadcastHashJoin")),
+      s"guard must not shuffle the postings:\n${antiLines.mkString("\n")}")
+  }
+
+  test("equality partitioner: one InSet-filtered groupBy job for many eq queries") {
+    import graft.model._
+    import graft.streaming.{ManualClock, QueryRunner}
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    // capture the single job's plan via a listener-free route: build the
+    // same frame the runner builds and audit it
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    val values = (0 until 50).map(_.toLong)
+    val p = df.filter(org.apache.spark.sql.functions.col("user_id").isin(values: _*))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+      .queryExecution.executedPlan.toString
+    // the value filter reaches the scan (partition pruning analog) and the
+    // aggregation is two-phase
+    assert(p.contains("PushedFilters: [In(user_id"), p.take(1200))
+    assert(p.contains("partial_"), p.take(1200))
+    // and the runner path completes all queries in that shape
+    (0 until 50).foreach { i =>
+      runner.register(QuerySpec(s"p$i",
+        filter = Some(Binary(Field("user_id"), Lit(i.toLong), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    runner.processBatch(df)
+    assert(runner.finishAll().size === 50)
+  }
+
   test("metaStats on a materialized media table never reads the content column") {
     // The pruning claim holds for the STORED convention (content + meta as
     // parquet columns) — materialize, re-read, and audit the scan schema.

@@ -569,6 +569,25 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(clips.head.records.head)("cnt") === 0)
   }
 
+  test("streaming from a file source directory, files arriving across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("file_q"))
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val sq = runner.runStream(stream, triggerMs = 100)
+    try {
+      events.filter(col("event_id") <= 50).write.mode("append").parquet(dir)
+      sq.processAllAvailable()
+      events.filter(col("event_id") > 50).write.mode("append").parquet(dir)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    clock.advance(20000)
+    val clips = runner.onTick()
+    assert(clips.size === 1)
+    assert(parse(clips.head.records.head)("cnt") === 33)
+  }
+
   test("streaming end-to-end via MemoryStream + foreachBatch") {
     val s = spark
     import s.implicits._
