@@ -165,6 +165,6 @@ object Multimodal {
     val feats = decodeStub(media).toDF()
     feats.join(media.select(col("media_id"), col("meta.format").as("format")), "media_id")
       .select(col("media_id"), col("format"), col("n_bytes"),
-        Similarity.dotd(col("features"), col("features")).as("feat_sq_norm"))
+        Similarity.dot(col("features"), col("features")).as("feat_sq_norm"))
   }
 }

@@ -15,21 +15,37 @@ import org.apache.spark.sql.functions._
  *    per-vector signature, candidates meet only inside a bucket, so shuffle
  *    volume is O(sum of bucket sizes), never O(N²) / full-corpus per query.
  *
- * All math is codegen'd built-ins: `zip_with` + `aggregate` compute the dot
- * product as a sequential double fold (bit-identical to the DuckDB oracle's
- * `list_dot_product`).
+ * The dot product — the hot loop of every operator here — is a native
+ * Catalyst expression ([[graft.functions.VecDot]]): a codegen'd primitive
+ * loop, sequential left-to-right summation, bit-identical to the DuckDB
+ * oracle's `list_dot_product` and to the composable
+ * `aggregate(zip_with(...))` fold it replaces.
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns — the
+    * composable form (usable with no session registration). The operators
+    * below use [[graft.functions.VecDot]] instead: identical left-to-right
+    * summation, but a native codegen'd loop with no intermediate array. */
   def dotd(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Native codegen'd dot product (bit-identical to [[dotd]]): registers
+    * vec_dot on the thread's active session at plan-build time; falls back
+    * to the composable fold when no session is active. */
+  private[graft] def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.VectorFunctions.ensure(s)
+        graft.functions.VectorFunctions.vecDot(a, b)
+      case None => dotd(a, b)
+    }
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
   /** cosine(a, b) with the exact operation order the oracle uses. */
   def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
-    dotd(qv, cv) / (qn * cn)
+    dot(qv, cv) / (qn * cn)
 
   /**
    * Exact top-k nearest neighbors by cosine for each query vector.
@@ -42,10 +58,10 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries
       .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus
       .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
-      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
@@ -60,7 +76,7 @@ object Similarity {
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
-      .withColumn("nrm", sqrt(dotd(col("ev"), col("ev"))))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
     v.as("a").join(broadcast(v.as("b")), col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
         cosine(col("a.ev"), col("b.ev"), col("a.nrm"), col("b.nrm")).as("sim"))
@@ -76,7 +92,7 @@ object Similarity {
   /** Pack sign(v · p_i) bits into an int signature column. */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dotd(vec, typedLit(p.toSeq)) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
   /**
@@ -92,11 +108,11 @@ object Similarity {
     val planes = hyperplanes(dim, numPlanes, seed)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
-      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
       .withColumn("sig", lshSignature(col("cv"), planes))
     val q0 = queries
       .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
       .withColumn("sig0", lshSignature(col("qv"), planes))
     // multi-probe: own bucket + each bucket at Hamming distance 1
     val probeSigs = array(
@@ -142,7 +158,7 @@ object Similarity {
     * argmax — ties break to the lower index). */
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
     array_max(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotd(vec, typedLit(c.toSeq)).as("d"), lit(-i).as("ni"))
+      struct(dot(vec, typedLit(c.toSeq)).as("d"), lit(-i).as("ni"))
     }: _*)).getField("ni") * lit(-1)
 
   /**
@@ -158,18 +174,18 @@ object Similarity {
     val cents = ivfCentroids(dim, nlist, seed)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
-      .withColumn("cn", sqrt(dotd(col("cv"), col("cv"))))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
       .withColumn("cell", ivfAssign(col("cv"), cents))
     // query probes its nprobe nearest cells (top-nprobe centroid dots)
     val probeCells = { q: Column =>
       val scored = array(cents.zipWithIndex.map { case (cent, i) =>
-        struct(dotd(q, typedLit(cent.toSeq)).as("d"), lit(i).as("i"))
+        struct(dot(q, typedLit(cent.toSeq)).as("d"), lit(i).as("i"))
       }: _*)
       slice(reverse(array_sort(scored)), 1, nprobe)
     }
     val q = queries
       .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dotd(col("qv"), col("qv"))))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
       .withColumn("probe", explode(probeCells(col("qv"))))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.i").as("cell"))
     val cands = c.join(broadcast(q), Seq("cell"))
@@ -194,7 +210,7 @@ object Similarity {
     require(numPlanes % bands == 0)
     val perBand = numPlanes / bands
     val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
-      .withColumn("nrm", sqrt(dotd(col("ev"), col("ev"))))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
     val planes = hyperplanes(dim, numPlanes, seed)
     val banded = (0 until bands).map { b =>
       val sub = planes.slice(b * perBand, (b + 1) * perBand)
