@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.compile.QueryCompiler
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -413,6 +413,27 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // --- LLM-data-pipeline: deterministic sampling ---
+
+    // Stable hash sample: reproducible across engines/partitionings (md5
+    // bucket < threshold), unlike seeded per-partition RNG sampling.
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(rd(s, dir, "documents"), "doc_id", fraction = 0.2)
+        .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
+
+    // Stratified: per-language keep rates (pretraining-mix rebalancing),
+    // one codegen'd when-chain, zero shuffle.
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(rd(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.1), defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // Train/val/test split labels: disjoint, exhaustive, join-stable.
+    "q_sample_split" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.1, 0.1).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
+
     // --- LLM-data-pipeline: text analysis ---
 
     // Quality statistics + composite score per document.
@@ -618,6 +639,20 @@ object SparkEntry {
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +
         "WHERE cnt > 2000 ORDER BY etype"),
+    "q_sample_hash" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' ORDER BY doc_id"),
+    "q_sample_stratified" ->
+      ("""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  CASE WHEN lang = 'fr' THEN '199a' WHEN lang = 'en' THEN '8000' ELSE '4000' END
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "q_sample_split" ->
+      ("""SELECT split, count(*) AS n FROM (
+         |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
+         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'test'
+         |              ELSE 'train' END AS split FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_c,

@@ -309,15 +309,19 @@ final class FreqItemsTopKAgg(k: Int, threshold: Long = 0L, maxMapSize: Int = 102
 // ---------------------------------------------------------------------------
 
 final class CappedCollectAgg(cap: Int)
-    extends Aggregator[String, List[String], Seq[String]] {
-  def zero: List[String] = Nil
-  def reduce(b: List[String], in: String): List[String] =
-    if (b.length >= cap || in == null) b else in :: b
-  def merge(b1: List[String], b2: List[String]): List[String] =
-    (b1 ++ b2).take(cap)
-  def finish(b: List[String]): Seq[String] = b.reverse
-  def bufferEncoder: Encoder[List[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[String]]()
+    extends Aggregator[String, (Int, List[String]), Seq[String]] {
+  // buffer carries an explicit size: a full buffer costs O(1) per further
+  // matched row, not an O(cap) list walk
+  def zero: (Int, List[String]) = (0, Nil)
+  def reduce(b: (Int, List[String]), in: String): (Int, List[String]) =
+    if (b._1 >= cap || in == null) b else (b._1 + 1, in :: b._2)
+  def merge(b1: (Int, List[String]), b2: (Int, List[String])): (Int, List[String]) = {
+    val keep2 = math.max(0, cap - b1._1)
+    (b1._1 + math.min(b2._1, keep2), b1._2 ++ b2._2.take(keep2))
+  }
+  def finish(b: (Int, List[String])): Seq[String] = b._2.reverse
+  def bufferEncoder: Encoder[(Int, List[String])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, List[String])]()
   def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic hash-based sampling for training-data pipelines.
+ *
+ * Unlike `df.sample(...)` (seeded per-partition RNG: the kept set changes
+ * with partitioning, engine, and row order), these operators key the
+ * decision on a STABLE ID hash, so a sample is:
+ *  - reproducible across runs, engines, and cluster sizes,
+ *  - join-stable (the same entity is in or out everywhere it appears),
+ *  - incrementally consistent (new data doesn't reshuffle old decisions) —
+ * the properties an ML dataset split actually needs.
+ *
+ * Mechanics: bucket = first `hexDigits` hex chars of md5(key-as-string) —
+ * lexicographic comparison on fixed-width lowercase hex equals numeric
+ * comparison, and md5 hex is bit-identical across Spark, DuckDB, and
+ * every other engine (portable oracle). 4 digits = 65,536 buckets →
+ * fraction granularity ~0.0015%. Per-row narrow work, zero shuffle,
+ * whole-stage codegen.
+ */
+object Sampling {
+
+  /** Stable bucket of `key`: first `hexDigits` hex chars of its md5. */
+  def hashBucket(key: Column, hexDigits: Int = 4): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, hexDigits)
+
+  /** Upper (exclusive) hex threshold keeping ≈ `fraction` of buckets. */
+  def thresholdHex(fraction: Double, hexDigits: Int = 4): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val buckets = 1L << (4 * hexDigits)
+    val keep = math.min(buckets, math.round(fraction * buckets))
+    ("%0" + hexDigits + "x").format(keep)
+  }
+
+  /** Keep ≈ `fraction` of rows, decided by the stable hash of `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 hexDigits: Int = 4): DataFrame =
+    df.filter(hashBucket(col(keyCol), hexDigits) < lit(thresholdHex(fraction, hexDigits)))
+
+  /**
+   * Stratified sampling: per-stratum keep fractions (e.g. per-language
+   * rates when rebalancing a pretraining mix), falling back to
+   * `defaultFraction` for unlisted strata. One codegen'd when-chain —
+   * no shuffle, no per-stratum jobs.
+   */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           fractions: Map[String, Double], defaultFraction: Double,
+                           hexDigits: Int = 4): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(defaultFraction, hexDigits))) {
+      case (els, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(f, hexDigits))).otherwise(els)
+    }
+    df.filter(hashBucket(col(keyCol), hexDigits) < threshold)
+  }
+
+  /** Disjoint train/validation/test split by stable hash: returns the
+    * split label per row (fractions must sum to ≤ 1; remainder → "train").
+    * The same key always lands in the same split, on any engine. */
+  def splitLabel(key: Column, valFraction: Double, testFraction: Double,
+                 hexDigits: Int = 4): Column = {
+    val b = hashBucket(key, hexDigits)
+    when(b < lit(thresholdHex(valFraction, hexDigits)), lit("val"))
+      .when(b < lit(thresholdHex(valFraction + testFraction, hexDigits)), lit("test"))
+      .otherwise(lit("train"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  private lazy val rows = {
+    val s = spark
+    import s.implicits._
+    (1L to 10000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de"))
+      .toDF("id", "lang")
+  }
+
+  test("hashSample keeps ≈ fraction and is exactly stable under repartitioning") {
+    val kept = Sampling.hashSample(rows, "id", 0.2)
+    val n = kept.count()
+    assert(math.abs(n - 2000) < 200, s"kept $n of 10000 at fraction 0.2")
+    val ids1 = kept.collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.hashSample(rows.repartition(17), "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2) // partitioning-independent, unlike df.sample
+  }
+
+  test("thresholdHex maps fractions to fixed-width lowercase hex") {
+    assert(Sampling.thresholdHex(0.0) === "0000")
+    assert(Sampling.thresholdHex(1.0) === "10000") // all buckets pass
+    assert(Sampling.thresholdHex(0.5) === "8000")
+    assert(Sampling.thresholdHex(0.2) === "3333")
+  }
+
+  test("stratifiedHashSample respects per-stratum rates") {
+    val kept = Sampling.stratifiedHashSample(rows, "id", "lang",
+      Map("en" -> 0.6, "fr" -> 0.1), defaultFraction = 0.3)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = rows.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en").toDouble / strata("en") - 0.6) < 0.05)
+    assert(math.abs(byLang("fr").toDouble / strata("fr") - 0.1) < 0.05)
+    assert(math.abs(byLang("de").toDouble / strata("de") - 0.3) < 0.05)
+  }
+
+  test("splitLabel is disjoint, exhaustive, and key-stable") {
+    val labeled = rows.select(col("id"),
+      Sampling.splitLabel(col("id"), 0.1, 0.2).as("split"))
+    val counts = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("val") - 1000L) < 150)
+    assert(math.abs(counts("test") - 2000L) < 200)
+    // the same key gets the same label when the frame is rebuilt
+    val again = rows.repartition(7).select(col("id"),
+      Sampling.splitLabel(col("id"), 0.1, 0.2).as("split"))
+    assert(labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      again.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+}
