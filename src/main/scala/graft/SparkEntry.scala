@@ -362,6 +362,14 @@ object SparkEntry {
       QueryCompiler.run(rd(s, dir, "events"), q)
     }),
 
+    // BQL EXPLODE (LATERAL VIEW table function, §2.10 core-only): one row
+    // per array element through the same compiled RAW plan.
+    "q_bql_explode" -> ((s, dir) => {
+      val q = graft.bql.Bql.parse(
+        "SELECT vec_id, EXPLODE(embedding) AS v FROM STREAM WHERE vec_id < 3 ORDER BY vec_id, v")
+      QueryCompiler.run(rd(s, dir, "embeddings"), q)
+    }),
+
     // §2.1 DSL-converter path: raw JSON-string column → typed record →
     // aggregate (the DSLSpout deserialize+convert stage).
     "q_json_ingest" -> ((s, dir) => {
@@ -598,6 +606,8 @@ object SparkEntry {
       "SELECT event_type AS etype, count(*) AS cnt, min(user_id) AS mu, max(user_id) AS xu FROM events WHERE value > 20.0 GROUP BY 1 ORDER BY 1",
     "q_bql_limit" ->
       "SELECT event_type AS etype, count(*) AS cnt FROM events WHERE value > -5.0 GROUP BY 1 ORDER BY 1 LIMIT 2",
+    "q_bql_explode" ->
+      "SELECT vec_id, unnest(embedding) AS v FROM embeddings WHERE vec_id < 3 ORDER BY vec_id, v",
     "q_embed_neardup_lsh" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id < 200)
         |SELECT id1, id2, sim FROM (

@@ -140,6 +140,12 @@ object Bql {
       peek match {
         case Some(Ident(fn)) if isAggName(fn) && toks.lift(pos + 1).contains(Sym("(")) =>
           parseAggItem(fn)
+        case Some(Ident(fn)) if fn.equalsIgnoreCase("EXPLODE") &&
+            toks.lift(pos + 1).contains(Sym("(")) =>
+          // LATERAL VIEW-style table function: top-level select item only
+          pos += 1; eatSym("(")
+          val e = parseExpr(); eatSym(")")
+          ExprItem(Explode(e), parseAs())
         case _ =>
           val e = parseExpr()
           ExprItem(e, parseAs())

@@ -32,6 +32,7 @@ object ExprCompiler {
     case Lit(v)                 => lit(v)
     case ListExpr(items)        => array(items.map(compile(_, schema)): _*)
     case Cast(op, to)           => compile(op, schema).cast(sparkType(to))
+    case Explode(op)            => explode(compile(op, schema))
     case Unary(op, x)           => compileUnary(op, compile(x, schema), x, schema)
     case Binary(l, r, op)       => compileBinary(compile(l, schema), l, r, op, schema)
     case NAry(op, xs)           => compileNAry(op, xs, schema)

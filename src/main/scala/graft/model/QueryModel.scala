@@ -40,6 +40,13 @@ final case class NAry(op: NAryOp.Value, operands: Seq[Expr]) extends Expr
 /** Explicit cast. Reference: CastExpression — FilterBoltTest.java:579. */
 final case class Cast(operand: Expr, to: FieldType.Value) extends Expr
 
+/** Row generator: one output row per element of a list-valued operand —
+  * the reference BQL's EXPLODE/LATERAL VIEW table function (SURVEY §2.10
+  * [core-only]). Valid only as a top-level projection item of a RAW batch
+  * query (Spark: one Generate per select; the streaming runner rejects it
+  * in validate — generators can't ride a struct collector). */
+final case class Explode(operand: Expr) extends Expr
+
 object FieldType extends Enumeration {
   val STRING, INTEGER, LONG, FLOAT, DOUBLE, BOOLEAN, TIMESTAMP = Value
 }

@@ -51,6 +51,8 @@ object QueryJson {
       val op = req(n, "op").asText()
       if (op == "CAST")
         Cast(parseExpr(req(n, "operand")), FieldType.withName(req(n, "to").asText()))
+      else if (op == "EXPLODE")
+        Explode(parseExpr(req(n, "operand")))
       else if (n.has("operand"))
         Unary(UnaryOp.withName(op), parseExpr(n.get("operand")))
       else if (n.has("left"))
@@ -175,6 +177,8 @@ object QueryJson {
         val arr = n.putArray("list"); items.foreach(i => arr.add(renderExpr(i)))
       case Cast(op, to) =>
         n.put("op", "CAST"); n.set[JsonNode]("operand", renderExpr(op)); n.put("to", to.toString)
+      case Explode(op) =>
+        n.put("op", "EXPLODE"); n.set[JsonNode]("operand", renderExpr(op))
       case Unary(op, x) =>
         n.put("op", op.toString); n.set[JsonNode]("operand", renderExpr(x))
       case Binary(l, r, op) =>

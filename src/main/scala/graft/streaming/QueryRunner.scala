@@ -241,6 +241,20 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     val errs = mutable.ArrayBuffer.empty[String]
     if (spec.id == null || spec.id.isEmpty) errs += "query id must be non-empty"
     if (spec.durationMs <= 0) errs += "durationMs must be positive"
+    // EXPLODE is a row generator: fine in the batch compiler, but the
+    // streaming RAW collector packs the projection into one struct per
+    // record — reject loudly instead of failing at plan time
+    def hasExplode(e: Expr): Boolean = e match {
+      case Explode(_)      => true
+      case Unary(_, x)     => hasExplode(x)
+      case Binary(l, r, _) => hasExplode(l) || hasExplode(r)
+      case NAry(_, xs)     => xs.exists(hasExplode)
+      case Cast(x, _)      => hasExplode(x)
+      case ListExpr(xs)    => xs.exists(hasExplode)
+      case _               => false
+    }
+    if (spec.projection.exists(_.exists(p => hasExplode(p._2))))
+      errs += "EXPLODE projections are not supported on the streaming path"
     spec.aggregation match {
       case Raw(s) if s <= 0 => errs += "RAW size must be positive"
       case GroupAll(ops) => errs ++= opErrors(ops)

@@ -117,6 +117,23 @@ class BqlSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(("g0", 20L), ("g1", 20L)))
   }
 
+  test("EXPLODE select item generates one row per element (batch) and is rejected streaming") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(10.0, 20.0)), (2L, Seq(30.0))).toDF("id", "xs")
+    val q = Bql.parse("SELECT id, EXPLODE(xs) AS x FROM STREAM ORDER BY id, x")
+    assert(q.projection === Some(Seq("id" -> Field("id"), "x" -> Explode(Field("xs")))))
+    val rows = QueryCompiler.run(df, q).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)))
+    // JSON codec round-trips the generator node
+    val json = graft.streaming.QueryJson.render(q)
+    assert(graft.streaming.QueryJson.parse(json) === q)
+    // the streaming runner rejects it loudly instead of failing at plan time
+    val runner = new graft.streaming.QueryRunner(spark, new graft.streaming.ManualClock(0))
+    val clip = runner.register(q)
+    assert(clip.isDefined && clip.get.signal.contains("FAIL"))
+  }
+
   test("malformed BQL raises a clear error") {
     val e = intercept[IllegalArgumentException](Bql.parse("SELECT FROM STREAM"))
     assert(e.getMessage != null)
