@@ -338,7 +338,22 @@ object Bql {
       case Ident(s) if s.equalsIgnoreCase("FALSE") => Lit(false)
       case Ident(s) if s.equalsIgnoreCase("NULL")  => Lit(null)
       case Ident(f) =>
-        if (trySym(".")) Field(f, Some(ident())) else Field(f, None)
+        // field, map/struct subfield, and deeper paths: f.k1.k2, f[0].k —
+        // the nested list-of-map / map-of-map lattice (0-based indices)
+        var e: Expr =
+          if (trySym(".")) Field(f, Some(ident())) else Field(f, None)
+        var go = true
+        while (go) {
+          if (trySym(".")) e = ElementAt(e, ident())
+          else if (peek.contains(Sym("[")) &&
+              toks.lift(pos + 1).exists(_.isInstanceOf[NumLit])) {
+            pos += 1
+            val idx = parseLong().toInt
+            eatSym("]")
+            e = ElementAt(e, idx)
+          } else go = false
+        }
+        e
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 

@@ -33,6 +33,13 @@ object ExprCompiler {
     case ListExpr(items)        => array(items.map(compile(_, schema)): _*)
     case Cast(op, to)           => compile(op, schema).cast(sparkType(to))
     case Explode(op)            => explode(compile(op, schema))
+    // 0-based list index via null-tolerant get() (out-of-bounds → typed
+    // null, matching the reference's missing-field semantics); map/struct
+    // keys via getItem (missing key → null)
+    case ElementAt(base, key)   => key match {
+      case i: Int => get(compile(base, schema), lit(i))
+      case k      => compile(base, schema).getItem(k)
+    }
     case Unary(op, x)           => compileUnary(op, compile(x, schema), x, schema)
     case Binary(l, r, op)       => compileBinary(compile(l, schema), l, r, op, schema)
     case NAry(op, xs)           => compileNAry(op, xs, schema)

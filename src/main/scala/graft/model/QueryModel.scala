@@ -40,6 +40,13 @@ final case class NAry(op: NAryOp.Value, operands: Seq[Expr]) extends Expr
 /** Explicit cast. Reference: CastExpression — FilterBoltTest.java:579. */
 final case class Cast(operand: Expr, to: FieldType.Value) extends Expr
 
+/** Nested extraction with a literal key: map value (`String` key), list
+  * element (`Int` index, 0-based as in the reference's type system), or
+  * struct field — composable for the full list-of-map / map-of-map lattice
+  * (bullet-core FieldExpression(field, index|key[, subkey]), SURVEY §1.2
+  * [core-only]). `Field(f, Some(k))` stays the common one-level shorthand. */
+final case class ElementAt(base: Expr, key: Any) extends Expr
+
 /** Row generator: one output row per element of a list-valued operand —
   * the reference BQL's EXPLODE/LATERAL VIEW table function (SURVEY §2.10
   * [core-only]). Valid only as a top-level projection item of a RAW batch

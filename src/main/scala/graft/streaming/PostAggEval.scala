@@ -125,6 +125,17 @@ object PostAggEval {
     }
     case Lit(v)          => v
     case ListExpr(items) => items.map(eval(_, r))
+    case ElementAt(base, key) => eval(base, r) match {
+      case m: scala.collection.Map[_, _] =>
+        m.asInstanceOf[scala.collection.Map[Any, Any]].getOrElse(key, null)
+      case xs: scala.collection.Seq[_] => key match {
+        case i: Int if i >= 0 && i < xs.size => xs(i)
+        case _ => null
+      }
+      case _ => null
+    }
+    case Explode(_) =>
+      throw new IllegalArgumentException("EXPLODE is not supported in post-aggregations")
     case Cast(x, to)     => cast(eval(x, r), to)
     case Unary(op, x)    => unary(op, eval(x, r))
     case Binary(l, rr, op) => binary(op, eval(l, r), eval(rr, r))

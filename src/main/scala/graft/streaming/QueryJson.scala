@@ -53,6 +53,11 @@ object QueryJson {
         Cast(parseExpr(req(n, "operand")), FieldType.withName(req(n, "to").asText()))
       else if (op == "EXPLODE")
         Explode(parseExpr(req(n, "operand")))
+      else if (op == "ELEMENT_AT") {
+        val k = req(n, "key")
+        ElementAt(parseExpr(req(n, "operand")),
+          if (k.isIntegralNumber) k.asInt() else k.asText())
+      }
       else if (n.has("operand"))
         Unary(UnaryOp.withName(op), parseExpr(n.get("operand")))
       else if (n.has("left"))
@@ -179,6 +184,12 @@ object QueryJson {
         n.put("op", "CAST"); n.set[JsonNode]("operand", renderExpr(op)); n.put("to", to.toString)
       case Explode(op) =>
         n.put("op", "EXPLODE"); n.set[JsonNode]("operand", renderExpr(op))
+      case ElementAt(base, key) =>
+        n.put("op", "ELEMENT_AT"); n.set[JsonNode]("operand", renderExpr(base))
+        key match {
+          case i: Int  => n.put("key", i)
+          case other   => n.put("key", other.toString)
+        }
       case Unary(op, x) =>
         n.put("op", op.toString); n.set[JsonNode]("operand", renderExpr(x))
       case Binary(l, r, op) =>

@@ -134,6 +134,17 @@ class BqlSpec extends SparkTestBase {
     assert(clip.isDefined && clip.get.signal.contains("FAIL"))
   }
 
+  test("nested path access parses: f.k1.k2 and f[0].k (0-based)") {
+    val q = Bql.parse("SELECT * FROM STREAM WHERE m.a.b = 'x' AND l[0].k = 'y'")
+    val flat = flattenAnd(q.filter.get)
+    assert(flat.contains(Binary(
+      ElementAt(Field("m", Some("a")), "b"), Lit("x"), BinOp.EQUALS)))
+    assert(flat.contains(Binary(
+      ElementAt(ElementAt(Field("l", None), 0), "k"), Lit("y"), BinOp.EQUALS)))
+    // JSON codec round-trips the nested path
+    assert(graft.streaming.QueryJson.parse(graft.streaming.QueryJson.render(q)) === q)
+  }
+
   test("malformed BQL raises a clear error") {
     val e = intercept[IllegalArgumentException](Bql.parse("SELECT FROM STREAM"))
     assert(e.getMessage != null)

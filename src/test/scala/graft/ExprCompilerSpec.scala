@@ -27,6 +27,23 @@ class ExprCompilerSpec extends SparkTestBase {
     df.orderBy("id").select(c).collect().map(_.get(0)).toSeq
   }
 
+  test("ElementAt: 0-based list index, map key, and nested list-of-map lattice") {
+    // list index is 0-based (reference type system)
+    assert(eval(ElementAt(Field("arr"), 0)) === Seq("a", "x", null))
+    assert(eval(ElementAt(Field("m"), "k1")) === Seq("v1", "w1", null))
+    // nested: list-of-map — one constructed column, path lom[1].k
+    val s = spark
+    import s.implicits._
+    val nested = Seq(
+      (1L, Seq(Map("k" -> "first"), Map("k" -> "second"))),
+      (2L, Seq(Map("k" -> "only")))
+    ).toDF("id", "lom")
+    val c = ExprCompiler.compile(
+      ElementAt(ElementAt(Field("lom"), 1), "k"), Some(nested.schema))
+    assert(nested.orderBy("id").select(c).collect().map(_.get(0)).toSeq ===
+      Seq("second", null))
+  }
+
   test("SIZE_OF on an ArrayType column is the element count") {
     assert(eval(Unary(UnaryOp.SIZE_OF, Field("arr"))) === Seq(3, 1, 0))
   }
