@@ -312,6 +312,40 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(row), schema)
     }),
 
+    // Streaming tumbling windows through the runner: three batches, one
+    // 1 s window emit each; windows tile the stream, so the summed
+    // per-window metrics must equal the full-table aggregate (and reset
+    // between windows — a missing reset double-counts and breaks the hash).
+    "q_runner_window" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("w",
+        filter = Some(Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("user_id"), "su"))),
+        window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.TIME, 1000)),
+        durationMs = 100000))
+      val ev = rd(s, dir, "events")
+      (0 until 3).foreach { i =>
+        runner.processBatch(ev.filter(col("event_id") % 3 === i))
+        clock.advance(1000)
+        runner.onTick()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val wins = runner.results.filter(_.meta.contains("window_number"))
+        .flatMap(_.records).map(mapper.readTree)
+      val row = org.apache.spark.sql.Row(
+        wins.map(_.get("cnt").asLong).sum, wins.map(_.get("su").asLong).sum,
+        wins.size.toLong)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("su", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_windows", org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(java.util.Arrays.asList(row), schema)
+    }),
+
     // Streaming post-aggregations (§2.6 on the runner path): GROUP BY
     // through the shared-pass runner with HAVING → COMPUTATION → CULLING →
     // ORDER BY applied at the combiner on finish (PostAggEval).
@@ -645,6 +679,9 @@ object SparkEntry {
     "q_runner_multi" ->
       ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn, max(value) AS mx, " +
         "(SELECT count(DISTINCT user_id) FROM events) AS du FROM events WHERE value > 10.0"),
+    "q_runner_window" ->
+      ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
+        "CAST(3 AS BIGINT) AS n_windows FROM events WHERE value > 10.0"),
     "q_runner_postagg" ->
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +
