@@ -321,50 +321,74 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     // grouped queries stay in the shared pass for their UNGROUPED matched
     // counts (partialColumns emits only the count column for GroupBy)
     val simple = active.filterNot(eqSet.contains)
-    val jobCount = (if (simple.nonEmpty) 1 else 0) + eqByField.size + grouped.size
+    // GROUP BY fusion: queries with the same (filter, key fields,
+    // projection) share one grouped job — their metric aggregators ride
+    // the same groupBy. Distinct signatures still need their own job
+    // (different key sets can't share a grouping).
+    val groupedSigs = grouped.groupBy(rq => (rq.spec.filter,
+      rq.spec.aggregation.asInstanceOf[GroupBy].fields, rq.spec.projection))
+      .values.map(_.toSeq).toSeq
+    val jobCount = (if (simple.nonEmpty) 1 else 0) + eqByField.size + groupedSigs.size
     val needsCache = jobCount > 1
     val df = if (needsCache) batch.persist() else batch
     try {
-      if (simple.nonEmpty) {
-        val schema = df.schema
-        // Predicate CSE — queries sharing a filter evaluate it ONCE per
-        // record. Distinct filter ASTs (structural equality) pre-project to
-        // boolean columns; each query's aggregators gate on its column. A
-        // 100-query workload with 7 distinct filters evaluates 7 predicates
-        // per record, not 100. GROUP BY queries contribute only their
-        // matched-record count here (their grouped state rides
-        // mergeGrouped): the count must be computed UNGROUPED — summing
-        // over the kept top-`entries` groups would undercount once the key
-        // space exceeds the cap, starving RECORD windows and the
-        // records_seen metric.
-        val distinctFilters = simple.flatMap(_.spec.filter).distinct
-        val predIdx = distinctFilters.zipWithIndex.toMap
-        val predCols = distinctFilters.zipWithIndex.map { case (f, i) =>
-          ExprCompiler.compile(f, Some(schema)).as(s"__pred$i")
-        }
-        val withPreds =
-          if (predCols.isEmpty) df
-          else df.select(col("*") +: predCols: _*)
-        def gate(rq: RQ): Column = rq.spec.filter match {
-          case Some(f) => col(s"__pred${predIdx(f)}")
-          case None    => lit(true)
-        }
-        val cols = simple.flatMap(rq => partialColumns(rq, schema, gate(rq)))
-        val row = withPreds.agg(cols.head, cols.tail: _*).collect()(0)
-        simple.foreach(rq => mergePartial(rq, row))
+      // All per-batch Spark jobs launch CONCURRENTLY (the one batch scan is
+      // cached; Spark's block manager computes each partition once and the
+      // scheduler interleaves the jobs across the cluster), then the tiny
+      // collected results fold into driver state sequentially. Serial job
+      // submission would leave the cluster idle between driver combines —
+      // at 1000 executors the jobs must overlap.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = QueryRunner.jobEc
+      val sharedF = if (simple.isEmpty) None else Some(Future(collectShared(simple, df)))
+      val eqF = eqByField.toSeq.map { case (f, rqs) =>
+        Future((rqs.toSeq, collectEqPartitioned(f, rqs.toSeq, df)))
       }
-      eqByField.foreach { case (f, rqs) => mergeEqPartitioned(f, rqs.toSeq, df) }
-      // GROUP BY fusion: queries with the same (filter, key fields,
-      // projection) share one grouped job — their metric aggregators ride
-      // the same groupBy. Distinct signatures still need their own job
-      // (different key sets can't share a grouping).
-      grouped.groupBy(rq => (rq.spec.filter,
-          rq.spec.aggregation.asInstanceOf[GroupBy].fields, rq.spec.projection))
-        .values.foreach(g => mergeGrouped(g.toSeq, df))
+      val groupedF = groupedSigs.map(g => Future((g, collectGrouped(g, df))))
+      sharedF.foreach(f => Await.result(f, Duration.Inf) match {
+        case row => simple.foreach(rq => mergePartial(rq, row))
+      })
+      eqF.foreach { f =>
+        val (rqs, (sigs, byValue)) = Await.result(f, Duration.Inf)
+        applyEqPartitioned(rqs, sigs, byValue)
+      }
+      groupedF.foreach { f =>
+        val (g, rows) = Await.result(f, Duration.Inf)
+        applyGrouped(g, rows)
+      }
     } finally {
       if (needsCache) df.unpersist()
     }
     lifecycle()
+  }
+
+  /** One shared ungrouped pass (predicate CSE): queries sharing a filter
+    * evaluate it ONCE per record. Distinct filter ASTs (structural
+    * equality) pre-project to boolean columns; each query's aggregators
+    * gate on its column. A 100-query workload with 7 distinct filters
+    * evaluates 7 predicates per record, not 100. GROUP BY queries
+    * contribute only their matched-record count here (their grouped state
+    * rides the grouped jobs): the count must be computed UNGROUPED —
+    * summing over the kept top-`entries` groups would undercount once the
+    * key space exceeds the cap, starving RECORD windows and the
+    * records_seen metric. */
+  private def collectShared(simple: Seq[RQ], df: DataFrame): Row = {
+    val schema = df.schema
+    val distinctFilters = simple.flatMap(_.spec.filter).distinct
+    val predIdx = distinctFilters.zipWithIndex.toMap
+    val predCols = distinctFilters.zipWithIndex.map { case (f, i) =>
+      ExprCompiler.compile(f, Some(schema)).as(s"__pred$i")
+    }
+    val withPreds =
+      if (predCols.isEmpty) df
+      else df.select(col("*") +: predCols: _*)
+    def gate(rq: RQ): Column = rq.spec.filter match {
+      case Some(f) => col(s"__pred${predIdx(f)}")
+      case None    => lit(true)
+    }
+    val cols = simple.flatMap(rq => partialColumns(rq, schema, gate(rq)))
+    withPreds.agg(cols.head, cols.tail: _*).collect()(0)
   }
 
   /** Normalize a partition value for driver-side matching between the
@@ -385,19 +409,24 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
    * watching that value. 1000 COUNT queries on 1000 user ids cost one
    * hash-shuffled count job, not 1000 predicate evaluations per record.
    */
-  private def mergeEqPartitioned(field: String, rqs: Seq[RQ], df: DataFrame): Unit = {
+  private def collectEqPartitioned(field: String, rqs: Seq[RQ],
+      df: DataFrame): (Seq[Seq[RQ]], Map[Any, Row]) = {
     val schema = df.schema
     val values = rqs.map(rq => eqPartitionKey(rq).get._2).distinct
-    val sigs = rqs.groupBy(rq => (rq.spec.aggregation, rq.spec.projection)).toSeq
-    val sigCols = sigs.zipWithIndex.flatMap { case (((_, _), sigRqs), i) =>
+    val sigs = rqs.groupBy(rq => (rq.spec.aggregation, rq.spec.projection)).values.toSeq
+    val sigCols = sigs.zipWithIndex.flatMap { case (sigRqs, i) =>
       partialColumns(sigRqs.head, schema, lit(true), s"__sig$i")
     }
     val rows = df.filter(col(field).isin(values: _*))
       .groupBy(col(field).as("__pv"))
       .agg(sigCols.head, sigCols.tail: _*)
       .collect()
-    val byValue = rows.map(r => normValue(r.getAs[Any]("__pv")) -> r).toMap
-    sigs.zipWithIndex.foreach { case ((_, sigRqs), i) =>
+    (sigs, rows.map(r => normValue(r.getAs[Any]("__pv")) -> r).toMap)
+  }
+
+  private def applyEqPartitioned(rqs: Seq[RQ], sigs: Seq[Seq[RQ]],
+      byValue: Map[Any, Row]): Unit =
+    sigs.zipWithIndex.foreach { case (sigRqs, i) =>
       sigRqs.foreach { rq =>
         byValue.get(normValue(eqPartitionKey(rq).get._2)) match {
           case Some(row) => mergePartial(rq, row, s"__sig$i")
@@ -405,7 +434,6 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       }
     }
-  }
 
   /** Clock-only evaluation (the reference's tick path, FilterBolt.java:
     * 153-158): catches duration expiry and time-window emits with no data. */
@@ -591,7 +619,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     * because fused queries share filter and keys, their group sets are
     * identical, so merging per-batch smallest-E sets keeps exactly the
     * global smallest-E keys for every fused query. */
-  private def mergeGrouped(rqs: Seq[RQ], df: DataFrame): Unit = {
+  private def collectGrouped(rqs: Seq[RQ], df: DataFrame): Array[Row] = {
     val head = rqs.head
     val spec0 = head.spec.aggregation.asInstanceOf[GroupBy]
     val schema = df.schema
@@ -606,12 +634,17 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       opColumns(rq.spec.id, rq.spec.aggregation.asInstanceOf[GroupBy].ops, lit(true), fld)
     } :+ sum(lit(1L)).as(groupN)
     val entriesMax = rqs.map(_.spec.aggregation.asInstanceOf[GroupBy].entries).max
-    val rows = filtered
+    filtered
       .groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .orderBy(spec0.fields.map { case (_, alias) => col(alias) }: _*)
       .limit(entriesMax)
       .collect()
+  }
+
+  private def applyGrouped(rqs: Seq[RQ], rows: Array[Row]): Unit = {
+    val spec0 = rqs.head.spec.aggregation.asInstanceOf[GroupBy]
+    val groupN = "__group_n"
     // matched-record counters (recordsSinceEmit/recordsSeen/batchesSeen) are
     // NOT derived from these capped rows — they ride the ungrouped shared
     // pass (processBatch → mergePartial), so they stay exact when distinct
@@ -754,4 +787,16 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     out.foreach(record)
     out.toSeq
   }
+}
+
+object QueryRunner {
+  /** Shared daemon pool for concurrent per-batch job submission (Spark's
+    * scheduler interleaves the jobs; this pool only drives collect()s). */
+  private[streaming] lazy val jobEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-batch-jobs")
+        t.setDaemon(true)
+        t
+      }))
 }
