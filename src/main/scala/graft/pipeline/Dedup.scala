@@ -68,26 +68,41 @@ object Dedup {
     val gs = gramSets(df, idCol, textCol, n)
     // Carry the set size on each posting so the pair-count aggregation can
     // compute Jaccard directly — no separate sizes join, and the shingle
-    // arrays are computed once per join side instead of three times.
+    // arrays are computed once per side instead of three times.
     val exploded = gs.select(col("doc_id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("g"))
-    val posting = maxDocFreq match {
+    val counted = maxDocFreq match {
       case Some(m) =>
-        // the hot set is tiny (stop-shingles above the cutoff) and its
-        // count aggregation map-side-combines; broadcast EXPLICITLY so the
-        // anti-join can never degrade to shuffling the full posting list
-        // when size estimates are missing
-        val hot = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") > m).select("g")
-        exploded.join(broadcast(hot), Seq("g"), "left_anti")
-      case None => exploded
+        // Guarded path — group-and-pair: ONE shuffle of the postings by
+        // shingle builds each bucket's doc list; the doc-frequency guard is
+        // size(bucket) > m on the SAME aggregation (no second pass, no
+        // anti-join), and in-bucket pairs generate map-side. Bucket lists
+        // are bounded by the guard, so the collected arrays are small by
+        // construction — this shape only exists when the guard is armed.
+        val buckets = exploded
+          .groupBy("g")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("docs"))
+          .filter(size(col("docs")).between(2, m))
+        val pairs = buckets.select(explode(flatten(transform(col("docs"),
+          (x, i) => transform(
+            slice(col("docs"), i + lit(2), size(col("docs")) - i - lit(1)),
+            y => struct(x.getField("doc_id").as("id1"), y.getField("doc_id").as("id2"),
+              x.getField("sz").as("sz1"), y.getField("sz").as("sz2")))))).as("p"))
+        pairs.groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+          col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
+          .agg(count(lit(1)).as("ic"))
+      case None =>
+        // Exact path: self-join on the shingle (shuffles the postings once
+        // per side). Unbounded buckets stream through the join instead of
+        // materializing as one array row.
+        exploded.as("a")
+          .join(exploded.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+          .agg(count(lit(1)).as("ic"))
     }
-    posting.as("a")
-      .join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-      .agg(count(lit(1)).as("ic"))
+    counted
       .select(col("id1"), col("id2"),
         (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -56,12 +56,11 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("guarded ngram: the hot-shingle anti-join is broadcast, never a shuffle") {
+  test("guarded ngram: group-and-pair plan has NO join — one posting shuffle total") {
     val p = plan("q_dedup_ngram_guarded")
-    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
-    assert(antiLines.nonEmpty, p.take(1500))
-    assert(antiLines.forall(_.contains("BroadcastHashJoin")),
-      s"guard must not shuffle the postings:\n${antiLines.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "the guarded inverted index must bucket-and-pair, not self-join")
   }
 
   test("equality partitioner: one InSet-filtered groupBy job for many eq queries") {
