@@ -476,6 +476,23 @@ object SparkEntry {
         .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.1, 0.1).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
 
+    // End-to-end curation pipeline: quality gate → exact-dedup survivors →
+    // deterministic 50% sample → per-language corpus stats. Every stage is
+    // an already-verified operator; this entry pins their COMPOSITION.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val stats = TextAnalysis.textStats(docs, "doc_id", "text")
+      val good = docs.join(stats.filter(col("quality") > 0.5).select("doc_id"), "doc_id")
+      val keep = Dedup.exactByContent(good, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = good.join(keep, "doc_id")
+      val sampled = Sampling.hashSample(deduped, "doc_id", 0.5)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("lang")
+    }),
+
     // --- LLM-data-pipeline: text analysis ---
 
     // Quality statistics + composite score per document.
@@ -686,6 +703,17 @@ object SparkEntry {
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +
         "WHERE cnt > 2000 ORDER BY etype"),
+    "q_pipeline_e2e" ->
+      ("""WITH stats AS (
+         |  SELECT doc_id, least(1.0, len(string_split(text, ' ')) / 100.0) *
+         |    (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' '))) AS quality
+         |  FROM documents),
+         |good AS (SELECT d.* FROM documents d JOIN stats USING (doc_id) WHERE quality > 0.5),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+         |dedup AS (SELECT g.* FROM good g JOIN keep USING (doc_id)),
+         |samp AS (SELECT * FROM dedup WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+         |SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM samp GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' ORDER BY doc_id"),
