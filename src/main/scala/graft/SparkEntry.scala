@@ -481,11 +481,17 @@ object SparkEntry {
     // an already-verified operator; this entry pins their COMPOSITION.
     "q_pipeline_e2e" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      val stats = TextAnalysis.textStats(docs, "doc_id", "text")
-      val good = docs.join(stats.filter(col("quality") > 0.5).select("doc_id"), "doc_id")
-      val keep = Dedup.exactByContent(good, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val deduped = good.join(keep, "doc_id")
+      // quality gate is a plain filter (no stats-table self-join) and
+      // dedup survivorship is a window min over the content hash (one
+      // shuffle, no keep-set join): the whole pipeline is scan → filter →
+      // hash-shuffle → filter → lang-shuffle — the shape that holds at
+      // 100 TB.
+      val good = docs.filter(TextAnalysis.qualityCol(col("text")) > 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val deduped = good
+        .withColumn("__keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
       val sampled = Sampling.hashSample(deduped, "doc_id", 0.5)
       sampled.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

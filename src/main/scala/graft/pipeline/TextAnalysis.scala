@@ -29,11 +29,17 @@ object TextAnalysis {
   def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*)))
 
-  /**
-   * Per-document quality statistics + a composite quality score.
-   * The score favors documents long enough to be useful (saturating at 100
-   * words) that aren't stopword soup — the usual pretraining-filter shape.
-   */
+  /** Composite quality score as a standalone column — usable as a direct
+    * filter predicate (no join against a stats table needed). Favors
+    * documents long enough to be useful (saturating at 100 words) that
+    * aren't stopword soup — the usual pretraining-filter shape. */
+  def qualityCol(text: Column): Column = {
+    val t = toks(text)
+    least(lit(1.0), size(t) / lit(100.0)) *
+      (lit(1.0) - hitCount(t, Stopwords) / size(t))
+  }
+
+  /** Per-document quality statistics + the composite [[qualityCol]] score. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     df.select(
@@ -42,8 +48,7 @@ object TextAnalysis {
       size(t).cast("long").as("n_words"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
       (hitCount(t, Stopwords) / size(t)).as("stop_ratio"),
-      (least(lit(1.0), size(t) / lit(100.0)) *
-        (lit(1.0) - hitCount(t, Stopwords) / size(t))).as("quality"))
+      qualityCol(col(textCol)).as("quality"))
   }
 
   /** Marker stopwords per language — tiny, deterministic, and replicated
