@@ -27,12 +27,15 @@ object Sampling {
   def hashBucket(key: Column, hexDigits: Int = 4): Column =
     substring(md5(key.cast("string").cast("binary")), 1, hexDigits)
 
-  /** Upper (exclusive) hex threshold keeping ≈ `fraction` of buckets. */
+  /** Upper (exclusive) hex threshold keeping ≈ `fraction` of buckets.
+    * fraction 1.0 (keep everything) must NOT format as a wider hex string —
+    * "10000" loses to "3fa2" lexicographically — so it returns "g", which
+    * sorts above every hex digit at the first character. */
   def thresholdHex(fraction: Double, hexDigits: Int = 4): String = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
     val buckets = 1L << (4 * hexDigits)
     val keep = math.min(buckets, math.round(fraction * buckets))
-    ("%0" + hexDigits + "x").format(keep)
+    if (keep >= buckets) "g" else ("%0" + hexDigits + "x").format(keep)
   }
 
   /** Keep ≈ `fraction` of rows, decided by the stable hash of `keyCol`. */

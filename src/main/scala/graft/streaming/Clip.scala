@@ -27,7 +27,11 @@ object Json {
     case b: Boolean      => b.toString
     case d: Double       => if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
     case n: Number       => n.toString
-    case m: Map[_, _]    => m.map { case (k, x) => render(k.toString) + ":" + render(x) }.mkString("{", ",", "}")
+    // scala.collection.Map: matches mutable maps too (PostAggEval parses
+    // nested JSON objects into LinkedHashMap — a plain `Map[_, _]` pattern
+    // is immutable-only and would fall through to the Iterable tuple case)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => render(k.toString) + ":" + render(x) }.mkString("{", ",", "}")
     case xs: Iterable[_] => xs.map(render).mkString("[", ",", "]")
     case other           => render(other.toString)
   }

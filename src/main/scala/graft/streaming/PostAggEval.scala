@@ -149,6 +149,8 @@ object PostAggEval {
       case STRING => v.toString
       case INTEGER | LONG => v match {
         case b: Boolean => if (b) 1L else 0L
+        // legacy-cast semantics: decimal strings truncate ("3.5" → 3, as
+        // Spark's non-ANSI cast does); unparseable strings → null below
         case s: String  => s.trim.toDouble.toLong
         case _          => numeric(v).map(e => e.fold(identity, _.toLong)).orNull
       }
@@ -332,10 +334,14 @@ object PostAggEval {
             if (xs.length >= 3)
               numeric(eval(xs(2), r)).map(e => e.fold(identity, _.toLong).toInt).getOrElse(str.length)
             else str.length
-          // Spark substring: 1-based, negative pos counts from the end
-          val start0 = if (pos > 0) pos - 1 else if (pos < 0) math.max(0, str.length + pos) else 0
-          if (start0 >= str.length || len <= 0) ""
-          else str.substring(start0, math.min(str.length, start0 + len))
+          // Spark substringSQL: 1-based; negative pos counts from the end
+          // UNCLAMPED — the length window is applied before clamping, so
+          // substring('hello', -7, 3) is "h", not "hel"
+          val start = if (pos > 0) pos - 1 else if (pos < 0) str.length + pos else 0
+          val end = start.toLong + math.max(len, 0)
+          val from = math.max(start, 0)
+          val until = math.min(str.length.toLong, math.max(end, 0L)).toInt
+          if (until <= from) "" else str.substring(from, until)
         }
       case UNIX_TIMESTAMP =>
         throw new IllegalArgumentException(

@@ -196,24 +196,34 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 
   // ---- durable registry (ReplayBolt.java:111-143 analog) ------------------
   // When enabled (runStream wires it under `<checkpoint>/graft-registry`),
-  // every registry change rewrites one small JSON-lines file atomically
-  // (tmp + rename): `{"registeredAt": t, "query": {...}}` per active query.
-  // On restart the queries re-arm with their ORIGINAL registration time, so
-  // remaining duration is honored; aggregation state rebuilds from the
-  // stream (the reference replays queries, not partials, on worker loss).
+  // every registry change rewrites one small JSON-lines file (tmp + rename):
+  // `{"registeredAt": t, "query": {...}}` per active query. On restart the
+  // queries re-arm with their ORIGINAL registration time, so remaining
+  // duration is honored; aggregation state rebuilds from the stream (the
+  // reference replays queries, not partials, on worker loss). All I/O goes
+  // through the Hadoop FileSystem API so the registry lives WHEREVER the
+  // checkpoint lives — hdfs://, s3a://, or local — not a driver-local path
+  // that vanishes when the driver moves nodes.
 
-  private var registryDir: Option[java.nio.file.Path] = None
+  private var registryFs: Option[(org.apache.hadoop.fs.FileSystem,
+                                  org.apache.hadoop.fs.Path)] = None
 
-  /** Enable persistence under `dir`: restore any previous registry first,
-    * then keep the file in sync with every register/kill/finish. */
+  /** Enable persistence under `dir` (any Hadoop-resolvable URI): restore
+    * any previous registry first, then keep the file in sync with every
+    * register/kill/finish. */
   def enableRegistryPersistence(dir: String): Unit = synchronized {
-    val p = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(p)
-    registryDir = None // restore without re-persisting per line
-    val f = p.resolve("registry.jsonl")
-    if (java.nio.file.Files.exists(f)) {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(hPath)
+    registryFs = None // restore without re-persisting per line
+    val f = new org.apache.hadoop.fs.Path(hPath, "registry.jsonl")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      java.nio.file.Files.readAllLines(f).forEach { line =>
+      content.split('\n').foreach { line =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
           val spec = QueryJson.parseSpec(n.get("query"))
@@ -222,19 +232,20 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       }
     }
-    registryDir = Some(p)
+    registryFs = Some((fs, hPath))
     persistRegistry()
   }
 
-  private def persistRegistry(): Unit = registryDir.foreach { p =>
+  private def persistRegistry(): Unit = registryFs.foreach { case (fs, dir) =>
     val lines = queries.values.map { rq =>
       s"""{"registeredAt":${rq.registeredAt},"query":${QueryJson.render(rq.spec)}}"""
     }.mkString("", "\n", "\n")
-    val tmp = p.resolve("registry.jsonl.tmp")
-    java.nio.file.Files.write(tmp, lines.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, p.resolve("registry.jsonl"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "registry.jsonl.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, "registry.jsonl")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(tmp, dest)
   }
 
   def validate(spec: QuerySpec): Seq[String] = {
@@ -255,6 +266,27 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     }
     if (spec.projection.exists(_.exists(p => hasExplode(p._2))))
       errs += "EXPLODE projections are not supported on the streaming path"
+    // post-aggregation expressions run in PostAggEval at emit time — an
+    // unsupported op must FAIL at register, not throw inside lifecycle()
+    // and kill the whole stream
+    def unsupportedPost(e: Expr): Boolean = e match {
+      case Explode(_)                     => true
+      case NAry(NAryOp.UNIX_TIMESTAMP, _) => true
+      case Unary(_, x)                    => unsupportedPost(x)
+      case Binary(l, r, _)                => unsupportedPost(l) || unsupportedPost(r)
+      case NAry(_, xs)                    => xs.exists(unsupportedPost)
+      case Cast(x, _)                     => unsupportedPost(x)
+      case ListExpr(xs)                   => xs.exists(unsupportedPost)
+      case ElementAt(x, _)                => unsupportedPost(x)
+      case _                              => false
+    }
+    val postExprs = spec.postAggregations.flatMap {
+      case Having(e)       => Seq(e)
+      case Computation(fs) => fs.map(_._2)
+      case _               => Nil
+    }
+    if (postExprs.exists(unsupportedPost))
+      errs += "EXPLODE/UNIX_TIMESTAMP are not supported in streaming post-aggregations"
     spec.aggregation match {
       case Raw(s) if s <= 0 => errs += "RAW size must be positive"
       case GroupAll(ops) => errs ++= opErrors(ops)
@@ -272,12 +304,17 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     spec.window.foreach { w =>
       if (w.emitEvery <= 0) errs += "window emitEvery must be positive"
       // `every N include first M` with M ≠ N only has well-defined
-      // semantics for RAW RECORD windows (cap the collected records at M);
-      // for metric aggregations the reference restricts include to ALL or
-      // first == every — reject loudly rather than approximate.
+      // semantics for RAW RECORD-emit windows (AggState.forQuery caps the
+      // collected records at M); everything else the reference restricts
+      // to include ALL or first == every — reject loudly rather than
+      // silently ignore (the validate condition must mirror forQuery's
+      // exactly, or a TIME-emit include-RECORD window would pass here and
+      // drop its cap there).
       val additive = w.includeUnit == WindowUnit.ALL
-      if (!additive && w.includeFirst > 0 && w.includeFirst != w.emitEvery &&
-          !(w.includeUnit == WindowUnit.RECORD && spec.aggregation.isInstanceOf[Raw]))
+      val sameAsEmit = w.includeUnit == w.emitUnit && w.includeFirst == w.emitEvery
+      val rawRecordCap = w.emitUnit == WindowUnit.RECORD &&
+        w.includeUnit == WindowUnit.RECORD && spec.aggregation.isInstanceOf[Raw]
+      if (!additive && w.includeFirst > 0 && !sameAsEmit && !rawRecordCap)
         errs += "window include-first != emit-every is only supported for RAW RECORD windows"
     }
     errs.toSeq
@@ -312,9 +349,24 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     // single hash probe regardless of the number of such queries (the
     // reference routes records to only the queries whose partition value
     // matches). RAW stays on the generic path (per-query collect caps).
+    // The literal's type must align with the column's: the driver-side
+    // group lookup compares natively, and a string literal against a
+    // numeric column (which compiled predicates coerce) would silently
+    // match nothing — such queries stay on the generic compiled path.
+    def eqTypeAligned(rq: RQ): Boolean = eqPartitionKey(rq).exists { case (f, v) =>
+      batch.schema.find(_.name == f).exists { sf =>
+        (sf.dataType, v) match {
+          case (org.apache.spark.sql.types.StringType, _: String)  => true
+          case (org.apache.spark.sql.types.BooleanType, _: Boolean) => true
+          case (_: org.apache.spark.sql.types.NumericType,
+                _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => true
+          case _ => false
+        }
+      }
+    }
     val eqByField = active
       .filter(rq => !rq.isGrouped && !rq.spec.aggregation.isInstanceOf[Raw] &&
-        eqPartitionKey(rq).isDefined)
+        eqTypeAligned(rq))
       .groupBy(rq => eqPartitionKey(rq).get._1)
       .filter(_._2.size >= 2)
     val eqSet = eqByField.values.flatten.toSet
@@ -740,13 +792,16 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
           if (!w.isAdditive) rq.state.reset()
         }
       }
-      // rate limiting: emitted records PER CHECK INTERVAL, not lifetime
-      // total (JoinBolt.java:199-208 — RateLimiter counts since last check);
-      // a long-lived windowed query emitting steadily under the rate
-      // survives indefinitely, a burst inside one interval is killed.
+      // rate limiting: an emission RATE, not a lifetime total — the budget
+      // scales with the time actually elapsed since the last check
+      // (JoinBolt.java:199-208 — the reference RateLimiter divides by
+      // elapsed time, so a slow batch that delays the check by 10 s does
+      // not spuriously kill a query that stayed under max-per-interval).
       if (!rq.done && rq.spec.rateLimitMaxEmit.isDefined &&
           now - rq.lastRateCheckAt >= rateCheckIntervalMs) {
-        val exceeded = rq.emittedSinceRateCheck > rq.spec.rateLimitMaxEmit.get
+        val elapsed = now - rq.lastRateCheckAt
+        val exceeded = rq.emittedSinceRateCheck.toDouble * rateCheckIntervalMs >
+          rq.spec.rateLimitMaxEmit.get.toDouble * elapsed
         rq.emittedSinceRateCheck = 0L
         rq.lastRateCheckAt = now
         if (exceeded) {

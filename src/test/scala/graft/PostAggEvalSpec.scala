@@ -73,6 +73,22 @@ class PostAggEvalSpec extends AnyFunSuite {
     assert(ev(Binary(Field("s"), Lit("^he"), BinOp.REGEX_LIKE)) === true)
   }
 
+  test("SUBSTRING negative positions match Spark substringSQL (unclamped window)") {
+    val r = PostAggEval.parseRecord("""{"s":"hello"}""")
+    def sub(pos: Long, len: Long) =
+      PostAggEval.eval(NAry(NAryOp.SUBSTRING, Seq(Field("s"), Lit(pos), Lit(len))), r)
+    assert(sub(-7, 3) === "h")   // start -2, window ends at 1 → only "h"
+    assert(sub(-3, 2) === "ll")
+    assert(sub(2, 3) === "ell")
+    assert(sub(9, 3) === "")
+  }
+
+  test("nested JSON objects survive re-rendering (mutable map render)") {
+    val out = run(Seq(Culling(Seq("drop"))),
+      recs("""{"a":{"x":1,"y":[1,2]},"drop":0}"""))
+    assert(out === Seq("""{"a":{"x":1,"y":[1,2]}}"""))
+  }
+
   test("numeric comparison crosses long/double like Spark") {
     val r = PostAggEval.parseRecord("""{"l":5,"d":5.0,"d2":5.5}""")
     def ev(e: Expr) = PostAggEval.eval(e, r)

@@ -483,7 +483,38 @@ class QueryRunnerSpec extends SparkTestBase {
     val clip = runner.register(clickCountSpec("bad_inc", durationMs = 10000,
       window = Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 3))))
     assert(clip.isDefined && clip.get.signal.contains("FAIL"))
+    // TIME-emit with a RECORD include cap would silently drop the cap in
+    // AggState.forQuery — must be rejected too, even for RAW
+    val clip2 = runner.register(QuerySpec("bad_inc2", aggregation = Raw(100),
+      window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.RECORD, 10))))
+    assert(clip2.isDefined && clip2.get.signal.contains("FAIL"))
+    // unsupported ops inside post-aggregations FAIL at register instead of
+    // throwing at emit time inside lifecycle()
+    val clip3 = runner.register(QuerySpec("bad_post",
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      postAggregations = Seq(Computation(Seq(
+        "t" -> NAry(NAryOp.UNIX_TIMESTAMP, Seq.empty))))))
+    assert(clip3.isDefined && clip3.get.signal.contains("FAIL"))
     assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("eq partitioner skips type-mismatched literals (string literal, numeric column)") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // string literals against the LONG event_id column: compiled predicates
+    // coerce ("42" matches 42L); the partitioner's native lookup would not —
+    // these must take the generic path and still count correctly
+    runner.register(QuerySpec("str_a",
+      filter = Some(Binary(Field("event_id"), Lit("42"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.register(QuerySpec("str_b",
+      filter = Some(Binary(Field("event_id"), Lit("43"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("str_a").records.head)("cnt") === 1)
+    assert(parse(byId("str_b").records.head)("cnt") === 1)
   }
 
   test("Meta concepts: configured keys nest query metadata in result clips") {

@@ -24,9 +24,12 @@ class SamplingSpec extends SparkTestBase {
 
   test("thresholdHex maps fractions to fixed-width lowercase hex") {
     assert(Sampling.thresholdHex(0.0) === "0000")
-    assert(Sampling.thresholdHex(1.0) === "10000") // all buckets pass
     assert(Sampling.thresholdHex(0.5) === "8000")
     assert(Sampling.thresholdHex(0.2) === "3333")
+    // fraction 1.0 must beat every 4-char hex bucket lexicographically —
+    // a 5-char "10000" would silently keep only buckets below "1000"
+    assert(Sampling.thresholdHex(1.0) === "g")
+    assert(Sampling.hashSample(rows, "id", 1.0).count() === 10000L)
   }
 
   test("stratifiedHashSample respects per-stratum rates") {
