@@ -74,7 +74,9 @@ object PostAggEval {
     else if (b == null) 1
     else (numeric(a), numeric(b)) match {
       case (Some(Left(x)), Some(Left(y)))  => java.lang.Long.compare(x, y)
-      case (Some(x), Some(y))              => java.lang.Double.compare(toD(x), toD(y))
+      // + 0.0 normalizes signed zero: SQL equality has -0.0 = 0.0, while
+      // Double.compare does not
+      case (Some(x), Some(y))              => java.lang.Double.compare(toD(x) + 0.0, toD(y) + 0.0)
       case _ => (a, b) match {
         case (x: String, y: String)   => x.compareTo(y)
         case (x: Boolean, y: Boolean) => x.compareTo(y)
@@ -108,7 +110,8 @@ object PostAggEval {
     if (a == null || b == null) None
     else (numeric(a), numeric(b)) match {
       case (Some(Left(x)), Some(Left(y))) => Some(java.lang.Long.compare(x, y))
-      case (Some(x), Some(y))             => Some(java.lang.Double.compare(toD(x), toD(y)))
+      // + 0.0 normalizes signed zero (SQL: -0.0 = 0.0)
+      case (Some(x), Some(y))             => Some(java.lang.Double.compare(toD(x) + 0.0, toD(y) + 0.0))
       case _ => (a, b) match {
         case (x: String, y: String)   => Some(x.compareTo(y))
         case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
