@@ -12,7 +12,8 @@ import graft.model._
  * SELECT <items> FROM STREAM
  *   [WHERE <expr>] [GROUP BY <fields>] [HAVING <expr>]
  *   [ORDER BY f [ASC|DESC], ...] [LIMIT n]
- *   [WINDOWING EVERY n (TIME|RECORD) [ALL]] [DURATION ms]
+ *   [WINDOWING EVERY n (TIME|RECORD)
+ *     [ALL | INCLUDE ALL | INCLUDE FIRST m (TIME|RECORD)]] [DURATION ms]
  *
  * items: * | expr [AS name] | COUNT(*) | COUNT(DISTINCT f, ...)
  *      | SUM/MIN/MAX/AVG/COUNT(f) | TOP(k, f, ...) | QUANTILE(f, [p, ...])
@@ -219,8 +220,19 @@ object Bql {
       val unit =
         if (tryKw("TIME")) WindowUnit.TIME
         else { eatKw("RECORD"); WindowUnit.RECORD }
-      val include = if (tryKw("ALL")) WindowUnit.ALL else unit
-      WindowSpec(unit, every, include, every)
+      if (tryKw("ALL")) WindowSpec(unit, every, WindowUnit.ALL, every)
+      else if (tryKw("INCLUDE")) {
+        // INCLUDE ALL (additive) or INCLUDE FIRST m (TIME|RECORD)
+        if (tryKw("ALL")) WindowSpec(unit, every, WindowUnit.ALL, every)
+        else {
+          eatKw("FIRST")
+          val first = parseLong()
+          val iu =
+            if (tryKw("TIME")) WindowUnit.TIME
+            else { eatKw("RECORD"); WindowUnit.RECORD }
+          WindowSpec(unit, every, iu, first)
+        }
+      } else WindowSpec(unit, every, unit, every)
     }
 
     private def parseLong(): Long = next() match {

@@ -134,6 +134,14 @@ class BqlSpec extends SparkTestBase {
     assert(clip.isDefined && clip.get.signal.contains("FAIL"))
   }
 
+  test("WINDOWING INCLUDE clause: ALL and FIRST m RECORD") {
+    val all = Bql.parse("SELECT COUNT(*) AS c FROM STREAM WINDOWING EVERY 1000 TIME INCLUDE ALL")
+    assert(all.window === Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.ALL, 1000)))
+    val first = Bql.parse(
+      "SELECT * FROM STREAM WINDOWING EVERY 5 RECORD INCLUDE FIRST 3 RECORD")
+    assert(first.window === Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 3)))
+  }
+
   test("nested path access parses: f.k1.k2 and f[0].k (0-based)") {
     val q = Bql.parse("SELECT * FROM STREAM WHERE m.a.b = 'x' AND l[0].k = 'y'")
     val flat = flattenAnd(q.filter.get)

@@ -551,6 +551,24 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(!r2.onTick().head.meta.contains("meta"))
   }
 
+  test("JsonLinesSink persists every emitted Clip as one JSON line") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-results").toString
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    val sink = new graft.streaming.JsonLinesSink(spark, dir)
+    runner.onResult(sink)
+    runner.register(clickCountSpec("s1", durationMs = 1000,
+      window = Some(WindowSpec(WindowUnit.TIME, 500, WindowUnit.TIME, 500))))
+    runner.processBatch(events)
+    clock.advance(500); runner.onTick()  // window emit
+    clock.advance(600); runner.onTick()  // duration expiry → COMPLETE
+    sink.close()
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(new java.net.URI(sink.file).getPath)).getLines().toSeq
+    assert(lines.size === runner.results.size)
+    assert(lines.forall(l => parse(l).contains("meta")))
+  }
+
   test("registry persistence: a restarted runner resumes registered queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft-registry").toString
     val clock = new ManualClock(0)
