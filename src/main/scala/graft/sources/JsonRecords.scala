@@ -17,4 +17,13 @@ object JsonRecords {
   def convert(df: DataFrame, jsonCol: String, ddl: String): DataFrame =
     df.withColumn(s"${jsonCol}_rec",
       from_json(col(jsonCol), StructType.fromDDL(ddl)))
+
+  /** Kafka-shaped ingest: frames from `readStream.format("kafka")` carry
+    * (key binary, value binary, topic, partition, offset, timestamp, …) —
+    * decode the value payload into a typed `record` struct, keeping the
+    * source metadata columns. Works identically on a batch frame with the
+    * same shape (how this is tested without a broker). */
+  def fromKafka(df: DataFrame, ddl: String): DataFrame =
+    df.withColumn("record",
+      from_json(col("value").cast("string"), StructType.fromDDL(ddl)))
 }

@@ -136,6 +136,24 @@ class FixtureConformanceSpec extends SparkTestBase {
     assert(SchemaJson.typeCheck(wrongType, schema).head.contains("declared StringType"))
   }
 
+  // F9 — Kafka-shaped ingest: a frame with the kafka source's columns
+  // (key/value binary + metadata) decodes its value payload to a typed
+  // record struct; bad payloads yield a null struct (fail-soft converter).
+  test("F9: Kafka-shaped value payloads decode to typed records, bad rows fail soft") {
+    val s = spark
+    import s.implicits._
+    val kafkaShaped = Seq(
+      (Array[Byte](1), """{"k":7,"name":"a"}""".getBytes("UTF-8"), "t", 0, 100L),
+      (Array[Byte](2), """not json""".getBytes("UTF-8"), "t", 0, 101L)
+    ).toDF("key", "value", "topic", "partition", "offset")
+    val out = graft.sources.JsonRecords.fromKafka(kafkaShaped, "k INT, name STRING")
+    val rows = out.orderBy("offset")
+      .selectExpr("record.k", "record.name", "offset").collect()
+    assert(rows(0).getInt(0) === 7 && rows(0).getString(1) === "a")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // fail-soft
+    assert(out.columns.contains("topic") && out.columns.contains("offset"))
+  }
+
   // F8 — combine-stage merges COUNT partials additively: 1+2+3+4+5 → 15
   // (JoinBoltTest.java:663-693), via the runner's cross-batch combine.
   test("F8: five COUNT partials merge additively to 15") {
