@@ -146,8 +146,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // BASELINE B7 metrics: aggregate input records/sec through the shared
+    // pass and amortized per-query overhead
+    val eventRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val b7Sec = results.collectFirst { case ("b7_runner_100q", t) => t }.getOrElse(0.0)
+    val b7Json = s"""{"queries":100,"input_records":$eventRows,""" +
+      s""""records_per_sec":${if (b7Sec > 0) eventRows / b7Sec else 0.0},""" +
+      s""""ms_per_query":${b7Sec * 10}}"""
     val b8Json = s"""{"windows":${b8._1},"expected":$b8Secs,"jitter_ms_avg":${b8._2},"dropped":${b8._3}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b8":$b8Json,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b8":$b8Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
