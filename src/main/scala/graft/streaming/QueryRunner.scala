@@ -227,8 +227,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
           val spec = QueryJson.parseSpec(n.get("query"))
+          val qs = Option(n.get("queryString")).filterNot(_.isNull).map(_.asText())
           if (!queries.contains(spec.id))
-            queries += spec.id -> new RQ(spec, n.get("registeredAt").asLong())
+            queries += spec.id -> new RQ(spec, n.get("registeredAt").asLong(), qs)
         }
       }
     }
@@ -238,7 +239,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 
   private def persistRegistry(): Unit = registryFs.foreach { case (fs, dir) =>
     val lines = queries.values.map { rq =>
-      s"""{"registeredAt":${rq.registeredAt},"query":${QueryJson.render(rq.spec)}}"""
+      val qs = rq.queryString
+        .map(s => s""""queryString":${Json.render(s)},""").getOrElse("")
+      s"""{"registeredAt":${rq.registeredAt},$qs"query":${QueryJson.render(rq.spec)}}"""
     }.mkString("", "\n", "\n")
     val tmp = new org.apache.hadoop.fs.Path(dir, "registry.jsonl.tmp")
     val out = fs.create(tmp, true)
