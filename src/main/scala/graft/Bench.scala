@@ -117,7 +117,11 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    try runnerPass(spark, sfDir, 5) catch { case _: Throwable => () }
+    // warm the FULL 100-query plan: codegen/janino compilation of the
+    // 100-aggregate-column shared pass is the dominant cold-start cost and
+    // must not land in the measured run
+    try runnerPass(spark, sfDir, 100) catch { case _: Throwable => () }
+    try eqRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
 
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
