@@ -140,6 +140,17 @@ object SparkEntry {
       QueryCompiler.run(rd(s, dir, "customer"), q).orderBy("Quantile")
     }),
 
+    // §2.4 DISTRIBUTION LINEAR form (reference LinearDistribution —
+    // numberOfPoints instead of explicit ranks, FilterBoltTest.java:747):
+    // QUANTILE numPoints=5 generates {0, .25, .5, .75, 1}, same oracle as
+    // the MANUAL q_dist_quantile.
+    "q_dist_linear" -> ((s, dir) => {
+      val q = QuerySpec(id = "dl",
+        aggregation = Distribution("c_acctbal", DistributionType.QUANTILE,
+          Nil, k = 32768, numPoints = Some(5)))
+      QueryCompiler.run(rd(s, dir, "customer"), q).orderBy("Quantile")
+    }),
+
     // §2.4 DISTRIBUTION PMF: ±∞ end bins, [a,b) ranges (EXCLUSIVE split).
     "q_dist_pmf" -> ((s, dir) => {
       val q = QuerySpec(id = "dp",
@@ -593,6 +604,10 @@ object SparkEntry {
     "q_count_distinct_multi" ->
       "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
     "q_dist_quantile" ->
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
+        s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\""),
+    "q_dist_linear" ->
       Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
         s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\""),

@@ -184,7 +184,8 @@ final case class DistRow(range: String, count: Long, probability: Double,
  * (FilterBoltTest.java:770-781); QUANTILE uses INCLUSIVE (smallest value
  * whose inclusive rank ≥ p — SQL percentile_disc semantics).
  */
-final class KllDistributionAgg(dtype: String, points: Array[Double], k: Int = 2048)
+final class KllDistributionAgg(dtype: String, explicitPoints: Array[Double],
+                               k: Int = 2048, numPoints: Int = 0)
     extends Aggregator[java.lang.Double, KllBuf, Seq[DistRow]] {
   import SketchAggregators._
   def zero: KllBuf = new KllBuf(k)
@@ -193,10 +194,26 @@ final class KllDistributionAgg(dtype: String, points: Array[Double], k: Int = 20
   }
   def merge(b1: KllBuf, b2: KllBuf): KllBuf = b1.merge(b2)
 
+  /** LINEAR point generation (bullet-core LinearDistribution,
+    * FilterBoltTest.java:747): QUANTILE ranks spread over [0, 1]; PMF/CDF
+    * split points spread between the sketch's own min and max — data
+    * dependent, only known at finish. */
+  private def generatedPoints(s: KllDoublesSketch): Array[Double] =
+    if (explicitPoints.nonEmpty || numPoints <= 0) explicitPoints
+    else if (dtype == "QUANTILE") {
+      if (numPoints == 1) Array(0.0)
+      else Array.tabulate(numPoints)(i => i.toDouble / (numPoints - 1))
+    } else {
+      val (lo, hi) = (s.getMinItem, s.getMaxItem)
+      if (numPoints == 1) Array(lo)
+      else Array.tabulate(numPoints)(i => lo + i * (hi - lo) / (numPoints - 1))
+    }
+
   def finish(b: KllBuf): Seq[DistRow] = {
     val s = b.result
     if (s.isEmpty) return Seq.empty
     val n = s.getN
+    val points = generatedPoints(s)
     dtype match {
       case "QUANTILE" =>
         points.toSeq.map { p =>

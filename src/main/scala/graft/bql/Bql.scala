@@ -113,7 +113,8 @@ object Bql {
     final case class CountDistinctItem(fields: Seq[String], as: Option[String]) extends Item
     final case class TopItem(k: Int, fields: Seq[String], as: Option[String]) extends Item
     final case class DistItem(dtype: DistributionType.Value, field: String,
-                              points: Seq[Double], as: Option[String]) extends Item
+                              points: Seq[Double], numPoints: Option[Int],
+                              as: Option[String]) extends Item
 
     def parseQuery(id: String): QuerySpec = {
       eatKw("SELECT")
@@ -174,13 +175,16 @@ object Bql {
           TopItem(k, parseIdentList(), None)
         case "QUANTILE" | "FREQ" | "CUMFREQ" =>
           val f = ident(); eatSym(",")
-          val pts = parseDoubleArray()
+          // [p, ...] = MANUAL explicit points; a bare count = LINEAR
+          val (pts, np) =
+            if (peek.contains(Sym("["))) (parseDoubleArray(), None)
+            else (Seq.empty[Double], Some(parseLong().toInt))
           val dt = fn.toUpperCase match {
             case "QUANTILE" => DistributionType.QUANTILE
             case "FREQ"     => DistributionType.PMF
             case _          => DistributionType.CDF
           }
-          DistItem(dt, f, pts, None)
+          DistItem(dt, f, pts, np, None)
       }
       eatSym(")")
       val as = parseAs()
@@ -395,7 +399,7 @@ object Bql {
         } else if (distItems.nonEmpty) {
           require(distItems.size == 1 && items.size == 1, "distribution must be the only select item")
           val d = distItems.head
-          Distribution(d.field, d.dtype, d.points)
+          Distribution(d.field, d.dtype, d.points, numPoints = d.numPoints)
         } else if (groupBy.isDefined) {
           val keys = groupBy.get
           // non-agg select items must be the group keys (with optional rename)

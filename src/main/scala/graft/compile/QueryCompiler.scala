@@ -88,9 +88,9 @@ object QueryCompiler {
       val agg = udaf(new ThetaCountDistinctAgg(lgK), Encoders.STRING)
       df.agg(agg(compositeKey(fields)).as(name))
 
-    case Distribution(field, dtype, points, k) =>
-      val agg = udaf(new KllDistributionAgg(dtype.toString, points.toArray, k),
-        Encoders.DOUBLE)
+    case Distribution(field, dtype, points, k, numPoints) =>
+      val agg = udaf(new KllDistributionAgg(dtype.toString, points.toArray, k,
+        numPoints.getOrElse(0)), Encoders.DOUBLE)
       val rows = df.agg(agg(col(field).cast("double")).as("rows"))
         .select(explode(col("rows")).as("r"))
       dtype match {

@@ -118,9 +118,16 @@ object DistributionType extends Enumeration { val QUANTILE, PMF, CDF = Value }
 
 /** DISTRIBUTION: quantile sketch over a numeric field. Three result shapes
   * (FilterBoltTest.java:741-786): QUANTILE → {Value, Quantile}; PMF/CDF →
-  * {Range, Probability, Count} with ±∞ end bins. KLL-backed. */
+  * {Range, Probability, Count} with ±∞ end bins. KLL-backed.
+  *
+  * Points come either explicitly (`points`, the reference's MANUAL form) or
+  * generated (`numPoints`, the LINEAR form — FilterBoltTest.java:747 uses
+  * numberOfPoints 3): QUANTILE generates evenly spaced ranks in [0, 1];
+  * PMF/CDF generate split points evenly spaced between the sketch's min
+  * and max AT FINISH (data-dependent, as in bullet-core). */
 final case class Distribution(field: String, dtype: DistributionType.Value,
-                              points: Seq[Double], k: Int = 2048)
+                              points: Seq[Double], k: Int = 2048,
+                              numPoints: Option[Int] = None)
     extends Aggregation { val size = 100 }
 
 /** TOP_K frequent-items over a field tuple with renames; optional minimum

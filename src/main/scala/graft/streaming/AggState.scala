@@ -135,7 +135,8 @@ final class CountDistinctState(spec: CountDistinct) extends AggState {
 final class DistributionState(spec: Distribution) extends AggState {
   var buf = new KllBuf(spec.k)
   private val finisher =
-    new KllDistributionAgg(spec.dtype.toString, spec.points.toArray, spec.k)
+    new KllDistributionAgg(spec.dtype.toString, spec.points.toArray, spec.k,
+      spec.numPoints.getOrElse(0))
   def finishRecords(): Seq[String] = finisher.finish(buf).map { r =>
     spec.dtype match {
       case DistributionType.QUANTILE =>

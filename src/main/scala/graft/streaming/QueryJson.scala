@@ -98,8 +98,9 @@ object QueryJson {
       opt(n, "lgK").map(_.asInt()).getOrElse(17))
     case "DISTRIBUTION" => Distribution(req(n, "field").asText(),
       DistributionType.withName(req(n, "dtype").asText()),
-      req(n, "points").elements().asScala.toSeq.map(_.asDouble()),
-      opt(n, "k").map(_.asInt()).getOrElse(2048))
+      opt(n, "points").map(_.elements().asScala.toSeq.map(_.asDouble())).getOrElse(Nil),
+      opt(n, "k").map(_.asInt()).getOrElse(2048),
+      opt(n, "numPoints").map(_.asInt()))
     case "TOP_K" => TopK(parseFieldPairs(req(n, "fields")),
       req(n, "k").asInt(),
       opt(n, "countName").map(_.asText()).getOrElse("count"),
@@ -227,11 +228,12 @@ object QueryJson {
         n.put("type", "COUNT_DISTINCT")
         val arr = n.putArray("fields"); fields.foreach(arr.add)
         n.put("name", name); n.put("lgK", lgK)
-      case Distribution(field, dtype, points, k) =>
+      case Distribution(field, dtype, points, k, numPoints) =>
         n.put("type", "DISTRIBUTION"); n.put("field", field)
         n.put("dtype", dtype.toString)
-        val arr = n.putArray("points"); points.foreach(arr.add)
+        if (points.nonEmpty) { val arr = n.putArray("points"); points.foreach(arr.add) }
         n.put("k", k)
+        numPoints.foreach(n.put("numPoints", _))
       case TopK(fields, k, countName, threshold, maxMapSize) =>
         n.put("type", "TOP_K")
         renderFieldPairs(n.putArray("fields"), fields)

@@ -298,7 +298,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         if (e <= 0) errs += "GROUP BY entries cap must be positive"
         errs ++= opErrors(ops)
       case CountDistinct(f, _, _) if f.isEmpty => errs += "COUNT_DISTINCT needs fields"
-      case Distribution(_, _, p, _) if p.isEmpty => errs += "DISTRIBUTION needs points"
+      case Distribution(_, _, p, _, np) if p.isEmpty && !np.exists(_ >= 1) =>
+        errs += "DISTRIBUTION needs explicit points or numPoints >= 1"
       case TopK(f, k, _, _, _) =>
         if (f.isEmpty) errs += "TOP_K needs fields"
         if (k <= 0) errs += "TOP_K k must be positive"
@@ -602,9 +603,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         val key = QueryCompiler.compositeKeyOf(fields.map(fld))
         val agg = udaf(new ThetaPartialAgg(lgK), Encoders.STRING)
         Seq(agg(when(g, key)).as(p(id)))
-      case Distribution(field, _, _, k) =>
-        val agg = udaf(new KllPartialAgg(k), Encoders.DOUBLE)
-        Seq(agg(when(g, fld(field).cast("double"))).as(p(id)))
+      case d: Distribution =>
+        val agg = udaf(new KllPartialAgg(d.k), Encoders.DOUBLE)
+        Seq(agg(when(g, fld(d.field).cast("double"))).as(p(id)))
       case TopK(fields, _, _, _, maxMapSize) =>
         val key = QueryCompiler.compositeKeyOf(fields.map(f => fld(f._1)))
         val agg = udaf(new FreqItemsPartialAgg(maxMapSize), Encoders.STRING)

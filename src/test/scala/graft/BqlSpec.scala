@@ -41,6 +41,11 @@ class BqlSpec extends SparkTestBase {
       === TopK(Seq("user" -> "user"), 5, "cnt"))
     assert(Bql.parse("SELECT QUANTILE(v, [0.1, 0.5, 0.9]) FROM STREAM").aggregation
       === Distribution("v", DistributionType.QUANTILE, Seq(0.1, 0.5, 0.9)))
+    // bare count = LINEAR generated points (reference LinearDistribution)
+    assert(Bql.parse("SELECT QUANTILE(v, 5) FROM STREAM").aggregation
+      === Distribution("v", DistributionType.QUANTILE, Nil, numPoints = Some(5)))
+    assert(Bql.parse("SELECT FREQ(v, 3) FROM STREAM").aggregation
+      === Distribution("v", DistributionType.PMF, Nil, numPoints = Some(3)))
     assert(Bql.parse("SELECT FREQ(v, [0, 10]) FROM STREAM").aggregation
       === Distribution("v", DistributionType.PMF, Seq(0.0, 10.0)))
     assert(Bql.parse("SELECT CUMFREQ(v, [0, 10]) FROM STREAM").aggregation

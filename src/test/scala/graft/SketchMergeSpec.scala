@@ -119,6 +119,23 @@ class SketchMergeSpec extends AnyFunSuite {
     assert(rows.map(_.count) === expect.toSeq.map(p => Math.round(p * s.getN)))
   }
 
+  test("LINEAR distribution: QUANTILE ranks over [0,1], PMF splits from sketch min/max") {
+    // QUANTILE numPoints 5 == explicit {0, .25, .5, .75, 1}
+    val q = new KllDistributionAgg("QUANTILE", Array.empty, k = 1024, numPoints = 5)
+    val qb = q.zero
+    (1 to 100).foreach(i => qb.update(i.toDouble))
+    assert(q.finish(qb).map(_.quantile) === Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // PMF numPoints 3 over values 0..100 → splits {0, 50, 100}: counts are
+    // (-∞,0)=0, [0,50)=50, [50,100)=50, [100,∞)=1 — the reference's
+    // generated-domain shape (FilterBoltTest.java:741-786)
+    val p = new KllDistributionAgg("PMF", Array.empty, k = 1024, numPoints = 3)
+    val pb = p.zero
+    (0 to 100).foreach(i => pb.update(i.toDouble))
+    val rows = p.finish(pb)
+    assert(rows.map(_.range) === Seq("(-∞, 0.0)", "[0.0, 50.0)", "[50.0, 100.0)", "[100.0, +∞)"))
+    assert(rows.map(_.count) === Seq(0L, 50L, 50L, 1L))
+  }
+
   test("CappedCollectAgg: truncates at cap across merges") {
     val agg = new CappedCollectAgg(3)
     val b1 = Seq("a", "b").foldLeft(agg.zero)(agg.reduce)
