@@ -175,10 +175,17 @@ object Bql {
           TopItem(k, parseIdentList(), None)
         case "QUANTILE" | "FREQ" | "CUMFREQ" =>
           val f = ident(); eatSym(",")
-          // [p, ...] = MANUAL explicit points; a bare count = LINEAR
+          // [p, ...] = MANUAL; one count = LINEAR; start, end, inc = REGION
           val (pts, np) =
             if (peek.contains(Sym("["))) (parseDoubleArray(), None)
-            else (Seq.empty[Double], Some(parseLong().toInt))
+            else {
+              val first = parseNum()
+              if (trySym(",")) {
+                val end = parseNum(); eatSym(",")
+                val inc = parseNum()
+                (graft.streaming.QueryJson.regionToPoints(first, end, inc), None)
+              } else (Seq.empty[Double], Some(first.toInt))
+            }
           val dt = fn.toUpperCase match {
             case "QUANTILE" => DistributionType.QUANTILE
             case "FREQ"     => DistributionType.PMF
@@ -242,6 +249,12 @@ object Bql {
     private def parseLong(): Long = next() match {
       case NumLit(l: Long) => l
       case t => throw new IllegalArgumentException(s"expected integer, got $t")
+    }
+
+    private def parseNum(): Double = next() match {
+      case NumLit(l: Long)   => l.toDouble
+      case NumLit(d: Double) => d
+      case t => throw new IllegalArgumentException(s"expected number, got $t")
     }
 
     private def parseDoubleArray(): Seq[Double] = {

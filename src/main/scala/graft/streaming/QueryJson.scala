@@ -96,11 +96,22 @@ object QueryJson {
       req(n, "fields").elements().asScala.toSeq.map(_.asText()),
       opt(n, "name").map(_.asText()).getOrElse("count"),
       opt(n, "lgK").map(_.asInt()).getOrElse(17))
-    case "DISTRIBUTION" => Distribution(req(n, "field").asText(),
-      DistributionType.withName(req(n, "dtype").asText()),
-      opt(n, "points").map(_.elements().asScala.toSeq.map(_.asDouble())).getOrElse(Nil),
-      opt(n, "k").map(_.asInt()).getOrElse(2048),
-      opt(n, "numPoints").map(_.asInt()))
+    case "DISTRIBUTION" =>
+      // three point forms (bullet-core Manual/Linear/RegionDistribution):
+      // explicit "points", "numPoints" (LINEAR), or start/end/increment
+      // (REGION — expanded to explicit points here, they are static)
+      val regionPoints = (opt(n, "start"), opt(n, "end"), opt(n, "increment")) match {
+        case (Some(s), Some(e), Some(i)) =>
+          regionToPoints(s.asDouble(), e.asDouble(), i.asDouble())
+        case _ => Nil
+      }
+      val explicit = opt(n, "points")
+        .map(_.elements().asScala.toSeq.map(_.asDouble())).getOrElse(Nil)
+      Distribution(req(n, "field").asText(),
+        DistributionType.withName(req(n, "dtype").asText()),
+        if (explicit.nonEmpty) explicit else regionPoints,
+        opt(n, "k").map(_.asInt()).getOrElse(2048),
+        opt(n, "numPoints").map(_.asInt()))
     case "TOP_K" => TopK(parseFieldPairs(req(n, "fields")),
       req(n, "k").asInt(),
       opt(n, "countName").map(_.asText()).getOrElse("count"),
@@ -126,6 +137,15 @@ object QueryJson {
     })
     case "CULLING" => Culling(n.get("names").elements().asScala.toSeq.map(_.asText()))
     case other => throw new IllegalArgumentException(s"unknown post-aggregation: $other")
+  }
+
+  /** REGION points: start, start+inc, … ≤ end (multiplicative stepping —
+    * repeated addition drifts). */
+  def regionToPoints(start: Double, end: Double, inc: Double): Seq[Double] = {
+    require(inc > 0, "REGION increment must be positive")
+    require(end >= start, "REGION end must be >= start")
+    val n = math.floor((end - start) / inc + 1e-9).toInt
+    (0 to n).map(i => start + i * inc)
   }
 
   private def req(n: JsonNode, f: String): JsonNode = {

@@ -46,6 +46,9 @@ class BqlSpec extends SparkTestBase {
       === Distribution("v", DistributionType.QUANTILE, Nil, numPoints = Some(5)))
     assert(Bql.parse("SELECT FREQ(v, 3) FROM STREAM").aggregation
       === Distribution("v", DistributionType.PMF, Nil, numPoints = Some(3)))
+    // three numbers = REGION start/end/increment, expanded to static points
+    assert(Bql.parse("SELECT FREQ(v, 0.0, 100.0, 25.0) FROM STREAM").aggregation
+      === Distribution("v", DistributionType.PMF, Seq(0.0, 25.0, 50.0, 75.0, 100.0)))
     assert(Bql.parse("SELECT FREQ(v, [0, 10]) FROM STREAM").aggregation
       === Distribution("v", DistributionType.PMF, Seq(0.0, 10.0)))
     assert(Bql.parse("SELECT CUMFREQ(v, [0, 10]) FROM STREAM").aggregation
