@@ -152,7 +152,9 @@ object Bench {
     val total = results.map(_._2).sum
     // BASELINE B7 metrics: aggregate input records/sec through the shared
     // pass and amortized per-query overhead
-    val eventRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val eventRows =
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case _: Throwable => 0L } // summary must not lose the JSON line
     val b7Sec = results.collectFirst { case ("b7_runner_100q", t) => t }.getOrElse(0.0)
     val b7Json = s"""{"queries":100,"input_records":$eventRows,""" +
       s""""records_per_sec":${if (b7Sec > 0) eventRows / b7Sec else 0.0},""" +

@@ -603,14 +603,8 @@ object SparkEntry {
       "SELECT count(DISTINCT l_orderkey) AS count FROM lineitem",
     "q_count_distinct_multi" ->
       "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
-    "q_dist_quantile" ->
-      Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
-        s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
-        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\""),
-    "q_dist_linear" ->
-      Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
-        s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
-        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\""),
+    "q_dist_quantile" -> quartileOracle,
+    "q_dist_linear" -> quartileOracle, // LINEAR numPoints=5 == these ranks
     "q_dist_pmf" ->
       ("""SELECT * FROM (
          | SELECT '(-∞, 0.0)' AS "Range", count(*) FILTER (WHERE c_acctbal < 0.0) AS "Count", count(*) FILTER (WHERE c_acctbal < 0.0)::DOUBLE / count(c_acctbal) AS "Probability" FROM customer
@@ -781,6 +775,13 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
         |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
   )
+
+  /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for
+    * both the MANUAL (q_dist_quantile) and LINEAR (q_dist_linear) forms. */
+  private val quartileOracle: String =
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
+      s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\"")
 
   /** Exact word-3-gram Jaccard pairs with threshold 0.5, as DuckDB SQL —
     * oracle for both the inverted-index and the MinHash-LSH variants. */

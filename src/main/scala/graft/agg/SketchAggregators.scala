@@ -204,9 +204,12 @@ final class KllDistributionAgg(dtype: String, explicitPoints: Array[Double],
       if (numPoints == 1) Array(0.0)
       else Array.tabulate(numPoints)(i => i.toDouble / (numPoints - 1))
     } else {
+      // degenerate domain (min == max, e.g. one distinct value) collapses
+      // to a single split — getPMF/getCDF REQUIRE strictly increasing
+      // points and throw on duplicates
       val (lo, hi) = (s.getMinItem, s.getMaxItem)
-      if (numPoints == 1) Array(lo)
-      else Array.tabulate(numPoints)(i => lo + i * (hi - lo) / (numPoints - 1))
+      if (numPoints == 1 || hi == lo) Array(lo)
+      else Array.tabulate(numPoints)(i => lo + i * (hi - lo) / (numPoints - 1)).distinct
     }
 
   def finish(b: KllBuf): Seq[DistRow] = {

@@ -179,12 +179,22 @@ object Bql {
           val (pts, np) =
             if (peek.contains(Sym("["))) (parseDoubleArray(), None)
             else {
-              val first = parseNum()
+              val firstTok = next() match {
+                case NumLit(v) => v
+                case t => throw new IllegalArgumentException(s"expected number, got $t")
+              }
               if (trySym(",")) {
+                val start = firstTok match { case l: Long => l.toDouble; case d: Double => d }
                 val end = parseNum(); eatSym(",")
                 val inc = parseNum()
-                (graft.streaming.QueryJson.regionToPoints(first, end, inc), None)
-              } else (Seq.empty[Double], Some(first.toInt))
+                (graft.streaming.QueryJson.regionToPoints(start, end, inc), None)
+              } else firstTok match {
+                // a LINEAR count is an integer by definition: reject 2.5
+                // instead of silently truncating, and cap before Int wraps
+                case l: Long if l >= 1 && l <= 10000 => (Seq.empty[Double], Some(l.toInt))
+                case other => throw new IllegalArgumentException(
+                  s"LINEAR point count must be an integer in [1, 10000], got $other")
+              }
             }
           val dt = fn.toUpperCase match {
             case "QUANTILE" => DistributionType.QUANTILE

@@ -140,11 +140,15 @@ object QueryJson {
   }
 
   /** REGION points: start, start+inc, … ≤ end (multiplicative stepping —
-    * repeated addition drifts). */
+    * repeated addition drifts). Capped at 10,000 points: a single
+    * control-plane message must not be able to allocate an unbounded Seq
+    * on the driver (the reference caps distribution points via config). */
   def regionToPoints(start: Double, end: Double, inc: Double): Seq[Double] = {
     require(inc > 0, "REGION increment must be positive")
     require(end >= start, "REGION end must be >= start")
-    val n = math.floor((end - start) / inc + 1e-9).toInt
+    val steps = (end - start) / inc
+    require(steps <= 10000, s"REGION would generate ${steps.toLong} points; cap is 10000")
+    val n = math.floor(steps + 1e-9).toInt
     (0 to n).map(i => start + i * inc)
   }
 

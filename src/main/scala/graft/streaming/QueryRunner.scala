@@ -125,7 +125,19 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     * registered callback (publish to Kafka/REST/file from here). */
   def onResult(cb: Clip => Unit): Unit = sinks += cb
 
-  private def record(c: Clip): Clip = { emissions += c; sinks.foreach(_(c)); c }
+  /** Count of sink callbacks that threw (results are still recorded in
+    * [[results]] and delivered to the remaining sinks — one failing sink
+    * must not lose COMPLETE clips of already-deregistered queries or abort
+    * the micro-batch for every other query). */
+  var sinkErrors: Long = 0L
+
+  private def record(c: Clip): Clip = {
+    emissions += c
+    sinks.foreach { s =>
+      try s(c) catch { case scala.util.control.NonFatal(_) => sinkErrors += 1 }
+    }
+    c
+  }
 
   // -------------------------------------------------------------------------
   // Registration / control plane
@@ -298,8 +310,16 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         if (e <= 0) errs += "GROUP BY entries cap must be positive"
         errs ++= opErrors(ops)
       case CountDistinct(f, _, _) if f.isEmpty => errs += "COUNT_DISTINCT needs fields"
-      case Distribution(_, _, p, _, np) if p.isEmpty && !np.exists(_ >= 1) =>
-        errs += "DISTRIBUTION needs explicit points or numPoints >= 1"
+      case d: Distribution =>
+        if (d.points.isEmpty && !d.numPoints.exists(_ >= 1))
+          errs += "DISTRIBUTION needs explicit points or numPoints >= 1"
+        if (d.numPoints.exists(_ > 10000) || d.points.size > 10000)
+          errs += "DISTRIBUTION points are capped at 10000"
+        // QUANTILE points are normalized ranks; the sketch throws outside
+        // [0,1] at emit time — reject at registration instead
+        if (d.dtype == DistributionType.QUANTILE &&
+            d.points.exists(v => v < 0.0 || v > 1.0))
+          errs += "QUANTILE points must be ranks in [0, 1]"
       case TopK(f, k, _, _, _) =>
         if (f.isEmpty) errs += "TOP_K needs fields"
         if (k <= 0) errs += "TOP_K k must be positive"

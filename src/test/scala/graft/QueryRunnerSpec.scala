@@ -498,6 +498,38 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(runner.activeQueryIds.isEmpty)
   }
 
+  test("distribution validation: QUANTILE ranks outside [0,1] and oversized points FAIL at register") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    // a BQL REGION typo like QUANTILE(v, 0, 100, 25) produces ranks > 1 —
+    // the sketch would throw at emit; must be rejected at registration
+    val bad = runner.register(QuerySpec("bad_q",
+      aggregation = Distribution("value", DistributionType.QUANTILE, Seq(0.0, 25.0, 100.0))))
+    assert(bad.isDefined && bad.get.signal.contains("FAIL"))
+    val big = runner.register(QuerySpec("big_q",
+      aggregation = Distribution("value", DistributionType.PMF, Nil, numPoints = Some(2000000))))
+    assert(big.isDefined && big.get.signal.contains("FAIL"))
+    assert(runner.activeQueryIds.isEmpty)
+    // a runaway REGION control message is rejected before allocating
+    intercept[IllegalArgumentException](
+      graft.streaming.QueryJson.regionToPoints(0.0, 1e18, 1.0))
+  }
+
+  test("a throwing sink does not lose clips or break other sinks") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    runner.onResult(_ => throw new java.io.IOException("disk full"))
+    runner.onResult(c => seen += c.queryId)
+    runner.register(clickCountSpec("s_ok", durationMs = 100))
+    runner.processBatch(events)
+    clock.advance(200)
+    val clips = runner.onTick()
+    assert(clips.size === 1 && clips.head.signal.contains("COMPLETE"))
+    assert(runner.results.size === 1)  // recorded despite the failing sink
+    assert(seen === Seq("s_ok"))       // later sinks still delivered
+    assert(runner.sinkErrors === 1L)
+  }
+
   test("eq partitioner skips type-mismatched literals (string literal, numeric column)") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)

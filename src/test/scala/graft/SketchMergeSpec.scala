@@ -136,6 +136,15 @@ class SketchMergeSpec extends AnyFunSuite {
     assert(rows.map(_.count) === Seq(0L, 50L, 50L, 1L))
   }
 
+  test("LINEAR PMF on a degenerate domain (min == max) collapses to one split") {
+    val p = new KllDistributionAgg("PMF", Array.empty, k = 1024, numPoints = 3)
+    val b = p.zero
+    (1 to 5).foreach(_ => b.update(7.0)) // one distinct value
+    val rows = p.finish(b) // duplicate splits would throw in getPMF
+    assert(rows.map(_.range) === Seq("(-∞, 7.0)", "[7.0, +∞)"))
+    assert(rows.map(_.count) === Seq(0L, 5L))
+  }
+
   test("CappedCollectAgg: truncates at cap across merges") {
     val agg = new CappedCollectAgg(3)
     val b1 = Seq("a", "b").foldLeft(agg.zero)(agg.reduce)
