@@ -26,6 +26,12 @@ object ExprCompiler {
     * for the few ops whose Spark builtin differs by operand type (SIZE_OF,
     * CONTAINS_VALUE); everything else is type-agnostic. */
   def compile(e: Expr, schema: Option[StructType]): Column = e match {
+    // A field the record lacks evaluates as a typed null, NOT an analysis
+    // error — the reference's schemaless-record semantics (missing field
+    // `B` groups as the string "null", FilterBoltTest.java:827-828). Only
+    // possible when a schema is supplied; schemaless compile keeps the
+    // plain column reference.
+    case Field(name, _) if schema.exists(!_.fieldNames.contains(name)) => lit(null)
     case Field(name, None)      => col(name)
     case Field(name, Some(sub)) => col(name)(sub)
     case Lit(null)              => lit(null)

@@ -44,17 +44,23 @@ object QueryCompiler {
     }
   }
 
+  /** Field reference that treats a field the input lacks as a typed null —
+    * the reference's schemaless-record semantics (FilterBoltTest.java:
+    * 827-828) — instead of an analysis error. */
+  private def fieldOrNull(df: DataFrame, name: String): Column =
+    if (df.schema.fieldNames.contains(name)) col(name) else lit(null)
+
   /** Stringify a group value the way the reference does: null → "null",
     * everything else via toString (FilterBoltTest.java:827-828). */
-  private def strKey(name: String): Column =
-    coalesce(col(name).cast(StringType), lit(NullString))
+  private def strKey(df: DataFrame, name: String): Column =
+    coalesce(fieldOrNull(df, name).cast(StringType), lit(NullString))
 
   /** Composite key for sketch updates over field tuples, serialized as a
     * JSON string array — injective for any key content (no separator to
     * collide with), cheap to parse back. A missing/null field contributes
     * the literal "null", so the tuple is never silently shortened. */
-  def compositeKey(fields: Seq[String]): Column =
-    to_json(array(fields.map(strKey): _*))
+  def compositeKey(df: DataFrame, fields: Seq[String]): Column =
+    to_json(array(fields.map(strKey(df, _)): _*))
 
   /** Recover the i-th (1-based) tuple element from a [[compositeKey]]. */
   def keyElement(key: Column, i: Int): Column =
@@ -69,7 +75,7 @@ object QueryCompiler {
       df.limit(size)
 
     case GroupAll(ops) =>
-      df.agg(groupCols(ops).head, groupCols(ops).tail: _*)
+      df.agg(groupCols(df, ops).head, groupCols(df, ops).tail: _*)
 
     case GroupBy(fields, ops, entries) =>
       // Exact while |groups| ≤ entries — the reference's Tuple-sketch exact
@@ -77,21 +83,21 @@ object QueryCompiler {
       // order (deterministic; the sketch samples instead — documented
       // deviation, same bounded-memory guarantee via partial agg + limit).
       val keyed = fields.foldLeft(df) { case (d, (f, alias)) =>
-        d.withColumn(alias, strKey(f))
+        d.withColumn(alias, strKey(df, f))
       }
       val out = keyed
         .groupBy(fields.map { case (_, alias) => col(alias) }: _*)
-        .agg(groupCols(ops).head, groupCols(ops).tail: _*)
+        .agg(groupCols(df, ops).head, groupCols(df, ops).tail: _*)
       out.orderBy(fields.map { case (_, alias) => col(alias) }: _*).limit(entries)
 
     case CountDistinct(fields, name, lgK) =>
       val agg = udaf(new ThetaCountDistinctAgg(lgK), Encoders.STRING)
-      df.agg(agg(compositeKey(fields)).as(name))
+      df.agg(agg(compositeKey(df, fields)).as(name))
 
     case Distribution(field, dtype, points, k, numPoints) =>
       val agg = udaf(new KllDistributionAgg(dtype.toString, points.toArray, k,
         numPoints.getOrElse(0)), Encoders.DOUBLE)
-      val rows = df.agg(agg(col(field).cast("double")).as("rows"))
+      val rows = df.agg(agg(fieldOrNull(df, field).cast("double")).as("rows"))
         .select(explode(col("rows")).as("r"))
       dtype match {
         case DistributionType.QUANTILE =>
@@ -104,7 +110,7 @@ object QueryCompiler {
     case TopK(fields, k, countName, threshold, maxMapSize) =>
       val agg = udaf(new FreqItemsTopKAgg(k, threshold.getOrElse(0L), maxMapSize),
         Encoders.STRING)
-      val rows = df.agg(agg(compositeKey(fields.map(_._1))).as("rows"))
+      val rows = df.agg(agg(compositeKey(df, fields.map(_._1))).as("rows"))
         .select(explode(col("rows")).as("r"))
       val keyCols = fields.zipWithIndex.map { case ((_, alias), i) =>
         keyElement(col("r.key"), i + 1).as(alias)
@@ -112,15 +118,16 @@ object QueryCompiler {
       rows.select(keyCols :+ col("r.count").as(countName): _*)
   }
 
-  private def groupCols(ops: Seq[GroupOp]): Seq[Column] = ops.map { op =>
+  private def groupCols(df: DataFrame, ops: Seq[GroupOp]): Seq[Column] = ops.map { op =>
     import GroupOpType._
+    def f = fieldOrNull(df, op.field.get)
     val c = op.op match {
       case COUNT       => count(lit(1))
-      case COUNT_FIELD => count(col(op.field.get))
-      case SUM         => sum(col(op.field.get))
-      case MIN         => min(col(op.field.get))
-      case MAX         => max(col(op.field.get))
-      case AVG         => avg(col(op.field.get))
+      case COUNT_FIELD => count(f)
+      case SUM         => sum(f)
+      case MIN         => min(f)
+      case MAX         => max(f)
+      case AVG         => avg(f)
     }
     c.as(op.name)
   }

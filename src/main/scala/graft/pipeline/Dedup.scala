@@ -74,15 +74,20 @@ object Dedup {
     val counted = maxDocFreq match {
       case Some(m) =>
         // Guarded path — group-and-pair: ONE shuffle of the postings by
-        // shingle builds each bucket's doc list; the doc-frequency guard is
-        // size(bucket) > m on the SAME aggregation (no second pass, no
-        // anti-join), and in-bucket pairs generate map-side. Bucket lists
-        // are bounded by the guard, so the collected arrays are small by
-        // construction — this shape only exists when the guard is armed.
+        // shingle. The doc-frequency guard must drop hot shingles BEFORE
+        // any bucket materializes: `count(*) over (partition by g)` rides
+        // the same hash-partitioning (the groupBy below reuses the
+        // exchange — zero extra shuffles) and WindowExec's row buffer
+        // spills to disk, so a stop-shingle present in millions of docs
+        // never builds a multi-GB aggregation buffer — its postings are
+        // counted, filtered out, and only then do the surviving ≤ m-entry
+        // buckets collect. In-bucket pairs generate map-side.
+        val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("g")
         val buckets = exploded
+          .withColumn("__df", count(lit(1)).over(byShingle))
+          .filter(col("__df").between(2, m))
           .groupBy("g")
           .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("docs"))
-          .filter(size(col("docs")).between(2, m))
         val pairs = buckets.select(explode(flatten(transform(col("docs"),
           (x, i) => transform(
             slice(col("docs"), i + lit(2), size(col("docs")) - i - lit(1)),

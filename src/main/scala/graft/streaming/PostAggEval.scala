@@ -152,9 +152,14 @@ object PostAggEval {
       case STRING => v.toString
       case INTEGER | LONG => v match {
         case b: Boolean => if (b) 1L else 0L
-        // legacy-cast semantics: decimal strings truncate ("3.5" → 3, as
-        // Spark's non-ANSI cast does); unparseable strings → null below
-        case s: String  => s.trim.toDouble.toLong
+        // legacy-cast semantics: integral strings parse exactly (Spark's
+        // non-ANSI string→long does NOT round through double — must hold
+        // above 2^53 too); decimal strings truncate ("3.5" → 3);
+        // unparseable strings → null below
+        case s: String  =>
+          try s.trim.toLong catch {
+            case _: NumberFormatException => s.trim.toDouble.toLong
+          }
         case _          => numeric(v).map(e => e.fold(identity, _.toLong)).orNull
       }
       case FLOAT | DOUBLE => v match {

@@ -147,7 +147,10 @@ object QueryJson {
     require(inc > 0, "REGION increment must be positive")
     require(end >= start, "REGION end must be >= start")
     val steps = (end - start) / inc
-    require(steps <= 10000, s"REGION would generate ${steps.toLong} points; cap is 10000")
+    // the expansion yields n+1 points (0 to n inclusive) and validate()
+    // rejects > 10000 points — the two limits must agree, or a REGION this
+    // accepts FAILs later at register
+    require(steps + 1 <= 10000, s"REGION would generate ${steps.toLong + 1} points; cap is 10000")
     val n = math.floor(steps + 1e-9).toInt
     (0 to n).map(i => start + i * inc)
   }

@@ -269,7 +269,10 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     if (spec.durationMs <= 0) errs += "durationMs must be positive"
     // EXPLODE is a row generator: fine in the batch compiler, but the
     // streaming RAW collector packs the projection into one struct per
-    // record — reject loudly instead of failing at plan time
+    // record, and generators are invalid inside a filter predicate in any
+    // engine — reject loudly at register instead of failing at plan time
+    // (a plan-time AnalysisException inside the shared pass would abort
+    // the micro-batch for every co-registered query).
     def hasExplode(e: Expr): Boolean = e match {
       case Explode(_)      => true
       case Unary(_, x)     => hasExplode(x)
@@ -277,10 +280,13 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       case NAry(_, xs)     => xs.exists(hasExplode)
       case Cast(x, _)      => hasExplode(x)
       case ListExpr(xs)    => xs.exists(hasExplode)
+      case ElementAt(x, _) => hasExplode(x)
       case _               => false
     }
     if (spec.projection.exists(_.exists(p => hasExplode(p._2))))
       errs += "EXPLODE projections are not supported on the streaming path"
+    if (spec.filter.exists(hasExplode))
+      errs += "EXPLODE is not valid inside a filter"
     // post-aggregation expressions run in PostAggEval at emit time — an
     // unsupported op must FAIL at register, not throw inside lifecycle()
     // and kill the whole stream
@@ -378,7 +384,14 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     // numeric column (which compiled predicates coerce) would silently
     // match nothing — such queries stay on the generic compiled path.
     def eqTypeAligned(rq: RQ): Boolean = eqPartitionKey(rq).exists { case (f, v) =>
-      batch.schema.find(_.name == f).exists { sf =>
+      // normValue collapses whole numbers to Long through a Double image,
+      // which is lossy past 2^53 — two distinct Longs could collide on one
+      // group row. Such literals take the generic compiled path instead.
+      val preciseMagnitude = v match {
+        case n: Number => math.abs(n.doubleValue) < 9.007199254740992e15 // 2^53
+        case _         => true
+      }
+      preciseMagnitude && batch.schema.find(_.name == f).exists { sf =>
         (sf.dataType, v) match {
           case (org.apache.spark.sql.types.StringType, _: String)  => true
           case (org.apache.spark.sql.types.BooleanType, _: Boolean) => true
@@ -416,22 +429,45 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       // at 1000 executors the jobs must overlap.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
+      import scala.util.control.NonFatal
       implicit val ec: scala.concurrent.ExecutionContext = QueryRunner.jobEc
+      // Failure isolation: a multi-query job that throws (one bad spec
+      // reaching plan/analysis time, e.g. a field the batch lacks in a
+      // context validate can't see) is retried per-query so the ONE broken
+      // query FAILs and deregisters while every co-registered query keeps
+      // its partials — the reference FAILs the single Querier
+      // (JoinBolt.java:297-308); it never aborts the topology.
+      def isolate(rqs: Seq[RQ])(one: RQ => Unit): Unit = rqs.foreach { rq =>
+        try one(rq) catch { case NonFatal(e) => failQuery(rq, e) }
+      }
       val sharedF = if (simple.isEmpty) None else Some(Future(collectShared(simple, df)))
       val eqF = eqByField.toSeq.map { case (f, rqs) =>
-        Future((rqs.toSeq, collectEqPartitioned(f, rqs.toSeq, df)))
+        (rqs.toSeq, Future(collectEqPartitioned(f, rqs.toSeq, df)))
       }
-      val groupedF = groupedSigs.map(g => Future((g, collectGrouped(g, df))))
-      sharedF.foreach(f => Await.result(f, Duration.Inf) match {
-        case row => simple.foreach(rq => mergePartial(rq, row))
-      })
-      eqF.foreach { f =>
-        val (rqs, (sigs, byValue)) = Await.result(f, Duration.Inf)
-        applyEqPartitioned(rqs, sigs, byValue)
+      val groupedF = groupedSigs.map(g => (g, Future(collectGrouped(g, df))))
+      sharedF.foreach { f =>
+        try {
+          val row = Await.result(f, Duration.Inf)
+          simple.foreach(rq => mergePartial(rq, row))
+        } catch { case NonFatal(_) =>
+          isolate(simple)(rq => mergePartial(rq, collectShared(Seq(rq), df)))
+        }
       }
-      groupedF.foreach { f =>
-        val (g, rows) = Await.result(f, Duration.Inf)
-        applyGrouped(g, rows)
+      eqF.foreach { case (rqs, f) =>
+        try {
+          val (sigs, byValue) = Await.result(f, Duration.Inf)
+          applyEqPartitioned(rqs, sigs, byValue)
+        } catch { case NonFatal(_) =>
+          // eq-partitioned queries are ungrouped by construction: the
+          // generic single-query shared pass is the safe fallback
+          isolate(rqs)(rq => mergePartial(rq, collectShared(Seq(rq), df)))
+        }
+      }
+      groupedF.foreach { case (g, f) =>
+        try applyGrouped(g, Await.result(f, Duration.Inf))
+        catch { case NonFatal(_) =>
+          isolate(g)(rq => applyGrouped(Seq(rq), collectGrouped(Seq(rq), df)))
+        }
       }
     } finally {
       if (needsCache) df.unpersist()
@@ -511,6 +547,20 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       }
     }
 
+  /** FAIL one query whose per-batch job threw even after per-query retry
+    * (the reference's single-Querier error clip, JoinBolt.java:297-308):
+    * emit the error, deregister, leave every other query untouched. */
+  private def failQuery(rq: RQ, e: Throwable): Unit = {
+    rq.done = true
+    queries.remove(rq.spec.id)
+    persistRegistry()
+    record(Clip(rq.spec.id, baseMeta(rq.spec.id, rq.registeredAt) ++ Map(
+      "signal" -> Signal.FAIL.toString,
+      "errors" -> Seq(s"query failed during batch evaluation: " +
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"),
+      "finish_time" -> clock.now()), Seq.empty))
+  }
+
   /** Clock-only evaluation (the reference's tick path, FilterBolt.java:
     * 153-158): catches duration expiry and time-window emits with no data. */
   def onTick(): Seq[Clip] = synchronized(lifecycle())
@@ -566,7 +616,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       case Some(fields) => fields.find(_._1 == name)
         .map { case (_, e) => ExprCompiler.compile(e, Some(schema)) }
         .getOrElse(lit(null))
-      case None => col(name)
+      // through ExprCompiler so a field the batch lacks evaluates as a
+      // typed null (reference schemaless semantics), not an analysis error
+      case None => ExprCompiler.compile(Field(name), Some(schema))
     }
 
   private def n(id: String) = s"${id}__n"

@@ -73,6 +73,17 @@ class PostAggEvalSpec extends AnyFunSuite {
     assert(ev(Binary(Field("s"), Lit("^he"), BinOp.REGEX_LIKE)) === true)
   }
 
+  test("CAST integral strings to LONG parses exactly above 2^53") {
+    // Spark's non-ANSI string→long cast parses integral strings exactly —
+    // a round-trip through Double would land on ...992 here
+    val r = PostAggEval.parseRecord(
+      """{"big":"9007199254740993","dec":"3.9","neg":"-12"}""")
+    def ev(e: Expr) = PostAggEval.eval(e, r)
+    assert(ev(Cast(Field("big"), FieldType.LONG)) === 9007199254740993L)
+    assert(ev(Cast(Field("dec"), FieldType.LONG)) === 3L) // decimals truncate
+    assert(ev(Cast(Field("neg"), FieldType.INTEGER)) === -12L)
+  }
+
   test("SUBSTRING negative positions match Spark substringSQL (unclamped window)") {
     val r = PostAggEval.parseRecord("""{"s":"hello"}""")
     def sub(pos: Long, len: Long) =

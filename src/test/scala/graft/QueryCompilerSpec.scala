@@ -2,7 +2,6 @@ package graft
 
 import graft.compile.QueryCompiler
 import graft.model._
-import org.apache.spark.sql.AnalysisException
 
 /** Whole-query semantics: evaluation order, null-key convention, caps. */
 class QueryCompilerSpec extends SparkTestBase {
@@ -30,14 +29,16 @@ class QueryCompilerSpec extends SparkTestBase {
     assert(QueryCompiler.run(events, q).count() === 3L)
   }
 
-  // ...and a filter on the projected alias does NOT resolve
-  // (FilterBoltTest.java:349-370 asserts non-emission).
-  test("filter on a projected alias does not resolve") {
+  // ...and a filter on the projected alias matches NOTHING: the alias does
+  // not exist on the raw record, and a missing field is a typed null under
+  // the reference's schemaless semantics (FilterBoltTest.java:349-370
+  // asserts non-emission, not an error).
+  test("filter on a projected alias matches no records") {
     val q = QuerySpec(id = "t",
       filter = Some(Binary(Field("renamed"), Lit("click"), BinOp.EQUALS)),
       projection = Some(Seq("renamed" -> Field("etype"))),
       aggregation = Raw(100))
-    intercept[AnalysisException](QueryCompiler.run(events, q).collect())
+    assert(QueryCompiler.run(events, q).count() === 0L)
   }
 
   // Missing/null grouped field becomes the string "null"

@@ -512,6 +512,12 @@ class QueryRunnerSpec extends SparkTestBase {
     // a runaway REGION control message is rejected before allocating
     intercept[IllegalArgumentException](
       graft.streaming.QueryJson.regionToPoints(0.0, 1e18, 1.0))
+    // the REGION cap agrees with the 10000-point register cap: 9999 steps
+    // → 10000 points passes BOTH; 10000 steps → 10001 points is rejected
+    // HERE, not later at register
+    assert(graft.streaming.QueryJson.regionToPoints(0.0, 9999.0, 1.0).size === 10000)
+    intercept[IllegalArgumentException](
+      graft.streaming.QueryJson.regionToPoints(0.0, 10000.0, 1.0))
   }
 
   test("a throwing sink does not lose clips or break other sinks") {
@@ -688,5 +694,82 @@ class QueryRunnerSpec extends SparkTestBase {
     val clips = runner.onTick()
     assert(clips.size === 1)
     assert(parse(clips.head.records.head)("cnt") === 2)
+  }
+
+  test("EXPLODE inside a filter is rejected at register") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val clip = runner.register(QuerySpec("xf",
+      filter = Some(Binary(Explode(Field("tags")), Lit("a"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    assert(clip.exists(_.signal.contains("FAIL")))
+    assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("EXPLODE nested under ElementAt in a projection is rejected at register") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val clip = runner.register(QuerySpec("xp",
+      projection = Some(Seq("x" -> ElementAt(Explode(Field("tags")), 0))),
+      aggregation = Raw(10)))
+    assert(clip.exists(_.signal.contains("FAIL")))
+    assert(runner.activeQueryIds.isEmpty)
+  }
+
+  test("a query failing at batch time FAILs alone; co-registered queries are unaffected") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("good"))
+    // subfield access on a string column: validate can't see types, so the
+    // analysis error only surfaces inside the shared pass at batch time —
+    // it must FAIL this query, not abort the micro-batch for `good`
+    runner.register(QuerySpec("bad",
+      filter = Some(Binary(Field("etype", Some("k")), Lit("x"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.processBatch(events)
+    val failed = runner.results.filter(_.queryId == "bad")
+    assert(failed.size === 1 && failed.head.signal.contains("FAIL"))
+    assert(failed.head.meta("errors").asInstanceOf[Seq[String]]
+      .exists(_.contains("batch evaluation")))
+    assert(runner.activeQueryIds === Seq("good"))
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("good").records.head)("cnt") === 33)
+  }
+
+  test("missing fields: filter matches nothing, group key becomes the string null") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // reference schemaless semantics (FilterBoltTest.java:827-828): a field
+    // the record lacks is a typed null, never an analysis error
+    runner.register(QuerySpec("mf",
+      filter = Some(Binary(Field("no_such_field"), Lit("x"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.register(QuerySpec("mk",
+      aggregation = TopK(Seq("no_such_field" -> "k"), k = 1, countName = "cnt")))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("mf").records.head)("cnt") === 0)
+    val tk = parse(byId("mk").records.head)
+    assert(tk("k") === "null")
+    assert(tk("cnt") === 100)
+  }
+
+  test("equality partitioner precision: Long literals beyond 2^53 stay distinct") {
+    val s = spark
+    import s.implicits._
+    val big = 1L << 60 // big and big+1 collapse to the SAME Double image
+    val df = Seq(big, big + 1, big + 1).toDF("uid")
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    Seq(("b0", big, 1), ("b1", big + 1, 2)).foreach { case (id, v, _) =>
+      runner.register(QuerySpec(id,
+        filter = Some(Binary(Field("uid"), Lit(v), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    }
+    runner.processBatch(df)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("b0").records.head)("cnt") === 1)
+    assert(parse(byId("b1").records.head)("cnt") === 2)
   }
 }
