@@ -433,15 +433,20 @@ object SparkEntry {
       graft.operators.Skew.saltedCountSum(rd(s, dir, "events"),
         Seq("event_type"), "user_id", buckets = 16).orderBy("event_type")),
 
-    // IVF approximate top-k — the partitioned serving layout; approximate →
-    // same in-Spark recall@10 gate as q_ann_lsh (cell-probe must recover
-    // ≥90% of exact neighbors on the clustered fixture).
+    // IVF approximate top-k — the partitioned serving layout. Coarse cells
+    // come from distributed spherical k-means (the real IVF build; at
+    // 100 TB the training set is a hash-sample, the assignment one full
+    // pass). Approximate → same in-Spark recall@10 gate as q_ann_lsh
+    // (cell-probe must recover ≥90% of exact neighbors on the clustered
+    // fixture).
     "q_ann_ivf" -> ((s, dir) => {
       val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nlist = 8, iters = 3)
       val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
-        k = 10, dim = 64, nlist = 8, nprobe = 3)
+        k = 10, dim = 64, nlist = 8, nprobe = 3, centroids = Some(cents))
       Similarity.recallPerQuery(approx, exact)
         .agg(count(lit(1)).cast("long").as("n_queries"),
           (avg(col("recall")) >= 0.9).as("recall_ok"))

@@ -142,9 +142,10 @@ object Similarity {
       .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
   }
 
-  /** Deterministic IVF coarse centroids (seeded gaussian directions). In a
-    * production pipeline these come from k-means over a sample; the
-    * assignment/probe plumbing is identical. */
+  /** Deterministic IVF coarse centroids (seeded gaussian directions) — the
+    * no-training fallback. [[kmeansCentroids]] is the real path: trained
+    * cells put co-similar vectors in the same inverted list, which is what
+    * makes nprobe ≪ nlist recall-safe. */
   def ivfCentroids(dim: Int, nlist: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nlist) {
@@ -152,6 +153,49 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
+  }
+
+  /**
+   * Spherical k-means (Lloyd) coarse centroids, computed distributed:
+   * assignment is the same broadcast argmax-dot the IVF probe uses
+   * (codegen'd [[dot]] per centroid); the update step reduces per-cell
+   * per-dimension sums via `posexplode → groupBy(cell, dim)` — partial
+   * aggregation map-side, and only `nlist × dim` tiny rows reach the
+   * driver per iteration. Centroids re-normalize each round (spherical
+   * variant — cells partition by cosine direction, matching the cosine
+   * ranking the probe performs). Init = the `nlist` lowest-id vectors
+   * (deterministic). An empty cell keeps its previous centroid.
+   *
+   * 100 TB recipe: train on a bounded sample (e.g.
+   * [[Sampling.hashSample]] at ~10⁻⁴) — the standard IVF build — then
+   * assign the full corpus ONCE with the returned centroids.
+   */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val vecs = df.select(asD(col(vecCol)).as("v")).filter(col("v").isNotNull)
+    var cents = df.orderBy(col(idCol)).limit(nlist)
+      .select(asD(col(vecCol)).as("v")).collect()
+      .map(r => norm(r.getSeq[Double](0).toArray))
+    for (_ <- 1 to iters) {
+      val stats = vecs
+        .withColumn("cell", ivfAssign(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val mean = new Array[Double](cents(cell).length)
+        rows.foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("sx") / r.getAs[Long]("n"))
+        next(cell) = norm(mean)
+      }
+      cents = next
+    }
+    cents
   }
 
   /** Index of the centroid with the largest dot product (struct-ordering
@@ -170,8 +214,9 @@ object Similarity {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    val cents = ivfCentroids(dim, nlist, seed)
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(dim, nlist, seed))
     val c = corpus
       .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))

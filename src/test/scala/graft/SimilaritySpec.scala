@@ -107,6 +107,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(cells === again)
   }
 
+  test("kmeansCentroids: trained cells co-locate clusters and keep IVF exact on the fixture") {
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", nlist = 4, iters = 3)
+    assert(cents.length === 4)
+    // spherical variant: every non-degenerate centroid is unit-norm
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    // same-cluster vectors land in the same trained cell
+    val cells = vecs.select(col("vec_id"), Similarity.ivfAssign(
+      col("embedding").cast("array<double>"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) === cells(101L)) // planted near-dup shares the cell
+    // axis-1 cluster members agree with each other (axis 0 may split:
+    // two of the four lowest-id init seeds are axis-0 vectors)
+    val axis1 = Seq(4L, 7L, 10L, 13L).map(cells)
+    assert(axis1.distinct.size === 1)
+    // trained IVF agrees with brute force top-1 on clustered queries
+    val queries = vecs.filter(col("vec_id").isin(1L, 2L, 3L))
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("sim"), col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = top1(Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 3))
+    val ivf = top1(Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 3,
+      dim = 8, nlist = 4, nprobe = 2, centroids = Some(cents)))
+    assert(ivf === bf)
+    // deterministic across invocations
+    val again = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", nlist = 4, iters = 3)
+    assert(cents.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("lshSignature is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 12)
     val s1 = vecs.select(Similarity.lshSignature(
