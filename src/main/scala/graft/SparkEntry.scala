@@ -221,6 +221,20 @@ object SparkEntry {
         .orderBy("id1")
     }),
 
+    // Pairs → clusters → canonical survivors: connected components over
+    // the exact ngram-Jaccard pair graph by iterative min-label
+    // propagation (rounds = component diameter; near-dup components are
+    // cliques, so 1-2 rounds). Every doc gets its cluster's min id and a
+    // survivor flag — the step that turns pairwise dedup output into a
+    // deduplicated corpus. Oracle = DuckDB WITH RECURSIVE reachability
+    // over the same pair SQL.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // --- LLM-data-pipeline: similarity search ---
 
     // Exact cosine top-10 for 5 query vectors (broadcast queries, one
@@ -517,6 +531,16 @@ object SparkEntry {
 
     // --- LLM-data-pipeline: text analysis ---
 
+    // BM25 top-10 retrieval for a 3-term query: one corpus scan for term
+    // frequencies, one 1-row global aggregate (N, Σdl, df per term)
+    // broadcast back, TakeOrderedAndProject top-k. The oracle SQL is
+    // GENERATED from the same Scala constants with the same term order;
+    // the emitted columns are the integer stats of the selected top-k
+    // (raw score bits differ by 1 ulp across ln implementations).
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(rd(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 10).drop("score")),
+
     // Quality statistics + composite score per document.
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(rd(s, dir, "documents"), "doc_id", "text")
@@ -633,6 +657,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_ngram_guarded" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_dedup_clusters" -> dupClustersOracle,
     "q_dedup_simhash" ->
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
@@ -756,6 +781,8 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' ')) AS stop_ratio,
         |  least(1.0, len(string_split(text, ' ')) / 100.0) * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' '))) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_text_bm25" ->
+      TextAnalysis.bm25OracleSql("documents", "doc_id", "text", Bm25Terms, k = 10),
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws, text FROM documents),
         |s AS (SELECT doc_id,
@@ -787,6 +814,40 @@ object SparkEntry {
     Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p =>
       s"""SELECT CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer""")
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"Quantile\"")
+
+  /** BM25 query terms shared by the Spark entry and the generated oracle. */
+  private val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** Min-id connected components over the same exact ngram-Jaccard pair
+    * graph, as a DuckDB recursive reachability query: `reach(id, r)` seeds
+    * every doc with itself and closes over symmetrized pair edges (UNION
+    * dedups, so it terminates); `min(r)` per id is the component's min
+    * id — exactly [[graft.pipeline.Dedup.dupClusters]]. */
+  private val dupClustersOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2 FROM (
+      |    SELECT id1, id2, CAST(ic AS DOUBLE) / (s1.sz + s2.sz - ic) AS jaccard
+      |    FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |  ) WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      |)
+      |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_survivor
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** Exact word-3-gram Jaccard pairs with threshold 0.5, as DuckDB SQL —
     * oracle for both the inverted-index and the MinHash-LSH variants. */

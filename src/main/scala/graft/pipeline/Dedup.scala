@@ -165,6 +165,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Connected components over a near-duplicate pair graph, by iterative
+   * min-label propagation: each round joins current labels onto the
+   * symmetrized edge list and takes the min over {self} ∪ neighbors —
+   * one shuffle by id per round, rounds = graph diameter. Near-dup
+   * components are little cliques (copies of one document), so the
+   * diameter — and the round count — is tiny; `maxIters` bounds
+   * adversarial chains and the loop exits as soon as a round changes no
+   * label.
+   *
+   * Scale shape: only ids that appear in a pair enter the loop (the label
+   * table is O(duplicated docs), far smaller than the corpus), `edges` is
+   * materialized once via `localCheckpoint` so the upstream pair pipeline
+   * (shingle explode + join) never re-executes per round, and each round
+   * checkpoints to keep the plan from growing with iterations. At 100 TB
+   * swap `localCheckpoint` for a reliable `checkpoint` dir; the join is a
+   * plain hash-shuffle by id either way.
+   *
+   * Returns (id, label) with label = min id reachable through pairs.
+   */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
+      .union(pairs.select(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val next = labels.as("l")
+        .join(neighborMin, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"), col("l.label").as("old"),
+          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") < col("old")).count()
+      labels = next.select("id", "label")
+      i += 1
+    }
+    labels
+  }
+
+  /**
+   * Cluster assignment + canonical-survivor selection — the step that turns
+   * pairwise near-dup output into a deduplicated corpus. Every document
+   * gets `cluster_id` = min doc id reachable through `pairs`
+   * ([[connectedComponents]]); documents in no pair are their own
+   * singleton cluster. `is_survivor` marks the one kept copy per cluster
+   * (the min id). One broadcast-or-shuffle left join against the (small)
+   * component table; the corpus is scanned exactly once.
+   */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  maxIters: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIters)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_survivor"))
+  }
+
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 of
     * each shingle. One groupBy(doc) with 64 conditional sums — wide but
     * fully codegen'd, constant state per doc. Tie (sum = 0) votes 1. */

@@ -117,4 +117,86 @@ object TextAnalysis {
     * check between documents (e.g. clone detection across versions). */
   def fingerprintSimilarity(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /**
+   * BM25 (Okapi, Lucene idf variant) top-k retrieval for a bag of query
+   * terms:
+   *
+   *   score(d) = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+   *              · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * One corpus scan computes per-doc term frequencies (`size(toks) −
+   * size(array_remove(toks, term))` — all codegen'd builtins, no lambda);
+   * one single-row global aggregate yields N, Σdl and per-term document
+   * frequencies, broadcast back as a 1-row cross join; top-k is a global
+   * `orderBy(desc).limit(k)` → TakeOrderedAndProject (per-partition heaps,
+   * only k rows shuffle). Scoring sums terms in fixed argument order so
+   * the double arithmetic is deterministic.
+   *
+   * Output: (doc_id, score, dl, tf0..tfn). NB for oracle checks: Spark's
+   * codegen computes `ln` via `StrictMath.log`, which differs from glibc /
+   * DuckDB `ln` by 1 ulp on some inputs — compare the integer columns (or
+   * ranks), not raw score bits, across engines.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val t = toks(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      (size(t) - size(array_remove(t, term))).cast("long").as(s"tf$i")
+    }
+    val base = df.select(col(idCol).as("doc_id") +:
+      size(t).cast("long").as("dl") +: tfCols: _*)
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val globals = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: dfCols): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      val tf = col(s"tf$i").cast("double")
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(globals))
+      .select(col("doc_id") +: score.as("score") +: col("dl") +:
+        terms.indices.map(i => col(s"tf$i")): _*)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL mirroring [[bm25TopK]] term for term — literals are
+    * rendered from the SAME Scala doubles (shortest round-trip repr) and
+    * the per-term sum keeps the same fixed order. Emits only the INTEGER
+    * stats of the top-k (doc_id, dl, tf per term): the score goes through
+    * `ln`, where Spark codegen (StrictMath.log) and DuckDB (glibc log)
+    * differ by 1 ulp on some inputs — selection + order still pin the
+    * ranking, while every emitted bit is exact. */
+  def bm25OracleSql(table: String, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfs = terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(ws) - len(list_filter(ws, x -> x != '$term')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"(CAST(tf$i AS DOUBLE) * ${k1 + 1}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $k1 * (${1 - b} + $b * dl / " +
+        s"(CAST(sum_dl AS DOUBLE) / n_docs)))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT $idCol AS doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfs
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS ws FROM $table)
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base
+       |)
+       |SELECT ${(Seq("doc_id", "dl") ++ terms.indices.map(i => s"tf$i")).mkString(", ")} FROM (
+       |  SELECT base.*, $score AS score FROM base, g
+       |  ORDER BY score DESC, doc_id LIMIT $k
+       |)""".stripMargin.replace("\n", " ")
+  }
 }

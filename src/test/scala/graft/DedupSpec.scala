@@ -38,6 +38,42 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("connectedComponents/dupClusters: transitive chains collapse to min id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (transitive: 1,3 never directly paired), island 4-5,
+    // singletons 6,7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val out = Dedup.dupClusters(ids, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (4L, false),
+      6L -> (6L, true), 7L -> (7L, true)))
+  }
+
+  test("connectedComponents converges on a long path graph within maxIters") {
+    val s = spark
+    import s.implicits._
+    // path 10-11-12-...-20: diameter 10, needs several propagation rounds
+    val pairs = (10L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === (10L to 20L).toSet)
+    assert(labels.values.toSet === Set(10L))
+  }
+
+  test("dupClusters on the planted corpus matches the pair graph") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val out = Dedup.dupClusters(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> (1L, true), 2L -> (1L, false),
+      3L -> (3L, true), 4L -> (3L, false),
+      5L -> (5L, true)))
+  }
+
   test("minhashLshPairs agrees with the exact inverted-index answer") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -18,6 +18,42 @@ class TextAnalysisSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
   }
 
+  test("bm25TopK ranks by term relevance and matches the hand formula") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "cat cat cat dog"),        // heavy on cat
+      (2L, "cat dog bird fish mouse"),
+      (3L, "dog dog dog dog"),
+      (4L, "bird fish mouse horse")   // no query terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text", Seq("cat"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // ranking: doc 1 (tf 3) > doc 2 (tf 1) > docs 3,4 (tf 0, score 0)
+    assert(out.map(_._1).take(2) === Seq(1L, 2L))
+    assert(out.drop(2).forall(_._2 === 0.0))
+    // hand-check doc 2: N=4, df=2, dl=5, avgdl=17/4
+    val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val expected = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 5 / (17.0 / 4)))
+    assert(math.abs(out.toMap.apply(2L) - expected) < 1e-12)
+  }
+
+  test("bm25TopK multi-term: per-term idf weights rare terms higher") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common other other"),
+      (4L, "other other other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      Seq("rare", "common"), k = 4).collect().map(_.getLong(0))
+    // doc 1 holds the rare term → top; 4 has neither → bottom
+    assert(out.head === 1L)
+    assert(out.last === 4L)
+  }
+
   test("langId: marker languages, CJK, and und are all detected") {
     val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(5)).toMap
