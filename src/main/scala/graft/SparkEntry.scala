@@ -23,6 +23,13 @@ object SparkEntry {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
     // read it as a long of epoch-nanos instead.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // InferFiltersFromGenerate duplicates the generator-input expression
+    // into a pre-Generate filter. Every explode in this engine feeds on a
+    // COMPUTED array (shingles, bands, frames) that can never reach a data
+    // source, so the inferred filter is pure re-evaluation overhead — ~20%
+    // of the whole shingle-pipeline runtime measured at sf0.1.
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     s.read.parquet(t(dir, name))
   }
 

@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-at-a-time helper for [[WordShingles]]. Top-level object → static
+  * forwarder, directly callable from generated Java. */
+object TextFunctionHelpers {
+  /** Distinct space-joined word n-grams of `text`, first-occurrence order
+    * (exactly `array_distinct` over the sliding grams); fewer than `n`
+    * tokens → empty array. Split is `String.split(" ", -1)` — identical
+    * token boundaries to Spark's `split(text, " ")`. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val set = new LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      set.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/**
+ * Native Catalyst word-shingling: distinct space-joined word n-grams of a
+ * string column in ONE pass per row.
+ *
+ * The composable alternative (n shifted `slice`s folded with
+ * `zip_with(concat)` + `array_distinct`) evaluates its lambdas interpreted
+ * per ELEMENT and allocates n intermediate arrays per row — it dominates
+ * the shingle-pipeline profile (ngram/MinHash/SimHash dedup all start
+ * here). This expression costs one JVM call per row and stays inside
+ * whole-stage codegen.
+ *
+ * Reference semantics: the shingle-set form feeding Jaccard dedup
+ * (SURVEY pipeline ops); bit-identical output to the composable form.
+ */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"word_shingles n must be >= 1, got $n")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(t: Any): Any =
+    TextFunctionHelpers.wordShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextFunctionHelpers.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  private[functions] val ident = FunctionIdentifier("word_shingles")
+  private[functions] val info = new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
+  private[functions] val builder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "word_shingles takes exactly 2 arguments")
+    require(exprs(1).foldable, "word_shingles n must be a literal")
+    WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
+  /** Idempotently register `word_shingles` with an existing session. */
+  def ensure(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
+  }
+
+  /** `word_shingles(text, n)` as a Column; requires [[ensure]] or
+    * [[GraftExtensions]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+}

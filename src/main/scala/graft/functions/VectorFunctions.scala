@@ -90,6 +90,8 @@ object VectorFunctions {
   * GraftExtensions)` (or `spark.sql.extensions=graft.functions.
   * GraftExtensions`) injects the engine's native functions at build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((VectorFunctions.ident, VectorFunctions.info, VectorFunctions.builder))
+    ext.injectFunction((TextFunctions.ident, TextFunctions.info, TextFunctions.builder))
+  }
 }

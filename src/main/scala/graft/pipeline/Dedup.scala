@@ -21,13 +21,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-grams ("shingles") of whitespace-tokenized `text`,
-    * space-joined. Documents shorter than n words have no shingles.
-    *
-    * Built as n shifted `slice`s folded with `zip_with(concat)` — n array
-    * copies per document total, instead of one `slice` per gram inside a
-    * `transform` (higher-order lambdas are interpreted per element; the
-    * per-gram slice was a 5× slowdown on the posting-list build). */
-  def shingles(text: Column, n: Int): Column = {
+    * space-joined, as a composable expression: n shifted `slice`s folded
+    * with `zip_with(concat)` — n array copies per document total, instead
+    * of one `slice` per gram inside a `transform` (higher-order lambdas
+    * are interpreted per element; the per-gram slice was a 5× slowdown on
+    * the posting-list build). Kept as the no-session fallback and the
+    * parity reference for [[shingles]]. */
+  def shinglesComposable(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     val len = size(toks) - lit(n - 1)
     val slices = (1 to n).map(i => slice(toks, lit(i), len))
@@ -35,6 +35,19 @@ object Dedup {
     when(size(toks) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-grams, native: one codegen'd JVM call per row
+    * ([[graft.functions.WordShingles]]) instead of the interpreted
+    * per-element lambda chain — bit-identical output, registered on the
+    * active session at plan-build time. Documents shorter than n words
+    * have no shingles. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.TextFunctions.ensure(s)
+        graft.functions.TextFunctions.wordShingles(text, n)
+      case None => shinglesComposable(text, n)
+    }
 
   /** Exact dedup by content hash: one survivor (min id) and a copy count
     * per identical content value. Single hash-shuffle on the digest. */

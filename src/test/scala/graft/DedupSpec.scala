@@ -26,6 +26,23 @@ class DedupSpec extends SparkTestBase {
     assert(out(5L) === Seq.empty)
   }
 
+  test("native word_shingles is bit-identical to the composable form") {
+    val s = spark
+    import s.implicits._
+    val tricky = docs.select(col("doc_id"), col("text"))
+      .union(Seq((10L, ""), (11L, "a  b c d"), (12L, "x y z"), (13L, "x y z x y z x y"))
+        .toDF("doc_id", "text"))
+    val native = tricky.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val composable = tricky.select(col("doc_id"), Dedup.shinglesComposable(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === composable)
+    // double space → empty token inside a gram, same on both paths
+    assert(native(11L).contains("a  b"))
+    // repeated grams dedupe in first-occurrence order
+    assert(native(13L) === Seq("x y z", "y z x", "z x y"))
+  }
+
   test("exactByContent groups identical docs under one survivor") {
     val out = Dedup.exactByContent(docs, "doc_id", "text").collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
