@@ -492,6 +492,31 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // SemDeDup: k-means cells → within-cell cosine pairs → cluster
+    // survivors, on the clustered fixture (vec_id < 200, 8 planted
+    // clusters; init seeds 0..7 are one per true cluster). The gate is
+    // computed in-Spark: cluster ids AND survivor flags must equal the
+    // exact all-pairs baseline fed through the same components step —
+    // cell-local comparison may only diverge if a qualifying pair
+    // straddles cells, which the trained cells must prevent here.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+        .filter(col("vec_id") < 200)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nlist = 8, iters = 3)
+      val sem = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = cents)
+      val exactPairs = Similarity.bruteForcePairs(emb, "vec_id", "embedding",
+        threshold = 0.9).select(col("id1"), col("id2"))
+      val exact = graft.pipeline.Dedup.dupClusters(
+        emb.select(col("vec_id")), "vec_id", exactPairs)
+      sem.as("s").join(exact.as("e"), col("s.doc_id") === col("e.doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          (sum(when(col("s.cluster_id") === col("e.cluster_id") &&
+            col("s.is_survivor") === col("e.is_survivor"), 0)
+            .otherwise(1)) === 0).as("survivors_ok"))
+    }),
+
     // --- LLM-data-pipeline: deterministic sampling ---
 
     // Stable hash sample: reproducible across engines/partitionings (md5
@@ -725,6 +750,8 @@ object SparkEntry {
         |    list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS sim
         |  FROM v a, v b WHERE a.vec_id < b.vec_id
         |) WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_semdedup" ->
+      "SELECT CAST(200 AS BIGINT) AS n_vectors, CAST(1 AS BOOLEAN) AS survivors_ok",
     "q_json_ingest" ->
       ("SELECT event_type AS etype, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS ks, " +
         "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +

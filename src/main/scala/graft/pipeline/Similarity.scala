@@ -277,4 +277,38 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .dropDuplicates("id1", "id2")
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication over embeddings. Cluster the corpus into k-means cells
+   * ([[kmeansCentroids]]), compare cosine ≥ threshold only WITHIN a cell,
+   * then collapse the pair graph to clusters and keep one survivor per
+   * cluster ([[graft.pipeline.Dedup.dupClusters]]).
+   *
+   * Scale shape: the cell assignment is one broadcast argmax pass; the
+   * within-cell self-join shuffles by cell id, so the quadratic term is
+   * Σ|cell|² instead of N² — bounded by sizing nlist to the corpus (the
+   * paper uses ~100k cells for billions of embeddings). A degenerate
+   * giant cell means the centroids under-fit; raise nlist (or re-train)
+   * rather than guard-dropping, since every member would re-compare in
+   * the next cell too.
+   *
+   * Returns (doc_id, cluster_id, is_survivor) for every input row —
+   * exactly the [[graft.pipeline.Dedup.dupClusters]] contract.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, centroids: Array[Array[Double]],
+                    maxIters: Int = 20): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+      .withColumn("cell", ivfAssign(col("ev"), centroids))
+    val pairs = v.as("a")
+      .join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        cosine(col("a.ev"), col("b.ev"), col("a.nrm"), col("b.nrm")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"))
+    Dedup.dupClusters(df.select(col(idCol)), idCol, pairs, maxIters)
+  }
 }

@@ -141,6 +141,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(cents.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("semanticDedup matches brute-force pairs + components on the planted corpus") {
+    // one centroid per planted axis so cells == true clusters (k-means from
+    // this corpus's lowest-id seeds would start 3 of 4 centroids inside the
+    // axis-0 clique and split it — the known bad-init failure mode the
+    // q_semdedup entry fixture avoids by seeding one vector per cluster)
+    def axis(a: Int) = Array.tabulate(8)(i => if (i == a) 1.0 else 0.0)
+    val cents = Array(axis(0), axis(1), axis(2), axis(7))
+    val sem = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.99, centroids = cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exactPairs = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.99)
+      .select(col("id1"), col("id2"))
+    val exact = graft.pipeline.Dedup.dupClusters(
+      vecs.select(col("vec_id")), "vec_id", exactPairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(sem === exact)
+    // the planted near-dup pair collapsed: 101 lost to survivor 1
+    assert(sem(101L) === (1L, false))
+    assert(sem(1L) === (1L, true))
+  }
+
   test("lshSignature is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 12)
     val s1 = vecs.select(Similarity.lshSignature(
