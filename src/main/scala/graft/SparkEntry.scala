@@ -578,6 +578,24 @@ object SparkEntry {
       TextAnalysis.textStats(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher-style within-document repetition ratio (share of n-gram
+    // occurrences that repeat an earlier one) — per-row narrow, no shuffle.
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Train/eval decontamination: docs sharing ≥2 distinct 3-grams with a
+    // benchmark set (docs 0-4 stand in for the eval set; the planted
+    // copies and near-dups must surface). Benchmark postings broadcast.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("bid"), col("text"))
+      TextAnalysis.benchmarkOverlap(docs, "doc_id", "text",
+        bench, "bid", "text", n = 3, minOverlap = 2)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Stopword-marker language ID with CJK detection.
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
@@ -817,6 +835,28 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_text_bm25" ->
       TextAnalysis.bm25OracleSql("documents", "doc_id", "text", Bm25Terms, k = 10),
+    "q_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), d AS (SELECT doc_id, count(*) AS nd FROM grams GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(ws) - 2 > 0
+        |       THEN CAST(len(ws) - 2 - coalesce(nd, 0) AS DOUBLE) / (len(ws) - 2)
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM toks t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |)
+        |SELECT d.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM grams d JOIN grams b ON d.g = b.g AND b.doc_id < 5
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws, text FROM documents),
         |s AS (SELECT doc_id,

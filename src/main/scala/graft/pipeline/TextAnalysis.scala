@@ -119,6 +119,47 @@ object TextAnalysis {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /**
+   * Within-document n-gram repetition ratio — the Gopher-style quality
+   * signal (repetitive docs are boilerplate/spam): fraction of n-gram
+   * occurrences that are repeats of an earlier n-gram,
+   * `(total − distinct) / total` (0.0 for docs with no n-grams). Per-row
+   * narrow work, no shuffle; integer/integer division so the double is
+   * bit-stable across engines.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val total = greatest(size(toks(col(textCol))) - lit(n - 1), lit(0))
+    val distinctG = size(Dedup.shingles(col(textCol), n))
+    df.select(col(idCol),
+      total.cast("long").as("n_grams"),
+      distinctG.cast("long").as("n_distinct"),
+      when(total > 0, (total - distinctG).cast("double") / total)
+        .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  /**
+   * Benchmark decontamination: (document, benchmark-doc) pairs sharing at
+   * least `minOverlap` distinct word n-grams — the standard train/eval
+   * overlap check before pretraining. The benchmark side is small by
+   * definition (an eval set), so its exploded posting list is broadcast;
+   * the corpus streams through one scan, and the overlap count aggregates
+   * by (doc, bench) pair — no shuffle of the corpus itself beyond the
+   * pair aggregation.
+   */
+  def benchmarkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                       n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val dg = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+    val bg = bench.select(col(benchIdCol).as("bench_id"),
+      explode(Dedup.shingles(col(benchTextCol), n)).as("g"))
+    dg.join(broadcast(bg), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /**
    * BM25 (Okapi, Lucene idf variant) top-k retrieval for a bag of query
    * terms:
    *

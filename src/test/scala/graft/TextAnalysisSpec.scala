@@ -54,6 +54,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.last === 4L)
   }
 
+  test("repetitionStats: repeated n-grams raise the ratio, short docs are 0") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c a b c a b"),  // 6 grams, 3 distinct (abc bca cab) → 0.5
+      (2L, "u v w x y z"),      // 4 grams all distinct → 0.0
+      (3L, "a b")               // no grams → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((6L, 3L, 0.5)))
+    assert(out(2L) === ((4L, 4L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("benchmarkOverlap flags docs sharing n-grams with the benchmark") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps high"),
+      (11L, "a completely unrelated piece of text"),
+      (12L, "quick brown fox jumps")  // 2 shared grams with bench 1
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "the quick brown fox sleeps")).toDF("bid", "text")
+    val out = TextAnalysis.benchmarkOverlap(corpus, "doc_id", "text",
+      bench, "bid", "text", n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 10 shares "the quick brown" + "quick brown fox"; doc 12 only
+    // "quick brown fox"; doc 11 nothing
+    assert(out === Map((10L, 1L) -> 2L))
+  }
+
   test("langId: marker languages, CJK, and und are all detected") {
     val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(5)).toMap
