@@ -136,7 +136,9 @@ object Bench {
       }
       try {
         val first = once()
-        name -> math.min(first, once())
+        // a failed SECOND run doesn't invalidate the first sample — keep it
+        val best = try math.min(first, once()) catch { case _: Throwable => first }
+        name -> best
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"

@@ -27,9 +27,14 @@ object SparkEntry {
     // into a pre-Generate filter. Every explode in this engine feeds on a
     // COMPUTED array (shingles, bands, frames) that can never reach a data
     // source, so the inferred filter is pure re-evaluation overhead — ~20%
-    // of the whole shingle-pipeline runtime measured at sf0.1.
-    s.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // of the whole shingle-pipeline runtime measured at sf0.1. Appended to
+    // (not clobbering) any exclusions the session already carries.
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val cur = s.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.trim).filter(_.nonEmpty)
+    if (!cur.exists(_.split(",").map(_.trim).contains(rule)))
+      s.conf.set("spark.sql.optimizer.excludedRules",
+        cur.map(_ + "," + rule).getOrElse(rule))
     s.read.parquet(t(dir, name))
   }
 

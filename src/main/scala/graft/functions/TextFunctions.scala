@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -15,11 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Row-at-a-time helper for [[WordShingles]]. Top-level object → static
   * forwarder, directly callable from generated Java. */
 object TextFunctionHelpers {
+  private val Empty = new GenericArrayData(new Array[Any](0))
+
   /** Distinct space-joined word n-grams of `text`, first-occurrence order
     * (exactly `array_distinct` over the sliding grams); fewer than `n`
-    * tokens → empty array. Split is `String.split(" ", -1)` — identical
-    * token boundaries to Spark's `split(text, " ")`. */
+    * tokens → empty array. NULL text → empty array, matching the
+    * composable form's `when(...).otherwise(array())` (a null condition
+    * falls through to otherwise). Split is `String.split(" ", -1)` —
+    * identical token boundaries to Spark's `split(text, " ")`. */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return Empty
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(new Array[Any](0))
     val set = new LinkedHashSet[UTF8String]()
@@ -63,12 +68,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(t: Any): Any =
-    TextFunctionHelpers.wordShingles(t.asInstanceOf[UTF8String], n)
+  // NULL text yields an EMPTY array (composable-form parity), so the
+  // expression itself is never null.
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextFunctionHelpers.wordShingles($c, $n);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextFunctionHelpers.wordShingles(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val call = JavaCode.expression(
+      s"graft.functions.TextFunctionHelpers.wordShingles(" +
+        s"${c.isNull} ? null : ${c.value}, $n)", dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $call;""".stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -180,21 +180,24 @@ object Dedup {
 
   /**
    * Connected components over a near-duplicate pair graph, by iterative
-   * min-label propagation: each round joins current labels onto the
-   * symmetrized edge list and takes the min over {self} ∪ neighbors —
-   * one shuffle by id per round, rounds = graph diameter. Near-dup
-   * components are little cliques (copies of one document), so the
-   * diameter — and the round count — is tiny; `maxIters` bounds
-   * adversarial chains and the loop exits as soon as a round changes no
-   * label.
+   * min-label propagation with pointer jumping: each round takes the min
+   * over {self} ∪ neighbors' labels (one hop) and then resolves every
+   * label through the label table once more (label-of-label), so chains
+   * compress geometrically — a path of diameter d converges in O(log d)
+   * rounds, putting diameter ~2^maxIters in reach. Near-dup components
+   * are little cliques (copies of one document), so 1-2 rounds is
+   * typical. If the graph somehow fails to converge inside `maxIters`,
+   * the loop THROWS rather than return labels where a fragment's
+   * cluster_id points at a node that itself moved on (a survivors-only
+   * pipeline would silently drop those documents).
    *
    * Scale shape: only ids that appear in a pair enter the loop (the label
    * table is O(duplicated docs), far smaller than the corpus), `edges` is
    * materialized once via `localCheckpoint` so the upstream pair pipeline
    * (shingle explode + join) never re-executes per round, and each round
    * checkpoints to keep the plan from growing with iterations. At 100 TB
-   * swap `localCheckpoint` for a reliable `checkpoint` dir; the join is a
-   * plain hash-shuffle by id either way.
+   * swap `localCheckpoint` for a reliable `checkpoint` dir; the joins are
+   * plain hash-shuffles by id either way.
    *
    * Returns (id, label) with label = min id reachable through pairs.
    */
@@ -211,15 +214,26 @@ object Dedup {
     while (changed > 0 && i < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
-      val next = labels.as("l")
+      val stepped = labels.as("l")
         .join(neighborMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+      // pointer jumping: a label is itself a node id — resolve it through
+      // the round's starting labels so long chains halve every round
+      val lookup = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = stepped
+        .join(lookup, stepped("label") === col("jid"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") < col("old")).count()
       labels = next.select("id", "label")
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still moving) — raise maxIters; returning would " +
+        "orphan cluster fragments whose cluster_id has no surviving row")
     labels
   }
 

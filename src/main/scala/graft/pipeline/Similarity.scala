@@ -159,9 +159,12 @@ object Similarity {
    * Spherical k-means (Lloyd) coarse centroids, computed distributed:
    * assignment is the same broadcast argmax-dot the IVF probe uses
    * (codegen'd [[dot]] per centroid); the update step reduces per-cell
-   * per-dimension sums via `posexplode → groupBy(cell, dim)` — partial
-   * aggregation map-side, and only `nlist × dim` tiny rows reach the
-   * driver per iteration. Centroids re-normalize each round (spherical
+   * per-dimension-per-partition partial sums via `posexplode →
+   * groupBy(cell, dim, partition)` and folds them on the driver in sorted
+   * partition order — deterministic double arithmetic (reducer merge
+   * order never reorders additions), with only `nlist × dim × partitions`
+   * tiny rows collected per iteration. Centroids re-normalize each round
+   * (spherical
    * variant — cells partition by cosine direction, matching the cosine
    * ranking the probe performs). Init = the `nlist` lowest-id vectors
    * (deterministic). An empty cell keeps its previous centroid.
@@ -176,21 +179,42 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
-    val vecs = df.select(asD(col(vecCol)).as("v")).filter(col("v").isNotNull)
-    var cents = df.orderBy(col(idCol)).limit(nlist)
-      .select(asD(col(vecCol)).as("v")).collect()
+    // Materialized ONCE: the upstream plan (joins, scans) must not
+    // re-execute per Lloyd iteration, and init must draw from the same
+    // null-filtered set the iterations see.
+    val vecs = df.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+    var cents = vecs.orderBy(col("id")).limit(nlist)
+      .select(col("v")).collect()
       .map(r => norm(r.getSeq[Double](0).toArray))
     for (_ <- 1 to iters) {
-      val stats = vecs
+      // Per-(cell, dim, partition) partials: inside a partition the
+      // map-side combine folds rows in partition order (deterministic);
+      // each (cell, i, pid) group holds exactly ONE partial, so reducer
+      // merge order can't reorder double additions. The driver folds the
+      // partials in sorted pid order — bit-stable across runs for a fixed
+      // input layout. Partial count is nlist × dim × partitions of the
+      // TRAINING set, which at 100 TB is a bounded hash-sample (see
+      // recipe above), so the collect stays driver-sized.
+      val partials = vecs
         .withColumn("cell", ivfAssign(col("v"), cents))
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cell", "i")
+        .withColumn("pid", spark_partition_id())
+        .select(col("cell"), col("pid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i", "pid")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
-      stats.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
-        val mean = new Array[Double](cents(cell).length)
-        rows.foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("sx") / r.getAs[Long]("n"))
+      partials.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val dim = cents(cell).length
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        rows.sortBy(r => (r.getAs[Int]("i"), r.getAs[Int]("pid"))).foreach { r =>
+          val i = r.getAs[Int]("i")
+          sums(i) += r.getAs[Double]("sx")
+          counts(i) += r.getAs[Long]("n")
+        }
+        val mean = Array.tabulate(dim)(i => if (counts(i) > 0) sums(i) / counts(i) else 0.0)
         next(cell) = norm(mean)
       }
       cents = next

@@ -219,7 +219,8 @@ object TextAnalysis {
                     terms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75): String = {
     val tfs = terms.zipWithIndex.map { case (term, i) =>
-      s"CAST(len(ws) - len(list_filter(ws, x -> x != '$term')) AS BIGINT) AS tf$i"
+      val esc = term.replace("'", "''")
+      s"CAST(len(ws) - len(list_filter(ws, x -> x != '$esc')) AS BIGINT) AS tf$i"
     }.mkString(", ")
     val dfs = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")

@@ -32,6 +32,7 @@ class DedupSpec extends SparkTestBase {
     val tricky = docs.select(col("doc_id"), col("text"))
       .union(Seq((10L, ""), (11L, "a  b c d"), (12L, "x y z"), (13L, "x y z x y z x y"))
         .toDF("doc_id", "text"))
+      .union(Seq(14L).toDF("doc_id").select(col("doc_id"), lit(null).cast("string").as("text")))
     val native = tricky.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("g"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     val composable = tricky.select(col("doc_id"), Dedup.shinglesComposable(col("text"), 3).as("g"))
