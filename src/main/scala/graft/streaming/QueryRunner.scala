@@ -360,12 +360,27 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   // Micro-batch processing
   // -------------------------------------------------------------------------
 
-  /** Equality-partitioner key (reference SimpleEqualityPartitioner, SURVEY
-    * §4): a query whose whole filter is `field == literal` is a candidate
-    * for value-partitioned evaluation. */
-  private def eqPartitionKey(rq: RQ): Option[(String, Any)] = rq.spec.filter match {
-    case Some(Binary(Field(f, None), Lit(v), BinOp.EQUALS)) if v != null => Some((f, v))
-    case _ => None
+  /** Equality-partitioner keys (reference SimpleEqualityPartitioner takes a
+    * FIELD LIST, SURVEY §4): a query whose whole filter is a conjunction of
+    * `field == literal` terms over distinct fields is a candidate for
+    * value-partitioned evaluation. Fields are sorted so `a==1 AND b==2`
+    * and `b==2 AND a==1` share a partitioning signature. */
+  private def eqPartitionKeys(rq: RQ): Option[Seq[(String, Any)]] = {
+    def flat(e: Expr): Option[Seq[(String, Any)]] = e match {
+      case Binary(Field(f, None), Lit(v), BinOp.EQUALS) if v != null => Some(Seq(f -> v))
+      case Binary(l, r, BinOp.AND) =>
+        for { a <- flat(l); b <- flat(r) } yield a ++ b
+      case NAry(NAryOp.AND, xs) =>
+        xs.foldLeft(Option(Seq.empty[(String, Any)])) { (acc, x) =>
+          for { a <- acc; b <- flat(x) } yield a ++ b
+        }
+      case _ => None
+    }
+    rq.spec.filter.flatMap(flat).flatMap { kvs =>
+      val sorted = kvs.sortBy(_._1)
+      // a repeated field (`a==1 AND a==2`) has no single partition value
+      if (sorted.map(_._1).distinct.size == sorted.size) Some(sorted) else None
+    }
   }
 
   /** Process one micro-batch: shared partial pass + driver combine + window
@@ -374,16 +389,18 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     val active = queries.values.filter(!_.done).toSeq
     val grouped = active.filter(_.isGrouped)
     // Candidate-set pruning — the full query-partitioner analog: ≥2
-    // non-grouped, non-RAW queries whose filters are plain `field == value`
-    // on the SAME field share ONE groupBy(field) job; per-record cost is a
-    // single hash probe regardless of the number of such queries (the
-    // reference routes records to only the queries whose partition value
-    // matches). RAW stays on the generic path (per-query collect caps).
+    // non-grouped, non-RAW queries whose filters are conjunctions of
+    // `field == value` over the SAME field list share ONE
+    // groupBy(fields) job; per-record cost is a single hash probe
+    // regardless of the number of such queries (the reference routes
+    // records to only the queries whose partition tuple matches —
+    // SimpleEqualityPartitioner over a field list). RAW stays on the
+    // generic path (per-query collect caps).
     // The literal's type must align with the column's: the driver-side
     // group lookup compares natively, and a string literal against a
     // numeric column (which compiled predicates coerce) would silently
     // match nothing — such queries stay on the generic compiled path.
-    def eqTypeAligned(rq: RQ): Boolean = eqPartitionKey(rq).exists { case (f, v) =>
+    def eqTypeAligned(rq: RQ): Boolean = eqPartitionKeys(rq).exists(_.forall { case (f, v) =>
       // normValue collapses whole numbers to Long through a Double image,
       // which is lossy past 2^53 — two distinct Longs could collide on one
       // group row. Such literals take the generic compiled path instead.
@@ -400,11 +417,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
           case _ => false
         }
       }
-    }
+    })
     val eqByField = active
       .filter(rq => !rq.isGrouped && !rq.spec.aggregation.isInstanceOf[Raw] &&
         eqTypeAligned(rq))
-      .groupBy(rq => eqPartitionKey(rq).get._1)
+      .groupBy(rq => eqPartitionKeys(rq).get.map(_._1))
       .filter(_._2.size >= 2)
     val eqSet = eqByField.values.flatten.toSet
     // grouped queries stay in the shared pass for their UNGROUPED matched
@@ -521,26 +538,33 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
    * watching that value. 1000 COUNT queries on 1000 user ids cost one
    * hash-shuffled count job, not 1000 predicate evaluations per record.
    */
-  private def collectEqPartitioned(field: String, rqs: Seq[RQ],
+  private def collectEqPartitioned(fields: Seq[String], rqs: Seq[RQ],
       df: DataFrame): (Seq[Seq[RQ]], Map[Any, Row]) = {
     val schema = df.schema
-    val values = rqs.map(rq => eqPartitionKey(rq).get._2).distinct
+    // Per-field isin over each field's distinct literals — a superset of
+    // the queried value TUPLES (extra combinations present in the data
+    // produce group rows nobody looks up), but it keeps the scan filter a
+    // conjunction of in-lists the source can push down.
+    val byQuery = rqs.map(rq => eqPartitionKeys(rq).get.toMap)
+    val filterCond = fields.map { f =>
+      col(f).isin(byQuery.map(_(f)).distinct: _*)
+    }.reduce(_ && _)
     val sigs = rqs.groupBy(rq => (rq.spec.aggregation, rq.spec.projection)).values.toSeq
     val sigCols = sigs.zipWithIndex.flatMap { case (sigRqs, i) =>
       partialColumns(sigRqs.head, schema, lit(true), s"__sig$i")
     }
-    val rows = df.filter(col(field).isin(values: _*))
-      .groupBy(col(field).as("__pv"))
+    val rows = df.filter(filterCond)
+      .groupBy(fields.map(col): _*)
       .agg(sigCols.head, sigCols.tail: _*)
       .collect()
-    (sigs, rows.map(r => normValue(r.getAs[Any]("__pv")) -> r).toMap)
+    (sigs, rows.map(r => fields.map(f => normValue(r.getAs[Any](f))).toList -> (r: Row)).toMap)
   }
 
   private def applyEqPartitioned(rqs: Seq[RQ], sigs: Seq[Seq[RQ]],
       byValue: Map[Any, Row]): Unit =
     sigs.zipWithIndex.foreach { case (sigRqs, i) =>
       sigRqs.foreach { rq =>
-        byValue.get(normValue(eqPartitionKey(rq).get._2)) match {
+        byValue.get(eqPartitionKeys(rq).get.map(kv => normValue(kv._2)).toList) match {
           case Some(row) => mergePartial(rq, row, s"__sig$i")
           case None      => rq.batchesSeen += 1 // no matching records this batch
         }

@@ -385,6 +385,68 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("generic").records.head)("cnt") === 33)
   }
 
+  test("equality partitioner: multi-field AND conjunctions fold into one tuple job") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // (etype, user) tuple queries in both operand orders + one tuple with
+    // zero matching records; all share one groupBy(etype, user) job
+    runner.register(QuerySpec("mf_click_u0",
+      filter = Some(NAry(NAryOp.AND, Seq(
+        Binary(Field("etype"), Lit("click"), BinOp.EQUALS),
+        Binary(Field("user"), Lit("u0"), BinOp.EQUALS)))),
+      aggregation = GroupAll(Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv")))))
+    runner.register(QuerySpec("mf_view_u1",
+      filter = Some(Binary( // Binary-AND form, reversed operand order
+        Binary(Field("user"), Lit("u1"), BinOp.EQUALS),
+        Binary(Field("etype"), Lit("view"), BinOp.EQUALS), BinOp.AND)),
+      aggregation = GroupAll(Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv")))))
+    runner.register(QuerySpec("mf_miss",
+      filter = Some(NAry(NAryOp.AND, Seq(
+        Binary(Field("etype"), Lit("click"), BinOp.EQUALS),
+        Binary(Field("user"), Lit("nope"), BinOp.EQUALS)))),
+      aggregation = GroupAll(Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv")))))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    val clickU0 = (1L to 100L).filter(i => i % 3 == 0 && i % 7 == 0)
+    val viewU1 = (1L to 100L).filter(i => i % 3 != 0 && i % 7 == 1)
+    val r0 = parse(byId("mf_click_u0").records.head)
+    assert(r0("cnt") === clickU0.size)
+    assert(r0("sv").asInstanceOf[Number].doubleValue === clickU0.map(_.toDouble).sum)
+    val r1 = parse(byId("mf_view_u1").records.head)
+    assert(r1("cnt") === viewU1.size)
+    assert(r1("sv").asInstanceOf[Number].doubleValue === viewU1.map(_.toDouble).sum)
+    assert(parse(byId("mf_miss").records.head)("cnt") === 0)
+  }
+
+  test("equality partitioner: repeated field in the conjunction stays generic") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // `user == u0 AND user == u1` matches nothing and must NOT be
+    // tuple-partitioned (no single partition value for `user`); pair it
+    // with another query so the eq group would otherwise form
+    runner.register(QuerySpec("rep_contradiction",
+      filter = Some(NAry(NAryOp.AND, Seq(
+        Binary(Field("user"), Lit("u0"), BinOp.EQUALS),
+        Binary(Field("user"), Lit("u1"), BinOp.EQUALS)))),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.register(QuerySpec("rep_sane",
+      filter = Some(Binary(Field("user"), Lit("u2"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("rep_contradiction").records.head)("cnt") === 0)
+    assert(parse(byId("rep_sane").records.head)("cnt") ===
+      (1L to 100L).count(_ % 7 == 2))
+  }
+
   test("equality partitioner: mixed aggregation signatures and numeric literals") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
