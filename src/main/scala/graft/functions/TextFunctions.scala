@@ -40,6 +40,48 @@ object TextFunctionHelpers {
     }
     new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  /** Winnowing fingerprint of `text` (Schleimer et al., MOSS): xxhash64
+    * (seed 42 — bit-identical to Spark's `xxhash64`) of every ordered word
+    * k-gram, minimum of each sliding window of `w` hashes, deduped in
+    * first-occurrence order. < k tokens → empty; k-gram count in (0, w) →
+    * the single global minimum. NULL text → empty (composable parity). */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    if (text == null) return Empty
+    val toks = text.toString.split(" ", -1)
+    val nGrams = toks.length - k + 1
+    if (nGrams <= 0) return Empty
+    val hashes = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val g = UTF8String.fromString(sb.toString)
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    val out = new LinkedHashSet[java.lang.Long]()
+    if (nGrams < w) {
+      var m = hashes(0)
+      var x = 1
+      while (x < nGrams) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      out.add(m)
+    } else {
+      var s = 0
+      while (s + w <= nGrams) {
+        var m = hashes(s)
+        var x = 1
+        while (x < w) { if (hashes(s + x) < m) m = hashes(s + x); x += 1 }
+        out.add(m)
+        s += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 /**
@@ -93,6 +135,48 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Native Catalyst winnowing fingerprint: the ordered-k-gram xxhash64 +
+ * sliding-window-min + first-occurrence-dedupe chain of
+ * [[graft.pipeline.TextAnalysis.fingerprints]] in ONE JVM call per row,
+ * bit-identical to the composable form (which pays interpreted lambdas per
+ * k-gram: a transform for the hashes plus w zip_with folds for the window
+ * minima).
+ */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"winnow_fingerprint needs k,w >= 1, got ($k, $w)")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+  override def nullable: Boolean = false // NULL text → empty array
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextFunctionHelpers.winnowFingerprint(child.eval(input).asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val call = JavaCode.expression(
+      s"graft.functions.TextFunctionHelpers.winnowFingerprint(" +
+        s"${c.isNull} ? null : ${c.value}, $k, $w)", dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $call;""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   private[functions] val ident = FunctionIdentifier("word_shingles")
   private[functions] val info = new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
@@ -102,14 +186,33 @@ object TextFunctions {
     WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
   }
 
-  /** Idempotently register `word_shingles` with an existing session. */
+  private[functions] val winnowIdent = FunctionIdentifier("winnow_fingerprint")
+  private[functions] val winnowInfo =
+    new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint")
+  private[functions] val winnowBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 3, "winnow_fingerprint takes exactly 3 arguments")
+    require(exprs(1).foldable && exprs(2).foldable,
+      "winnow_fingerprint k and w must be literals")
+    WinnowFingerprint(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())
+  }
+
+  /** Idempotently register the text functions with an existing session. */
   def ensure(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
+    if (!registry.functionExists(winnowIdent))
+      registry.registerFunction(winnowIdent, winnowInfo, winnowBuilder)
   }
 
   /** `word_shingles(text, n)` as a Column; requires [[ensure]] or
     * [[GraftExtensions]]. */
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))
+
+  /** `winnow_fingerprint(text, k, w)` as a Column; requires [[ensure]] or
+    * [[GraftExtensions]]. */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fingerprint", text, lit(k), lit(w))
 }

@@ -93,5 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((VectorFunctions.ident, VectorFunctions.info, VectorFunctions.builder))
     ext.injectFunction((TextFunctions.ident, TextFunctions.info, TextFunctions.builder))
+    ext.injectFunction(
+      (TextFunctions.winnowIdent, TextFunctions.winnowInfo, TextFunctions.winnowBuilder))
   }
 }

@@ -91,12 +91,14 @@ object TextAnalysis {
    * k-grams, dedupe. Robust to local edits; O(doc) work, O(selected)
    * state. Hash-function specific → verified by unit test, not SQL oracle.
    */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, w: Int = 4): DataFrame = {
-    // ordered (non-distinct) k-gram hashes; sliding-window minima via the
-    // same shifted-slices-fold trick as Dedup.shingles (no per-element
-    // slice inside an interpreted lambda)
-    val t = toks(col(textCol))
+  /** The selected-minima column as composable expressions: ordered
+    * (non-distinct) k-gram hashes; sliding-window minima via the same
+    * shifted-slices-fold trick as Dedup.shinglesComposable (no per-element
+    * slice inside an interpreted lambda). Kept as the no-session fallback
+    * and parity reference for the native [[graft.functions
+    * .WinnowFingerprint]]. */
+  private[graft] def winnowComposable(text: Column, k: Int, w: Int): Column = {
+    val t = toks(text)
     val gramLen = size(t) - lit(k - 1)
     val gramSlices = (1 to k).map(i => slice(t, lit(i), gramLen))
     val grams = gramSlices.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
@@ -105,9 +107,21 @@ object TextAnalysis {
     val winLen = size(hashes) - lit(w - 1)
     val winSlices = (1 to w).map(i => slice(hashes, lit(i), winLen))
     val winMins = winSlices.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    val selected = when(size(hashes) >= w, array_distinct(winMins))
+    when(size(hashes) >= w, array_distinct(winMins))
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
         .otherwise(array().cast("array<bigint>")))
+  }
+
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    // native one-call-per-row winnow when a session is active (bit-
+    // identical, parity-tested); composable fold otherwise
+    val selected = org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.TextFunctions.ensure(s)
+        graft.functions.TextFunctions.winnowFingerprint(col(textCol), k, w)
+      case None => winnowComposable(col(textCol), k, w)
+    }
     df.select(col(idCol), selected.as("fingerprint"))
       .withColumn("fp_size", size(col("fingerprint")))
       .withColumn("fp_hash", xxhash64(to_json(array_sort(col("fingerprint")))))

@@ -44,6 +44,25 @@ class DedupSpec extends SparkTestBase {
     assert(native(13L) === Seq("x y z", "y z x", "z x y"))
   }
 
+  test("native word_shingles parity holds on 200 randomized strings x n in 1..4") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "cd", "é", "字", "", " ") // empties → double spaces
+    val strs = (1 to 200).map { i =>
+      val len = rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = strs.toDF("doc_id", "text")
+    for (n <- 1 to 4) {
+      val native = df.select(col("doc_id"), Dedup.shingles(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val composable = df.select(col("doc_id"), Dedup.shinglesComposable(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native === composable, s"parity failed at n=$n")
+    }
+  }
+
   test("exactByContent groups identical docs under one survivor") {
     val out = Dedup.exactByContent(docs, "doc_id", "text").collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap

@@ -54,6 +54,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.last === 4L)
   }
 
+  test("native winnow_fingerprint is bit-identical to the composable form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("a", "b", "cd", "é", "字", "")
+    val strs = (1 to 150).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    } :+ (999L, null.asInstanceOf[String])
+    val df = strs.toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 2), (1, 3))) {
+      graft.functions.TextFunctions.ensure(s)
+      val native = df.select(col("doc_id"),
+        graft.functions.TextFunctions.winnowFingerprint(col("text"), k, w).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composable = df.select(col("doc_id"),
+        TextAnalysis.winnowComposable(col("text"), k, w).as("f"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getSeq[Long](1)).getOrElse(Seq.empty)).toMap
+      assert(native === composable, s"parity failed at k=$k w=$w")
+    }
+  }
+
   test("repetitionStats: repeated n-grams raise the ratio, short docs are 0") {
     val s = spark
     import s.implicits._
