@@ -60,6 +60,28 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Streaming exact dedup: keep the FIRST record per content hash across
+   * micro-batches — the ingest-time variant of [[exactByContent]] for a
+   * live training-data feed. State is one row per distinct hash; with an
+   * event-time column the state is evicted after `delay`
+   * (`dropDuplicatesWithinWatermark` — duplicates arriving within the
+   * watermark window are still suppressed), which is the unbounded-stream
+   * configuration. Without one, state grows with distinct content — only
+   * right for bounded reference sets.
+   */
+  def exactDedupStream(stream: DataFrame, contentCol: String,
+                       eventTimeCol: Option[String] = None,
+                       delay: String = "10 minutes"): DataFrame = {
+    val hashed = stream.withColumn("content_hash",
+      md5(col(contentCol).cast("binary")))
+    eventTimeCol match {
+      case Some(t) => hashed.withWatermark(t, delay)
+        .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** (doc_id, grams) pairs — the shingle-set form shared by the fuzzy ops. */
   private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))

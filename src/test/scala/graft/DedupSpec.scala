@@ -111,6 +111,48 @@ class DedupSpec extends SparkTestBase {
       5L -> (5L, true)))
   }
 
+  test("exactDedupStream keeps only the first copy across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val deduped = Dedup.exactDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val sq = deduped.writeStream.format("memory")
+      .queryName("dedup_stream_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "same content"), (2L, "other content"))
+      sq.processAllAvailable()
+      // duplicate arrives in a LATER micro-batch — state must remember
+      mem.addData((3L, "same content"), (4L, "third content"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val out = spark.table("dedup_stream_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 4L))
+  }
+
+  test("exactDedupStream with a watermark builds the state-evicting plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = Dedup.exactDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text",
+      eventTimeCol = Some("ts"), delay = "5 seconds")
+    val sq = deduped.writeStream.format("memory")
+      .queryName("dedup_stream_wm").outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1000L)
+      mem.addData((1L, "dup", t0), (2L, "dup", t0), (3L, "solo", t0))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val out = spark.table("dedup_stream_wm")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L))
+  }
+
   test("minhashLshPairs agrees with the exact inverted-index answer") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -17,6 +17,18 @@ class VectorFunctionsSpec extends SparkTestBase {
     }.toDF("id", "a", "b")
   }
 
+  test("native functions are callable from plain SQL once registered") {
+    VectorFunctions.ensure(spark)
+    graft.functions.TextFunctions.ensure(spark)
+    val r = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS g, " +
+        "winnow_fingerprint('a b c d', 2, 2) AS f, " +
+        "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](1).nonEmpty)
+    assert(r.getDouble(2) === 11.0)
+  }
+
   test("vec_dot equals the zip_with/aggregate fold bit-for-bit") {
     VectorFunctions.ensure(spark)
     val rows = vecs.select(
