@@ -109,4 +109,37 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_group_all")
     assert(p.contains("partial_"), p.take(1200))
   }
+
+  test("q_text_bm25: top-k is TakeOrderedAndProject; globals come as a 1-row broadcast") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800)) // 1-row globals
+    assert(p.contains("partial_"), p.take(1600)) // global stats pre-aggregate map-side
+  }
+
+  test("q_decontaminate: benchmark side broadcasts; corpus never shuffles pre-join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), p.take(1600)) // overlap count combines map-side
+  }
+
+  test("shingle pipelines carry the native word_shingles, not the lambda chain") {
+    Seq("q_dedup_ngram", "q_dedup_minhash", "q_text_repetition").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("word_shingles"), s"$q lost the native shingle expression")
+      assert(!p.contains("zip_with"), s"$q still evaluates interpreted lambdas")
+    }
+  }
+
+  test("q_text_fingerprint carries the native winnow expression") {
+    val p = plan("q_text_fingerprint")
+    assert(p.contains("winnow_fingerprint"), p.take(800))
+    assert(!p.contains("zip_with"), "fingerprints still evaluate interpreted lambdas")
+  }
+
+  test("q_semdedup: no cartesian product — cell join + broadcast centroids only") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), "semdedup has a cartesian product")
+  }
 }
