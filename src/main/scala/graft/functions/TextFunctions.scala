@@ -17,27 +17,41 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextFunctionHelpers {
   private val Empty = new GenericArrayData(new Array[Any](0))
 
-  /** Distinct space-joined word n-grams of `text`, first-occurrence order
-    * (exactly `array_distinct` over the sliding grams); fewer than `n`
-    * tokens → empty array. NULL text → empty array, matching the
-    * composable form's `when(...).otherwise(array())` (a null condition
-    * falls through to otherwise). Split is `String.split(" ", -1)` —
-    * identical token boundaries to Spark's `split(text, " ")`. */
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    if (text == null) return Empty
+  /** Ordered (non-distinct) space-joined word n-grams of `text`: the
+    * SINGLE tokenization + gram-joining contract both native text
+    * functions share (split is `String.split(" ", -1)` — identical token
+    * boundaries to Spark's `split(text, " ")`). NULL text or fewer than
+    * `n` tokens → empty. */
+  private def grams(text: UTF8String, n: Int): Array[UTF8String] = {
+    if (text == null) return Array.empty
     val toks = text.toString.split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
-    val set = new LinkedHashSet[UTF8String]()
+    val count = toks.length - n + 1
+    if (count <= 0) return Array.empty
+    val out = new Array[UTF8String](count)
     val sb = new java.lang.StringBuilder
     var i = 0
-    while (i + n <= toks.length) {
+    while (i < count) {
       sb.setLength(0)
       sb.append(toks(i))
       var j = 1
       while (j < n) { sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      set.add(UTF8String.fromString(sb.toString))
+      out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
+    out
+  }
+
+  /** Distinct space-joined word n-grams of `text`, first-occurrence order
+    * (exactly `array_distinct` over the sliding grams); fewer than `n`
+    * tokens → empty array. NULL text → empty array, matching the
+    * composable form's `when(...).otherwise(array())` (a null condition
+    * falls through to otherwise). */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val gs = grams(text, n)
+    if (gs.isEmpty) return Empty
+    val set = new LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < gs.length) { set.add(gs(i)); i += 1 }
     new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
   }
 
@@ -47,19 +61,13 @@ object TextFunctionHelpers {
     * first-occurrence order. < k tokens → empty; k-gram count in (0, w) →
     * the single global minimum. NULL text → empty (composable parity). */
   def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
-    if (text == null) return Empty
-    val toks = text.toString.split(" ", -1)
-    val nGrams = toks.length - k + 1
-    if (nGrams <= 0) return Empty
+    val gs = grams(text, k)
+    val nGrams = gs.length
+    if (nGrams == 0) return Empty
     val hashes = new Array[Long](nGrams)
-    val sb = new java.lang.StringBuilder
     var i = 0
     while (i < nGrams) {
-      sb.setLength(0)
-      sb.append(toks(i))
-      var j = 1
-      while (j < k) { sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      val g = UTF8String.fromString(sb.toString)
+      val g = gs(i)
       hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
       i += 1

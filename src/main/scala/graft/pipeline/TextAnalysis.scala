@@ -85,18 +85,11 @@ object TextAnalysis {
         when(col("cjk"), lit("zh")).otherwise(pick).as("lang_pred"): _*)
   }
 
-  /**
-   * Winnowing fingerprint (Schleimer et al., MOSS): hash every k-gram,
-   * keep the minimum hash of each sliding window of `w` consecutive
-   * k-grams, dedupe. Robust to local edits; O(doc) work, O(selected)
-   * state. Hash-function specific → verified by unit test, not SQL oracle.
-   */
   /** The selected-minima column as composable expressions: ordered
     * (non-distinct) k-gram hashes; sliding-window minima via the same
     * shifted-slices-fold trick as Dedup.shinglesComposable (no per-element
-    * slice inside an interpreted lambda). Kept as the no-session fallback
-    * and parity reference for the native [[graft.functions
-    * .WinnowFingerprint]]. */
+    * slice inside an interpreted lambda). Kept as the parity reference for
+    * the native [[graft.functions.WinnowFingerprint]]. */
   private[graft] def winnowComposable(text: Column, k: Int, w: Int): Column = {
     val t = toks(text)
     val gramLen = size(t) - lit(k - 1)
@@ -112,16 +105,19 @@ object TextAnalysis {
         .otherwise(array().cast("array<bigint>")))
   }
 
+  /**
+   * Winnowing fingerprint (Schleimer et al., MOSS): hash every k-gram,
+   * keep the minimum hash of each sliding window of `w` consecutive
+   * k-grams, dedupe. Robust to local edits; O(doc) work, O(selected)
+   * state. Hash-function specific → verified by unit test, not SQL oracle.
+   */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
-    // native one-call-per-row winnow when a session is active (bit-
-    // identical, parity-tested); composable fold otherwise
-    val selected = org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.functions.TextFunctions.ensure(s)
-        graft.functions.TextFunctions.winnowFingerprint(col(textCol), k, w)
-      case None => winnowComposable(col(textCol), k, w)
-    }
+    // native one-call-per-row winnow (bit-identical, parity-tested),
+    // registered on df's OWN session — the analyzer resolves the function
+    // against df.sparkSession, which need not be the thread-active one
+    graft.functions.TextFunctions.ensure(df.sparkSession)
+    val selected = graft.functions.TextFunctions.winnowFingerprint(col(textCol), k, w)
     df.select(col(idCol), selected.as("fingerprint"))
       .withColumn("fp_size", size(col("fingerprint")))
       .withColumn("fp_hash", xxhash64(to_json(array_sort(col("fingerprint")))))

@@ -283,6 +283,21 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       case ElementAt(x, _) => hasExplode(x)
       case _               => false
     }
+    // a degenerate n-ary with no operands has no value; the compiler's
+    // reduce would throw at batch time — reject at register instead
+    def hasEmptyNAry(e: Expr): Boolean = e match {
+      case NAry(_, xs)     => xs.isEmpty || xs.exists(hasEmptyNAry)
+      case Unary(_, x)     => hasEmptyNAry(x)
+      case Binary(l, r, _) => hasEmptyNAry(l) || hasEmptyNAry(r)
+      case Cast(x, _)      => hasEmptyNAry(x)
+      case ListExpr(xs)    => xs.exists(hasEmptyNAry)
+      case ElementAt(x, _) => hasEmptyNAry(x)
+      case Explode(x)      => hasEmptyNAry(x)
+      case _               => false
+    }
+    if (spec.filter.exists(hasEmptyNAry) ||
+        spec.projection.exists(_.exists(p => hasEmptyNAry(p._2))))
+      errs += "n-ary expression with no operands"
     if (spec.projection.exists(_.exists(p => hasExplode(p._2))))
       errs += "EXPLODE projections are not supported on the streaming path"
     if (spec.filter.exists(hasExplode))
@@ -378,8 +393,12 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     }
     rq.spec.filter.flatMap(flat).flatMap { kvs =>
       val sorted = kvs.sortBy(_._1)
-      // a repeated field (`a==1 AND a==2`) has no single partition value
-      if (sorted.map(_._1).distinct.size == sorted.size) Some(sorted) else None
+      // a repeated field (`a==1 AND a==2`) has no single partition value;
+      // an empty conjunction (degenerate AND with no operands) has no
+      // partition fields at all
+      if (sorted.nonEmpty && sorted.map(_._1).distinct.size == sorted.size)
+        Some(sorted)
+      else None
     }
   }
 
@@ -541,14 +560,22 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   private def collectEqPartitioned(fields: Seq[String], rqs: Seq[RQ],
       df: DataFrame): (Seq[Seq[RQ]], Map[Any, Row]) = {
     val schema = df.schema
-    // Per-field isin over each field's distinct literals — a superset of
-    // the queried value TUPLES (extra combinations present in the data
-    // produce group rows nobody looks up), but it keeps the scan filter a
-    // conjunction of in-lists the source can push down.
+    // Per-field isin over each field's distinct literals keeps the scan
+    // filter a conjunction of in-lists the source can push down; for
+    // multi-field groups an exact tuple membership test is conjoined on
+    // top — without it the per-field lists admit the CROSS PRODUCT of the
+    // queried values, and the collect below could return up to Q^F group
+    // rows (data permitting) where only Q tuples are ever looked up.
     val byQuery = rqs.map(rq => eqPartitionKeys(rq).get.toMap)
-    val filterCond = fields.map { f =>
+    val perField = fields.map { f =>
       col(f).isin(byQuery.map(_(f)).distinct: _*)
     }.reduce(_ && _)
+    val filterCond = if (fields.size == 1) perField else {
+      val tupleCond = byQuery.distinct
+        .map(m => fields.map(f => col(f) === lit(m(f))).reduce(_ && _))
+        .reduce(_ || _)
+      perField && tupleCond
+    }
     val sigs = rqs.groupBy(rq => (rq.spec.aggregation, rq.spec.projection)).values.toSeq
     val sigCols = sigs.zipWithIndex.flatMap { case (sigRqs, i) =>
       partialColumns(sigRqs.head, schema, lit(true), s"__sig$i")

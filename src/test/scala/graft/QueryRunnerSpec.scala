@@ -425,6 +425,40 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("mf_miss").records.head)("cnt") === 0)
   }
 
+  test("500 mixed queries complete through one shared pass (query-count scale)") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    (0 until 500).foreach { i =>
+      val filter = i % 4 match {
+        case 0 => Some(Binary(Field("user"), Lit(s"u${i % 7}"), BinOp.EQUALS))
+        case 1 => Some(NAry(NAryOp.AND, Seq(
+          Binary(Field("etype"), Lit(if (i % 2 == 0) "click" else "view"), BinOp.EQUALS),
+          Binary(Field("user"), Lit(s"u${i % 7}"), BinOp.EQUALS))))
+        case 2 => Some(Binary(Field("value"), Lit(50.0), BinOp.GREATER_THAN))
+        case _ => None
+      }
+      val agg: Aggregation = i % 3 match {
+        case 0 => GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))
+        case 1 => GroupBy(Seq("etype" -> "et"),
+          Seq(GroupOp(GroupOpType.COUNT, None, "cnt")), entries = 8)
+        case _ => CountDistinct(Seq("user"), lgK = 12)
+      }
+      runner.register(QuerySpec(s"scale$i", filter = filter, aggregation = agg))
+    }
+    runner.processBatch(events)
+    val clips = runner.finishAll()
+    assert(clips.size === 500)
+    assert(clips.forall(_.signal.contains("COMPLETE")))
+    // spot-check one of each filter family against known fixture counts
+    val byId = clips.map(c => c.queryId -> c).toMap
+    assert(parse(byId("scale0").records.head)("cnt") ===
+      (1L to 100L).count(_ % 7 == 0)) // user == u0, GroupAll
+    assert(parse(byId("scale6").records.head)("cnt") === 50) // value > 50, GroupAll
+    assert(parse(byId("scale3").records.head)("cnt") === 100) // no filter, GroupAll
+    assert(parse(byId("scale9").records.head)("cnt") === // view AND u2 tuple, GroupAll
+      (1L to 100L).count(i => i % 3 != 0 && i % 7 == 2))
+  }
+
   test("equality partitioner: repeated field in the conjunction stays generic") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
@@ -756,6 +790,15 @@ class QueryRunnerSpec extends SparkTestBase {
     val clips = runner.onTick()
     assert(clips.size === 1)
     assert(parse(clips.head.records.head)("cnt") === 2)
+  }
+
+  test("empty n-ary conjunction is rejected at register, not at batch time") {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val clip = runner.register(QuerySpec("e0",
+      filter = Some(NAry(NAryOp.AND, Seq.empty)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt")))))
+    assert(clip.exists(_.signal.contains("FAIL")))
+    assert(runner.activeQueryIds.isEmpty)
   }
 
   test("EXPLODE inside a filter is rejected at register") {
