@@ -71,6 +71,29 @@ object Bench {
     runner.results.count(_.signal.contains("COMPLETE"))
   }
 
+  /** `n` queries over DISTINCT (event_type, user_id) tuples sharing one
+    * aggregation signature: the multi-field equality partitioner folds
+    * them into ONE groupBy(event_type, user_id) job — one hash probe per
+    * record regardless of query count. */
+  private def eqTupleRunnerPass(spark: SparkSession, sfDir: String, n: Int): Long = {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val types = Seq("click", "view", "purchase")
+    (0 until n).foreach { i =>
+      runner.register(QuerySpec(s"eqt_q$i",
+        filter = Some(NAry(NAryOp.AND, Seq(
+          Binary(Field("event_type"), Lit(types(i % types.size)), BinOp.EQUALS),
+          Binary(Field("user_id"), Lit(i.toLong), BinOp.EQUALS)))),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 3600000L))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
+    runner.finishAll()
+    runner.results.count(_.signal.contains("COMPLETE"))
+  }
+
   /** BASELINE.md B8: tumbling 1 s GROUP(all) window over a live rate
     * stream for `seconds`. Returns (windows emitted, mean |emit − expected
     * boundary| ms, dropped windows vs the expected count). */
@@ -122,6 +145,7 @@ object Bench {
     // must not land in the measured run
     try runnerPass(spark, sfDir, 100) catch { case _: Throwable => () }
     try eqRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
+    try eqTupleRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
 
     // Steady-state timing: best of two back-to-back runs. A single sample
     // after 40+ other queries measures accumulated JVM state (GC debt,
@@ -169,6 +193,9 @@ object Bench {
     } :+ timed("b9_runner_200eq") {
       val finished = eqRunnerPass(spark, sfDir, 200)
       require(finished == 200, s"eq runner finished $finished of 200 queries")
+    } :+ timed("b10_runner_200eq_tuple") {
+      val finished = eqTupleRunnerPass(spark, sfDir, 200)
+      require(finished == 200, s"tuple runner finished $finished of 200 queries")
     } :+ timedOnce("b8_stream_tumbling") {
       b8 = b8Pass(spark, b8Secs)
     }
