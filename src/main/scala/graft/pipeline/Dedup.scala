@@ -221,14 +221,23 @@ object Dedup {
    * swap `localCheckpoint` for a reliable `checkpoint` dir; the joins are
    * plain hash-shuffles by id either way.
    *
+   * Adaptive execution: at or below `driverEdgeThreshold` symmetrized
+   * edges (a duplicate-pair graph is tiny relative to its corpus — 100k
+   * edges ≈ a few MB), the component labels are computed with a driver
+   * union-find in one collect instead of paying per-round job overhead;
+   * above it, the distributed propagation loop runs. Both produce the
+   * identical (id, min-reachable-id) labeling.
+   *
    * Returns (id, label) with label = min id reachable through pairs.
    */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          driverEdgeThreshold: Long = 100000L): DataFrame = {
     val edges = pairs
       .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
       .union(pairs.select(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    if (edges.count() <= driverEdgeThreshold) return driverComponents(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var changed = 1L
@@ -257,6 +266,30 @@ object Dedup {
         s"($changed labels still moving) — raise maxIters; returning would " +
         "orphan cluster fragments whose cluster_id has no surviving row")
     labels
+  }
+
+  /** Driver union-find over a collected edge list: union-by-min keeps the
+    * component's minimum id as every root, path compression keeps finds
+    * near O(α) — the same (id, min-reachable-id) labeling as the
+    * distributed loop, in one job. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val es = edges.collect()
+    es.foreach { row =>
+      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    val nodes = es.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.map(id => (id, find(id))).toSeq.toDF("id", "label")
   }
 
   /**

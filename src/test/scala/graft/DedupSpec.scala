@@ -93,12 +93,31 @@ class DedupSpec extends SparkTestBase {
   test("connectedComponents converges on a long path graph within maxIters") {
     val s = spark
     import s.implicits._
-    // path 10-11-12-...-20: diameter 10, needs several propagation rounds
+    // path 10-11-12-...-20: diameter 10, needs several propagation rounds.
+    // driverEdgeThreshold = 0 forces the DISTRIBUTED loop (the adaptive
+    // driver union-find would otherwise absorb any small fixture).
     val pairs = (10L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val labels = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Dedup.connectedComponents(pairs, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet === (10L to 20L).toSet)
     assert(labels.values.toSet === Set(10L))
+  }
+
+  test("driver union-find and distributed propagation produce identical labels") {
+    val s = spark
+    import s.implicits._
+    // chains + cliques + islands in one graph
+    val rnd = new scala.util.Random(5)
+    val pairs = ((10L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 300L)) ++
+      (0 until 30).map(_ => (rnd.nextInt(40).toLong + 400L, rnd.nextInt(40).toLong + 400L)))
+      .filter { case (a, b) => a != b }
+      .toDF("id1", "id2")
+    val driver = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === dist)
   }
 
   test("dupClusters on the planted corpus matches the pair graph") {
