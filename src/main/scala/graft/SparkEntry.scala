@@ -152,6 +152,33 @@ object SparkEntry {
       QueryCompiler.run(rd(s, dir, "customer"), q).orderBy("Quantile")
     }),
 
+    // Multi-granularity time rollup in ONE pass via GROUPING SETS —
+    // per-minute and per-hour event rollups share the scan and the
+    // partial aggregation (SURVEY §2.4 notes grouping sets are free in
+    // Spark; this pins it with an oracle). Bucketing uses integer `div`
+    // on the epoch-nano ts: double division would lose precision past
+    // 2^53 and misbucket.
+    "q_time_rollup" -> ((s, dir) => {
+      val b = rd(s, dir, "events").selectExpr(
+        "ts div 60000000000 AS minute_b",
+        "ts div 3600000000000 AS hour_b", "user_id")
+      b.groupingSets(Seq(Seq(col("minute_b")), Seq(col("hour_b"))),
+          col("minute_b"), col("hour_b"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("user_id")).cast("long").as("su"))
+        .orderBy(asc_nulls_first("minute_b"), asc_nulls_first("hour_b"))
+    }),
+
+    // DISTRIBUTION extended to grouped form — one KLL sketch per group
+    // key (the reference aggregates globally only): per-segment account-
+    // balance quartiles. Exact while each group's n ≤ k (holds at the
+    // oracle scale factors).
+    "q_dist_grouped" -> ((s, dir) =>
+      graft.operators.GroupedDistribution.quantiles(
+        rd(s, dir, "customer"), Seq("c_mktsegment"), "c_acctbal",
+        probs = Seq(0.25, 0.5, 0.75), k = 8192)
+        .orderBy("c_mktsegment", "Quantile")),
+
     // §2.4 DISTRIBUTION LINEAR form (reference LinearDistribution —
     // numberOfPoints instead of explicit ranks, FilterBoltTest.java:747):
     // QUANTILE numPoints=5 generates {0, .25, .5, .75, 1}, same oracle as
@@ -689,6 +716,19 @@ object SparkEntry {
       "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
     "q_dist_quantile" -> quartileOracle,
     "q_dist_linear" -> quartileOracle, // LINEAR numPoints=5 == these ranks
+    "q_time_rollup" ->
+      """WITH b AS (
+        |  SELECT epoch_ns(ts) // 60000000000 AS minute_b,
+        |         epoch_ns(ts) // 3600000000000 AS hour_b, user_id
+        |  FROM events)
+        |SELECT minute_b, hour_b, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(user_id) AS BIGINT) AS su
+        |FROM b GROUP BY GROUPING SETS ((minute_b), (hour_b))
+        |ORDER BY minute_b NULLS FIRST, hour_b NULLS FIRST""".stripMargin.replace("\n", " "),
+    "q_dist_grouped" ->
+      Seq(0.25, 0.5, 0.75).map(p =>
+        s"""SELECT c_mktsegment, CAST($p AS DOUBLE) AS "Quantile", percentile_disc($p) WITHIN GROUP (ORDER BY c_acctbal) AS "Value" FROM customer GROUP BY c_mktsegment""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY c_mktsegment, \"Quantile\""),
     "q_dist_pmf" ->
       ("""SELECT * FROM (
          | SELECT '(-∞, 0.0)' AS "Range", count(*) FILTER (WHERE c_acctbal < 0.0) AS "Count", count(*) FILTER (WHERE c_acctbal < 0.0)::DOUBLE / count(c_acctbal) AS "Probability" FROM customer

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.agg.KllDistributionAgg
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-group DISTRIBUTION — the reference's quantile aggregation
+ * (SURVEY §2.4, global only) extended to grouped form: one KLL sketch per
+ * group key, exactly `groupBy(keys).agg(kll)`.
+ *
+ * Scale shape: sketch state is O(k) per GROUP (not per row), partials
+ * combine map-side and merge associatively like every other sketch here,
+ * so the shuffle carries one sketch per (partition, group). Exact while
+ * each group's row count stays ≤ k; beyond that the KLL error bounds
+ * apply per group. This is the standard way to compute per-key latency /
+ * size percentiles over arbitrarily many keys at 100 TB.
+ */
+object GroupedDistribution {
+
+  /** Per-group quantile values at the given ranks. Output: keys ++
+    * (Quantile, Value), one row per (group, rank). */
+  def quantiles(df: DataFrame, keys: Seq[String], field: String,
+                probs: Seq[Double], k: Int = 2048): DataFrame = {
+    require(keys.nonEmpty, "grouped distribution needs at least one key")
+    val agg = udaf(new KllDistributionAgg("QUANTILE", probs.toArray, k, 0),
+      Encoders.DOUBLE)
+    df.groupBy(keys.map(col): _*)
+      .agg(agg(col(field).cast("double")).as("rows"))
+      .select(keys.map(col) :+ explode(col("rows")).as("r"): _*)
+      .select(keys.map(col) :+ col("r.quantile").as("Quantile") :+
+        col("r.value").as("Value"): _*)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.GroupedDistribution
+import org.apache.spark.sql.functions._
+
+class GroupedDistributionSpec extends SparkTestBase {
+
+  test("per-group quantiles are exact per group in the exact regime") {
+    val s = spark
+    import s.implicits._
+    // group a: 1..100; group b: 1000, 2000, ..., 10000
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 1000.0))).toDF("g", "v")
+    val out = GroupedDistribution.quantiles(df, Seq("g"), "v",
+      probs = Seq(0.5, 1.0), k = 1024)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // KLL INCLUSIVE rank semantics == percentile_disc
+    assert(out(("a", 0.5)) === 50.0)
+    assert(out(("a", 1.0)) === 100.0)
+    assert(out(("b", 0.5)) === 5000.0)
+    assert(out(("b", 1.0)) === 10000.0)
+  }
+
+  test("null and missing group values behave like any grouped aggregation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None), ("c", Some(7.0)))
+      .toDF("g", "v")
+    val out = GroupedDistribution.quantiles(df, Seq("g"), "v",
+      probs = Seq(1.0), k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out === Map("a" -> 3.0, "c" -> 7.0)) // nulls don't update the sketch
+  }
+}
