@@ -171,12 +171,13 @@ object SparkEntry {
 
     // DISTRIBUTION extended to grouped form — one KLL sketch per group
     // key (the reference aggregates globally only): per-segment account-
-    // balance quartiles. Exact while each group's n ≤ k (holds at the
-    // oracle scale factors).
+    // balance quartiles. Exact while each group's n ≤ k; requireExact
+    // asserts that precondition AT RUN TIME (a larger scale factor fails
+    // loudly instead of silently diverging from percentile_disc).
     "q_dist_grouped" -> ((s, dir) =>
       graft.operators.GroupedDistribution.quantiles(
         rd(s, dir, "customer"), Seq("c_mktsegment"), "c_acctbal",
-        probs = Seq(0.25, 0.5, 0.75), k = 8192)
+        probs = Seq(0.25, 0.5, 0.75), k = 8192, requireExact = true)
         .orderBy("c_mktsegment", "Quantile")),
 
     // §2.4 DISTRIBUTION LINEAR form (reference LinearDistribution —
@@ -478,6 +479,25 @@ object SparkEntry {
           min(col("props_rec.k")).as("kmin"),
           max(col("props_rec.k")).as("kmax"))
         .orderBy("etype")
+    }),
+
+    // Point-in-time enrichment (as-of join): each click joined to the same
+    // user's most recent at-or-before view — the canonical training-
+    // feature enrichment. One key shuffle via union + running window; a
+    // range-join formulation would build O(matches²) pairs first. Right
+    // side deduped on (user, ts) so tie choice is engine-independent.
+    "q_asof" -> ((s, dir) => {
+      // micro-second timestamps on both sides: DuckDB's parquet reader
+      // truncates TIMESTAMP(NANOS) to its µs TIMESTAMP, so raw nanos
+      // can't hash-match (truncation is monotonic — the match set is
+      // identical either way)
+      val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      graft.operators.AsofJoin.asofBackward(clicks, views, Seq("user_id"),
+        "ts", "ts", Seq("value")).orderBy("event_id")
     }),
 
     // Skew-resilient salted two-stage aggregation — result must equal the
@@ -820,6 +840,12 @@ object SparkEntry {
         "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +
         "max(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmax " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_asof" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts, max(value) AS value FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts, l.event_id, r.ts AS r_ts, r.value AS r_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum FROM events GROUP BY 1 ORDER BY 1",
     "q_post_aggs" ->

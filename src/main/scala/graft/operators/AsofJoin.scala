@@ -51,6 +51,11 @@ object AsofJoin {
     val carriedType = StructType(attached.map(right.schema(_)))
     val collide = left.columns.toSet.intersect(attached.map(prefix + _).toSet)
     require(collide.isEmpty, s"prefixed right columns collide with left: $collide")
+    // the union/window plumbing owns these names — a left column named
+    // __t would silently shadow the sort key
+    val reserved = Set("__t", "__side", "__r0", "__r")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"inputs use reserved internal column names: $clash")
 
     val leftOther = left.columns.toSeq.filterNot(keys.contains).filterNot(_ == leftTime)
     val lTagged = left.select(

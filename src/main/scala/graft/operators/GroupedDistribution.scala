@@ -19,14 +19,29 @@ import org.apache.spark.sql.functions._
 object GroupedDistribution {
 
   /** Per-group quantile values at the given ranks. Output: keys ++
-    * (Quantile, Value), one row per (group, rank). */
+    * (Quantile, Value), one row per (group, rank).
+    *
+    * `requireExact = true` additionally asserts — at run time, inside the
+    * same aggregate (one extra count column, no extra pass) — that every
+    * group's row count is ≤ k, i.e. the KLL sketch never left its exact
+    * level-0 regime. Callers that pin results against an exact
+    * percentile_disc oracle set this so a fixture growing past k fails
+    * loudly instead of silently drifting to approximate quantiles. */
   def quantiles(df: DataFrame, keys: Seq[String], field: String,
-                probs: Seq[Double], k: Int = 2048): DataFrame = {
+                probs: Seq[Double], k: Int = 2048,
+                requireExact: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "grouped distribution needs at least one key")
     val agg = udaf(new KllDistributionAgg("QUANTILE", probs.toArray, k, 0),
       Encoders.DOUBLE)
-    df.groupBy(keys.map(col): _*)
-      .agg(agg(col(field).cast("double")).as("rows"))
+    val agged = df.groupBy(keys.map(col): _*)
+      .agg(agg(col(field).cast("double")).as("rows"),
+        count(col(field)).as("__n"))
+    val checked =
+      if (!requireExact) agged
+      else agged.filter(assert_true(col("__n") <= k,
+        concat(lit(s"group row count "), col("__n"),
+          lit(s" exceeds KLL k=$k: quantiles are no longer exact"))).isNull)
+    checked
       .select(keys.map(col) :+ explode(col("rows")).as("r"): _*)
       .select(keys.map(col) :+ col("r.quantile").as("Quantile") :+
         col("r.value").as("Value"): _*)

@@ -39,15 +39,26 @@ object Dedup {
   /** Distinct word n-grams, native: one codegen'd JVM call per row
     * ([[graft.functions.WordShingles]]) instead of the interpreted
     * per-element lambda chain — bit-identical output, registered on the
-    * active session at plan-build time. Documents shorter than n words
-    * have no shingles. */
+    * active (falling back to the default) session at plan-build time, so
+    * plans built on scheduler/Future threads with no thread-local session
+    * still get the native form. Documents shorter than n words have no
+    * shingles. */
   def shingles(text: Column, n: Int): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
       case Some(s) =>
         graft.functions.TextFunctions.ensure(s)
         graft.functions.TextFunctions.wordShingles(text, n)
       case None => shinglesComposable(text, n)
     }
+
+  /** [[shingles]] pinned to `df`'s own session (like
+    * TextAnalysis.fingerprints) — plan shape no longer depends on which
+    * thread builds it. The DataFrame-taking operators below use this. */
+  private def shinglesOn(df: DataFrame, text: Column, n: Int): Column = {
+    graft.functions.TextFunctions.ensure(df.sparkSession)
+    graft.functions.TextFunctions.wordShingles(text, n)
+  }
 
   /** Exact dedup by content hash: one survivor (min id) and a copy count
     * per identical content value. Single hash-shuffle on the digest. */
@@ -84,7 +95,7 @@ object Dedup {
 
   /** (doc_id, grams) pairs — the shingle-set form shared by the fuzzy ops. */
   private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))
+    df.select(col(idCol).as("doc_id"), shinglesOn(df, col(textCol), n).as("grams"))
 
   /**
    * Exact n-gram Jaccard near-duplicate pairs via an inverted index:

@@ -148,10 +148,14 @@ object QueryJson {
     require(end >= start, "REGION end must be >= start")
     val steps = (end - start) / inc
     // the expansion yields n+1 points (0 to n inclusive) and validate()
-    // rejects > 10000 points — the two limits must agree, or a REGION this
-    // accepts FAILs later at register
-    require(steps + 1 <= 10000, s"REGION would generate ${steps.toLong + 1} points; cap is 10000")
-    val n = math.floor(steps + 1e-9).toInt
+    // rejects > 10000 points — the cap must be checked against the SAME
+    // floored n the expansion uses, or a float ratio landing fractionally
+    // above 9999 (end/inc rounding) is rejected despite generating exactly
+    // the permitted count. Floored as a double first: a pathological
+    // end/inc could overflow Int before the cap check.
+    val nD = math.floor(steps + 1e-9)
+    require(nD + 1 <= 10000, s"REGION would generate ${nD.toLong + 1} points; cap is 10000")
+    val n = nD.toInt
     (0 to n).map(i => start + i * inc)
   }
 

@@ -472,9 +472,24 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       // context validate can't see) is retried per-query so the ONE broken
       // query FAILs and deregisters while every co-registered query keeps
       // its partials — the reference FAILs the single Querier
-      // (JoinBolt.java:297-308); it never aborts the topology.
+      // (JoinBolt.java:297-308); it never aborts the topology. Only
+      // DETERMINISTIC failures (plan/analysis/user-expression errors) FAIL
+      // the query; a transient cluster error (executor loss, shuffle fetch
+      // failure) propagates out of processBatch so the stream's own retry
+      // machinery replays the batch — deregistering a long-lived query
+      // over a cluster hiccup would be wrong.
       def isolate(rqs: Seq[RQ])(one: RQ => Unit): Unit = rqs.foreach { rq =>
-        try one(rq) catch { case NonFatal(e) => failQuery(rq, e) }
+        try one(rq) catch {
+          case NonFatal(e) if QueryRunner.isDeterministicFailure(e) =>
+            failQuery(rq, e)
+          case NonFatal(_) =>
+            // transient: one more attempt (the cluster may already have
+            // recovered), then let the caller retry the whole batch
+            try one(rq) catch {
+              case NonFatal(e2) if QueryRunner.isDeterministicFailure(e2) =>
+                failQuery(rq, e2)
+            }
+        }
       }
       val sharedF = if (simple.isEmpty) None else Some(Future(collectShared(simple, df)))
       val eqF = eqByField.toSeq.map { case (f, rqs) =>
@@ -981,4 +996,24 @@ object QueryRunner {
         t.setDaemon(true)
         t
       }))
+
+  /** Would this per-batch failure recur if the same batch were replayed?
+    * Deterministic = the query itself is broken (analysis/plan errors, bad
+    * user expressions) → FAIL and deregister it. Anything else (shuffle
+    * fetch failure, executor loss, IO) is presumed a transient cluster
+    * fault: the batch is retriable and the query must survive. Spark wraps
+    * executor-side user errors in SparkException layers, so the whole
+    * cause chain is inspected. */
+  private[streaming] def isDeterministicFailure(e: Throwable): Boolean = {
+    val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(10).toSeq
+    causes.exists {
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _: IllegalArgumentException                => true // incl. NumberFormat
+      case _: UnsupportedOperationException           => true
+      case _: ArithmeticException                     => true
+      case _: java.time.DateTimeException             => true
+      case _                                          => false
+    }
+  }
 }

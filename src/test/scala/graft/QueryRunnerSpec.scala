@@ -840,6 +840,44 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("good").records.head)("cnt") === 33)
   }
 
+  test("a transient batch failure propagates and does NOT deregister the query") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("survivor", durationMs = 20000L))
+    // a runtime failure that is NOT a plan/analysis error stands in for a
+    // cluster fault (executor loss, fetch failure): the batch must be
+    // retriable, so processBatch rethrows instead of FAILing the query
+    TransientPoison.armed.set(true)
+    val poisoned = events.withColumn("etype", TransientPoison.boom(col("etype")))
+    intercept[Exception] { runner.processBatch(poisoned) }
+    assert(runner.activeQueryIds === Seq("survivor"))
+    assert(!runner.results.exists(_.queryId == "survivor"))
+    // the "replayed" batch (fault cleared) merges normally
+    TransientPoison.armed.set(false)
+    runner.processBatch(events)
+    clock.advance(30000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("survivor").records.head)("cnt") === 33)
+  }
+
+  test("a transient fault that clears by the per-query retry merges without a FAIL") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("retryok", durationMs = 20000L))
+    // fail only the FIRST evaluation: the shared-pass job dies, the
+    // per-query isolate retry then succeeds — no FAIL clip, partials kept
+    TransientPoison.armed.set(true)
+    TransientPoison.failures.set(1)
+    val flaky = events.withColumn("etype", TransientPoison.boomOnce(col("etype")))
+    runner.processBatch(flaky)
+    assert(runner.activeQueryIds === Seq("retryok"))
+    assert(!runner.results.exists(_.signal.contains("FAIL")))
+    TransientPoison.armed.set(false)
+    clock.advance(30000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    assert(parse(byId("retryok").records.head)("cnt") === 33)
+  }
+
   test("missing fields: filter matches nothing, group key becomes the string null") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
@@ -877,4 +915,22 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("b0").records.head)("cnt") === 1)
     assert(parse(byId("b1").records.head)("cnt") === 2)
   }
+}
+
+/** Executor-side fault injection for the transient-failure tests: a plain
+  * RuntimeException (NOT an analysis error) stands in for executor loss /
+  * shuffle fetch failure. Static state — local-mode tasks share the JVM. */
+object TransientPoison {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  import org.apache.spark.sql.functions.udf
+  val boom = udf((s: String) => {
+    if (armed.get) throw new RuntimeException("simulated executor fault")
+    s
+  })
+  val boomOnce = udf((s: String) => {
+    if (armed.get && failures.get() > 0 && failures.getAndDecrement() > 0)
+      throw new RuntimeException("simulated executor fault (once)")
+    s
+  })
 }
