@@ -590,6 +590,41 @@ object SparkEntry {
         .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.1, 0.1).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
 
+    // Temperature-scaled source mixing (pretraining-mix flattening):
+    // per-source keep rate ∝ w^(1/T), computed driver-side so the SAME
+    // doubles parameterize this filter and the generated oracle CASE.
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(rd(s, dir, "documents"), "doc_id", "source",
+        MixtureWeights, temperature = 2.0, scale = 1.2)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
+    // Sequence packing (concatenate-and-chunk): every doc's chunk index /
+    // offset in its (source, shard) pack stream. One hash shuffle on the
+    // stream key; shards bound the per-task stream length at scale.
+    "q_pack_chunks" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      graft.pipeline.Packing.concatChunks(docs, "doc_id", "n_toks",
+        budget = 256, sourceCol = "source", shards = 4)
+        .select(col("doc_id"), col("pack_stream"), col("n_tokens"),
+          col("chunk_id"), col("chunk_offset"), col("chunks_spanned"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: email/IPv4/phone scrubbed + per-category counts. The
+    // corpus text is synthetic word salad, so deterministic PII is
+    // appended — built identically in the oracle — and must come out
+    // redacted on both engines.
+    "q_pii_redact" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.1 call +1415555"),
+          (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")).as("text"))
+      TextAnalysis.redactPii(docs, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline: quality gate → exact-dedup survivors →
     // deterministic 50% sample → per-language corpus stats. Every stage is
     // an already-verified operator; this entry pins their COMPOSITION.
@@ -890,6 +925,29 @@ object SparkEntry {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
          |  CASE WHEN lang = 'fr' THEN '199a' WHEN lang = 'en' THEN '8000' ELSE '4000' END
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "q_sample_mixture" -> {
+      val cases = Sampling.temperatureFractions(MixtureWeights, 2.0, 1.2)
+        .toSeq.sortBy(_._1)
+        .map { case (src, f) =>
+          s"WHEN source = '$src' THEN '${Sampling.thresholdHex(f)}'"
+        }.mkString(" ")
+      "SELECT doc_id, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        s"(CASE $cases ELSE '0000' END) ORDER BY doc_id"
+    },
+    "q_pack_chunks" ->
+      """WITH d AS (SELECT doc_id, source || '#' || CAST(doc_id % 4 AS VARCHAR) AS pack_stream,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, pack_stream, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY pack_stream ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef FROM d)
+        |SELECT doc_id, pack_stream, n_tokens, bef // 256 AS chunk_id, bef % 256 AS chunk_offset,
+        |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (bef + n_tokens - 1) // 256 - bef // 256 + 1 END AS chunks_spanned
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_pii_redact" -> graft.pipeline.TextAnalysis.redactPiiOracleSql(
+      "(SELECT doc_id, text || ' contact user' || doc_id || '@mail.example.com from 10.' || " +
+        "(doc_id % 256) || '.0.1 call +1415555' || (1000 + doc_id % 9000) AS text FROM documents)",
+      "doc_id", "text"),
     "q_sample_split" ->
       ("""SELECT split, count(*) AS n FROM (
          |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
@@ -962,6 +1020,11 @@ object SparkEntry {
 
   /** BM25 query terms shared by the Spark entry and the generated oracle. */
   private val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** Raw source weights for the mixture-sampling entry — shared by the
+    * Spark filter and the generated oracle CASE (same JVM doubles). */
+  private val MixtureWeights =
+    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15, "src3" -> 0.05)
 
   /** Min-id connected components over the same exact ngram-Jaccard pair
     * graph, as a DuckDB recursive reachability query: `reach(id, r)` seeds

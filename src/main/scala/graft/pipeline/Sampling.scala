@@ -59,6 +59,36 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), hexDigits) < threshold)
   }
 
+  /**
+   * Temperature-scaled source-mixing fractions: the per-source keep rate
+   * p_s ∝ w_s^(1/T), normalized over the listed sources, then scaled by
+   * `scale` and clamped to 1.0 — the standard way a pretraining mix
+   * flattens (T > 1) or sharpens (T < 1) raw source weights. T = 1
+   * reproduces the weights; T → ∞ approaches uniform. Computed
+   * driver-side so the SAME doubles parameterize the Spark filter and any
+   * generated oracle SQL.
+   */
+  def temperatureFractions(weights: Map[String, Double], temperature: Double,
+                           scale: Double = 1.0): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val pow = weights.map { case (s, w) => s -> math.pow(w, 1.0 / temperature) }
+    val z = pow.values.sum
+    pow.map { case (s, p) => s -> math.min(1.0, scale * p / z) }
+  }
+
+  /** Deterministic mixture sample: keep each source at its temperature-
+    * scaled rate (sources not in `weights` are dropped — an explicit mix
+    * is a whitelist). Same zero-shuffle when-chain as
+    * [[stratifiedHashSample]]. */
+  def temperatureMixture(df: DataFrame, keyCol: String, srcCol: String,
+                         weights: Map[String, Double], temperature: Double,
+                         scale: Double = 1.0, hexDigits: Int = 4): DataFrame =
+    stratifiedHashSample(df, keyCol, srcCol,
+      temperatureFractions(weights, temperature, scale),
+      defaultFraction = 0.0, hexDigits)
+
   /** Disjoint train/validation/test split by stable hash: returns the
     * split label per row (fractions must sum to ≤ 1; remainder → "train").
     * The same key always lands in the same split, on any engine. */

@@ -225,6 +225,46 @@ object TextAnalysis {
     * `ln`, where Spark codegen (StrictMath.log) and DuckDB (glibc log)
     * differ by 1 ulp on some inputs — selection + order still pin the
     * ranking, while every emitted bit is exact. */
+  /** PII patterns, in the Java-regex/RE2 COMMON syntax subset (no
+    * backreferences, no lookaround) so one pattern string drives both the
+    * Spark plan and the generated DuckDB oracle: (name, pattern,
+    * replacement). Order matters — emails are redacted before IPs so an
+    * IP-looking mail domain is consumed by the email rule. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"))
+
+  /** PII redaction: replace every email / IPv4 / E.164-ish phone with a
+    * placeholder token and count matches per category (counted on the
+    * ORIGINAL text, per pattern, independent of redaction order). Pure
+    * per-row regex work — zero shuffle, scales linearly. Regex-based
+    * scrubbing is the deterministic first pass of a real pipeline; an
+    * NER-model pass would ride the same per-partition plumbing as
+    * [[graft.pipeline.Multimodal]]'s decode stage. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+        .as(s"n_$name")
+    }
+    df.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+  }
+
+  /** [[redactPii]] as DuckDB SQL over the same patterns ('g' flag — DuckDB
+    * replaces only the first match by default, Spark replaces all). */
+  def redactPiiOracleSql(fromSql: String, idCol: String, textCol: String): String = {
+    val redacted = PiiPatterns.foldLeft(textCol) {
+      case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all($textCol, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(", ")
+    s"SELECT $idCol, $redacted AS redacted, $counts FROM $fromSql ORDER BY $idCol"
+  }
+
   def bm25OracleSql(table: String, idCol: String, textCol: String,
                     terms: Seq[String], k: Int,
                     k1: Double = 1.2, b: Double = 0.75): String = {

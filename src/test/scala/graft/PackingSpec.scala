@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.Packing
+import org.apache.spark.sql.functions._
+
+/** Conformance for concatenate-and-chunk sequence packing. */
+class PackingSpec extends SparkTestBase {
+  private val s = spark
+  import s.implicits._
+
+  test("chunk placement follows the running token stream per source") {
+    // one stream: tokens 100, 200, 30, 300 with budget 256
+    val df = Seq((1L, 100L, "a"), (2L, 200L, "a"), (3L, 30L, "a"), (4L, 300L, "a"))
+      .toDF("id", "nt", "src")
+    val out = Packing.concatChunks(df, "id", "nt", budget = 256, sourceCol = "src")
+      .select($"id", $"chunk_id", $"chunk_offset", $"chunks_spanned")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (0L, 0L, 1L))     // tokens [0,100)
+    assert(out(2L) === (0L, 100L, 2L))   // [100,300) straddles 256
+    assert(out(3L) === (1L, 44L, 1L))    // [300,330)
+    assert(out(4L) === (1L, 74L, 2L))    // [330,630) touches chunks 1 and 2
+  }
+
+  test("zero-token docs occupy no space and span zero chunks") {
+    val df = Seq((1L, 10L, "a"), (2L, 0L, "a"), (3L, 5L, "a")).toDF("id", "nt", "src")
+    val out = Packing.concatChunks(df, "id", "nt", budget = 8, sourceCol = "src")
+      .select($"id", $"chunk_id", $"chunk_offset", $"chunks_spanned")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(2L) === (1L, 2L, 0L))     // sits at the cursor, consumes nothing
+    assert(out(3L) === (1L, 2L, 1L))     // next doc starts at the same offset
+  }
+
+  test("sharding splits a source into independent deterministic streams") {
+    val df = (0L until 20L).map(i => (i, 10L, "a")).toDF("id", "nt", "src")
+    val out = Packing.concatChunks(df, "id", "nt", budget = 25,
+      sourceCol = "src", shards = 2)
+    // shard = id % 2, each stream packs its own cumulative sum
+    val byStream = out.groupBy("pack_stream").agg(count(lit(1)).as("n"),
+      max("chunk_id").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byStream.keySet === Set("a#0", "a#1"))
+    // 10 docs × 10 tokens = 100 tokens per stream → last doc starts at 90 → chunk 3
+    assert(byStream.values.toSet === Set((10L, 3L)))
+  }
+
+  test("streams pack independently: a doc's placement ignores other sources") {
+    val df = Seq((1L, 100L, "a"), (2L, 100L, "b"), (3L, 10L, "a"))
+      .toDF("id", "nt", "src")
+    val out = Packing.concatChunks(df, "id", "nt", budget = 64, sourceCol = "src")
+      .select($"id", $"chunk_id", $"chunk_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(2L) === (0L, 0L))   // b's stream starts fresh
+    assert(out(3L) === (1L, 36L))  // a's cursor after 100 tokens
+  }
+}

@@ -59,4 +59,37 @@ class SamplingSpec extends SparkTestBase {
     assert(labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
       again.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
+
+  test("temperatureFractions: T=1 reproduces weights, T→∞ flattens, clamp at 1") {
+    val w = Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1)
+    val t1 = Sampling.temperatureFractions(w, temperature = 1.0)
+    assert(math.abs(t1("a") - 0.6) < 1e-12 && math.abs(t1("c") - 0.1) < 1e-12)
+    val flat = Sampling.temperatureFractions(w, temperature = 1e9)
+    assert(flat.values.forall(f => math.abs(f - 1.0 / 3) < 1e-6))
+    // sharpening (T<1) skews toward the heavy source
+    val sharp = Sampling.temperatureFractions(w, temperature = 0.5)
+    assert(sharp("a") > 0.7 && sharp("c") < 0.05)
+    // scale can push a source past 1.0 — clamped
+    val clamped = Sampling.temperatureFractions(w, temperature = 1.0, scale = 2.0)
+    assert(clamped("a") === 1.0)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureFractions(w, temperature = 0.0)
+    }
+  }
+
+  test("temperatureMixture drops unlisted sources and equals per-source hashSample") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val w = Map("src0" -> 0.8, "src1" -> 0.2)
+    val out = Sampling.temperatureMixture(df, "id", "src", w, temperature = 1.0)
+    val got = out.collect().map(r => r.getLong(0)).toSet
+    assert(!out.collect().exists(_.getString(1) == "src2")) // whitelist
+    val fr = Sampling.temperatureFractions(w, 1.0)
+    val expect = Seq("src0", "src1").flatMap { src =>
+      Sampling.hashSample(df.filter($"src" === src), "id", fr(src))
+        .collect().map(_.getLong(0))
+    }.toSet
+    assert(got === expect)
+  }
 }

@@ -158,4 +158,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp(2L) === 0) // shorter than k → empty
     assert(fp(3L) === 0)
   }
+
+  test("redactPii scrubs emails, IPv4s, and phones; counts each category") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail alice.smith+x@corp.example.org and bob@ex.io now"),
+      (2L, "from 192.168.0.1 to 10.0.0.255 end"),
+      (3L, "call +14155551234 or +4930123456 today"),
+      (4L, "no pii here at all"),
+      (5L, "mixed a@b.co 1.2.3.4 +1234567 done")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ("mail <EMAIL> and <EMAIL> now", 2L, 0L, 0L))
+    assert(out(2L) === ("from <IP> to <IP> end", 0L, 2L, 0L))
+    assert(out(3L) === ("call <PHONE> or <PHONE> today", 0L, 0L, 2L))
+    assert(out(4L) === ("no pii here at all", 0L, 0L, 0L))
+    assert(out(5L) === ("mixed <EMAIL> <IP> <PHONE> done", 1L, 1L, 1L))
+  }
 }
