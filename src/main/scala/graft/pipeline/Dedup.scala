@@ -114,9 +114,15 @@ object Dedup {
     val gs = gramSets(df, idCol, textCol, n)
     // Carry the set size on each posting so the pair-count aggregation can
     // compute Jaccard directly — no separate sizes join, and the shingle
-    // arrays are computed once per side instead of three times.
+    // arrays are computed once per side instead of three times. Postings
+    // key on xxhash64(shingle), not the string: the shuffle carries 8
+    // bytes per posting instead of an ~n-word string, and the join
+    // compares longs. Distinct shingles stay distinct w.h.p. — a
+    // collision only perturbs a pair's Jaccard if the two colliding
+    // shingles co-occur in the SAME compared pair (p ≈ |A|·|B| / 2⁶⁴).
     val exploded = gs.select(col("doc_id"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("g"))
+      explode(col("grams")).as("g0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("g0")).as("g"))
     val counted = maxDocFreq match {
       case Some(m) =>
         // Guarded path — group-and-pair: ONE shuffle of the postings by

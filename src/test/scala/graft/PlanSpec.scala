@@ -142,4 +142,39 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), "semdedup has a cartesian product")
   }
+
+  test("q_asof: union + one window shuffle — never a range join") {
+    val p = plan("q_asof")
+    assert(p.contains("Window"), p.take(800))
+    // a sort-merge/nested-loop range join would explode matches-per-key
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not compile to a range join")
+    // exactly one exchange feeds the as-of window (the union is shuffled
+    // once by key; the aggregate on the view side has its own pair)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 3, p)
+  }
+
+  test("q_pack_chunks: one shuffle on the pack stream; running sum is a window") {
+    val p = plan("q_pack_chunks")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    // global sort only at the very end for the oracle's ORDER BY — the
+    // packing itself must not sort the corpus globally
+    assert(p.linesIterator.count(_.contains("hashpartitioning(pack_stream")) >= 1, p)
+  }
+
+  test("q_sample_mixture and q_pii_redact: per-row narrow — zero shuffles before output") {
+    Seq("q_sample_mixture", "q_pii_redact").foreach { q =>
+      val p = plan(q)
+      // the only exchanges allowed are the final ORDER BY's range partition
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles before the output sort: $exchanges")
+    }
+  }
+
+  test("ngram postings shuffle 64-bit hashed shingles, not strings") {
+    val p = plan("q_dedup_ngram")
+    assert(p.contains("xxhash64"), p.take(1500))
+  }
 }
