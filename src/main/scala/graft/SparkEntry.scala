@@ -590,6 +590,18 @@ object SparkEntry {
         .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), 0.1, 0.1).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
 
+    // Per-group quantile selection: keep documents at/above their OWN
+    // language's median quality — sketch-threshold + broadcast-filter,
+    // never a per-group sort (percent_rank over a 100 TB group is one
+    // task; this is two streaming passes).
+    "q_quality_topp" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+      graft.operators.GroupedDistribution.filterAtOrAboveQuantile(
+        docs, Seq("lang"), "quality", p = 0.5, k = 8192, requireExact = true)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+
     // Temperature-scaled source mixing (pretraining-mix flattening):
     // per-source keep rate ∝ w^(1/T), computed driver-side so the SAME
     // doubles parameterize this filter and the generated oracle CASE.
@@ -925,6 +937,15 @@ object SparkEntry {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
          |  CASE WHEN lang = 'fr' THEN '199a' WHEN lang = 'en' THEN '8000' ELSE '4000' END
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    "q_quality_topp" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    least(1.0, len(string_split(text, ' ')) / 100.0) *
+        |    (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' '))) AS quality
+        |  FROM documents),
+        |th AS (SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY quality) AS cut FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang FROM q JOIN th ON q.lang = th.lang
+        |WHERE q.quality >= th.cut ORDER BY q.doc_id""".stripMargin.replace("\n", " "),
     "q_sample_mixture" -> {
       val cases = Sampling.temperatureFractions(MixtureWeights, 2.0, 1.2)
         .toSeq.sortBy(_._1)

@@ -46,4 +46,27 @@ object GroupedDistribution {
       .select(keys.map(col) :+ col("r.quantile").as("Quantile") :+
         col("r.value").as("Value"): _*)
   }
+
+  /** Keep rows whose `field` is at or above their OWN group's p-quantile —
+    * "top half by quality per language", the standard per-source selection
+    * step of a pretraining mix.
+    *
+    * Two passes, no global sort: (1) one sketch aggregation computes a
+    * per-group threshold (O(k) state per group), (2) the tiny threshold
+    * table broadcasts back and the corpus streams through a filter. The
+    * obvious alternative — `percent_rank() OVER (PARTITION BY group)` —
+    * sorts every group inside one task and dies on any group that doesn't
+    * fit one executor; this shape scales to arbitrarily large groups.
+    * Thresholds are actual data values (KLL INCLUSIVE search), so `>=`
+    * keeps at least the exact top (1-p) fraction; exact percentile_disc
+    * semantics while each group's n ≤ k. */
+  def filterAtOrAboveQuantile(df: DataFrame, keys: Seq[String], field: String,
+                              p: Double, k: Int = 2048,
+                              requireExact: Boolean = false): DataFrame = {
+    val th = quantiles(df, keys, field, Seq(p), k, requireExact)
+      .select(keys.map(col) :+ col("Value").as("__threshold"): _*)
+    df.join(broadcast(th), keys)
+      .filter(col(field) >= col("__threshold"))
+      .drop("__threshold")
+  }
 }

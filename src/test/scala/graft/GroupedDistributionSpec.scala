@@ -31,4 +31,29 @@ class GroupedDistributionSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(out === Map("a" -> 3.0, "c" -> 7.0)) // nulls don't update the sketch
   }
+
+  test("filterAtOrAboveQuantile keeps each group's own top half") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 4).map(i => ("b", i * 100.0))).toDF("g", "v")
+    val kept = GroupedDistribution.filterAtOrAboveQuantile(df, Seq("g"), "v",
+      p = 0.5, k = 64, requireExact = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // percentile_disc(0.5) of 1..10 is 5 → keep 5..10; of {100..400} is 200
+    assert(kept === ((5 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 200.0), ("b", 300.0), ("b", 400.0))).toSet)
+  }
+
+  test("requireExact fails loudly when a group exceeds k") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 200).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val e = intercept[Exception] {
+      GroupedDistribution.filterAtOrAboveQuantile(df, Seq("g"), "v",
+        p = 0.5, k = 64, requireExact = true).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(x => Option(x.getMessage).exists(_.contains("exceeds KLL k"))))
+  }
 }
