@@ -615,7 +615,7 @@ object SparkEntry {
     // stream key; shards bound the per-task stream length at scale.
     "q_pack_chunks" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_toks", size(TextAnalysis.toks(col("text"))).cast("long"))
       graft.pipeline.Packing.concatChunks(docs, "doc_id", "n_toks",
         budget = 256, sourceCol = "source", shards = 4)
         .select(col("doc_id"), col("pack_stream"), col("n_tokens"),

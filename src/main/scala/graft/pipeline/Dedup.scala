@@ -39,13 +39,14 @@ object Dedup {
   /** Distinct word n-grams, native: one codegen'd JVM call per row
     * ([[graft.functions.WordShingles]]) instead of the interpreted
     * per-element lambda chain — bit-identical output, registered on the
-    * active (falling back to the default) session at plan-build time, so
-    * plans built on scheduler/Future threads with no thread-local session
-    * still get the native form. Documents shorter than n words have no
-    * shingles. */
+    * thread's ACTIVE session at plan-build time. No active session (e.g.
+    * a bare scheduler thread) falls back to the composable form, which
+    * resolves on any session — guessing a session here (default-session
+    * fallback) could register the function on a session the column never
+    * resolves against in multi-session apps. Operators that HAVE the
+    * DataFrame use [[shinglesOn]] and are thread-independent. */
   def shingles(text: Column, n: Int): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+    org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
         graft.functions.TextFunctions.ensure(s)
         graft.functions.TextFunctions.wordShingles(text, n)

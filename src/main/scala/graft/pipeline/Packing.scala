@@ -47,6 +47,12 @@ object Packing {
                    budget: Long, sourceCol: String, shards: Int = 1): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(shards >= 1, "shards must be >= 1")
+    // the packing owns these output/internal names — an input column named
+    // n_tokens (a natural tokenizer-output name) would be silently clobbered
+    val reserved = Set("pack_stream", "n_tokens", "chunk_id", "chunk_offset",
+      "chunks_spanned", "__before") - tokensCol
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input uses reserved packing column names: $clash")
     val streamKey =
       if (shards == 1) col(sourceCol).cast("string")
       else concat(col(sourceCol).cast("string"), lit("#"),

@@ -467,57 +467,88 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       import scala.concurrent.duration.Duration
       import scala.util.control.NonFatal
       implicit val ec: scala.concurrent.ExecutionContext = QueryRunner.jobEc
+
+      // ---- Phase 1: COLLECT. Every Spark job lands driver-side before
+      // ANY query state mutates, so a transient cluster fault (executor
+      // loss, fetch failure) can rethrow here and the replayed batch can
+      // never double-merge a query whose job had already succeeded.
+      //
       // Failure isolation: a multi-query job that throws (one bad spec
       // reaching plan/analysis time, e.g. a field the batch lacks in a
-      // context validate can't see) is retried per-query so the ONE broken
-      // query FAILs and deregisters while every co-registered query keeps
-      // its partials — the reference FAILs the single Querier
-      // (JoinBolt.java:297-308); it never aborts the topology. Only
-      // DETERMINISTIC failures (plan/analysis/user-expression errors) FAIL
-      // the query; a transient cluster error (executor loss, shuffle fetch
-      // failure) propagates out of processBatch so the stream's own retry
-      // machinery replays the batch — deregistering a long-lived query
-      // over a cluster hiccup would be wrong.
-      def isolate(rqs: Seq[RQ])(one: RQ => Unit): Unit = rqs.foreach { rq =>
-        try one(rq) catch {
-          case NonFatal(e) if QueryRunner.isDeterministicFailure(e) =>
-            failQuery(rq, e)
-          case NonFatal(_) =>
-            // transient: one more attempt (the cluster may already have
-            // recovered), then let the caller retry the whole batch
-            try one(rq) catch {
-              case NonFatal(e2) if QueryRunner.isDeterministicFailure(e2) =>
-                failQuery(rq, e2)
+      // context validate can't see) is re-collected per-query so the ONE
+      // broken query FAILs while every co-registered query keeps its
+      // partials — the reference FAILs the single Querier
+      // (JoinBolt.java:297-308); it never aborts the topology. Transient
+      // faults get one retry (the cluster may have recovered), then
+      // propagate so the stream's own machinery replays the batch —
+      // deregistering a long-lived query over a cluster hiccup would be
+      // wrong, and crash-looping on a deterministic error would be worse,
+      // so only recognizably-transient failures propagate.
+      def perQuery[A](rqs: Seq[RQ])(collectOne: RQ => A): Seq[(RQ, Either[Throwable, A])] =
+        rqs.map { rq =>
+          val out: Either[Throwable, A] =
+            try Right(collectOne(rq)) catch {
+              case NonFatal(e) if QueryRunner.isTransientFailure(e) =>
+                try Right(collectOne(rq)) catch {
+                  case NonFatal(e2) if !QueryRunner.isTransientFailure(e2) => Left(e2)
+                }
+              case NonFatal(e) => Left(e)
             }
+          rq -> out
         }
-      }
       val sharedF = if (simple.isEmpty) None else Some(Future(collectShared(simple, df)))
       val eqF = eqByField.toSeq.map { case (f, rqs) =>
         (rqs.toSeq, Future(collectEqPartitioned(f, rqs.toSeq, df)))
       }
       val groupedF = groupedSigs.map(g => (g, Future(collectGrouped(g, df))))
-      sharedF.foreach { f =>
-        try {
-          val row = Await.result(f, Duration.Inf)
-          simple.foreach(rq => mergePartial(rq, row))
-        } catch { case NonFatal(_) =>
-          isolate(simple)(rq => mergePartial(rq, collectShared(Seq(rq), df)))
+      val sharedC = sharedF.map { f =>
+        try Right(Await.result(f, Duration.Inf))
+        catch { case NonFatal(_) =>
+          Left(perQuery(simple)(rq => collectShared(Seq(rq), df)))
         }
       }
-      eqF.foreach { case (rqs, f) =>
-        try {
-          val (sigs, byValue) = Await.result(f, Duration.Inf)
-          applyEqPartitioned(rqs, sigs, byValue)
-        } catch { case NonFatal(_) =>
+      val eqC = eqF.map { case (rqs, f) =>
+        try (rqs, Right(Await.result(f, Duration.Inf)))
+        catch { case NonFatal(_) =>
           // eq-partitioned queries are ungrouped by construction: the
           // generic single-query shared pass is the safe fallback
-          isolate(rqs)(rq => mergePartial(rq, collectShared(Seq(rq), df)))
+          (rqs, Left(perQuery(rqs)(rq => collectShared(Seq(rq), df))))
         }
       }
-      groupedF.foreach { case (g, f) =>
-        try applyGrouped(g, Await.result(f, Duration.Inf))
+      val groupedC = groupedF.map { case (g, f) =>
+        try (g, Right(Await.result(f, Duration.Inf)))
         catch { case NonFatal(_) =>
-          isolate(g)(rq => applyGrouped(Seq(rq), collectGrouped(Seq(rq), df)))
+          (g, Left(perQuery(g)(rq => collectGrouped(Seq(rq), df))))
+        }
+      }
+
+      // ---- Phase 2: APPLY. Pure driver-side folds over collected rows —
+      // no cluster involvement, so any throw is deterministic for THIS
+      // query (e.g. a partial-column type mismatch): FAIL it alone; every
+      // other query's merge stands and nothing ever re-merges.
+      def applyOne(rq: RQ)(body: => Unit): Unit =
+        try body catch { case NonFatal(e) => failQuery(rq, e) }
+      sharedC.foreach {
+        case Right(row) => simple.foreach(rq => applyOne(rq)(mergePartial(rq, row)))
+        case Left(outs) => outs.foreach {
+          case (rq, Right(row)) => applyOne(rq)(mergePartial(rq, row))
+          case (rq, Left(e))    => failQuery(rq, e)
+        }
+      }
+      eqC.foreach {
+        case (rqs, Right((sigs, byValue))) =>
+          applyEqPartitioned(rqs, sigs, byValue, applyOne)
+        case (_, Left(outs)) => outs.foreach {
+          case (rq, Right(row)) => applyOne(rq)(mergePartial(rq, row))
+          case (rq, Left(e))    => failQuery(rq, e)
+        }
+      }
+      groupedC.foreach {
+        case (g, Right(rows)) =>
+          g.foreach(rq => applyOne(rq)(applyGrouped(Seq(rq), rows)))
+        case (_, Left(outs)) => outs.foreach {
+          case (rq, Right(rows)) => applyOne(rq)(applyGrouped(Seq(rq), rows))
+          case (rq, Left(e))     => failQuery(rq, e)
         }
       }
     } finally {
@@ -603,12 +634,15 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   }
 
   private def applyEqPartitioned(rqs: Seq[RQ], sigs: Seq[Seq[RQ]],
-      byValue: Map[Any, Row]): Unit =
+      byValue: Map[Any, Row],
+      applyOne: RQ => (=> Unit) => Unit = rq => body => body): Unit =
     sigs.zipWithIndex.foreach { case (sigRqs, i) =>
       sigRqs.foreach { rq =>
-        byValue.get(eqPartitionKeys(rq).get.map(kv => normValue(kv._2)).toList) match {
-          case Some(row) => mergePartial(rq, row, s"__sig$i")
-          case None      => rq.batchesSeen += 1 // no matching records this batch
+        applyOne(rq) {
+          byValue.get(eqPartitionKeys(rq).get.map(kv => normValue(kv._2)).toList) match {
+            case Some(row) => mergePartial(rq, row, s"__sig$i")
+            case None      => rq.batchesSeen += 1 // no matching records this batch
+          }
         }
       }
     }
@@ -997,23 +1031,31 @@ object QueryRunner {
         t
       }))
 
-  /** Would this per-batch failure recur if the same batch were replayed?
-    * Deterministic = the query itself is broken (analysis/plan errors, bad
-    * user expressions) → FAIL and deregister it. Anything else (shuffle
-    * fetch failure, executor loss, IO) is presumed a transient cluster
-    * fault: the batch is retriable and the query must survive. Spark wraps
-    * executor-side user errors in SparkException layers, so the whole
-    * cause chain is inspected. */
-  private[streaming] def isDeterministicFailure(e: Throwable): Boolean = {
+  /** Is this failure plausibly a TRANSIENT cluster fault (shuffle fetch
+    * failure, executor loss, network/disk IO, timeout) rather than a
+    * broken query? Transient → processBatch rethrows and the stream
+    * replays the batch; everything else FAILs the one query — the
+    * reference's contract (a Querier that throws is FAILed; the topology
+    * never crash-loops on a deterministic error). Unknown errors default
+    * to deterministic: wrongly FAILing one query on an exotic cluster
+    * fault is recoverable (re-register), wrongly replaying a broken query
+    * forever stalls every query. Spark wraps task failures in
+    * SparkException layers and often embeds the executor-side stack in
+    * the MESSAGE only, so both the cause-chain types and the messages are
+    * scanned. */
+  private[streaming] def isTransientFailure(e: Throwable): Boolean = {
     val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(10).toSeq
-    causes.exists {
-      case _: org.apache.spark.sql.AnalysisException => true
-      case _: IllegalArgumentException                => true // incl. NumberFormat
-      case _: UnsupportedOperationException           => true
-      case _: ArithmeticException                     => true
-      case _: java.time.DateTimeException             => true
-      case _                                          => false
+    val transientType = causes.exists {
+      case _: java.io.IOException                   => true
+      case _: java.util.concurrent.TimeoutException => true
+      case _: InterruptedException                  => true
+      case _                                        => false
     }
+    val msg = causes.flatMap(c => Option(c.getMessage)).mkString(" ")
+    transientType || Seq("FetchFailed", "ExecutorLost", "executor lost",
+      "Connection reset", "Connection refused", "heartbeat", "Too large frame",
+      "Unable to fetch", "java.io.IOException", "TimeoutException")
+      .exists(msg.contains)
   }
 }

@@ -43,6 +43,17 @@ class PackingSpec extends SparkTestBase {
     assert(byStream.values.toSet === Set((10L, 3L)))
   }
 
+  test("reserved output/internal column names on the input are rejected") {
+    val df = Seq((1L, 10L, "a", 9L)).toDF("id", "nt", "src", "chunk_id")
+    intercept[IllegalArgumentException] {
+      Packing.concatChunks(df, "id", "nt", budget = 8, sourceCol = "src")
+    }
+    // the tokens column itself may carry the canonical output name
+    val ok = Seq((1L, 10L, "a")).toDF("id", "n_tokens", "src")
+    assert(Packing.concatChunks(ok, "id", "n_tokens", budget = 8,
+      sourceCol = "src").count() === 1)
+  }
+
   test("streams pack independently: a doc's placement ignores other sources") {
     val df = Seq((1L, 100L, "a"), (2L, 100L, "b"), (3L, 10L, "a"))
       .toDF("id", "nt", "src")

@@ -917,20 +917,22 @@ class QueryRunnerSpec extends SparkTestBase {
   }
 }
 
-/** Executor-side fault injection for the transient-failure tests: a plain
-  * RuntimeException (NOT an analysis error) stands in for executor loss /
-  * shuffle fetch failure. Static state — local-mode tasks share the JVM. */
+/** Executor-side fault injection for the transient-failure tests: an
+  * IOException (what a fetch/disk/network fault surfaces as) stands in
+  * for executor loss / shuffle fetch failure — the class
+  * QueryRunner.isTransientFailure recognizes as retriable. Static
+  * state — local-mode tasks share the JVM. */
 object TransientPoison {
   val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
   val failures = new java.util.concurrent.atomic.AtomicInteger(0)
   import org.apache.spark.sql.functions.udf
   val boom = udf((s: String) => {
-    if (armed.get) throw new RuntimeException("simulated executor fault")
+    if (armed.get) throw new java.io.IOException("simulated executor fault")
     s
   })
   val boomOnce = udf((s: String) => {
     if (armed.get && failures.get() > 0 && failures.getAndDecrement() > 0)
-      throw new RuntimeException("simulated executor fault (once)")
+      throw new java.io.IOException("simulated executor fault (once)")
     s
   })
 }
