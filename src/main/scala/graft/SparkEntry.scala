@@ -275,6 +275,25 @@ object SparkEntry {
       Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // Containment near-dups: |A∩B| / min(|A|,|B|) — catches a small doc
+    // embedded in a larger one, which Jaccard misses. Same inverted-index
+    // plan as q_dedup_ngram.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.9).orderBy("id1", "id2")),
+
+    // Retention policy: per near-dup cluster keep the HIGHEST-QUALITY
+    // member (ties → min id), not the min id — what a curation pipeline
+    // actually ships. Oracle = recursive-CTE clusters + window argmax
+    // over the same quality expression.
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val scored = docs.withColumn("quality", TextAnalysis.qualityCol(col("text")))
+      Dedup.dupClustersBest(scored, "doc_id", "quality", pairs).orderBy("doc_id")
+    }),
+
     // --- LLM-data-pipeline: similarity search ---
 
     // Exact cosine top-10 for 5 query vectors (broadcast queries, one
@@ -820,6 +839,23 @@ object SparkEntry {
     "q_dedup_ngram_guarded" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
     "q_dedup_clusters" -> dupClustersOracle,
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, containment FROM (
+        |  SELECT id1, id2, CAST(ic AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+        |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+        |) WHERE containment >= 0.9 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_dedup_best" -> dupClustersBestOracle,
     "q_dedup_simhash" ->
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
@@ -1077,6 +1113,43 @@ object SparkEntry {
       |)
       |SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_survivor
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** [[dupClustersOracle]]'s clusters with the best-quality retention
+    * policy: survivor = first doc per cluster ordered by (quality DESC,
+    * doc_id) — the same argmax [[graft.pipeline.Dedup.dupClustersBest]]
+    * computes distributively. */
+  private val dupClustersBestOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2 FROM (
+      |    SELECT id1, id2, CAST(ic AS DOUBLE) / (s1.sz + s2.sz - ic) AS jaccard
+      |    FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |  ) WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      |), clusters AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+      |), q AS (
+      |  SELECT doc_id,
+      |    least(1.0, len(string_split(text, ' ')) / 100.0) *
+      |    (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' '))) AS quality
+      |  FROM documents)
+      |SELECT c.doc_id, c.cluster_id,
+      |  (c.doc_id = first_value(c.doc_id) OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id)) AS is_survivor
+      |FROM clusters c JOIN q ON c.doc_id = q.doc_id ORDER BY c.doc_id""".stripMargin.replace("\n", " ")
 
   /** Exact word-3-gram Jaccard pairs with threshold 0.5, as DuckDB SQL —
     * oracle for both the inverted-index and the MinHash-LSH variants. */

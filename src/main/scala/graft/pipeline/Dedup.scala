@@ -111,7 +111,29 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
+                        maxDocFreq: Option[Int] = None): DataFrame =
+    pairCounts(df, idCol, textCol, n, maxDocFreq)
+      .select(col("id1"), col("id2"),
+        (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Near-dup pairs by n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) — the
+    * asymmetric companion to Jaccard: a small document wholly embedded in
+    * a much larger one (quoted article, concatenated crawl page) scores
+    * ~1.0 here while its Jaccard is ~|A|/|B| ≈ 0. Same inverted-index
+    * plan and skew guard as [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            maxDocFreq: Option[Int] = None): DataFrame =
+    pairCounts(df, idCol, textCol, n, maxDocFreq)
+      .select(col("id1"), col("id2"),
+        (col("ic").cast("double") / least(col("sz1"), col("sz2"))).as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared inverted-index co-occurrence core: (id1, id2, sz1, sz2, ic)
+    * for every document pair sharing ≥1 shingle. */
+  private def pairCounts(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, maxDocFreq: Option[Int]): DataFrame = {
     val gs = gramSets(df, idCol, textCol, n)
     // Carry the set size on each posting so the pair-count aggregation can
     // compute Jaccard directly — no separate sizes join, and the shingle
@@ -161,9 +183,6 @@ object Dedup {
           .agg(count(lit(1)).as("ic"))
     }
     counted
-      .select(col("id1"), col("id2"),
-        (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /**
@@ -327,6 +346,31 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_survivor"))
+  }
+
+  /** [[dupClusters]] with a retention POLICY: the kept copy per cluster is
+    * the member maximizing `scoreCol` (ties → min id), not the min id —
+    * "keep the best-quality duplicate", what a curation pipeline actually
+    * wants. One extra aggregation shuffles only (cluster_id, score, id)
+    * triples — O(corpus) rows of three columns, state O(1) per cluster —
+    * then the winner table (one row per non-singleton cluster) joins
+    * back. Scale shape identical to [[dupClusters]] plus that one narrow
+    * agg. */
+  def dupClustersBest(docs: DataFrame, idCol: String, scoreCol: String,
+                      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIters)
+    val clustered = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(scoreCol).as("__score"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), col("__score"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    // argmax by (score asc, id desc) struct max ⇒ max score, ties → min id
+    val winners = clustered.groupBy("cluster_id")
+      .agg(max(struct(col("__score"), (-col("doc_id")).as("negid"))).as("w"))
+      .select(col("cluster_id"), (-col("w.negid")).as("keep_id"))
+    clustered.join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("keep_id")).as("is_survivor"))
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 of

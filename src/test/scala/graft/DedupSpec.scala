@@ -239,4 +239,35 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict === Set((1L, 2L)))
   }
+
+  test("containment catches a small doc embedded in a big one that Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, small), (2L, big), (3L, "totally unrelated words only here"))
+      .toDF("doc_id", "text")
+    // small: 3 shingles, all present in big (43 shingles) → containment 1.0,
+    // Jaccard 3/43 ≈ 0.07
+    val cont = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont === Set((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5).count()
+    assert(jac === 0)
+  }
+
+  test("dupClustersBest keeps the highest-scoring cluster member; ties → min id") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 4L)).toDF("id1", "id2")
+    val scored = Seq((1L, 0.1), (2L, 0.9), (6L, 0.4), // cluster 1: best is 2
+      (3L, 0.5), (4L, 0.5),                           // cluster 3: tie → 3
+      (5L, 0.0)                                       // singleton survives
+    ).toDF("doc_id", "quality")
+    val out = Dedup.dupClustersBest(scored, "doc_id", "quality", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === (1L, false) && out(2L) === (1L, true) && out(6L) === (1L, false))
+    assert(out(3L) === (3L, true) && out(4L) === (3L, false))
+    assert(out(5L) === (5L, true))
+  }
 }
