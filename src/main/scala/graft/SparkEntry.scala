@@ -180,6 +180,15 @@ object SparkEntry {
         probs = Seq(0.25, 0.5, 0.75), k = 8192, requireExact = true)
         .orderBy("c_mktsegment", "Quantile")),
 
+    // COUNT_DISTINCT extended to grouped form — one Theta sketch per
+    // group (the reference counts globally only): distinct users per
+    // event type. One shuffle, O(2^lgK) state per group; exact here
+    // (cardinality ≪ 2^17).
+    "q_count_distinct_grouped" -> ((s, dir) =>
+      graft.operators.GroupedCountDistinct.countDistinct(
+        rd(s, dir, "events"), Seq("event_type"), Seq("user_id"),
+        name = "du", lgK = 17).orderBy("event_type")),
+
     // §2.4 DISTRIBUTION LINEAR form (reference LinearDistribution —
     // numberOfPoints instead of explicit ranks, FilterBoltTest.java:747):
     // QUANTILE numPoints=5 generates {0, .25, .5, .75, 1}, same oracle as
@@ -800,6 +809,8 @@ object SparkEntry {
       "SELECT count(DISTINCT l_orderkey) AS count FROM lineitem",
     "q_count_distinct_multi" ->
       "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
+    "q_count_distinct_grouped" ->
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS du FROM events GROUP BY 1 ORDER BY 1",
     "q_dist_quantile" -> quartileOracle,
     "q_dist_linear" -> quartileOracle, // LINEAR numPoints=5 == these ranks
     "q_time_rollup" ->

@@ -32,6 +32,24 @@ class GroupedDistributionSpec extends SparkTestBase {
     assert(out === Map("a" -> 3.0, "c" -> 7.0)) // nulls don't update the sketch
   }
 
+  test("grouped count-distinct: one Theta sketch per group, exact in regime") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 300).map(i => (if (i % 2 == 0) "a" else "b", i % 7, i % 11))
+      .toDF("g", "u", "v")
+    val out = graft.operators.GroupedCountDistinct.countDistinct(
+      df, Seq("g"), Seq("u"), name = "du")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 7L, "b" -> 7L))
+    // tuple form: distinct (u, v) pairs per group — injective key encoding
+    val tup = graft.operators.GroupedCountDistinct.countDistinct(
+      df, Seq("g"), Seq("u", "v"), name = "duv")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = df.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).distinct.length.toLong).toMap
+    assert(tup === expect)
+  }
+
   test("filterAtOrAboveQuantile keeps each group's own top half") {
     val s = spark
     import s.implicits._
