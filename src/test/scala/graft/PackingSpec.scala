@@ -43,6 +43,35 @@ class PackingSpec extends SparkTestBase {
     assert(byStream.values.toSet === Set((10L, 3L)))
   }
 
+  test("packing invariants hold on random corpora (deterministic seeds)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 500L).map { i =>
+      (i, rnd.nextInt(400).toLong, s"src${rnd.nextInt(5)}")
+    }
+    val out = Packing.concatChunks(rows.toDF("id", "nt", "src"), "id", "nt",
+      budget = 128, sourceCol = "src", shards = 3)
+      .select($"id", $"pack_stream", $"n_tokens", $"chunk_id", $"chunk_offset",
+        $"chunks_spanned")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length === 500)
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, _, nt, chunkId, off, spanned) =>
+        // placement is exactly the running-sum cursor
+        assert(chunkId === cum / 128 && off === cum % 128)
+        assert(off >= 0 && off < 128)
+        val expectSpan = if (nt == 0) 0L else (cum + nt - 1) / 128 - cum / 128 + 1
+        assert(spanned === expectSpan)
+        cum += nt
+      }
+    }
+    // token conservation: every input token is in exactly one stream cursor
+    assert(out.map(_._3).sum === rows.map(_._2).sum)
+  }
+
   test("reserved output/internal column names on the input are rejected") {
     val df = Seq((1L, 10L, "a", 9L)).toDF("id", "nt", "src", "chunk_id")
     intercept[IllegalArgumentException] {

@@ -177,4 +177,12 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_dedup_ngram")
     assert(p.contains("xxhash64"), p.take(1500))
   }
+
+  test("grouped count-distinct: two-phase sketch aggregation, single shuffle") {
+    val p = plan("q_count_distinct_grouped")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p.take(1200))
+    // one hash exchange for the groupBy + the output sort's range exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) === 1, exchanges)
+  }
 }
