@@ -90,6 +90,36 @@ object TextFunctionHelpers {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  /** 64-bit SimHash of `text`: per-bit majority vote over xxhash64 (seed
+    * 42 — bit-identical to Spark's `xxhash64`) of each DISTINCT word
+    * n-gram, tie (sum = 0) voting 1 — exactly the explode + 64-conditional-
+    * sum aggregate it replaces, in one pass per row with no shuffle.
+    * NULL text or fewer than `n` tokens → null (those docs carried no
+    * signature in the aggregate form either: they were filtered out). */
+  def simhash64(text: UTF8String, n: Int): java.lang.Long = {
+    val gs = grams(text, n)
+    if (gs.isEmpty) return null
+    val set = new LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < gs.length) { set.add(gs(i)); i += 1 }
+    val counts = new Array[Int](64)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
 }
 
 /**
@@ -185,6 +215,49 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
     copy(child = newChild)
 }
 
+/**
+ * Native Catalyst SimHash: the 64-bit near-dup signature of a string
+ * column in ONE JVM call per row — distinct word n-grams, xxhash64 per
+ * gram, per-bit majority vote. Replaces an explode + groupBy(doc) with 64
+ * conditional sums, i.e. turns a full shuffle of every gram into a narrow
+ * codegen'd map over the scan. Null when the text has fewer than n tokens
+ * (such docs had no signature row in the aggregate form either).
+ */
+case class SimHash64(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"simhash64 n must be >= 1, got $n")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+  override def nullable: Boolean = true // < n tokens → null
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val boxed = TextFunctionHelpers.simhash64(
+      child.eval(input).asInstanceOf[UTF8String], n)
+    if (boxed == null) null else boxed.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("simhashBoxed")
+    ev.copy(code = code"""
+      |${c.code}
+      |java.lang.Long $boxed = graft.functions.TextFunctionHelpers.simhash64(
+      |  ${c.isNull} ? null : ${c.value}, $n);
+      |boolean ${ev.isNull} = $boxed == null;
+      |long ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   private[functions] val ident = FunctionIdentifier("word_shingles")
   private[functions] val info = new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
@@ -206,12 +279,23 @@ object TextFunctions {
       exprs(2).eval().asInstanceOf[Number].intValue())
   }
 
+  private[functions] val simhashIdent = FunctionIdentifier("simhash64")
+  private[functions] val simhashInfo =
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
+  private[functions] val simhashBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "simhash64 takes exactly 2 arguments")
+    require(exprs(1).foldable, "simhash64 n must be a literal")
+    SimHash64(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** Idempotently register the text functions with an existing session. */
   def ensure(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
     if (!registry.functionExists(winnowIdent))
       registry.registerFunction(winnowIdent, winnowInfo, winnowBuilder)
+    if (!registry.functionExists(simhashIdent))
+      registry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
   }
 
   /** `word_shingles(text, n)` as a Column; requires [[ensure]] or
@@ -223,4 +307,9 @@ object TextFunctions {
     * [[GraftExtensions]]. */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     call_function("winnow_fingerprint", text, lit(k), lit(w))
+
+  /** `simhash64(text, n)` as a Column; requires [[ensure]] or
+    * [[GraftExtensions]]. */
+  def simhash64(text: Column, n: Int): Column =
+    call_function("simhash64", text, lit(n))
 }

@@ -95,5 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((TextFunctions.ident, TextFunctions.info, TextFunctions.builder))
     ext.injectFunction(
       (TextFunctions.winnowIdent, TextFunctions.winnowInfo, TextFunctions.winnowBuilder))
+    ext.injectFunction(
+      (TextFunctions.simhashIdent, TextFunctions.simhashInfo, TextFunctions.simhashBuilder))
   }
 }

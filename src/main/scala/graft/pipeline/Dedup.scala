@@ -374,10 +374,25 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: per-bit majority vote over xxhash64 of
-    * each shingle. One groupBy(doc) with 64 conditional sums — wide but
-    * fully codegen'd, constant state per doc. Tie (sum = 0) votes 1. */
+    * each distinct shingle, tie (sum = 0) voting 1. Native
+    * [[graft.functions.SimHash64]] — one codegen'd JVM call per row, a
+    * narrow map over the scan with NO explode and NO shuffle (the
+    * aggregate form below shuffles every gram). Docs with fewer than `n`
+    * tokens carry no signature (null → dropped), matching the aggregate
+    * form's pre-explode filter. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
+    graft.functions.TextFunctions.ensure(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The explode + groupBy(doc) + 64-conditional-sum form of
+    * [[simhashSignatures]] — bit-identical output, kept as the
+    * differential-parity reference for the native expression. */
+  private[graft] def simhashSignaturesAgg(df: DataFrame, idCol: String,
+                                          textCol: String, n: Int): DataFrame = {
     val gs = gramSets(df, idCol, textCol, n)
     val ex = gs.filter(size(col("grams")) > 0)
       .select(col("doc_id"), explode(col("grams")).as("g"))
@@ -414,7 +429,14 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = simhashSignatures(df, idCol, textCol, n)
+    // Unfiltered projection, NOT simhashSignatures: its isNotNull filter
+    // re-evaluates simhash64 per row (filter + project are separate
+    // codegen operators — no cross-operator subexpression elimination).
+    // A null signature (< n tokens) yields null band keys, which the
+    // join's inferred isnotnull(bkey) drops before the shuffle anyway.
+    graft.functions.TextFunctions.ensure(df.sparkSession)
+    val sig = df.select(col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))

@@ -63,6 +63,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("native simhash64 is bit-identical to the explode+aggregate form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("a", "b", "cd", "é", "字", "", " ")
+    val strs = (1 to 200).map { i =>
+      val len = rnd.nextInt(16)
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = strs.toDF("doc_id", "text")
+      .union(Seq(900L).toDF("doc_id").select(col("doc_id"), lit(null).cast("string").as("text")))
+    for (n <- Seq(1, 3)) {
+      val native = Dedup.simhashSignatures(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agg = Dedup.simhashSignaturesAgg(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === agg, s"simhash parity failed at n=$n")
+    }
+    // docs with < n tokens (incl. null text) drop out of BOTH forms
+    val nativeIds = Dedup.simhashSignatures(df, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(!nativeIds.contains(900L))
+  }
+
   test("exactByContent groups identical docs under one survivor") {
     val out = Dedup.exactByContent(docs, "doc_id", "text").collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
