@@ -269,9 +269,15 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
                           driverEdgeThreshold: Long = 100000L): DataFrame = {
+    // Symmetrize via ONE explode, not `pairs union pairs.swapped`: the
+    // union's two branches are separate instances of the (often expensive
+    // — inverted-index join) pair subtree and would execute it twice in
+    // the same job. One pass emits both orientations per pair.
     val edges = pairs
-      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
-      .union(pairs.select(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst")),
+        struct(col("id2").cast("long").as("src"), col("id1").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     if (edges.count() <= driverEdgeThreshold) return driverComponents(edges)
