@@ -303,6 +303,19 @@ object SparkEntry {
       Dedup.dupClustersBest(scored, "doc_id", "quality", pairs).orderBy("doc_id")
     }),
 
+    // Segment-level boilerplate removal (CCNet/RefinedWeb line dedup
+    // adapted to the space-separated fixture): a planted 10-word header
+    // on every even doc exceeds maxDocFreq and is stripped from ALL of
+    // them; organic 10-word segments are corpus-unique and survive.
+    "q_dedup_segments" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val boilered = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(lit(BoilerSeg + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.segmentDedup(boilered, "doc_id", "text", segWords = 10, maxDocFreq = 50)
+        .orderBy("doc_id")
+    }),
+
     // --- LLM-data-pipeline: similarity search ---
 
     // Exact cosine top-10 for 5 query vectors (broadcast queries, one
@@ -638,6 +651,22 @@ object SparkEntry {
         MixtureWeights, temperature = 2.0, scale = 1.2)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
+    // Epoch replication for weights > 1 (up-sampling): src0 docs appear
+    // 2 times + a stable-hash-chosen 25% a 3rd time; src2 is halved;
+    // src3 (not in the mix) is dropped. Zero-shuffle explode.
+    "q_sample_epochs" -> ((s, dir) =>
+      Sampling.epochMixture(rd(s, dir, "documents"), "doc_id", "source",
+        EpochWeights)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
+    // Overlapping token chunks (embedding/RAG prep): 32-token windows
+    // every 24 tokens, so consecutive chunks share 8 tokens. Per-row
+    // narrow explode — zero shuffles.
+    "q_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkOverlap(rd(s, dir, "documents"), "doc_id", "text",
+        chunk = 32, overlap = 8).orderBy("doc_id", "chunk_idx")),
+
     // Sequence packing (concatenate-and-chunk): every doc's chunk index /
     // offset in its (source, shard) pack stream. One hash shuffle on the
     // stream key; shards bound the per-task stream length at scale.
@@ -867,6 +896,27 @@ object SparkEntry {
         |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
         |) WHERE containment >= 0.9 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_dedup_best" -> dupClustersBestOracle,
+    "q_dedup_segments" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '$BoilerSeg ' || text ELSE text END AS text FROM documents
+         |), toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM d
+         |), segs AS (
+         |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         |         array_to_string(ws[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)], ' ') AS seg
+         |  FROM toks, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+         |), freq AS (
+         |  SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+         |), kept AS (
+         |  SELECT s.doc_id, s.seg_idx, s.seg FROM segs s JOIN freq USING (seg) WHERE df <= 50
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(ceil(len(ws) / 10.0) AS INT) AS n_segs,
+         |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(a.text_clean, '') AS text_clean
+         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
     "q_dedup_simhash" ->
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
@@ -993,6 +1043,27 @@ object SparkEntry {
         |th AS (SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY quality) AS cut FROM q GROUP BY lang)
         |SELECT q.doc_id, q.lang FROM q JOIN th ON q.lang = th.lang
         |WHERE q.quality >= th.cut ORDER BY q.doc_id""".stripMargin.replace("\n", " "),
+    "q_sample_epochs" -> {
+      val cases = EpochWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        val whole = math.floor(w).toInt
+        s"WHEN source = '$src' THEN $whole + (CASE WHEN " +
+          s"substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+          s"'${Sampling.thresholdHex(w - whole)}' THEN 1 ELSE 0 END)"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, source, CASE $cases ELSE 0 END AS n FROM documents)
+         |SELECT doc_id, source, CAST(e AS INT) AS epoch
+         |FROM d, UNNEST(range(0, n)) AS t(e) ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
+    },
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''
+        |)
+        |SELECT doc_id, CAST(i // 24 AS INT) AS chunk_idx, CAST(i AS INT) AS start_tok,
+        |  CAST(least(32, len(ws) - i) AS INT) AS n_chunk_toks,
+        |  array_to_string(ws[CAST(i+1 AS INT) : CAST(i+32 AS INT)], ' ') AS chunk_text
+        |FROM toks, UNNEST(range(0, CAST(len(ws) AS BIGINT), 24)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
     "q_sample_mixture" -> {
       val cases = Sampling.temperatureFractions(MixtureWeights, 2.0, 1.2)
         .toSeq.sortBy(_._1)
@@ -1088,6 +1159,16 @@ object SparkEntry {
 
   /** BM25 query terms shared by the Spark entry and the generated oracle. */
   private val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** Planted 10-word boilerplate header for the segment-dedup entry —
+    * exactly segWords long so organic segments keep their own alignment. */
+  private val BoilerSeg =
+    "copyright terms of service all rights reserved click here now"
+
+  /** Per-source epoch weights for the up-sampling mixture entry — shared
+    * by the Spark when-chain and the generated oracle CASE. */
+  private val EpochWeights =
+    Map("src0" -> 2.25, "src1" -> 1.0, "src2" -> 0.5)
 
   /** Raw source weights for the mixture-sampling entry — shared by the
     * Spark filter and the generated oracle CASE (same JVM doubles). */

@@ -469,4 +469,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id1", "id2")
   }
+
+  /**
+   * Corpus-level segment (pseudo-line) boilerplate removal — the
+   * CCNet/RefinedWeb line-dedup step: split every doc into consecutive
+   * `segWords`-word segments; a segment whose document frequency exceeds
+   * `maxDocFreq` is boilerplate (headers, navigation, license blurbs) and
+   * is removed from EVERY doc, including the first. Output per doc:
+   * `(doc_id, n_segs, n_kept, text_clean)` — surviving segments rejoined
+   * in original order; docs whose every segment was boilerplate survive
+   * with an empty `text_clean` (dropping rows would silently shrink the
+   * corpus under a join).
+   *
+   * Scale shape: segments explode narrow off the scan; document frequency
+   * is ONE groupBy on the 64-bit segment hash (postings carry 8-byte
+   * keys, partial count before the shuffle, a boilerplate segment in 10M
+   * docs is one counter, never a buffered bucket); the hot-segment set —
+   * small by construction, it's the > maxDocFreq tail — broadcasts back
+   * as a left-anti filter; reassembly is ONE groupBy(doc_id). A hash
+   * collision could only drop an innocent segment that collides with a
+   * boilerplate one (p ≈ n_hot × n_segs / 2⁶⁴).
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int, maxDocFreq: Int): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks).cast("double") / segWords).cast("int")
+    val base = df.select(col(idCol).as("doc_id"),
+      coalesce(nSegs, lit(0)).as("n_segs"))
+    val segs = df.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), xxhash64(col("seg")).as("h"), col("seg"))
+    // document frequency per segment: distinct (h, doc) first so a
+    // segment repeated WITHIN one doc counts once
+    val hot = segs.dropDuplicates("h", "doc_id")
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("h")
+    val kept = segs.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text_clean"))
+    // left join so fully-boilerplate (and empty/null-text) docs survive
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -99,4 +99,35 @@ object Sampling {
       .when(b < lit(thresholdHex(valFraction + testFraction, hexDigits)), lit("test"))
       .otherwise(lit("train"))
   }
+
+  /**
+   * Deterministic epoch replication for a weighted pretraining mix where
+   * weights may EXCEED 1 (up-sampling): a source with weight `w` sees each
+   * of its docs `floor(w)` times, plus one more epoch for the stable
+   * hash-selected `w - floor(w)` fraction of its docs — the standard
+   * "repeat high-quality sources for ~w epochs" recipe, made exactly
+   * reproducible (the same doc gets the same epoch count on any engine or
+   * cluster size). Sources not in `epochs` are dropped (a mix is a
+   * whitelist). Output: the input row repeated once per epoch with an
+   * `epoch` index column (0-based).
+   *
+   * Per-row narrow work (when-chain + sequence explode) — zero shuffles;
+   * output size is sum(w_s × |source_s|) rows, exactly the token budget
+   * the mix asked for.
+   */
+  def epochMixture(df: DataFrame, keyCol: String, srcCol: String,
+                   epochs: Map[String, Double], hexDigits: Int = 4): DataFrame = {
+    require(epochs.values.forall(w => w >= 0.0), "epoch weights must be >= 0")
+    val nCopies = epochs.foldLeft(lit(0)) { case (els, (src, w)) =>
+      val whole = math.floor(w).toInt
+      val extra = when(
+        hashBucket(col(keyCol), hexDigits) < lit(thresholdHex(w - whole, hexDigits)),
+        1).otherwise(0)
+      when(col(srcCol) === src, lit(whole) + extra).otherwise(els)
+    }
+    df.withColumn("__n_epochs", nCopies)
+      .filter(col("__n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__n_epochs") - 1)))
+      .drop("__n_epochs")
+  }
 }

@@ -291,4 +291,34 @@ object TextAnalysis {
        |  ORDER BY score DESC, doc_id LIMIT $k
        |)""".stripMargin.replace("\n", " ")
   }
+
+  /**
+   * Overlapping token chunks — the embedding/RAG prep step: windows of
+   * `chunk` tokens starting every `chunk - overlap` tokens, so each
+   * consecutive pair shares `overlap` tokens and no token is lost at a
+   * boundary. Output: `(doc_id, chunk_idx, start_tok, n_chunk_toks,
+   * chunk_text)`; the final chunk may be shorter. Empty/null docs yield
+   * no chunks (there is nothing to embed).
+   *
+   * Per-row narrow work (sequence + explode + slice over the token
+   * array) — zero shuffles; output rows ≈ n_tokens / (chunk - overlap)
+   * per doc, each carrying only its own slice.
+   */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+                   chunk: Int, overlap: Int): DataFrame = {
+    require(chunk >= 1, "chunk must be >= 1")
+    require(overlap >= 0 && overlap < chunk, "overlap must be in [0, chunk)")
+    val step = chunk - overlap
+    val tokens = toks(col(textCol))
+    val n = size(tokens)
+    // start offsets 0, step, 2*step, ... strictly below n
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(step))
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), tokens.as("__toks"), n.as("__n"),
+        posexplode(starts).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(chunk), col("__n") - col("start_tok")).as("n_chunk_toks"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(chunk)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -87,6 +87,42 @@ class DedupSpec extends SparkTestBase {
     assert(!nativeIds.contains(900L))
   }
 
+  test("segmentDedup strips corpus-frequent segments, keeps docs whole") {
+    val s = spark
+    import s.implicits._
+    // 2-word segments; "b o" is in 3 docs (> maxDocFreq 2) → boilerplate.
+    // Doc 4 is ONLY boilerplate and must survive with empty text.
+    val df = Seq(
+      (1L, "b o u1 u2"),
+      (2L, "b o u3 u4"),
+      (3L, "b o u5 u6 tail"),
+      (4L, "b o"),
+      (5L, "u7 u8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segWords = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2, 1L, "u1 u2")))
+    assert(out(2L) === ((2, 1L, "u3 u4")))
+    assert(out(3L) === ((3, 2L, "u5 u6 tail"))) // short last segment kept
+    assert(out(4L) === ((1, 0L, "")))           // fully-boilerplate doc survives
+    assert(out(5L) === ((1, 1L, "u7 u8")))
+  }
+
+  test("segmentDedup: within-doc repeats count once toward document frequency") {
+    val s = spark
+    import s.implicits._
+    // "x y" repeats 3x inside doc 1 but is in only 2 DOCS → df = 2 ≤ 2,
+    // kept everywhere
+    val df = Seq(
+      (1L, "x y x y x y"),
+      (2L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segWords = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "x y x y x y")
+    assert(out(2L) === "x y z w")
+  }
+
   test("exactByContent groups identical docs under one survivor") {
     val out = Dedup.exactByContent(docs, "doc_id", "text").collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap

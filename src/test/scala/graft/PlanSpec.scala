@@ -173,6 +173,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_sample_epochs and q_chunk_overlap: explode is narrow — zero shuffles before output") {
+    Seq("q_sample_epochs", "q_chunk_overlap").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles before the output sort: $exchanges")
+    }
+  }
+
+  test("q_dedup_segments: hot-segment filter is a broadcast anti-join, never a shuffle join") {
+    val p = plan("q_dedup_segments")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("SortMergeJoin LeftAnti"), "hot-segment filter shuffle-joined")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ngram postings shuffle 64-bit hashed shingles, not strings") {
     val p = plan("q_dedup_ngram")
     assert(p.contains("xxhash64"), p.take(1500))

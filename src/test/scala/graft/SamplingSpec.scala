@@ -92,4 +92,32 @@ class SamplingSpec extends SparkTestBase {
     }.toSet
     assert(got === expect)
   }
+
+  test("epochMixture: floor(w) copies each, fraction gets one more, 0-based epochs") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = Sampling.epochMixture(df, "id", "src",
+      Map("src0" -> 2.25, "src1" -> 1.0, "src2" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val perId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every replicated id carries consecutive epochs 0..n-1
+    assert(perId.values.forall(es => es == (0 until es.length)))
+    // src1 at weight 1.0: exactly one copy each
+    assert(bySrc("src1") === 1000)
+    // src0 at 2.25: between 2x and 3x, near 2.25x
+    assert(bySrc("src0") > 2000 && bySrc("src0") < 3000)
+    assert(math.abs(bySrc("src0") - 2250) < 150)
+    // src2 at 0.5: roughly half, and ids match hashSample's kept set
+    val src2Ids = out.filter(_._2 == "src2").map(_._1).toSet
+    val expect = Sampling.hashSample(df.filter($"src" === "src2"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(src2Ids === expect)
+    // deterministic under repartitioning
+    val again = Sampling.epochMixture(df.repartition(13), "id", "src",
+      Map("src0" -> 2.25, "src1" -> 1.0, "src2" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(again === out.toSet)
+  }
 }

@@ -178,4 +178,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) === ("no pii here at all", 0L, 0L, 0L))
     assert(out(5L) === ("mixed <EMAIL> <IP> <PHONE> done", 1L, 1L, 1L))
   }
+
+  test("chunkOverlap: consecutive chunks share `overlap` tokens; tail may be short") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6,8
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"),   // single short chunk
+      (3L, "")       // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOverlap(d, "doc_id", "text", chunk = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(c => (c._3, c._4)).toSeq ===
+      Seq((0, 4), (2, 4), (4, 4), (6, 4), (8, 2)))
+    assert(doc1.head._5 === "t0 t1 t2 t3")
+    assert(doc1(1)._5 === "t2 t3 t4 t5") // overlaps previous by 2 tokens
+    assert(doc1.last._5 === "t8 t9")     // short tail, nothing lost
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0, 2, "a b")))
+    assert(!out.exists(_._1 == 3L))
+    // every token index is covered by at least one chunk
+    val covered = doc1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (0 until 10).toSet)
+  }
 }
