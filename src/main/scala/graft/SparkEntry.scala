@@ -522,6 +522,26 @@ object SparkEntry {
         .orderBy("etype")
     }),
 
+    // Delimited (CSV) converter round-trip: typed events → one CSV line
+    // per row (native to_csv) → parsed back by declared schema (native
+    // from_csv) → aggregate on the PARSED fields. The oracle aggregates
+    // the original table, so any encode/parse drift breaks the hash.
+    "q_csv_ingest" -> ((s, dir) => {
+      val ddl = "event_id BIGINT, event_type STRING, user_id BIGINT, value DOUBLE"
+      val lines = rd(s, dir, "events")
+        .select(graft.sources.DelimitedRecords.encode(
+          struct(col("event_id"), col("event_type"), col("user_id"), col("value")))
+          .as("line"))
+      val parsed = graft.sources.DelimitedRecords.convert(lines, "line", ddl)
+        .filter(graft.sources.DelimitedRecords.wellFormed(col("line_rec"), ddl))
+      parsed.groupBy(col("line_rec.event_type").as("etype"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("line_rec.user_id")).as("su"),
+          min(col("line_rec.value")).as("mv"),
+          max(col("line_rec.value")).as("xv"))
+        .orderBy("etype")
+    }),
+
     // Point-in-time enrichment (as-of join): each click joined to the same
     // user's most recent at-or-before view — the canonical training-
     // feature enrichment. One key shuffle via union + running window; a
@@ -979,6 +999,9 @@ object SparkEntry {
         |) WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_semdedup" ->
       "SELECT CAST(200 AS BIGINT) AS n_vectors, CAST(1 AS BOOLEAN) AS survivors_ok",
+    "q_csv_ingest" ->
+      ("SELECT event_type AS etype, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
+        "min(value) AS mv, max(value) AS xv FROM events GROUP BY 1 ORDER BY 1"),
     "q_json_ingest" ->
       ("SELECT event_type AS etype, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS ks, " +
         "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +

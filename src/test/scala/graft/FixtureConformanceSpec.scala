@@ -154,6 +154,37 @@ class FixtureConformanceSpec extends SparkTestBase {
     assert(out.columns.contains("topic") && out.columns.contains("offset"))
   }
 
+  // F9b — delimited converter: CSV and TSV lines decode by declared
+  // schema; a malformed line parses to all-null fields (PERMISSIVE) and
+  // the wellFormed gate drops it; encode(convert(x)) round-trips.
+  test("F9b: delimited lines decode typed; malformed rows fail soft and filter out") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.DelimitedRecords
+    import org.apache.spark.sql.functions.col
+    val ddl = "k INT, name STRING, v DOUBLE"
+    val lines = Seq("7,alpha,1.5", "8,beta,-2.0", ",,", "not delimited at all")
+      .toDF("line")
+    val parsed = DelimitedRecords.convert(lines, "line", ddl)
+    val rows = parsed.select("line_rec.k", "line_rec.name", "line_rec.v").collect()
+    assert(rows(0).getInt(0) === 7 && rows(0).getString(1) === "alpha")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    val clean = parsed.filter(DelimitedRecords.wellFormed(col("line_rec"), ddl))
+    // ",," and "not delimited at all" both parse to all-null fields (the
+    // latter's single token fails the leading INT) — only real rows stay
+    assert(clean.count() === 2)
+    // TSV via sep
+    val tsv = Seq("9\tgamma\t0.5").toDF("line")
+    val trow = DelimitedRecords.convert(tsv, "line", ddl, sep = "\t")
+      .select("line_rec.k", "line_rec.name").collect().head
+    assert(trow.getInt(0) === 9 && trow.getString(1) === "gamma")
+    // round-trip: encode the struct back to the original line
+    val back = parsed.limit(2)
+      .select(DelimitedRecords.encode(col("line_rec")).as("line"))
+      .as[String].collect()
+    assert(back === Array("7,alpha,1.5", "8,beta,-2.0"))
+  }
+
   // F8 — combine-stage merges COUNT partials additively: 1+2+3+4+5 → 15
   // (JoinBoltTest.java:663-693), via the runner's cross-batch combine.
   test("F8: five COUNT partials merge additively to 15") {
