@@ -567,6 +567,21 @@ object SparkEntry {
       graft.operators.Skew.saltedCountSum(rd(s, dir, "events"),
         Seq("event_type"), "user_id", buckets = 16).orderBy("event_type")),
 
+    // Dimension enrichment — the canonical fact-table join at 100 TB: the
+    // small dimension broadcasts, the fact side joins map-side and never
+    // shuffles for the join (its only exchange is the downstream groupBy).
+    // Plan-audited in PlanSpec.
+    "q_enrich_broadcast" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      val cust = rd(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("segment")
+    }),
+
     // IVF approximate top-k — the partitioned serving layout. Coarse cells
     // come from distributed spherical k-means (the real IVF build; at
     // 100 TB the training set is a hash-sample, the assignment one full
@@ -1015,6 +1030,10 @@ object SparkEntry {
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum FROM events GROUP BY 1 ORDER BY 1",
+    "q_enrich_broadcast" ->
+      ("SELECT c_mktsegment AS segment, count(*) AS n_orders, max(o_totalprice) AS max_price, " +
+        "min(o_orderkey) AS min_key FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_post_aggs" ->
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +

@@ -189,6 +189,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_enrich_broadcast: dimension broadcasts; fact side has no join exchange") {
+    val p = plan("q_enrich_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "fact-dim join fell back to shuffle join")
+    // the fact side's only exchanges are the groupBy hash and output sort
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l =>
+      l.contains("hashpartitioning(c_mktsegment") || l.contains("hashpartitioning(segment") ||
+        l.contains("rangepartitioning") || l.contains("Broadcast")),
+      s"unexpected exchange: $exchanges")
+  }
+
   test("ngram postings shuffle 64-bit hashed shingles, not strings") {
     val p = plan("q_dedup_ngram")
     assert(p.contains("xxhash64"), p.take(1500))
