@@ -567,6 +567,17 @@ object SparkEntry {
       graft.operators.Skew.saltedCountSum(rd(s, dir, "events"),
         Seq("event_type"), "user_id", buckets = 16).orderBy("event_type")),
 
+    // Per-group heavy hitters (grouped TOP_K): top-3 user buckets per
+    // event type, ONE shuffle, O(maxMapSize) state per group. Exact here
+    // (100 distinct buckets/group ≪ exact regime); ties → key order.
+    "q_topk_grouped" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .withColumn("user_bucket", (col("user_id") % 100).cast("string"))
+      graft.operators.GroupedTopK.topK(ev, Seq("event_type"),
+        Seq("user_bucket" -> "user_bucket"), k = 3, countName = "cnt")
+        .orderBy(col("event_type"), col("cnt").desc, col("user_bucket"))
+    }),
+
     // Dimension enrichment — the canonical fact-table join at 100 TB: the
     // small dimension broadcasts, the fact side joins map-side and never
     // shuffles for the join (its only exchange is the downstream groupBy).
@@ -1034,6 +1045,15 @@ object SparkEntry {
       ("SELECT c_mktsegment AS segment, count(*) AS n_orders, max(o_totalprice) AS max_price, " +
         "min(o_orderkey) AS min_key FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_topk_grouped" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id % 100 AS VARCHAR) AS user_bucket, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_bucket) AS rn FROM c
+        |)
+        |SELECT event_type, user_bucket, CAST(cnt AS BIGINT) AS cnt FROM r
+        |WHERE rn <= 3 ORDER BY event_type, cnt DESC, user_bucket""".stripMargin.replace("\n", " "),
     "q_post_aggs" ->
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +

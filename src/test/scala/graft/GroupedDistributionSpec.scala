@@ -50,6 +50,35 @@ class GroupedDistributionSpec extends SparkTestBase {
     assert(tup === expect)
   }
 
+  test("grouped top-k: per-group heavy hitters, exact in regime, ties by key") {
+    val s = spark
+    import s.implicits._
+    // group a: x appears 5x, y 3x, z 1x, w 1x (tie at 1 → key order);
+    // group b: only q, 2x
+    val rows = Seq.fill(5)(("a", "x")) ++ Seq.fill(3)(("a", "y")) ++
+      Seq(("a", "z"), ("a", "w"), ("b", "q"), ("b", "q"))
+    val df = rows.toDF("g", "item")
+    val out = graft.operators.GroupedTopK.topK(df, Seq("g"),
+      Seq("item" -> "item"), k = 3, countName = "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val a = out.filter(_._1 == "a").sortBy(r => (-r._3, r._2))
+    assert(a === Array(("a", "x", 5L), ("a", "y", 3L), ("a", "w", 1L)))
+    assert(out.filter(_._1 == "b").toSeq === Seq(("b", "q", 2L)))
+    // matches the exact two-shuffle formulation on a randomized frame
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 2000).map(_ => (s"g${rnd.nextInt(4)}", s"i${rnd.nextInt(30)}"))
+      .toDF("g", "item")
+    val sk = graft.operators.GroupedTopK.topK(big, Seq("g"),
+      Seq("item" -> "item"), k = 5, countName = "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = big.collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((g, i), rs) => (g, i, rs.length.toLong) }
+      .groupBy(_._1).flatMap { case (_, items) =>
+        items.toSeq.sortBy(r => (-r._3, s"""["${r._2}"]""")).take(5)
+      }.toSet
+    assert(sk === exact)
+  }
+
   test("filterAtOrAboveQuantile keeps each group's own top half") {
     val s = spark
     import s.implicits._
