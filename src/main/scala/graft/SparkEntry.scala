@@ -303,6 +303,13 @@ object SparkEntry {
       Dedup.dupClustersBest(scored, "doc_id", "quality", pairs).orderBy("doc_id")
     }),
 
+    // Exact repeated-span detection (Lee et al. substring dedup): planted
+    // full copies make every position of the copied docs covered — one
+    // doc-length span; organic repeated 10-grams surface as small spans.
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(withPlantedCopies(rd(s, dir, "documents")),
+        "doc_id", "text", L = 10).orderBy("doc_id")),
+
     // Segment-level boilerplate removal (CCNet/RefinedWeb line dedup
     // adapted to the space-separated fixture): a planted 10-word header
     // on every even doc exceeds maxDocFreq and is stripped from ALL of
@@ -942,6 +949,35 @@ object SparkEntry {
         |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
         |) WHERE containment >= 0.9 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_dedup_best" -> dupClustersBestOracle,
+    "q_dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM d
+        |), g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(ws[CAST(i+1 AS INT) : CAST(i+10 AS INT)], ' ') AS gram
+        |  FROM toks, UNNEST(range(0, greatest(len(ws) - 9, 0))) AS t(i)
+        |), c AS (
+        |  SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+        |), cov AS (
+        |  SELECT doc_id, pos FROM g JOIN c USING (gram) WHERE cnt >= 2
+        |), isl AS (
+        |  SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 9
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl
+        |), sp AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) AS e FROM isl2 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 10) AS n_dup_tokens,
+        |         max(e - s + 10) AS max_span FROM sp GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |       CAST(coalesce(a.max_span, 0) AS BIGINT) AS max_span
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
     "q_dedup_segments" ->
       s"""WITH d AS (
          |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '$BoilerSeg ' || text ELSE text END AS text FROM documents

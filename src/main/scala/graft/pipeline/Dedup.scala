@@ -471,6 +471,60 @@ object Dedup {
   }
 
   /**
+   * Exact repeated-span detection (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better"): every position whose L-token
+   * gram occurs ≥ `minCount` times in the corpus (any doc, including its
+   * own) is "covered"; maximal runs of covered positions merge into
+   * duplicated spans. Output per doc: `(doc_id, n_spans, n_dup_tokens,
+   * max_span)` — span token counts are interval-union lengths, so
+   * overlapping grams never double-count. Docs with no duplicated span
+   * report zeros.
+   *
+   * Scale shape: positional grams explode narrow off the scan; occurrence
+   * counting is `count(*) over (partition by gram-hash)` riding ONE
+   * shuffle (WindowExec spills, a million-fold boilerplate gram never
+   * buffers in memory); island merging is a lag/running-sum window per
+   * doc (second shuffle, integers only); span aggregation re-shuffles the
+   * covered positions (by then only the duplicated fraction of the
+   * corpus). No joins except the final doc-aligned left join.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     L: Int, minCount: Int = 2): DataFrame = {
+    require(L >= 1, "L must be >= 1")
+    require(minCount >= 2, "minCount must be >= 2")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol).as("doc_id"))
+    // guard the sequence: Spark's sequence(0, -1) counts DOWN
+    val g = df.filter(size(toks) >= L)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), size(toks) - L),
+          i => xxhash64(array_join(slice(toks, i + 1, lit(L)), " "))))
+          .as(Seq("pos", "h")))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val covered = g.withColumn("__cnt", count(lit(1)).over(byH))
+      .filter(col("__cnt") >= minCount)
+      .select("doc_id", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = covered
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + (L - 1), 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+    val spans = islands.groupBy("doc_id", "__island")
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + L).as("n_dup_tokens"),
+        max(col("e") - col("s") + L).cast("long").as("max_span"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
+  /**
    * Corpus-level segment (pseudo-line) boilerplate removal — the
    * CCNet/RefinedWeb line-dedup step: split every doc into consecutive
    * `segWords`-word segments; a segment whose document frequency exceeds

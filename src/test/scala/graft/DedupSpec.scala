@@ -87,6 +87,41 @@ class DedupSpec extends SparkTestBase {
     assert(!nativeIds.contains(900L))
   }
 
+  test("duplicateSpans merges covered positions into maximal interval-union spans") {
+    val s = spark
+    import s.implicits._
+    // L=3. Docs 1 and 2 share "c d e f" → grams "c d e" (pos 2/1) and
+    // "d e f" (pos 3/2): overlapping → ONE merged span of 4 tokens each.
+    // Doc 3 repeats doc 1's leading gram "a b c" AND shares the tail gram
+    // "x y z" with doc 4 at a distant position → TWO separate spans.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "q c d e f r"),
+      (3L, "a b c q q q q x y z"),
+      (4L, "p p x y z"),
+      (5L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", L = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: grams "a b c"(0) shared with doc3, "c d e"(2), "d e f"(3)
+    // shared with doc2 → spans [0,2] (3 toks) and [2,5] (4 toks)? No:
+    // pos 0 covered, pos 2,3 covered → pos0 alone ([0,2], 3 toks) merges
+    // with pos2? 2 <= 0 + L - 1 = 2 → SAME island → one span pos 0..3 →
+    // 3 - 0 + 3 = 6 tokens.
+    assert(out(1L) === ((1L, 6L, 6L)))
+    assert(out(2L) === ((1L, 4L, 4L)))      // pos 1,2 → one span, 4 tokens
+    // pos 0 ("a b c"), pos 3,4 ("q q q" self-repeats inside the q-run →
+    // covered, merged to a 4-token span), pos 7 ("x y z") → three spans
+    assert(out(3L) === ((3L, 10L, 4L)))
+    assert(out(4L) === ((1L, 3L, 3L)))      // pos 2
+    assert(out(5L) === ((0L, 0L, 0L)))
+    // a doc-internal repeat also counts (minCount is corpus-wide)
+    val selfDup = Seq((9L, "m n o s t u v m n o")).toDF("doc_id", "text")
+    val sd = Dedup.duplicateSpans(selfDup, "doc_id", "text", L = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(sd === ((2L, 6L))) // "m n o" at pos 0 and 7 → two 3-token spans
+  }
+
   test("segmentDedup strips corpus-frequent segments, keeps docs whole") {
     val s = spark
     import s.implicits._
