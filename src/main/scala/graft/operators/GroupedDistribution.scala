@@ -33,14 +33,19 @@ object GroupedDistribution {
     require(keys.nonEmpty, "grouped distribution needs at least one key")
     val agg = udaf(new KllDistributionAgg("QUANTILE", probs.toArray, k, 0),
       Encoders.DOUBLE)
-    val agged = df.groupBy(keys.map(col): _*)
-      .agg(agg(col(field).cast("double")).as("rows"),
+    // the exactness-gate count column is only aggregated when a caller
+    // asked for the gate — the default path shuffles nothing extra
+    val aggCols =
+      if (requireExact) Seq(agg(col(field).cast("double")).as("rows"),
         count(col(field)).as("__n"))
+      else Seq(agg(col(field).cast("double")).as("rows"))
+    val agged = df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     val checked =
       if (!requireExact) agged
       else agged.filter(assert_true(col("__n") <= k,
         concat(lit(s"group row count "), col("__n"),
           lit(s" exceeds KLL k=$k: quantiles are no longer exact"))).isNull)
+        .drop("__n")
     checked
       .select(keys.map(col) :+ explode(col("rows")).as("r"): _*)
       .select(keys.map(col) :+ col("r.quantile").as("Quantile") :+
@@ -63,10 +68,17 @@ object GroupedDistribution {
   def filterAtOrAboveQuantile(df: DataFrame, keys: Seq[String], field: String,
                               p: Double, k: Int = 2048,
                               requireExact: Boolean = false): DataFrame = {
+    // null-SAFE key equality: groupBy keeps a null-key group and computes
+    // its threshold, so the join-back must match it too — a plain equi-join
+    // (null != null) would silently delete every null-key row instead of
+    // filtering it by its own group's quantile
+    val renamed = keys.zipWithIndex.map { case (kk, i) => kk -> s"__k$i" }
     val th = quantiles(df, keys, field, Seq(p), k, requireExact)
-      .select(keys.map(col) :+ col("Value").as("__threshold"): _*)
-    df.join(broadcast(th), keys)
+      .select(renamed.map { case (kk, a) => col(kk).as(a) } :+
+        col("Value").as("__threshold"): _*)
+    val cond = renamed.map { case (kk, a) => df(kk) <=> th(a) }.reduce(_ && _)
+    df.join(broadcast(th), cond)
       .filter(col(field) >= col("__threshold"))
-      .drop("__threshold")
+      .drop("__threshold" +: renamed.map(_._2): _*)
   }
 }

@@ -552,7 +552,10 @@ object Dedup {
     val nSegs = ceil(size(toks).cast("double") / segWords).cast("int")
     val base = df.select(col(idCol).as("doc_id"),
       coalesce(nSegs, lit(0)).as("n_segs"))
-    val segs = df.select(col(idCol).as("doc_id"),
+    // null text → size() = -1 → sequence(0, -1) counts DOWN in Spark and
+    // would emit phantom null segments; such docs have no segments at all
+    val segs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         posexplode(transform(sequence(lit(0), nSegs - 1),
           i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
           .as(Seq("seg_idx", "seg")))

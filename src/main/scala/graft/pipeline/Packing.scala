@@ -61,8 +61,13 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = coalesce(sum(col("n_tokens")).over(w), lit(0L))
     // `div` (integer division) everywhere: `/` on longs is DOUBLE division
-    // in Spark and would lose exactness past 2^53 cumulative tokens
-    df.withColumn("n_tokens", col(tokensCol).cast("long"))
+    // in Spark and would lose exactness past 2^53 cumulative tokens.
+    // Null/negative counts clamp to 0 (a null-text doc's size(split) is
+    // -1 in Spark): a negative count would move the stream cursor BACKWARD
+    // and corrupt every later doc's placement; 0 means "occupies no
+    // space", matching a SQL window sum that skips NULL.
+    df.withColumn("n_tokens",
+        greatest(coalesce(col(tokensCol).cast("long"), lit(0L)), lit(0L)))
       .withColumn("pack_stream", streamKey)
       .withColumn("__before", before)
       .withColumn("chunk_id", expr(s"__before div $budget"))

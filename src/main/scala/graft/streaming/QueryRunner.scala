@@ -75,6 +75,13 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     var finishingSince: Option[Long] = None
     var recordsSeen: Long = 0L // total matched records (metrics surface)
     var batchesSeen: Long = 0L
+    /** Consecutive batches whose isolated retry ALSO failed transiently —
+      * a genuinely transient fault clears within a batch or two; one that
+      * survives [[QueryRunner.MaxTransientStrikes]] replays is
+      * deterministic in disguise (e.g. an input that throws IOException
+      * on every read) and must FAIL this query instead of crash-looping
+      * the whole stream through checkpoint restarts forever. */
+    var transientStrikes: Int = 0
     def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
   }
 
@@ -487,10 +494,26 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       def perQuery[A](rqs: Seq[RQ])(collectOne: RQ => A): Seq[(RQ, Either[Throwable, A])] =
         rqs.map { rq =>
           val out: Either[Throwable, A] =
-            try Right(collectOne(rq)) catch {
+            try {
+              val r = Right(collectOne(rq))
+              rq.transientStrikes = 0
+              r
+            } catch {
               case NonFatal(e) if QueryRunner.isTransientFailure(e) =>
-                try Right(collectOne(rq)) catch {
+                try {
+                  val r = Right(collectOne(rq))
+                  rq.transientStrikes = 0
+                  r
+                } catch {
                   case NonFatal(e2) if !QueryRunner.isTransientFailure(e2) => Left(e2)
+                  case NonFatal(e2) =>
+                    // still transient after the in-batch retry: allow the
+                    // stream to replay the batch a bounded number of
+                    // times, then treat it as deterministic and FAIL the
+                    // one query rather than crash-loop every query
+                    rq.transientStrikes += 1
+                    if (rq.transientStrikes >= QueryRunner.MaxTransientStrikes) Left(e2)
+                    else throw e2
                 }
               case NonFatal(e) => Left(e)
             }
@@ -635,7 +658,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 
   private def applyEqPartitioned(rqs: Seq[RQ], sigs: Seq[Seq[RQ]],
       byValue: Map[Any, Row],
-      applyOne: RQ => (=> Unit) => Unit = rq => body => body): Unit =
+      applyOne: RQ => (=> Unit) => Unit): Unit =
     sigs.zipWithIndex.foreach { case (sigRqs, i) =>
       sigRqs.foreach { rq =>
         applyOne(rq) {
@@ -1021,6 +1044,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 }
 
 object QueryRunner {
+  /** Consecutive transiently-failing batches a query survives before the
+    * "transient" diagnosis is overruled and it FAILs alone (see
+    * RQ.transientStrikes). */
+  private[streaming] val MaxTransientStrikes = 3
+
   /** Shared daemon pool for concurrent per-batch job submission (Spark's
     * scheduler interleaves the jobs; this pool only drives collect()s). */
   private[streaming] lazy val jobEc: scala.concurrent.ExecutionContext =

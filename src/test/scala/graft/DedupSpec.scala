@@ -134,8 +134,12 @@ class DedupSpec extends SparkTestBase {
       (4L, "b o"),
       (5L, "u7 u8")
     ).toDF("doc_id", "text")
-    val out = Dedup.segmentDedup(df, "doc_id", "text", segWords = 2, maxDocFreq = 2)
+    val withNull = df.union(
+      Seq(6L).toDF("doc_id").select(col("doc_id"), lit(null).cast("string").as("text")))
+    val out = Dedup.segmentDedup(withNull, "doc_id", "text", segWords = 2, maxDocFreq = 2)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // null text: no phantom segments (sequence(0,-1) counts DOWN in Spark)
+    assert(out(6L) === ((0, 0L, "")))
     assert(out(1L) === ((2, 1L, "u1 u2")))
     assert(out(2L) === ((2, 1L, "u3 u4")))
     assert(out(3L) === ((3, 2L, "u5 u6 tail"))) // short last segment kept

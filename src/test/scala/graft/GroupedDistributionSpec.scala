@@ -92,6 +92,19 @@ class GroupedDistributionSpec extends SparkTestBase {
       Seq(("b", 200.0), ("b", 300.0), ("b", 400.0))).toSet)
   }
 
+  test("filterAtOrAboveQuantile: null-key rows filter by their OWN group, not vanish") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 10).map(i => (Some("a"), i.toDouble)) ++
+      (1 to 10).map(i => (None: Option[String], i * 10.0))).toDF("g", "v")
+    val kept = GroupedDistribution.filterAtOrAboveQuantile(df, Seq("g"), "v",
+      p = 0.5, k = 64, requireExact = true)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    // the null group's own median is 50 → 50..100 kept; "a" keeps 5..10
+    assert(kept === ((5 to 10).map(i => (Some("a"), i.toDouble)) ++
+      (5 to 10).map(i => (None, i * 10.0))).toSet)
+  }
+
   test("requireExact fails loudly when a group exceeds k") {
     val s = spark
     import s.implicits._

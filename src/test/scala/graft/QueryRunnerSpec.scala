@@ -878,6 +878,40 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("retryok").records.head)("cnt") === 33)
   }
 
+  test("a fault that stays 'transient' forever FAILs the query after bounded replays") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("cursed", durationMs = 60000L))
+    runner.register(QuerySpec("healthy",
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      durationMs = 60000L))
+    // poison never clears: an IOException on EVERY evaluation looks
+    // transient but is deterministic. The first MaxTransientStrikes-1
+    // batches rethrow (stream would replay); the strike limit then
+    // overrules the diagnosis and FAILs the one query, keeping the
+    // stream — and every other query — alive. The batch is range-based
+    // (not a LocalRelation, which ConvertToLocalRelation would evaluate
+    // eagerly for EVERY plan): only cursed's filter reads the poisoned
+    // column, healthy's pruned plan never evaluates it.
+    TransientPoison.armed.set(true)
+    try {
+      val poisoned = spark.range(1, 101)
+        .select(col("id").as("event_id"),
+          TransientPoison.boom(
+            when(col("id") % 3 === 0, "click").otherwise("view")).as("etype"),
+          col("id").cast("double").as("value"),
+          concat(lit("u"), col("id") % 7).as("user"))
+      intercept[Exception] { runner.processBatch(poisoned) } // strike 1
+      intercept[Exception] { runner.processBatch(poisoned) } // strike 2
+      runner.processBatch(poisoned)                          // strike 3 → FAIL
+    } finally TransientPoison.armed.set(false)
+    assert(!runner.activeQueryIds.contains("cursed"))
+    val failClip = runner.results.find(_.queryId == "cursed")
+    assert(failClip.exists(_.signal.contains("FAIL")))
+    // the un-poisoned query survived all three batches
+    assert(runner.activeQueryIds === Seq("healthy"))
+  }
+
   test("missing fields: filter matches nothing, group key becomes the string null") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
