@@ -147,6 +147,26 @@ class DedupSpec extends SparkTestBase {
     assert(out(5L) === ((1, 1L, "u7 u8")))
   }
 
+  test("segmentDedup invariants on random corpora: identity below the cap, order kept") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // unique per-doc words → no segment can repeat across docs
+    val docs = (1 to 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(25) + 1).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segWords = 3, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val (nSegs, nKept, clean) = out(id)
+      val expectSegs = math.ceil(text.split(" ", -1).length / 3.0).toInt
+      // nothing is corpus-frequent → reassembly must be the identity
+      assert(nSegs === expectSegs && nKept === expectSegs.toLong)
+      assert(clean === text, s"doc $id reassembly broke")
+    }
+  }
+
   test("segmentDedup: within-doc repeats count once toward document frequency") {
     val s = spark
     import s.implicits._

@@ -202,4 +202,40 @@ class TextAnalysisSpec extends SparkTestBase {
     val covered = doc1.flatMap(c => c._3 until (c._3 + c._4)).toSet
     assert(covered === (0 until 10).toSet)
   }
+
+  test("chunkOverlap invariants hold on random docs x (chunk, overlap) configs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (1 to 120).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60) + 1)(s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val nToks = docs.map { case (id, t) => id -> t.split(" ", -1).length }.toMap
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((8, 0), (8, 4), (16, 15), (5, 2))) {
+      val step = chunk - overlap
+      val out = TextAnalysis.chunkOverlap(df, "doc_id", "text", chunk, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      out.groupBy(_._1).foreach { case (id, cs) =>
+        val n = nToks(id)
+        val sorted = cs.sortBy(_._2)
+        // chunk_idx is dense from 0; start = idx * step; len = min(chunk, n - start)
+        sorted.zipWithIndex.foreach { case ((_, idx, start, len, text), i) =>
+          assert(idx === i && start === i * step)
+          assert(len === math.min(chunk, n - start) && len >= 1)
+          assert(text.split(" ", -1).length === len)
+        }
+        // full coverage, no token lost, no start beyond the doc
+        assert(sorted.last._3 < n)
+        assert(sorted.flatMap(c => c._3 until (c._3 + c._4)).toSet === (0 until n).toSet)
+        // when a chunk is full, the next one shares exactly `overlap` tokens
+        sorted.sliding(2).foreach {
+          case Array(a, b) if a._4 == chunk =>
+            assert(b._3 === a._3 + step)
+            assert(a._3 + a._4 - b._3 === overlap)
+          case _ => ()
+        }
+      }
+    }
+  }
 }
