@@ -453,12 +453,16 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     // grouped queries stay in the shared pass for their UNGROUPED matched
     // counts (partialColumns emits only the count column for GroupBy)
     val simple = active.filterNot(eqSet.contains)
-    // GROUP BY fusion: queries with the same (filter, key fields,
-    // projection) share one grouped job — their metric aggregators ride
-    // the same groupBy. Distinct signatures still need their own job
-    // (different key sets can't share a grouping).
-    val groupedSigs = grouped.groupBy(rq => (rq.spec.filter,
-      rq.spec.aggregation.asInstanceOf[GroupBy].fields, rq.spec.projection))
+    // GROUP BY fusion: queries with the same (key fields, projection)
+    // share one grouped job regardless of filter — each query's metric
+    // columns are gated by its OWN predicate inside the shared aggregate
+    // (same conditional-aggregation trick as the ungrouped shared pass),
+    // and a per-query matched count tells the driver which groups exist
+    // for which query. N same-key queries = ONE scan + ONE shuffle, where
+    // filter-partitioned jobs paid N scans. Distinct key sets still need
+    // their own job (different keys can't share a grouping).
+    val groupedSigs = grouped.groupBy(rq =>
+      (rq.spec.aggregation.asInstanceOf[GroupBy].fields, rq.spec.projection))
       .values.map(_.toSeq).toSeq
     val jobCount = (if (simple.nonEmpty) 1 else 0) + eqByField.size + groupedSigs.size
     val needsCache = jobCount > 1
@@ -874,28 +878,36 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     val head = rqs.head
     val spec0 = head.spec.aggregation.asInstanceOf[GroupBy]
     val schema = df.schema
-    val g = pred(head, schema)
     val fld: String => Column = f => fieldCol(head, f, schema)
     val keyCols = spec0.fields.map { case (f, alias) =>
       coalesce(fld(f).cast("string"), lit(SketchAggregators.NullString)).as(alias)
     }
-    val filtered = df.filter(g)
-    val groupN = "__group_n" // shared per-group matched count
+    val gates = rqs.map(rq => rq.spec.id -> pred(rq, schema)).toMap
+    // rows matching NO fused query never enter the shuffle; with one
+    // query this is exactly the old pre-filter
+    val filtered = df.filter(rqs.map(rq => gates(rq.spec.id)).reduce(_ || _))
     val aggCols = rqs.flatMap { rq =>
-      opColumns(rq.spec.id, rq.spec.aggregation.asInstanceOf[GroupBy].ops, lit(true), fld)
-    } :+ sum(lit(1L)).as(groupN)
-    val entriesMax = rqs.map(_.spec.aggregation.asInstanceOf[GroupBy].entries).max
+      val gate = gates(rq.spec.id)
+      opColumns(rq.spec.id, rq.spec.aggregation.asInstanceOf[GroupBy].ops, gate, fld) :+
+        sum(when(gate, lit(1L))).as(n(rq.spec.id))
+    }
+    // Union cap: the collected groups are the union over fused queries, so
+    // the budget is the SUM of entries (each query can need up to its own
+    // cap). Over-cap behavior (keep smallest keys) was already a
+    // documented deviation; under the cap every query's groups are exact.
+    val entriesCap = math.min(
+      rqs.map(_.spec.aggregation.asInstanceOf[GroupBy].entries.toLong).sum,
+      Int.MaxValue.toLong).toInt
     filtered
       .groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .orderBy(spec0.fields.map { case (_, alias) => col(alias) }: _*)
-      .limit(entriesMax)
+      .limit(entriesCap)
       .collect()
   }
 
   private def applyGrouped(rqs: Seq[RQ], rows: Array[Row]): Unit = {
     val spec0 = rqs.head.spec.aggregation.asInstanceOf[GroupBy]
-    val groupN = "__group_n"
     // matched-record counters (recordsSinceEmit/recordsSeen/batchesSeen) are
     // NOT derived from these capped rows — they ride the ungrouped shared
     // pass (processBatch → mergePartial), so they stay exact when distinct
@@ -905,14 +917,19 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       val id = rq.spec.id
       val st = rq.state.asInstanceOf[GroupByState]
       rows.foreach { row =>
-        val key = spec0.fields.indices.map(row.getString)
-        val acc = st.accFor(key)
-        spec.ops.zipWithIndex.foreach { case (op, i) =>
-          import GroupOpType._
-          op.op match {
-            case COUNT | COUNT_FIELD => acc.update(i, longAt(row, m(id, i)), null)
-            case AVG                 => acc.update(i, longAt(row, c(id, i)), row.getAs[Any](m(id, i)))
-            case _                   => acc.update(i, longAt(row, groupN), row.getAs[Any](m(id, i)))
+        // a group whose rows all failed THIS query's gate does not exist
+        // for it — creating it would emit a spurious zero-count group
+        val matched = longAt(row, n(id))
+        if (matched > 0L) {
+          val key = spec0.fields.indices.map(row.getString)
+          val acc = st.accFor(key)
+          spec.ops.zipWithIndex.foreach { case (op, i) =>
+            import GroupOpType._
+            op.op match {
+              case COUNT | COUNT_FIELD => acc.update(i, longAt(row, m(id, i)), null)
+              case AVG                 => acc.update(i, longAt(row, c(id, i)), row.getAs[Any](m(id, i)))
+              case _                   => acc.update(i, matched, row.getAs[Any](m(id, i)))
+            }
           }
         }
       }

@@ -912,6 +912,38 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(runner.activeQueryIds === Seq("healthy"))
   }
 
+  test("cross-filter GROUP BY fusion: each query sees only ITS groups, values exact") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // same key fields, three DIFFERENT filters → one fused job; the
+    // disjoint-filter query must NOT acquire groups that only matched the
+    // others (a spurious zero-count group is the fusion failure mode)
+    def spec(id: String, f: Expr) = QuerySpec(id, filter = Some(f),
+      aggregation = GroupBy(Seq("etype" -> "e"), Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv"),
+        GroupOp(GroupOpType.MIN, Some("value"), "mn"))))
+    runner.register(spec("clicks", Binary(Field("etype"), Lit("click"), BinOp.EQUALS)))
+    runner.register(spec("views", Binary(Field("etype"), Lit("view"), BinOp.EQUALS)))
+    runner.register(spec("high", Binary(Field("value"), Lit(90.0), BinOp.GREATER_THAN)))
+    runner.processBatch(events)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    def groups(id: String) = byId(id).records.map(parse).map(r => r("e") ->
+      ((r("cnt"), r("sv").asInstanceOf[Number].doubleValue))).toMap
+    val clicks = groups("clicks")
+    assert(clicks.keySet === Set("click"))
+    assert(clicks("click") === ((33, (3 to 99 by 3).map(_.toDouble).sum)))
+    val views = groups("views")
+    assert(views.keySet === Set("view"))
+    assert(views("view")._1 === 67)
+    // value > 90 matches both types: ids 91..100 → 3 clicks (93,96,99)
+    val high = groups("high")
+    assert(high.keySet === Set("click", "view"))
+    assert(high("click")._1 === 3 && high("view")._1 === 7)
+    assert(parse(byId("high").records.find(parse(_)("e") == "click").get)("mn") === 93.0)
+  }
+
   test("missing fields: filter matches nothing, group key becomes the string null") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
