@@ -809,7 +809,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         val key = QueryCompiler.compositeKeyOf(fields.map(f => fld(f._1)))
         val agg = udaf(new FreqItemsPartialAgg(maxMapSize), Encoders.STRING)
         Seq(agg(when(g, key)).as(p(id)))
-      case _: GroupBy => Seq.empty // handled by mergeGrouped
+      case _: GroupBy => Seq.empty // handled by collectGrouped/applyGrouped
     }
     matched +: aggCols
   }
