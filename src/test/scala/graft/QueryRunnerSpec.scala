@@ -922,7 +922,8 @@ class QueryRunnerSpec extends SparkTestBase {
       aggregation = GroupBy(Seq("etype" -> "e"), Seq(
         GroupOp(GroupOpType.COUNT, None, "cnt"),
         GroupOp(GroupOpType.SUM, Some("value"), "sv"),
-        GroupOp(GroupOpType.MIN, Some("value"), "mn"))))
+        GroupOp(GroupOpType.MIN, Some("value"), "mn"),
+        GroupOp(GroupOpType.AVG, Some("value"), "av"))))
     runner.register(spec("clicks", Binary(Field("etype"), Lit("click"), BinOp.EQUALS)))
     runner.register(spec("views", Binary(Field("etype"), Lit("view"), BinOp.EQUALS)))
     runner.register(spec("high", Binary(Field("value"), Lit(90.0), BinOp.GREATER_THAN)))
@@ -942,6 +943,13 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(high.keySet === Set("click", "view"))
     assert(high("click")._1 === 3 && high("view")._1 === 7)
     assert(parse(byId("high").records.find(parse(_)("e") == "click").get)("mn") === 93.0)
+    // AVG rides per-query gated (sum, count) pairs — the count must be the
+    // query's OWN matched-value count, not the group's total row count
+    val avClick = parse(byId("clicks").records.head)("av").asInstanceOf[Number].doubleValue
+    assert(math.abs(avClick - (3 to 99 by 3).map(_.toDouble).sum / 33) < 1e-9)
+    val avHigh = parse(byId("high").records.find(parse(_)("e") == "view").get)("av")
+      .asInstanceOf[Number].doubleValue
+    assert(math.abs(avHigh - Seq(91, 92, 94, 95, 97, 98, 100).map(_.toDouble).sum / 7) < 1e-9)
   }
 
   test("missing fields: filter matches nothing, group key becomes the string null") {
