@@ -471,6 +471,65 @@ object Dedup {
   }
 
   /**
+   * STREAMING near-duplicate suppression: keep a doc only if NONE of its
+   * SimHash bands was seen before — the streaming analog of
+   * [[simhashPairs]]'s banded blocking, with the candidate-verify step
+   * traded for recall (any shared band ⟹ suppressed). One narrow
+   * [[graft.functions.SimHash64]] per row, explode to `bands` band keys,
+   * state = one row per distinct (band, key) — bounded by the corpus's
+   * distinct band values, evicted by watermark when an event-time column
+   * is given.
+   *
+   * Semantics notes: (1) suppression is by FIRST band collision, stricter
+   * than the batch pipeline's hamming-verified pairs (pigeonhole gives
+   * the same candidate set; here candidates are dropped, not verified —
+   * streaming can't revisit). (2) EVERY doc's novel bands enter state,
+   * including a doc that is itself suppressed — so suppression is
+   * transitive across near-dup chains, like the batch pipeline's
+   * connected components. False-positive rate is the banded-LSH
+   * collision probability at 64/bands-bit bands: ~n/2^(64/bands) per
+   * band per doc.
+   */
+  def simhashDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                         n: Int, bands: Int = 4,
+                         eventTimeCol: Option[String] = None,
+                         delay: String = "10 minutes"): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    graft.functions.TextFunctions.ensure(stream.sparkSession)
+    val sig = stream.withColumn("__sig",
+      graft.functions.TextFunctions.simhash64(col(textCol), n))
+    // docs too short for a signature (null) are omitted — they carry no
+    // near-dup signal; union them back downstream if they should survive
+    val withBands = sig.filter(col("__sig").isNotNull)
+      .withColumn("__band", explode(array((0 until bands).map { b =>
+        concat(lit(s"$b:"),
+          shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit(mask)))
+      }: _*)))
+    // a surviving doc kept ALL its bands (each was first into state);
+    // count them back to one row per doc. Streaming chains two stateful
+    // operators (dedup → agg), which append mode only allows with a
+    // watermark and an event-time-windowed aggregation — a doc's bands
+    // share its timestamp, so they land in one window together.
+    eventTimeCol match {
+      case Some(t) =>
+        withBands.withWatermark(t, delay)
+          .dropDuplicatesWithinWatermark("__band")
+          .groupBy(window(col(t), delay), col(idCol))
+          .agg(count(lit(1)).as("__kept_bands"))
+          .filter(col("__kept_bands") === bands)
+          .select(col(idCol), lit(true).as("is_first"))
+      case None =>
+        withBands.dropDuplicates("__band")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("__kept_bands"))
+          .filter(col("__kept_bands") === bands)
+          .select(col(idCol), lit(true).as("is_first"))
+    }
+  }
+
+  /**
    * Exact repeated-span detection (Lee et al., "Deduplicating Training
    * Data Makes Language Models Better"): every position whose L-token
    * gram occurs ≥ `minCount` times in the corpus (any doc, including its

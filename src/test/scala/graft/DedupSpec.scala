@@ -291,6 +291,55 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set(1L, 3L))
   }
 
+  test("simhashDedupStream (batch form): one survivor per signature cluster, novel docs kept") {
+    val s = spark
+    import s.implicits._
+    val text1 = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    val text2 = "completely different text about spark query engines here now"
+    val df = Seq(
+      (1L, text1), (2L, text1), (3L, text1), // identical → all bands shared
+      (4L, text2),
+      (5L, "a b")                            // too short for 3-grams → omitted
+    ).toDF("doc_id", "text").coalesce(1)
+    val kept = Dedup.simhashDedupStream(df, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    // exactly ONE of the identical trio survives; the novel doc survives;
+    // the unsigned short doc is omitted
+    assert(kept.intersect(Set(1L, 2L, 3L)).size === 1)
+    assert(kept.contains(4L) && !kept.contains(5L))
+  }
+
+  test("simhashDedupStream suppresses a later-batch near-dup; watermark windows flush") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = new java.sql.Timestamp(10000L)
+    val tLate = new java.sql.Timestamp(200000L)
+    val text = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    val other = "completely different text about spark query engines here now"
+    val out = Dedup.simhashDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", n = 3,
+      eventTimeCol = Some("ts"), delay = "5 seconds")
+    val sq = out.writeStream.format("memory")
+      .queryName("simhash_stream_out").outputMode("append").start()
+    try {
+      mem.addData((1L, text, t0), (2L, other, t0))
+      sq.processAllAvailable()
+      // identical doc in a LATER micro-batch: band state must remember
+      mem.addData((3L, text, t0))
+      sq.processAllAvailable()
+      // far-future row advances the watermark past the first window
+      mem.addData((99L, "x y z q r s t u v w", tLate))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val kept = spark.table("simhash_stream_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L))
+    assert(!kept.contains(3L))
+  }
+
   test("minhashLshPairs agrees with the exact inverted-index answer") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
