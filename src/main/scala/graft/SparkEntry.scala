@@ -390,6 +390,41 @@ object SparkEntry {
     // pass over the batch; driver merges the byte[] partials and finishes
     // at duration expiry. Metric choice keeps doubles order-independent
     // (long sums; min/max) so the oracle hash-matches.
+    // Cross-filter GROUP BY fusion under the oracle gate: three queries
+    // over the same key but different filters ride ONE fused grouped job;
+    // each must see exactly its own groups with exact values.
+    "q_runner_grouped" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      def gb(id: String, f: Expr) = QuerySpec(id, filter = Some(f),
+        aggregation = GroupBy(Seq("event_type" -> "et"), Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("user_id"), "su"),
+          GroupOp(GroupOpType.MIN, Some("value"), "mn"))))
+      runner.register(gb("hi", Binary(Field("value"), Lit(50.0), BinOp.GREATER_THAN)))
+      runner.register(gb("lo", Binary(Field("value"), Lit(50.0), BinOp.LESS_OR_EQUALS)))
+      runner.register(gb("click", Binary(Field("event_type"), Lit("click"), BinOp.EQUALS)))
+      runner.processBatch(rd(s, dir, "events"))
+      clock.advance(100000)
+      val clips = runner.onTick().map(c => c.queryId -> c).toMap
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = Seq("hi", "lo", "click").flatMap { id =>
+        clips(id).records.map(mapper.readTree).map { r =>
+          org.apache.spark.sql.Row(id, r.get("et").asText(),
+            r.get("cnt").asLong(), r.get("su").asLong(), r.get("mn").asDouble())
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("et", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("su", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.DoubleType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy("query", "et")
+    }),
+
     "q_runner_multi" -> ((s, dir) => {
       import graft.streaming.{ManualClock, QueryRunner}
       val clock = new ManualClock(0)
@@ -1106,6 +1141,18 @@ object SparkEntry {
     "q_runner_multi" ->
       ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn, max(value) AS mx, " +
         "(SELECT count(DISTINCT user_id) FROM events) AS du FROM events WHERE value > 10.0"),
+    "q_runner_grouped" ->
+      """SELECT query, et, cnt, su, mn FROM (
+        |  SELECT 'hi' AS query, event_type AS et, count(*) AS cnt,
+        |         CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn
+        |  FROM events WHERE value > 50.0 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'lo', event_type, count(*), CAST(sum(user_id) AS BIGINT), min(value)
+        |  FROM events WHERE value <= 50.0 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'click', event_type, count(*), CAST(sum(user_id) AS BIGINT), min(value)
+        |  FROM events WHERE event_type = 'click' GROUP BY 2
+        |) ORDER BY query, et""".stripMargin.replace("\n", " "),
     "q_runner_window" ->
       ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
         "CAST(3 AS BIGINT) AS n_windows FROM events WHERE value > 10.0"),
