@@ -486,9 +486,17 @@ object Dedup {
    * streaming can't revisit). (2) EVERY doc's novel bands enter state,
    * including a doc that is itself suppressed — so suppression is
    * transitive across near-dup chains, like the batch pipeline's
-   * connected components. False-positive rate is the banded-LSH
-   * collision probability at 64/bands-bit bands: ~n/2^(64/bands) per
-   * band per doc.
+   * connected components. (3) The BATCH form (no eventTimeCol on a
+   * static frame) assigns each band to its MIN-id holder — deterministic
+   * under any partitioning, and the min-id doc of every near-dup
+   * component always survives. The STREAMING form's within-batch band
+   * ownership is arrival-arbitrary: copies landing in the SAME
+   * micro-batch can split ownership and ALL be suppressed — collapse
+   * identical copies upstream with [[exactDedupStream]] and read the
+   * contract as at-most-one-survivor for same-batch near-dup arrivals
+   * (cross-batch arrivals, the steady-state case, behave exactly).
+   * False-positive rate is the banded-LSH collision probability at
+   * 64/bands-bit bands: ~n/2^(64/bands) per band per doc.
    */
   def simhashDedupStream(stream: DataFrame, idCol: String, textCol: String,
                          n: Int, bands: Int = 4,
@@ -521,8 +529,12 @@ object Dedup {
           .filter(col("__kept_bands") === bands)
           .select(col(idCol), lit(true).as("is_first"))
       case None =>
-        withBands.dropDuplicates("__band")
-          .groupBy(col(idCol))
+        // deterministic batch ownership: min id per band (an arbitrary
+        // dropDuplicates winner can SPLIT a same-batch duplicate pair's
+        // bands between the copies and suppress the whole cluster)
+        withBands.groupBy(col("__band"))
+          .agg(min(col(idCol)).as("__owner"))
+          .groupBy(col("__owner").as(idCol))
           .agg(count(lit(1)).as("__kept_bands"))
           .filter(col("__kept_bands") === bands)
           .select(col(idCol), lit(true).as("is_first"))
@@ -609,8 +621,10 @@ object Dedup {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     val toks = split(col(textCol), " ")
     val nSegs = ceil(size(toks).cast("double") / segWords).cast("int")
+    // null text: size(split) = -1, so nSegs is ceil(-1/segWords) — null-
+    // guarded AND clamped (at segWords = 1 the ceil is -1, not 0)
     val base = df.select(col(idCol).as("doc_id"),
-      coalesce(nSegs, lit(0)).as("n_segs"))
+      greatest(coalesce(nSegs, lit(0)), lit(0)).as("n_segs"))
     // null text → size() = -1 → sequence(0, -1) counts DOWN in Spark and
     // would emit phantom null segments; such docs have no segments at all
     val segs = df.filter(col(textCol).isNotNull)

@@ -498,23 +498,20 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       def perQuery[A](rqs: Seq[RQ])(collectOne: RQ => A): Seq[(RQ, Either[Throwable, A])] =
         rqs.map { rq =>
           val out: Either[Throwable, A] =
-            try {
-              val r = Right(collectOne(rq))
-              rq.transientStrikes = 0
-              r
-            } catch {
+            try Right(collectOne(rq)) catch {
               case NonFatal(e) if QueryRunner.isTransientFailure(e) =>
-                try {
-                  val r = Right(collectOne(rq))
-                  rq.transientStrikes = 0
-                  r
-                } catch {
+                try Right(collectOne(rq)) catch {
                   case NonFatal(e2) if !QueryRunner.isTransientFailure(e2) => Left(e2)
                   case NonFatal(e2) =>
                     // still transient after the in-batch retry: allow the
                     // stream to replay the batch a bounded number of
                     // times, then treat it as deterministic and FAIL the
-                    // one query rather than crash-loop every query
+                    // one query rather than crash-loop every query.
+                    // Strikes reset ONLY when a whole batch completes
+                    // (Phase 2), never on a per-job success: a query
+                    // rides several jobs (shared pass + its grouped job),
+                    // and a success in one must not mask a persistent
+                    // failure in another.
                     rq.transientStrikes += 1
                     if (rq.transientStrikes >= QueryRunner.MaxTransientStrikes) Left(e2)
                     else throw e2
@@ -543,8 +540,20 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       }
       val groupedC = groupedF.map { case (g, f) =>
-        try (g, Right(Await.result(f, Duration.Inf)))
-        catch { case NonFatal(_) =>
+        try {
+          val rows = Await.result(f, Duration.Inf)
+          // Union cap hit with multiple fused queries: the kept smallest-
+          // keys union can CROWD OUT one query's groups with another's
+          // (a query under its own entries cap could lose groups it would
+          // have kept from its own job). Rare — the over-cap regime — so
+          // re-collect per query, each against exactly its old exact
+          // semantics (own filter, own entries budget).
+          val cap = QueryRunner.fusedEntriesCap(g.map(
+            _.spec.aggregation.asInstanceOf[GroupBy].entries))
+          if (g.size > 1 && rows.length >= cap)
+            (g, Left(perQuery(g)(rq => collectGrouped(Seq(rq), df))))
+          else (g, Right(rows))
+        } catch { case NonFatal(_) =>
           (g, Left(perQuery(g)(rq => collectGrouped(Seq(rq), df))))
         }
       }
@@ -553,6 +562,15 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       // no cluster involvement, so any throw is deterministic for THIS
       // query (e.g. a partial-column type mismatch): FAIL it alone; every
       // other query's merge stands and nothing ever re-merges.
+      //
+      // Reaching here means NO collect rethrew: the batch is going to
+      // complete, so the transient incident (if any) is over — reset every
+      // query's strike counter. Queries whose outcome is Left are FAILed
+      // below regardless; a reset cannot save them. Resetting anywhere
+      // earlier (e.g. on a per-job success inside perQuery) would let a
+      // query's healthy job mask its OTHER job's persistent failure and
+      // crash-loop the stream past the strike bound.
+      active.foreach(_.transientStrikes = 0)
       def applyOne(rq: RQ)(body: => Unit): Unit =
         try body catch { case NonFatal(e) => failQuery(rq, e) }
       sharedC.foreach {
@@ -867,13 +885,15 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     }
   }
 
-  /** One grouped job per GROUP BY signature (same filter, key fields, and
-    * projection — callers group by that); all fused queries' metric
-    * aggregators ride a single groupBy over the shared cached batch.
-    * Batch-local groups are capped to the smallest max-`entries` keys:
-    * because fused queries share filter and keys, their group sets are
-    * identical, so merging per-batch smallest-E sets keeps exactly the
-    * global smallest-E keys for every fused query. */
+  /** One grouped job per GROUP BY signature (same key fields and
+    * projection — callers group by that); every fused query's metric
+    * aggregators ride a single groupBy over the shared cached batch,
+    * gated by the query's OWN filter, with a per-query matched count
+    * deciding which groups exist for which query. Batch-local groups cap
+    * at the sum of the fused queries' entries budgets in key order; the
+    * CALLER falls back to per-query jobs when that cap is hit (a
+    * truncated union could crowd one query's groups out with another's —
+    * see the groupedC fallback in processBatch). */
   private def collectGrouped(rqs: Seq[RQ], df: DataFrame): Array[Row] = {
     val head = rqs.head
     val spec0 = head.spec.aggregation.asInstanceOf[GroupBy]
@@ -891,13 +911,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       opColumns(rq.spec.id, rq.spec.aggregation.asInstanceOf[GroupBy].ops, gate, fld) :+
         sum(when(gate, lit(1L))).as(n(rq.spec.id))
     }
-    // Union cap: the collected groups are the union over fused queries, so
-    // the budget is the SUM of entries (each query can need up to its own
-    // cap). Over-cap behavior (keep smallest keys) was already a
-    // documented deviation; under the cap every query's groups are exact.
-    val entriesCap = math.min(
-      rqs.map(_.spec.aggregation.asInstanceOf[GroupBy].entries.toLong).sum,
-      Int.MaxValue.toLong).toInt
+    val entriesCap = QueryRunner.fusedEntriesCap(rqs.map(
+      _.spec.aggregation.asInstanceOf[GroupBy].entries))
     filtered
       .groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
@@ -1061,6 +1076,14 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
 }
 
 object QueryRunner {
+  /** Union collect budget of a fused grouped job: the SUM of the fused
+    * queries' entries caps (each query can need up to its own cap). A
+    * fused collect that fills this budget falls back to per-query jobs —
+    * the union's smallest-keys truncation is only sound per query when
+    * every query's own groups all fit. */
+  private[streaming] def fusedEntriesCap(entries: Seq[Int]): Int =
+    math.min(entries.map(_.toLong).sum, Int.MaxValue.toLong).toInt
+
   /** Consecutive transiently-failing batches a query survives before the
     * "transient" diagnosis is overruled and it FAILs alone (see
     * RQ.transientStrikes). */

@@ -140,6 +140,10 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
     // null text: no phantom segments (sequence(0,-1) counts DOWN in Spark)
     assert(out(6L) === ((0, 0L, "")))
+    // segWords = 1: ceil(-1/1) = -1 must still clamp to 0, not surface
+    val one = Dedup.segmentDedup(withNull, "doc_id", "text", segWords = 1, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one(6L) === 0)
     assert(out(1L) === ((2, 1L, "u1 u2")))
     assert(out(2L) === ((2, 1L, "u3 u4")))
     assert(out(3L) === ((3, 2L, "u5 u6 tail"))) // short last segment kept
@@ -300,13 +304,17 @@ class DedupSpec extends SparkTestBase {
       (1L, text1), (2L, text1), (3L, text1), // identical → all bands shared
       (4L, text2),
       (5L, "a b")                            // too short for 3-grams → omitted
-    ).toDF("doc_id", "text").coalesce(1)
+    ).toDF("doc_id", "text")
     val kept = Dedup.simhashDedupStream(df, "doc_id", "text", n = 3)
       .collect().map(_.getLong(0)).toSet
-    // exactly ONE of the identical trio survives; the novel doc survives;
-    // the unsigned short doc is omitted
-    assert(kept.intersect(Set(1L, 2L, 3L)).size === 1)
-    assert(kept.contains(4L) && !kept.contains(5L))
+    // batch ownership is min-id: the MIN of the identical trio survives —
+    // deterministically — plus the novel doc; the short doc is omitted
+    assert(kept === Set(1L, 4L))
+    // partition-independent (an arbitrary dropDuplicates winner could
+    // split band ownership across copies and suppress the whole cluster)
+    val kept8 = Dedup.simhashDedupStream(df.repartition(8), "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept8 === Set(1L, 4L))
   }
 
   test("simhashDedupStream suppresses a later-batch near-dup; watermark windows flush") {

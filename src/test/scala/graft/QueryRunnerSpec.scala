@@ -952,6 +952,32 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(math.abs(avHigh - Seq(91, 92, 94, 95, 97, 98, 100).map(_.toDouble).sum / 7) < 1e-9)
   }
 
+  test("fused cap hit → per-query fallback: no query's groups are crowded out") {
+    val s = spark
+    import s.implicits._
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // A matches ONLY late-sorting groups f..j, B only a..e. entries = 2
+    // each → union cap 4; the 4 smallest union keys are all B's, so a
+    // truncated fused collect would leave A with NOTHING. The cap-hit
+    // fallback must give each query its OWN smallest-2 groups.
+    val df = (0 until 100).map { i =>
+      val grp = ('a' + i % 10).toChar.toString
+      (i.toLong, if (i % 10 >= 5) 200.0 else 50.0, grp)
+    }.toDF("id", "k", "grp")
+    def gb(id: String, f: Expr) = QuerySpec(id, filter = Some(f),
+      aggregation = GroupBy(Seq("grp" -> "g"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt")), entries = 2))
+    runner.register(gb("hiQ", Binary(Field("k"), Lit(100.0), BinOp.GREATER_THAN)))
+    runner.register(gb("loQ", Binary(Field("k"), Lit(100.0), BinOp.LESS_OR_EQUALS)))
+    runner.processBatch(df)
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    def keys(id: String) = byId(id).records.map(parse).map(_("g")).toSet
+    assert(keys("hiQ") === Set("f", "g"), "high query lost its groups to the union cap")
+    assert(keys("loQ") === Set("a", "b"))
+  }
+
   test("missing fields: filter matches nothing, group key becomes the string null") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
