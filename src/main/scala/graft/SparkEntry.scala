@@ -748,6 +748,11 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // Corpus vocabulary (tokenizer-training pass): top-50 tokens by
+    // occurrence count with document frequency, ties by token.
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(rd(s, dir, "documents"), "doc_id", "text", k = 50)),
+
     // Overlapping token chunks (embedding/RAG prep): 32-token windows
     // every 24 tokens, so consecutive chunks share 8 tokens. Per-row
     // narrow explode — zero shuffles.
@@ -1199,6 +1204,11 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(e AS INT) AS epoch
          |FROM d, UNNEST(range(0, n)) AS t(e) ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
     },
+    "q_vocab" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents WHERE text IS NOT NULL)
+        |GROUP BY t ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin.replace("\n", " "),
     "q_chunk_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

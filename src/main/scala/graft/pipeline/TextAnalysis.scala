@@ -293,6 +293,30 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus vocabulary: the `k` most frequent tokens with total occurrence
+   * count and document frequency — the tokenizer-training / stopword-
+   * discovery pass. Ties order by token (deterministic on any engine).
+   *
+   * Scale shape: explode is narrow off the scan; both counts ride ONE
+   * groupBy(token) (document frequency via count(distinct doc) riding the
+   * same shuffle as a two-phase distinct aggregate); top-k is
+   * TakeOrderedAndProject — per-partition heaps, never a global sort. A
+   * pathological token (appearing everywhere) is one counter, never a
+   * buffered bucket.
+   */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
+  /**
    * Overlapping token chunks — the embedding/RAG prep step: windows of
    * `chunk` tokens starting every `chunk - overlap` tokens, so each
    * consecutive pair shares `overlap` tokens and no token is lost at a

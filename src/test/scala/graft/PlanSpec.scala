@@ -201,6 +201,12 @@ class PlanSpec extends SparkTestBase {
       s"unexpected exchange: $exchanges")
   }
 
+  test("q_vocab: top-k is TakeOrderedAndProject; counts are two-phase") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("partial_"), p.take(1600))
+  }
+
   test("ngram postings shuffle 64-bit hashed shingles, not strings") {
     val p = plan("q_dedup_ngram")
     assert(p.contains("xxhash64"), p.take(1500))
