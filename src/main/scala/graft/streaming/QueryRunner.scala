@@ -83,6 +83,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       * the whole stream through checkpoint restarts forever. */
     var transientStrikes: Int = 0
     def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
+    /** Cached eq-partition tuple — pure function of the immutable spec,
+      * but consulted several times per batch per query (partitioner
+      * routing, type alignment, group lookup); computing it once matters
+      * at thousands of registered queries. */
+    lazy val eqKeys: Option[Seq[(String, Any)]] = computeEqPartitionKeys(spec)
   }
 
   private val queries = mutable.LinkedHashMap.empty[String, RQ]
@@ -387,7 +392,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     * `field == literal` terms over distinct fields is a candidate for
     * value-partitioned evaluation. Fields are sorted so `a==1 AND b==2`
     * and `b==2 AND a==1` share a partitioning signature. */
-  private def eqPartitionKeys(rq: RQ): Option[Seq[(String, Any)]] = {
+  private def eqPartitionKeys(rq: RQ): Option[Seq[(String, Any)]] = rq.eqKeys
+
+  private def computeEqPartitionKeys(spec: QuerySpec): Option[Seq[(String, Any)]] = {
     def flat(e: Expr): Option[Seq[(String, Any)]] = e match {
       case Binary(Field(f, None), Lit(v), BinOp.EQUALS) if v != null => Some(Seq(f -> v))
       case Binary(l, r, BinOp.AND) =>
@@ -398,7 +405,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       case _ => None
     }
-    rq.spec.filter.flatMap(flat).flatMap { kvs =>
+    spec.filter.flatMap(flat).flatMap { kvs =>
       val sorted = kvs.sortBy(_._1)
       // a repeated field (`a==1 AND a==2`) has no single partition value;
       // an empty conjunction (degenerate AND with no operands) has no
