@@ -108,6 +108,30 @@ class DifferentialSpec extends SparkTestBase {
     QuerySpec(id, filter = filter, aggregation = aggregation)
   }
 
+  test("50 random specs across THREE micro-batches: merged partials equal one batch pass") {
+    val rnd = new scala.util.Random(20260813L)
+    val specs = (0 until 50).map(i => randomSpec(s"xb$i", rnd))
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    specs.foreach(s => assert(runner.register(s).isEmpty, s"${s.id} failed validation"))
+    // uneven batch split exercises empty-match and single-row partials
+    runner.processBatch(events.filter(col("event_id") <= 40))
+    runner.processBatch(events.filter(col("event_id") > 40 && col("event_id") <= 45))
+    runner.processBatch(events.filter(col("event_id") > 45))
+    clock.advance(20000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    specs.foreach { spec =>
+      val clip = byId(spec.id)
+      assert(clip.signal.contains("COMPLETE"), spec.id)
+      // RAW truncation order across batches is arrival-defined, not
+      // comparable to the batch compiler's — randomSpec generates no RAW
+      val got = canonRecords(clip.records.map(parse))
+      val want = canonRecords(batchRecords(spec))
+      assert(got === want,
+        s"${spec.id} diverged across batches\n  spec: $spec\n  runner: $got\n  batch: $want")
+    }
+  }
+
   test("80 random specs: one shared runner pass equals the batch compiler, query by query") {
     val rnd = new scala.util.Random(20260812L)
     val specs = (0 until 80).map(i => randomSpec(s"rq$i", rnd))
