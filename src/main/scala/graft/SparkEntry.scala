@@ -130,15 +130,21 @@ object SparkEntry {
 
     // §2.4 COUNT_DISTINCT via Theta sketch (exact regime: lgK=17 ≥ card).
     "q_count_distinct" -> ((s, dir) => {
+      // lgK sized so the Theta sketch NEVER leaves its exact regime on
+      // any driver-checked fixture (sf0.1 lineitem: 150k distinct
+      // orderkeys < 2^18) — the oracle compares exact equality, and an
+      // estimation-mode answer would silently diverge at the larger SF.
       val q = QuerySpec(id = "cd",
-        aggregation = CountDistinct(Seq("l_orderkey"), name = "count", lgK = 17))
+        aggregation = CountDistinct(Seq("l_orderkey"), name = "count", lgK = 18))
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
 
     // §2.4 COUNT_DISTINCT over a field tuple.
     "q_count_distinct_multi" -> ((s, dir) => {
+      // sf0.1: ~600k distinct (orderkey, suppkey) pairs < 2^21 — exact
+      // regime at every checked SF (16 MB sketch, one query)
       val q = QuerySpec(id = "cdm",
-        aggregation = CountDistinct(Seq("l_orderkey", "l_suppkey"), name = "count", lgK = 17))
+        aggregation = CountDistinct(Seq("l_orderkey", "l_suppkey"), name = "count", lgK = 21))
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
 
