@@ -128,7 +128,7 @@ object SparkEntry {
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
 
-    // §2.4 COUNT_DISTINCT via Theta sketch (exact regime: lgK=17 ≥ card).
+    // §2.4 COUNT_DISTINCT via Theta sketch, kept in its exact regime.
     "q_count_distinct" -> ((s, dir) => {
       // lgK sized so the Theta sketch NEVER leaves its exact regime on
       // any driver-checked fixture (sf0.1 lineitem: 150k distinct
@@ -141,10 +141,10 @@ object SparkEntry {
 
     // §2.4 COUNT_DISTINCT over a field tuple.
     "q_count_distinct_multi" -> ((s, dir) => {
-      // sf0.1: ~600k distinct (orderkey, suppkey) pairs < 2^21 — exact
-      // regime at every checked SF (16 MB sketch, one query)
+      // sf0.1: ~600k distinct (orderkey, suppkey) pairs < 2^20 — exact
+      // regime at every checked SF (8 MB sketch, one query)
       val q = QuerySpec(id = "cdm",
-        aggregation = CountDistinct(Seq("l_orderkey", "l_suppkey"), name = "count", lgK = 21))
+        aggregation = CountDistinct(Seq("l_orderkey", "l_suppkey"), name = "count", lgK = 20))
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
 

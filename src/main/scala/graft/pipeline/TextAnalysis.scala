@@ -296,13 +296,17 @@ object TextAnalysis {
    * Corpus vocabulary: the `k` most frequent tokens with total occurrence
    * count and document frequency — the tokenizer-training / stopword-
    * discovery pass. Ties order by token (deterministic on any engine).
+   * Tokenization is the engine-wide [[toks]] convention (single-space
+   * split): corpora with irregular whitespace should normalize upstream,
+   * or empty/glued pseudo-tokens enter the vocabulary.
    *
-   * Scale shape: explode is narrow off the scan; both counts ride ONE
-   * groupBy(token) (document frequency via count(distinct doc) riding the
-   * same shuffle as a two-phase distinct aggregate); top-k is
-   * TakeOrderedAndProject — per-partition heaps, never a global sort. A
-   * pathological token (appearing everywhere) is one counter, never a
-   * buffered bucket.
+   * Scale shape: explode is narrow off the scan; the distinct doc count
+   * plans as Spark's one-distinct aggregate — an exchange on
+   * (token, doc_id) then on token, both partially aggregated map-side, so
+   * the wide shuffle carries one row per distinct (token, doc) not per
+   * occurrence; top-k is TakeOrderedAndProject — per-partition heaps,
+   * never a global sort. A pathological token (appearing everywhere) is
+   * one counter per stage, never a buffered bucket.
    */
   def vocabTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
