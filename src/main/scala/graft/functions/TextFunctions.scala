@@ -120,6 +120,34 @@ object TextFunctionHelpers {
     while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
     java.lang.Long.valueOf(sig)
   }
+
+  /** MinHash signature of `text`: for i in [0, numHashes), the minimum
+    * over word n-grams of Spark's `hash(gram, i)` — bit-identical to the
+    * explode + groupBy(doc) + numHashes min-aggregates form it replaces
+    * (Murmur3 chain: bytes at seed 42, then the literal int; duplicate
+    * grams cannot change a minimum, so the distinct step is skipped).
+    * NULL text or fewer than `n` tokens → null (those docs carried no
+    * signature row in the aggregate form either). */
+  def minhashSignature(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val gs = grams(text, n)
+    if (gs.isEmpty) return null
+    val mins = new Array[Int](numHashes)
+    java.util.Arrays.fill(mins, Int.MaxValue)
+    var j = 0
+    while (j < gs.length) {
+      val g = gs(j)
+      val hg = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42)
+      var i = 0
+      while (i < numHashes) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, hg)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /**
@@ -258,6 +286,51 @@ case class SimHash64(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Native Catalyst MinHash: the numHashes-minima signature of a string
+ * column in ONE JVM call per row — replacing an explode + groupBy(doc)
+ * with numHashes min-aggregates, i.e. a full shuffle of every gram
+ * becomes a narrow codegen'd map over the scan. Bit-identical to
+ * `min(hash(gram, lit(i)))` per slot (same Murmur3 chain). Null when the
+ * text has fewer than n tokens.
+ */
+case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (n >= 1 && numHashes >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature needs n, numHashes >= 1, got ($n, $numHashes)")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullable: Boolean = true // < n tokens → null
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextFunctionHelpers.minhashSignature(
+      child.eval(input).asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val arr = ctx.freshName("minhashArr")
+    ev.copy(code = code"""
+      |${c.code}
+      |${CodeGenerator.javaType(dataType)} $arr =
+      |  graft.functions.TextFunctionHelpers.minhashSignature(
+      |    ${c.isNull} ? null : ${c.value}, $n, $numHashes);
+      |boolean ${ev.isNull} = $arr == null;
+      |${CodeGenerator.javaType(dataType)} ${ev.value} = $arr;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   private[functions] val ident = FunctionIdentifier("word_shingles")
   private[functions] val info = new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
@@ -279,6 +352,18 @@ object TextFunctions {
       exprs(2).eval().asInstanceOf[Number].intValue())
   }
 
+  private[functions] val minhashIdent = FunctionIdentifier("minhash_signature")
+  private[functions] val minhashInfo =
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature")
+  private[functions] val minhashBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 3, "minhash_signature takes exactly 3 arguments")
+    require(exprs(1).foldable && exprs(2).foldable,
+      "minhash_signature n and numHashes must be literals")
+    MinHashSignature(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())
+  }
+
   private[functions] val simhashIdent = FunctionIdentifier("simhash64")
   private[functions] val simhashInfo =
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
@@ -296,6 +381,8 @@ object TextFunctions {
       registry.registerFunction(winnowIdent, winnowInfo, winnowBuilder)
     if (!registry.functionExists(simhashIdent))
       registry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
+    if (!registry.functionExists(minhashIdent))
+      registry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
   }
 
   /** `word_shingles(text, n)` as a Column; requires [[ensure]] or
@@ -312,4 +399,9 @@ object TextFunctions {
     * [[GraftExtensions]]. */
   def simhash64(text: Column, n: Int): Column =
     call_function("simhash64", text, lit(n))
+
+  /** `minhash_signature(text, n, numHashes)` as a Column; requires
+    * [[ensure]] or [[GraftExtensions]]. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    call_function("minhash_signature", text, lit(n), lit(numHashes))
 }

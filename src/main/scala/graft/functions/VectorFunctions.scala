@@ -97,5 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (TextFunctions.winnowIdent, TextFunctions.winnowInfo, TextFunctions.winnowBuilder))
     ext.injectFunction(
       (TextFunctions.simhashIdent, TextFunctions.simhashInfo, TextFunctions.simhashBuilder))
+    ext.injectFunction(
+      (TextFunctions.minhashIdent, TextFunctions.minhashInfo, TextFunctions.minhashBuilder))
   }
 }

@@ -186,11 +186,13 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: `numHashes` min-hashes per document, one column
-   * each. Hash family = Murmur3 of (shingle, seed i) — built-in `hash`,
-   * whole-stage codegen. One groupBy(doc) over the exploded shingles.
+   * MinHash signatures via explode + groupBy(doc) + numHashes min
+   * aggregates — bit-identical to the native
+   * [[graft.functions.MinHashSignature]] path [[minhashLshPairs]] uses
+   * (same Murmur3 chain per slot); kept as the differential-parity
+   * reference. Hash family = Murmur3 of (shingle, seed i).
    */
-  def minhashSignatures(gs: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashSignatures(gs: DataFrame, numHashes: Int): DataFrame = {
     val exploded = gs.filter(size(col("grams")) > 0)
       .select(col("doc_id"), explode(col("grams")).as("g"))
     val sigCols = (0 until numHashes).map(i => min(hash(col("g"), lit(i))).as(s"h$i"))
@@ -213,10 +215,18 @@ object Dedup {
                       numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val gs = gramSets(df, idCol, textCol, n)
-    val sigs = minhashSignatures(gs, numHashes)
+    // Native signature ([[graft.functions.MinHashSignature]]): a narrow
+    // codegen'd map over the scan — the aggregate form below shuffles
+    // every gram. Bit-identical minima, so band keys are unchanged.
+    graft.functions.TextFunctions.ensure(df.sparkSession)
+    val sigs = df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(col(textCol), n, numHashes)
+          .as("__sig"))
+      .filter(col("__sig").isNotNull)
     val numBands = numHashes / bandRows
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"h$i"))
+      val cols = (b * bandRows until (b + 1) * bandRows)
+        .map(i => element_at(col("__sig"), i + 1))
       struct(lit(b).as("band"), hash(cols :+ lit(b): _*).as("bkey"))
     }
     val buckets = sigs

@@ -87,6 +87,30 @@ class DedupSpec extends SparkTestBase {
     assert(!nativeIds.contains(900L))
   }
 
+  test("native minhash_signature is bit-identical to the min-aggregate form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = Seq("a", "b", "cd", "é", "字", "", " ")
+    val strs = (1 to 200).map { i =>
+      val len = rnd.nextInt(16)
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = strs.toDF("doc_id", "text")
+      .union(Seq(900L).toDF("doc_id").select(col("doc_id"), lit(null).cast("string").as("text")))
+    graft.functions.TextFunctions.ensure(s)
+    for (n <- Seq(1, 3)) {
+      val native = df.select(col("doc_id"),
+          graft.functions.TextFunctions.minhashSignature(col("text"), n, 8).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+      val gs = df.select(col("doc_id"), Dedup.shingles(col("text"), n).as("grams"))
+      val agg = Dedup.minhashSignatures(gs, 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getInt(i)).toVector).toMap
+      assert(native === agg, s"minhash parity failed at n=$n")
+    }
+  }
+
   test("duplicateSpans merges covered positions into maximal interval-union spans") {
     val s = spark
     import s.implicits._
