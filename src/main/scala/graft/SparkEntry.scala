@@ -277,34 +277,48 @@ object SparkEntry {
     }),
 
     // Pairs → clusters → canonical survivors: connected components over
-    // the exact ngram-Jaccard pair graph by iterative min-label
-    // propagation (rounds = component diameter; near-dup components are
-    // cliques, so 1-2 rounds). Every doc gets its cluster's min id and a
-    // survivor flag — the step that turns pairwise dedup output into a
-    // deduplicated corpus. Oracle = DuckDB WITH RECURSIVE reachability
-    // over the same pair SQL.
+    // the ngram-Jaccard pair graph by iterative min-label propagation
+    // (rounds = component diameter; near-dup components are cliques, so
+    // 1-2 rounds). Every doc gets its cluster's min id and a survivor
+    // flag — the step that turns pairwise dedup output into a
+    // deduplicated corpus. The pair graph is built with the doc-frequency
+    // skew guard ARMED — the composition a 100 TB curation run executes
+    // (group-and-pair, no self-join; a stop-shingle can't form a
+    // quadratic bucket). The cutoff is far above any shingle's
+    // doc-frequency here, so the answer is unchanged and the exact
+    // recursive-CTE oracle pins it. Oracle = DuckDB WITH RECURSIVE
+    // reachability over the same pair SQL.
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxDocFreq = Some(200))
       Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
     // Containment near-dups: |A∩B| / min(|A|,|B|) — catches a small doc
     // embedded in a larger one, which Jaccard misses. Same inverted-index
-    // plan as q_dedup_ngram.
+    // plan as q_dedup_ngram (exact self-join baseline).
     "q_dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.9).orderBy("id1", "id2")),
 
+    // Containment with the doc-frequency skew guard armed — the 100 TB
+    // configuration (group-and-pair plan, no join; PlanSpec asserts it).
+    // Cutoff far above every shingle's doc-frequency here → same answer,
+    // same oracle as the exact baseline.
+    "q_dedup_containment_guarded" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(rd(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.9, maxDocFreq = Some(200)).orderBy("id1", "id2")),
+
     // Retention policy: per near-dup cluster keep the HIGHEST-QUALITY
     // member (ties → min id), not the min id — what a curation pipeline
-    // actually ships. Oracle = recursive-CTE clusters + window argmax
+    // actually ships. Pair graph guarded (maxDocFreq), same reasoning as
+    // q_dedup_clusters. Oracle = recursive-CTE clusters + window argmax
     // over the same quality expression.
     "q_dedup_best" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxDocFreq = Some(200))
       val scored = docs.withColumn("quality", TextAnalysis.qualityCol(col("text")))
       Dedup.dupClustersBest(scored, "doc_id", "quality", pairs).orderBy("doc_id")
     }),
@@ -978,22 +992,8 @@ object SparkEntry {
     "q_dedup_ngram_guarded" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
     "q_dedup_clusters" -> dupClustersOracle,
-    "q_dedup_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), grams AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-        |)
-        |SELECT id1, id2, containment FROM (
-        |  SELECT id1, id2, CAST(ic AS DOUBLE) / least(s1.sz, s2.sz) AS containment
-        |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
-        |) WHERE containment >= 0.9 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_dedup_containment" -> containmentOracle,
+    "q_dedup_containment_guarded" -> containmentOracle,
     "q_dedup_best" -> dupClustersBestOracle,
     "q_dedup_spans" ->
       """WITH d AS (
@@ -1422,4 +1422,25 @@ object SparkEntry {
       |  SELECT id1, id2, CAST(ic AS DOUBLE) / (s1.sz + s2.sz - ic) AS jaccard
       |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
       |) WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+
+  /** Word-3-gram containment pairs with threshold 0.9, as DuckDB SQL —
+    * oracle for both the exact self-join and the guarded group-and-pair
+    * variants (the guard's cutoff exceeds every shingle's doc-frequency
+    * at this corpus, so both compute the same answer). */
+  private val containmentOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |)
+      |SELECT id1, id2, containment FROM (
+      |  SELECT id1, id2, CAST(ic AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+      |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      |) WHERE containment >= 0.9 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
 }

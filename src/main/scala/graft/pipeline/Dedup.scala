@@ -568,6 +568,13 @@ object Dedup {
    * doc (second shuffle, integers only); span aggregation re-shuffles the
    * covered positions (by then only the duplicated fraction of the
    * corpus). No joins except the final doc-aligned left join.
+   *
+   * Tradeoff (mirrors [[segmentDedup]]): occurrences are counted over
+   * `xxhash64(gram)`, not the gram string — the shuffle carries 8 bytes
+   * per position instead of an L-word string. A 64-bit collision would
+   * mark a position spuriously covered (a false duplicated span);
+   * p ≈ distinct-grams² / 2⁶⁴ corpus-wide, negligible even at 100 TB.
+   * Partition the window by the gram string if exactness is required.
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      L: Int, minCount: Int = 2): DataFrame = {

@@ -313,19 +313,32 @@ object Similarity {
    * within-cell self-join shuffles by cell id, so the quadratic term is
    * Σ|cell|² instead of N² — bounded by sizing nlist to the corpus (the
    * paper uses ~100k cells for billions of embeddings). A degenerate
-   * giant cell means the centroids under-fit; raise nlist (or re-train)
-   * rather than guard-dropping, since every member would re-compare in
-   * the next cell too.
+   * giant cell means the centroids under-fit, and it is ENFORCED, not
+   * advised: every row carries its cell's size (a count window riding the
+   * same cell partitioning the join shuffles by — zero extra exchanges)
+   * and the job FAILS via `assert_true` when any cell exceeds
+   * `maxCellSize`, instead of silently going quadratic. Raise nlist (or
+   * re-train) on failure — guard-dropping would be wrong since every
+   * member would re-compare in the next cell too.
    *
    * Returns (doc_id, cluster_id, is_survivor) for every input row —
    * exactly the [[graft.pipeline.Dedup.dupClusters]] contract.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, centroids: Array[Array[Double]],
-                    maxIters: Int = 20): DataFrame = {
+                    maxIters: Int = 20, maxCellSize: Int = 1 << 16): DataFrame = {
+    require(maxCellSize >= 1, "maxCellSize must be >= 1")
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
     val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
       .withColumn("cell", ivfAssign(col("ev"), centroids))
+      .withColumn("__csz", count(lit(1)).over(byCell))
+      .filter(assert_true(col("__csz") <= maxCellSize,
+        concat(lit("semanticDedup cell "), col("cell"), lit(" holds "),
+          col("__csz"), lit(s" vectors > maxCellSize=$maxCellSize: the " +
+            "centroids under-fit and the within-cell join would go " +
+            "quadratic — raise nlist or re-train"))).isNull)
+      .drop("__csz")
     val pairs = v.as("a")
       .join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))

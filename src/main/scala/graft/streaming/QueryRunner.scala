@@ -547,21 +547,28 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       }
       val groupedC = groupedF.map { case (g, f) =>
-        try {
-          val rows = Await.result(f, Duration.Inf)
-          // Union cap hit with multiple fused queries: the kept smallest-
-          // keys union can CROWD OUT one query's groups with another's
-          // (a query under its own entries cap could lose groups it would
-          // have kept from its own job). Rare — the over-cap regime — so
-          // re-collect per query, each against exactly its old exact
-          // semantics (own filter, own entries budget).
-          val cap = QueryRunner.fusedEntriesCap(g.map(
-            _.spec.aggregation.asInstanceOf[GroupBy].entries))
-          if (g.size > 1 && rows.length >= cap)
-            (g, Left(perQuery(g)(rq => collectGrouped(Seq(rq), df))))
-          else (g, Right(rows))
-        } catch { case NonFatal(_) =>
-          (g, Left(perQuery(g)(rq => collectGrouped(Seq(rq), df))))
+        // Decide inside the try; run the fallback AFTER it. If perQuery
+        // ran inside the try, its bounded-replay rethrow (strikes <
+        // MaxTransientStrikes) would be re-caught by this very catch and
+        // perQuery would run AGAIN in the same batch — double strikes
+        // (FAIL after ~2 replays, not the documented 3) and every query
+        // in the group collected twice.
+        val direct =
+          try {
+            val rows = Await.result(f, Duration.Inf)
+            // Union cap hit with multiple fused queries: the kept smallest-
+            // keys union can CROWD OUT one query's groups with another's
+            // (a query under its own entries cap could lose groups it would
+            // have kept from its own job). Rare — the over-cap regime — so
+            // re-collect per query, each against exactly its old exact
+            // semantics (own filter, own entries budget).
+            val cap = QueryRunner.fusedEntriesCap(g.map(
+              _.spec.aggregation.asInstanceOf[GroupBy].entries))
+            if (g.size > 1 && rows.length >= cap) None else Some(rows)
+          } catch { case NonFatal(_) => None }
+        direct match {
+          case Some(rows) => (g, Right(rows))
+          case None => (g, Left(perQuery(g)(rq => collectGrouped(Seq(rq), df))))
         }
       }
 

@@ -57,10 +57,54 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("guarded ngram: group-and-pair plan has NO join — one posting shuffle total") {
-    val p = plan("q_dedup_ngram_guarded")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
-      !p.contains("CartesianProduct"),
-      "the guarded inverted index must bucket-and-pair, not self-join")
+    Seq("q_dedup_ngram_guarded", "q_dedup_containment_guarded").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q: the guarded inverted index must bucket-and-pair, not self-join")
+    }
+  }
+
+  test("cluster/best compositions feed on the guarded (join-free) pair graph") {
+    // The checked corpus-dedup composition must be the scale-safe plan:
+    // pairs→components→survivors with the doc-frequency guard armed. The
+    // pair graph materializes eagerly (localCheckpoint) before the final
+    // plan exists, so audit EVERY job the composition runs via a
+    // QueryExecutionListener: the components loop joins on dst/id/label
+    // (expected); what must never appear is a join keyed on the xxhash64
+    // posting column `g` — the unguarded shingle self-join's signature.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("q_dedup_clusters", "q_dedup_best").foreach { q =>
+        SparkEntry.queries(q)(spark, dir).collect()
+      }
+      // listener events dispatch asynchronously; wait until the capture
+      // count stabilizes (two consecutive equal reads 200 ms apart)
+      var prev = -1
+      var waited = 0
+      while (plans.size() != prev && waited < 10000) {
+        prev = plans.size(); Thread.sleep(200); waited += 200
+      }
+      val all = plans.toArray.map(_.toString)
+      assert(all.nonEmpty, "listener captured no job plans")
+      val offending = all.filter(p => p.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin [g#") || l.contains("ShuffledHashJoin [g#") ||
+          l.contains("BroadcastHashJoin [g#"))))
+      assert(offending.isEmpty,
+        "composition still self-joins postings on the shingle:\n" +
+          offending.headOption.fold("")(_.take(1500)))
+      assert(!all.exists(_.contains("CartesianProduct")),
+        "composition ran a cartesian product")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("equality partitioner: one InSet-filtered groupBy job for many eq queries") {

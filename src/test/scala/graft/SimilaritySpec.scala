@@ -162,6 +162,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(sem(1L) === (1L, true))
   }
 
+  test("semanticDedup FAILS on a degenerate cell instead of going quadratic") {
+    // one centroid = every vector lands in one cell; with maxCellSize
+    // below the corpus size the job must raise (assert_true in the
+    // assignment plan), not silently run the quadratic within-cell join
+    def axis(a: Int) = Array.tabulate(8)(i => if (i == a) 1.0 else 0.0)
+    val oneCell = Array(axis(0))
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, centroids = oneCell, maxCellSize = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxCellSize")), e.toString)
+    // and the same corpus passes untouched when the bound is adequate
+    val ok = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.99, centroids = oneCell, maxCellSize = 1 << 16)
+    assert(ok.count() === vecs.count())
+  }
+
   test("lshSignature is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 12)
     val s1 = vecs.select(Similarity.lshSignature(
