@@ -20,8 +20,9 @@ import scala.collection.mutable
  */
 object Bench {
 
-  /** 100 mixed queries exercising every aggregation type in one pass. */
-  private def hundredQueries: Seq[QuerySpec] = (0 until 100).map { i =>
+  /** `n` mixed queries exercising every aggregation type in one pass
+    * (b7 runs 100, b11 runs 1000 — the README headroom claim). */
+  private def mixedQueries(n: Int): Seq[QuerySpec] = (0 until n).map { i =>
     val filter = Some(Binary(
       Binary(Field("user_id"), Lit(7L), BinOp.MOD), Lit(i.toLong % 7), BinOp.EQUALS))
     val agg: Aggregation = i % 6 match {
@@ -43,7 +44,7 @@ object Bench {
 
   private def runnerPass(spark: SparkSession, sfDir: String, n: Int): Long = {
     val runner = new QueryRunner(spark, new ManualClock(0))
-    hundredQueries.take(n).foreach(q => runner.register(q))
+    mixedQueries(n).foreach(q => runner.register(q))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
     runner.finishAll()
@@ -144,6 +145,9 @@ object Bench {
     // 100-aggregate-column shared pass is the dominant cold-start cost and
     // must not land in the measured run
     try runnerPass(spark, sfDir, 100) catch { case _: Throwable => () }
+    // b11's 1000-gate shared pass has its own (much larger) codegen
+    // surface — warm it separately or the measured run pays Janino
+    try runnerPass(spark, sfDir, 1000) catch { case _: Throwable => () }
     try eqRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
     try eqTupleRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
 
@@ -190,6 +194,9 @@ object Bench {
     val results = perQuery :+ timed("b7_runner_100q") {
       val finished = runnerPass(spark, sfDir, 100)
       require(finished == 100, s"runner finished $finished of 100 queries")
+    } :+ timed("b11_runner_1000q") {
+      val finished = runnerPass(spark, sfDir, 1000)
+      require(finished == 1000, s"runner finished $finished of 1000 queries")
     } :+ timed("b9_runner_200eq") {
       val finished = eqRunnerPass(spark, sfDir, 200)
       require(finished == 200, s"eq runner finished $finished of 200 queries")
@@ -209,12 +216,16 @@ object Bench {
     val eventRows =
       try spark.read.parquet(s"$sfDir/events.parquet").count()
       catch { case _: Throwable => 0L } // summary must not lose the JSON line
-    val b7Sec = results.collectFirst { case ("b7_runner_100q", t) => t }.getOrElse(0.0)
-    val b7Json = s"""{"queries":100,"input_records":$eventRows,""" +
-      s""""records_per_sec":${if (b7Sec > 0) eventRows / b7Sec else 0.0},""" +
-      s""""ms_per_query":${b7Sec * 10}}"""
+    def runnerJson(name: String, nq: Int): String = {
+      val sec = results.collectFirst { case (`name`, t) => t }.getOrElse(0.0)
+      s"""{"queries":$nq,"input_records":$eventRows,""" +
+        s""""records_per_sec":${if (sec > 0) eventRows / sec else 0.0},""" +
+        s""""ms_per_query":${if (sec > 0) sec * 1000.0 / nq else 0.0}}"""
+    }
+    val b7Json = runnerJson("b7_runner_100q", 100)
+    val b11Json = runnerJson("b11_runner_1000q", 1000)
     val b8Json = s"""{"windows":${b8._1},"expected":$b8Secs,"jitter_ms_avg":${b8._2},"dropped":${b8._3}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b8":$b8Json,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -898,18 +898,20 @@ object SparkEntry {
       Multimodal.metaStats(Multimodal.fromDocuments(rd(s, dir, "documents")))
         .orderBy("media_id")),
 
-    // Decode(stub) → feature pipeline over binary content via
-    // mapPartitions. The fake features aren't SQL-expressible, but their
-    // invariants are: 16 bins, and a normalized histogram sums to exactly
-    // n_bytes/max(n_bytes,1); n_bytes itself is oracle-checked per row.
+    // REAL image decode: the fixture writes genuine PNGs (javax.imageio)
+    // whose pixel pattern is a closed form of the id, so the oracle
+    // recomputes the decoded dimensions AND the exact luminance sum in
+    // SQL over a generate_series grid — the whole codec round trip
+    // (encode → decode → integer features) is pinned, not an invariant.
+    // Capped at 200 images to bound pixel work at larger SFs.
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val feats = Multimodal.decodeStub(
-        Multimodal.fromDocuments(rd(s, dir, "documents"))).toDF()
-      feats.select(col("media_id"), col("n_bytes"),
-          (size(col("features")) === 16).as("dim_ok"),
-          (abs(aggregate(col("features"), lit(0.0), (a, x) => a + x) -
-            when(col("n_bytes") > 0, lit(1.0)).otherwise(lit(0.0))) < 1e-9).as("norm_ok"))
+      val imgs = Multimodal.syntheticImages(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      Multimodal.decodeImages(imgs).toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("lum_sum"))
         .orderBy("media_id")
     }),
 
@@ -924,14 +926,18 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
-    // Resize (stub re-encode): output length tracks the target/source area
-    // ratio deterministically, so the oracle reproduces it per row.
+    // REAL resize, proven by RE-DECODING the resized bytes: encode →
+    // nearest-neighbor resample → PNG re-encode → decode. The resampled
+    // pattern stays a closed form of the id (integer-floor source
+    // coords), so the oracle recomputes the resized luminance sum in SQL.
     "q_multimodal_resize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.resizeStub(
-          Multimodal.fromDocuments(rd(s, dir, "documents")), targetW = 128, targetH = 128)
-        .toDF().select(col("media_id"), col("width"), col("height"),
-          octet_length(col("content")).as("content_bytes"))
+      val imgs = Multimodal.syntheticImages(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      val resized = Multimodal.resizeImages(imgs, targetW = 32, targetH = 24)
+      Multimodal.decodeImages(resized.toDF()).toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("width"), col("height"), col("lum_sum"))
         .orderBy("media_id")
     }),
   )
@@ -1055,23 +1061,34 @@ object SparkEntry {
     "q_text_fingerprint" ->
       ("SELECT doc_id AS orig_id, CAST(1 AS BOOLEAN) AS fp_copy_equal, CAST(1 AS BOOLEAN) AS fp_nonempty " +
         "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
+    // Recompute the REAL decoded features of the synthetic PNGs in pure
+    // SQL: dimensions from the id formulas, luminance sum over the
+    // (x + 3y + 7id) mod 256 pixel grid.
     "q_multimodal_features" ->
-      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(1 AS BOOLEAN) AS dim_ok, CAST(1 AS BOOLEAN) AS norm_ok FROM documents ORDER BY doc_id"),
+      ("""WITH d AS (SELECT doc_id, 64 + (doc_id % 8) * 16 AS w, 64 + (doc_id % 5) * 16 AS h
+         |FROM documents WHERE doc_id < 200),
+         |px AS (SELECT doc_id, w, h, (x + 3 * y + 7 * doc_id) % 256 AS lum
+         |FROM d, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y))
+         |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(lum) AS BIGINT) AS lum_sum
+         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " ")),
     "q_multimodal_frames" ->
       ("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
          |f AS (SELECT doc_id, len, unnest(range(0, greatest(1, len // 64), 2)) AS frame_idx FROM d)
          |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
          |CAST(least(64, len - 64 * frame_idx) AS INTEGER) AS frame_bytes
          |FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
+    // Recompute the nearest-neighbor resample + re-decode in pure SQL:
+    // resized pixel (x, y) reads source pixel (x*w/32, y*h/24) by
+    // integer floor, whose luminance is the same closed form.
     "q_multimodal_resize" ->
-      ("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len,
-         |64 + (doc_id % 8) * 16 AS w, 64 + (doc_id % 5) * 16 AS h FROM documents)
-         |SELECT doc_id AS media_id, CAST(128 AS INTEGER) AS width, CAST(128 AS INTEGER) AS height,
-         |CAST(CASE WHEN len = 0 THEN 0 ELSE
-         |greatest(1, least(CAST(trunc(len * (16384.0 / greatest(w * h, 1))) AS BIGINT), len * 4))
-         |END AS INTEGER) AS content_bytes
-         |FROM d ORDER BY media_id""".stripMargin.replace("\n", " ")),
+      ("""WITH d AS (SELECT doc_id, 64 + (doc_id % 8) * 16 AS w, 64 + (doc_id % 5) * 16 AS h
+         |FROM documents WHERE doc_id < 200),
+         |px AS (SELECT doc_id, ((x * w) // 32 + 3 * ((y * h) // 24) + 7 * doc_id) % 256 AS lum
+         |FROM d, unnest(range(0, 32)) AS tx(x), unnest(range(0, 24)) AS ty(y))
+         |SELECT doc_id AS media_id, CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+         |CAST(sum(lum) AS BIGINT) AS lum_sum
+         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin.replace("\n", " ")),
     "q_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5

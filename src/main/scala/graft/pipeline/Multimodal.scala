@@ -20,11 +20,16 @@ import org.apache.spark.sql.types._
  * frames fits executor memory; metadata-only queries prune the content
  * column entirely (verify `ReadSchema` excludes it in `.explain`).
  *
- * Decoding: this container has no image/audio codecs, so [[decodeStub]]
- * is a clearly-marked deterministic FAKE (byte histogram as "features").
- * The Spark-side plumbing — schema, per-partition batched iteration,
- * feature vector shape — is real and tested; swapping in a real codec
- * changes only the marked function body.
+ * Decoding: images are REAL — [[decodeImages]] / [[resizeImages]] run
+ * the JDK's own codec stack (`javax.imageio`, pure JVM, headless:
+ * PNG/BMP/GIF/JPEG) with per-partition codec init, and
+ * [[syntheticImages]] writes genuine PNG bytes whose pixel pattern is a
+ * closed form of the id — so a DuckDB oracle can recompute the decoded
+ * luminance sums without any image library. Only video frame sampling
+ * ([[sampleFramesStub]]) remains a clearly-marked deterministic fake:
+ * the JDK has no container demuxer, so the stub keeps the real
+ * plumbing (bounded per-row explode, per-partition demux init shape)
+ * with chunking standing in for decode.
  */
 object Multimodal {
 
@@ -58,72 +63,154 @@ object Multimodal {
         col("meta.size_bytes").as("size_bytes"))
       .filter(col("size_bytes") > 0)
 
-  /** Feature-vector row produced by the decode stage. */
-  case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Double])
+  /** Deterministic luminance of pixel (x, y) in synthetic image `id` — a
+    * closed form a SQL oracle can recompute without any image library. */
+  @inline private def synthLum(x: Int, y: Int, id: Long): Int =
+    (((x + 3L * y + 7L * id) % 256L).toInt + 256) % 256
 
   /**
-   * "Decode" each media item into a fixed-size feature vector with
-   * per-partition batched iteration (the real-codec shape: open codec once
-   * per partition, stream items through it).
-   *
-   * STUB: a real implementation would decode image/audio bytes here
-   * (e.g. JPEG → pixels → embedding). The deterministic fake is a
-   * 16-bin byte histogram, normalized — stable across runs and partitions.
+   * Write a REAL grayscale PNG per document id: dimensions derive from the
+   * id (matching [[fromDocuments]]'s metadata formulas), every pixel's
+   * luminance is [[synthLum]]. PNG is lossless, so a decode must
+   * reproduce the pattern exactly — that makes full codec round-trips
+   * (encode → decode → features, encode → resize → re-decode)
+   * oracle-checkable in DuckDB as integer sums over a generate_series
+   * grid. Generation is per-partition (`ImageIO` cache off, headless),
+   * one encoder per task, narrow over the scan.
    */
-  def decodeStub(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def syntheticImages(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val imgs = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { d =>
+        val w = (64 + (d % 8) * 16).toInt
+        val h = (64 + (d % 5) * 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = synthLum(x, y, d)
+            img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (d, bos.toByteArray, w, h)
+      }
+    }.toDF("media_id", "content", "w", "h")
+    imgs.select(col("media_id"), col("content"),
+      struct(lit("png").as("format"), col("w").cast("int").as("width"),
+        col("h").cast("int").as("height"),
+        octet_length(col("content")).cast("long").as("size_bytes")).as("meta"))
+  }
+
+  /** Decoded-image feature row. `ok = false` marks undecodable content
+    * (corrupt bytes, unsupported format) — the row survives with zeroed
+    * features instead of failing the job, the only sane contract for a
+    * 100 TB crawl corpus where some media WILL be broken. */
+  case class ImageFeatures(media_id: Long, ok: Boolean, width: Int, height: Int,
+                           n_pixels: Long, lum_sum: Long, lum_hist: Array[Long])
+
+  /**
+   * REAL image decode via `javax.imageio` (JDK built-in, pure JVM,
+   * headless — PNG/BMP/GIF/JPEG): bytes → BufferedImage → features
+   * (dimensions, integer luminance sum over the red channel, 16-bin
+   * luminance histogram). Per-partition batched iteration: `ImageIO`
+   * cache config happens once per task, items stream through. Integer
+   * features make the output hash-stable for the DuckDB oracle (no
+   * float-sum ordering issues).
+   */
+  def decodeImages(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows: Iterator[Row] =>
-      // per-partition setup happens HERE in a real codec (decoder init)
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
-        // --- begin deterministic fake decode ---
-        val hist = new Array[Double](16)
-        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1.0)
-        val n = math.max(bytes.length, 1)
-        // --- end fake decode ---
-        MediaFeatures(id, bytes.length.toLong, hist.map(_ / n))
+        val img =
+          if (bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          ImageFeatures(id, ok = false, 0, 0, 0L, 0L, new Array[Long](16))
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val lum = (img.getRGB(x, y) >> 16) & 0xFF
+              sum += lum
+              hist(lum >> 4) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, ok = true, w, h, w.toLong * h, sum, hist)
+        }
       }
     }
   }
 
-  /** Resized-media row: metadata updated, content re-encoded. */
-  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+  /** Resized-media row: real re-encoded content. */
+  case class ResizedMedia(media_id: Long, ok: Boolean, width: Int, height: Int,
                           content: Array[Byte])
 
   /**
-   * "Resize" each media item to target dimensions, per-partition batched.
-   *
-   * STUB: a real implementation decodes, resamples, and re-encodes here.
-   * The deterministic fake truncates/pads content proportionally to the
-   * area ratio — stable, and it preserves the real pipeline property that
-   * output size tracks target dimensions.
+   * REAL resize: decode (`javax.imageio`) → nearest-neighbor resample →
+   * re-encode as PNG. Nearest neighbor by integer floor
+   * (`srcX = x * srcW / targetW`) is bit-deterministic and
+   * codec-independent — the resampled pattern of a [[syntheticImages]]
+   * input stays a closed form of the id, so the full
+   * encode → resize → re-decode round trip is DuckDB-oracle-checkable.
+   * Undecodable content passes through as `ok = false` with empty bytes
+   * (job survives corrupt media). Per-partition batched like
+   * [[decodeImages]].
    */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)
-                (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int)
+                  (implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
-    val metaIdx = media.schema.fieldIndex("meta")
     media.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
+        val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
-        val meta = r.getStruct(metaIdx)
-        val (w, h) = (meta.getInt(1), meta.getInt(2))
-        // --- begin deterministic fake resize ---
-        // empty/null content stays empty (a zero-byte media row must not
-        // fail the job — index math below assumes non-empty bytes)
-        val out =
-          if (bytes.isEmpty) Array.emptyByteArray
-          else {
-            val ratio = (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1)
-            val newLen = math.max(1, math.min((bytes.length * ratio).toInt, bytes.length * 4))
-            Array.tabulate[Byte](newLen)(i => bytes(i % bytes.length))
+        val img =
+          if (bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) ResizedMedia(id, ok = false, 0, 0, Array.emptyByteArray)
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * sh / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              dst.setRGB(x, y, img.getRGB((x.toLong * sw / targetW).toInt, sy))
+              x += 1
+            }
+            y += 1
           }
-        // --- end fake resize ---
-        ResizedMedia(r.getLong(idIdx), targetW, targetH, out)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedMedia(id, ok = true, targetW, targetH, bos.toByteArray)
+        }
       }
     }
   }
@@ -159,12 +246,13 @@ object Multimodal {
     }
   }
 
-  /** Decode + summarize: feature-vector norms per format — the typical
-    * decode → aggregate pipeline shape, one shuffle on the small side. */
+  /** Decode + summarize: decoded features joined back to the metadata —
+    * the typical decode → enrich pipeline shape, one shuffle on the
+    * small side. */
   def featureSummary(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    val feats = decodeStub(media).toDF()
+    val feats = decodeImages(media).toDF()
     feats.join(media.select(col("media_id"), col("meta.format").as("format")), "media_id")
-      .select(col("media_id"), col("format"), col("n_bytes"),
-        Similarity.dot(col("features"), col("features")).as("feat_sq_norm"))
+      .select(col("media_id"), col("format"), col("ok"),
+        col("n_pixels"), col("lum_sum"))
   }
 }

@@ -32,30 +32,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("content"))
   }
 
-  test("decodeStub: deterministic histogram features of the raw bytes") {
+  /** Expected luminance of synthetic pixel (x, y) in image `id` — the
+    * same closed form the DuckDB oracle uses. */
+  private def lum(x: Int, y: Int, id: Long): Long = (x + 3L * y + 7L * id) % 256L
+
+  test("syntheticImages writes genuine PNG bytes with id-derived dimensions") {
     implicit val s: SparkSession = spark
-    val feats = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
-      .collect().map(f => f.media_id -> f).toMap
-    assert(feats(1L).n_bytes === 11L)
-    assert(feats(1L).features.length === 16)
-    assert(math.abs(feats(1L).features.sum - 1.0) < 1e-9)
-    // 'h' = 0x68 → bin 6; "hello world" has h,e,l,l,o,w,o,r,l,d in 0x60-0x7f
-    assert(feats(1L).features(6) > 0.5)
-    val again = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
-      .collect().map(f => f.media_id -> f.features.toSeq).toMap
-    assert(again(10L) === feats(10L).features.toSeq)
+    val m = Multimodal.syntheticImages(docs)
+    assert(m.schema.fieldNames.toSeq === Seq("media_id", "content", "meta"))
+    val row = m.filter(col("media_id") === 1L).collect()(0)
+    val bytes = row.getAs[Array[Byte]](1)
+    // PNG magic: 0x89 'P' 'N' 'G'
+    assert((bytes(0) & 0xFF) === 0x89 && bytes(1) === 'P'.toByte &&
+      bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte)
+    val meta = row.getStruct(2)
+    assert(meta.getString(0) === "png")
+    assert(meta.getInt(1) === 80)  // 64 + (1 % 8) * 16
+    assert(meta.getInt(2) === 80)  // 64 + (1 % 5) * 16
   }
 
-  test("resizeStub: output size tracks target area, metadata updates") {
+  test("decodeImages: REAL codec round trip reproduces the pixel pattern exactly") {
     implicit val s: SparkSession = spark
-    val out = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 32, 32)
-      .collect().map(r => r.media_id -> r).toMap
-    assert(out.values.forall(r => r.width == 32 && r.height == 32))
-    // doc 1: 80x80=6400 → 32x32=1024 area → ~16% of 11 bytes ≥ 1
-    assert(out(1L).content.length >= 1)
-    val again = Multimodal.resizeStub(Multimodal.fromDocuments(docs), 32, 32)
-      .collect().map(r => r.media_id -> r.content.toSeq).toMap
-    assert(again === out.view.mapValues(_.content.toSeq).toMap)
+    val feats = Multimodal.decodeImages(Multimodal.syntheticImages(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    val f1 = feats(1L)
+    assert(f1.ok && f1.width === 80 && f1.height === 80 && f1.n_pixels === 6400L)
+    val expectedSum = (for (y <- 0 until 80; x <- 0 until 80) yield lum(x, y, 1L)).sum
+    assert(f1.lum_sum === expectedSum)
+    // histogram covers every pixel exactly once
+    assert(f1.lum_hist.sum === f1.n_pixels)
+    // doc 10: 64+2*16=96 wide, 64+0*16=64 tall
+    assert(feats(10L).width === 96 && feats(10L).height === 64)
+  }
+
+  test("decodeImages survives corrupt/non-image content as ok=false rows") {
+    implicit val s: SparkSession = spark
+    // text bytes are not a decodable image: every row must survive,
+    // flagged, with zeroed features — never fail the job
+    val feats = Multimodal.decodeImages(Multimodal.fromDocuments(docs))
+      .collect()
+    assert(feats.length === 3)
+    assert(feats.forall(f => !f.ok && f.width === 0 && f.lum_sum === 0L))
+  }
+
+  test("resizeImages: re-decoding the resized PNG yields the resampled pattern") {
+    implicit val s: SparkSession = spark
+    val resized = Multimodal.resizeImages(Multimodal.syntheticImages(docs), 32, 24)
+    val back = Multimodal.decodeImages(resized.toDF())
+      .collect().map(f => f.media_id -> f).toMap
+    val b1 = back(1L)
+    assert(b1.ok && b1.width === 32 && b1.height === 24)
+    // nearest neighbor by integer floor from the 80x80 source of id 1
+    val expectedSum = (for (y <- 0 until 24; x <- 0 until 32)
+      yield lum(x * 80 / 32, y * 80 / 24, 1L)).sum
+    assert(b1.lum_sum === expectedSum)
+    // corrupt input passes through flagged, not thrown
+    val bad = Multimodal.resizeImages(Multimodal.fromDocuments(docs), 32, 24)
+      .collect()
+    assert(bad.forall(r => !r.ok && r.content.isEmpty))
   }
 
   test("sampleFramesStub: bounded frames per item, strided indices") {
@@ -72,8 +106,11 @@ class MultimodalSpec extends SparkTestBase {
 
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
-    val out = Multimodal.featureSummary(Multimodal.fromDocuments(docs))
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-    assert(out === Map(1L -> ("fmt1", 11L), 2L -> ("fmt2", 3L), 10L -> ("fmt1", 21L)))
+    val out = Multimodal.featureSummary(Multimodal.syntheticImages(docs))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(out(1L) === (("png", true, 6400L)))   // 80x80
+    assert(out(10L) === (("png", true, 6144L)))  // 96x64
+    assert(out.keySet === Set(1L, 2L, 10L))
   }
 }
