@@ -1460,4 +1460,68 @@ object SparkEntry {
       |  SELECT id1, id2, CAST(ic AS DOUBLE) / least(s1.sz, s2.sz) AS containment
       |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
       |) WHERE containment >= 0.9 ORDER BY id1, id2""".stripMargin.replace("\n", " ")
+
+  // -------------------------------------------------------------------------
+  // Exact-regime scale probes ([[graft.Probe]] main)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Sketch exact-regime preconditions, checked against the ACTUAL fixture
+   * cardinalities at a given SF. The oracle comparison is exact equality,
+   * so every sketch-backed entry is only green while its sketch never
+   * leaves the exact regime — a fixture whose cardinality silently crosses
+   * the sketch capacity at a larger SF would hash-mismatch with no hint
+   * why (it happened: sf0.1 lineitem crossed 2^17 distinct orderkeys in
+   * round 3). Each probe returns Some(message) on violation; bounds MUST
+   * mirror the constants in the corresponding `queries` entries.
+   * `q_dist_grouped`/`q_quality_topp` additionally enforce their bound at
+   * run time (requireExact); the probes make the regime check uniform and
+   * SF-explicit for ALL sketch entries.
+   */
+  def exactRegimeProbes: Map[String, (SparkSession, String) => Option[String]] = {
+    def check(actual: Long, bound: Long, what: String): Option[String] =
+      if (actual <= bound) None
+      else Some(s"$what = $actual exceeds exact-regime bound $bound")
+    Map(
+      // Theta: exact while distinct ≤ 2^lgK nominal entries
+      "q_count_distinct" -> ((s, dir) =>
+        check(rd(s, dir, "lineitem").select(countDistinct(col("l_orderkey")))
+          .head.getLong(0), 1L << 18, "distinct l_orderkey (lgK=18)")),
+      "q_count_distinct_multi" -> ((s, dir) =>
+        check(rd(s, dir, "lineitem")
+          .select(countDistinct(col("l_orderkey"), col("l_suppkey")))
+          .head.getLong(0), 1L << 20, "distinct (l_orderkey, l_suppkey) (lgK=20)")),
+      "q_count_distinct_grouped" -> ((s, dir) =>
+        check(rd(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("du"))
+          .agg(max(col("du"))).head.getLong(0), 1L << 17,
+          "max per-event_type distinct user_id (lgK=17)")),
+      // KLL: exact (percentile_disc parity) while n ≤ k per sketch;
+      // one probe covers quantile/linear/pmf/cdf (same column, same k)
+      "q_dist_quantile" -> ((s, dir) =>
+        check(rd(s, dir, "customer").filter(col("c_acctbal").isNotNull).count(),
+          32768L, "customer c_acctbal rows (k=32768)")),
+      "q_dist_grouped" -> ((s, dir) =>
+        check(rd(s, dir, "customer").filter(col("c_acctbal").isNotNull)
+          .groupBy("c_mktsegment").count().agg(max(col("count")))
+          .head.getLong(0), 8192L, "max per-segment c_acctbal rows (k=8192)")),
+      "q_quality_topp" -> ((s, dir) =>
+        check(rd(s, dir, "documents").groupBy("lang").count()
+          .agg(max(col("count"))).head.getLong(0), 8192L,
+          "max per-lang document rows (k=8192)")),
+      // FrequentItems: zero-error while distinct keys stay under the
+      // purge load (~0.75 × maxMapSize)
+      "q_topk" -> ((s, dir) =>
+        check(rd(s, dir, "lineitem")
+          .select(countDistinct(col("l_returnflag"), col("l_linestatus")))
+          .head.getLong(0), (1024L * 3) / 4,
+          "distinct (l_returnflag, l_linestatus) (maxMapSize=1024)")),
+      "q_topk_grouped" -> ((s, dir) =>
+        check(rd(s, dir, "events")
+          .withColumn("user_bucket", (col("user_id") % 100).cast("string"))
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_bucket")).as("db"))
+          .agg(max(col("db"))).head.getLong(0), (1024L * 3) / 4,
+          "max per-event_type distinct user_bucket (maxMapSize=1024)")))
+  }
 }

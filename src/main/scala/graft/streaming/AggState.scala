@@ -165,11 +165,12 @@ object AggState {
   def forSpec(agg: Aggregation): AggState = forQuery(QuerySpec("_", aggregation = agg))
 
   /** Window-aware state: a RAW RECORD window `every N include first M` with
-    * M < N caps each window's collected records at M — the reference's
-    * include-first surface (bullet-core Window; only the RAW shape is
-    * meaningful, enforced by QueryRunner.validate). M == N is the plain
-    * sliding window: no cap, so the per-batch coalesced emit keeps every
-    * matched record (documented deviation, SURVEY §7.3). */
+    * M < N caps each window's collected records at M exactly — the finest
+    * granularity the reference's include-first surface offers. Other
+    * aggregations and TIME include are gated per batch by the runner
+    * (QueryRunner.includeOpenNow — batch-granularity, the coalescing
+    * deviation of SURVEY §7.3). M == N is the plain sliding window: no
+    * cap, so the per-batch coalesced emit keeps every matched record. */
   def forQuery(spec: QuerySpec): AggState = spec.aggregation match {
     case Raw(size) =>
       val cap = spec.window match {

@@ -82,6 +82,16 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       * on every read) and must FAIL this query instead of crash-looping
       * the whole stream through checkpoint restarts forever. */
     var transientStrikes: Int = 0
+    /** Per-batch include gate for `include first M` windows, evaluated
+      * ONCE at batch start (so the shared pass and the grouped job see
+      * the same decision): while open the batch's partials merge into
+      * window state; once the window has its first M (records or ms) the
+      * gate closes and later batches only advance the matched counters.
+      * Batch-granularity semantics — an included batch that crosses the
+      * M boundary contributes whole for sketch/group aggregations (RAW
+      * caps exactly at M via its state cap) — the same coalescing
+      * deviation as the per-record sliding window (SURVEY §7.3). */
+    var includeOpen: Boolean = true
     def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
     /** Cached eq-partition tuple — pure function of the immutable spec,
       * but consulted several times per batch per query (partitioner
@@ -360,19 +370,22 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     }
     spec.window.foreach { w =>
       if (w.emitEvery <= 0) errs += "window emitEvery must be positive"
-      // `every N include first M` with M ≠ N only has well-defined
-      // semantics for RAW RECORD-emit windows (AggState.forQuery caps the
-      // collected records at M); everything else the reference restricts
-      // to include ALL or first == every — reject loudly rather than
-      // silently ignore (the validate condition must mirror forQuery's
-      // exactly, or a TIME-emit include-RECORD window would pass here and
-      // drop its cap there).
+      // `every N include first M` (M < N): supported for EVERY aggregation
+      // type when the include unit matches the emit unit — the window
+      // absorbs its first M records/ms and emits at the N boundary
+      // (per-batch gate in processBatch; RAW additionally caps exactly at
+      // M via its state cap). Mixed units (TIME emit with RECORD include
+      // or vice versa) are outside the reference Window surface
+      // (bullet-core restricts include to the emit unit or ALL) — reject
+      // loudly rather than guess semantics. M > N would make the include
+      // cap unreachable before the reset — also rejected.
       val additive = w.includeUnit == WindowUnit.ALL
-      val sameAsEmit = w.includeUnit == w.emitUnit && w.includeFirst == w.emitEvery
-      val rawRecordCap = w.emitUnit == WindowUnit.RECORD &&
-        w.includeUnit == WindowUnit.RECORD && spec.aggregation.isInstanceOf[Raw]
-      if (!additive && w.includeFirst > 0 && !sameAsEmit && !rawRecordCap)
-        errs += "window include-first != emit-every is only supported for RAW RECORD windows"
+      if (!additive && w.includeFirst > 0) {
+        if (w.includeUnit != w.emitUnit)
+          errs += "window include unit must match the emit unit (or be ALL)"
+        else if (w.includeFirst > w.emitEvery)
+          errs += "window include-first must be <= emit-every"
+      }
     }
     errs.toSeq
   }
@@ -420,6 +433,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     * and lifecycle evaluation. Returns the Clips emitted for this batch. */
   def processBatch(batch: DataFrame): Seq[Clip] = synchronized {
     val active = queries.values.filter(!_.done).toSeq
+    active.foreach(rq => rq.includeOpen = includeOpenNow(rq))
     val grouped = active.filter(_.isGrouped)
     // Candidate-set pruning — the full query-partitioner analog: ≥2
     // non-grouped, non-RAW queries whose filters are conjunctions of
@@ -864,12 +878,30 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       "records_emitted" -> rq.emitted,
       "windows_emitted" -> rq.windowsEmitted)))
 
+  /** Is this query's `include first M` window still absorbing at the
+    * start of the current batch? True when no include cap applies
+    * (additive, unwindowed, include == every sliding/tumbling). The
+    * matched counters advance regardless — RECORD-emit boundaries count
+    * every matched record, included in state or not (reference Window:
+    * emit and include are independent dimensions). */
+  private def includeOpenNow(rq: RQ): Boolean = rq.spec.window match {
+    case Some(w) if !w.isAdditive && w.includeFirst > 0 &&
+        !(w.includeUnit == w.emitUnit && w.includeFirst == w.emitEvery) =>
+      w.includeUnit match {
+        case WindowUnit.RECORD => rq.recordsSinceEmit < w.includeFirst
+        case WindowUnit.TIME   => clock.now() - rq.lastEmitAt < w.includeFirst
+        case _                 => true
+      }
+    case _ => true
+  }
+
   private def mergePartial(rq: RQ, row: Row, key: String = null): Unit = {
     val id = if (key != null) key else rq.spec.id
     val matched = longAt(row, n(id))
     rq.recordsSinceEmit += matched
     rq.recordsSeen += matched
     rq.batchesSeen += 1
+    if (!rq.includeOpen) return // include-first window already has its M
     rq.spec.aggregation match {
       case Raw(_) =>
         if (row.schema.fieldNames.contains(p(id)))
@@ -945,7 +977,10 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       val spec = rq.spec.aggregation.asInstanceOf[GroupBy]
       val id = rq.spec.id
       val st = rq.state.asInstanceOf[GroupByState]
-      rows.foreach { row =>
+      // same per-batch include gate as mergePartial — evaluated once at
+      // batch start, so counter updates in the shared pass can't close
+      // the gate mid-batch for the grouped job
+      if (rq.includeOpen) rows.foreach { row =>
         // a group whose rows all failed THIS query's gate does not exist
         // for it — creating it would emit a spurious zero-count group
         val matched = longAt(row, n(id))

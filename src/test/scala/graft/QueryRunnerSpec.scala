@@ -574,16 +574,85 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(w2.head.records.size === 3)
   }
 
-  test("include-first != every on a metric aggregation is rejected loudly") {
+  test("RECORD `every N include first M` on a metric aggregation: state absorbs only the first M") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // emit every 4 matched records; each window aggregates only its first 2
+    runner.register(QuerySpec("minc",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+      window = Some(WindowSpec(WindowUnit.RECORD, 4, WindowUnit.RECORD, 2)),
+      durationMs = 100000))
+    // single-click batches make the batch-granularity gate exact
+    def one(id: Long) = events.filter(col("event_id") === id)
+    val w1 = Seq(3L, 6L, 9L, 12L).flatMap(id => runner.processBatch(one(id)))
+    assert(w1.size === 1, "window must fire at the 4-record boundary")
+    assert(parse(w1.head.records.head)("cnt") === 2)   // only ids 3, 6 included
+    assert(parse(w1.head.records.head)("sv") === 9.0)  // 3 + 6
+    // the emit boundary counted ALL 4 matched records, included or not
+    assert(runner.queryStats("minc").get("records_seen") === 4L)
+    // reset: the next window gates afresh
+    val w2 = Seq(15L, 18L, 21L, 24L).flatMap(id => runner.processBatch(one(id)))
+    assert(w2.size === 1)
+    assert(parse(w2.head.records.head)("cnt") === 2)
+    assert(parse(w2.head.records.head)("sv") === 33.0) // 15 + 18
+  }
+
+  test("TIME `every E include first M ms`: only batches in the window's first M ms merge") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("tinc", durationMs = 100000,
+      window = Some(WindowSpec(WindowUnit.TIME, 10000, WindowUnit.TIME, 5000))))
+    clock.advance(1000)
+    runner.processBatch(events.filter(col("event_id") <= 30))  // 10 clicks, t=1000: included
+    clock.advance(6000)                                        // t=7000 ≥ 5000 into the window
+    runner.processBatch(events.filter(col("event_id") > 30))   // 23 clicks: gated out of state
+    clock.advance(3000)                                        // t=10000 → boundary
+    val w1 = runner.onTick()
+    assert(w1.size === 1)
+    assert(parse(w1.head.records.head)("cnt") === 10)
+    // matched counters stayed exact through the closed gate
+    assert(runner.queryStats("tinc").get("records_seen") === 33L)
+    // window 2 opens at t=10000: a batch 2 s in is inside the include span
+    clock.advance(2000)
+    runner.processBatch(events.filter(col("event_id") <= 9))   // 3 clicks, included
+    clock.advance(8000)                                        // t=20000 → boundary
+    val w2 = runner.onTick()
+    assert(w2.size === 1)
+    assert(parse(w2.head.records.head)("cnt") === 3)
+  }
+
+  test("GROUP BY RECORD `every N include first M`: grouped job honors the same gate") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(QuerySpec("ginc",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = GroupBy(Seq("user" -> "u"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      window = Some(WindowSpec(WindowUnit.RECORD, 4, WindowUnit.RECORD, 2)),
+      durationMs = 100000))
+    def one(id: Long) = events.filter(col("event_id") === id)
+    // ids 3, 6, 9, 12 → users u3, u6, u2, u5; only the first two group
+    val w = Seq(3L, 6L, 9L, 12L).flatMap(id => runner.processBatch(one(id)))
+    assert(w.size === 1)
+    val groups = w.head.records.map(parse).map(r => r("u") -> r("cnt")).toMap
+    assert(groups === Map("u3" -> 1, "u6" -> 1))
+    assert(runner.queryStats("ginc").get("records_seen") === 4L)
+  }
+
+  test("window include validation: mixed units and include > every are rejected") {
     val runner = new QueryRunner(spark, new ManualClock(0))
-    val clip = runner.register(clickCountSpec("bad_inc", durationMs = 10000,
-      window = Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 3))))
-    assert(clip.isDefined && clip.get.signal.contains("FAIL"))
-    // TIME-emit with a RECORD include cap would silently drop the cap in
-    // AggState.forQuery — must be rejected too, even for RAW
+    // include unit must match the emit unit (or be ALL) — the reference
+    // Window surface has no TIME-emit/RECORD-include combination
     val clip2 = runner.register(QuerySpec("bad_inc2", aggregation = Raw(100),
       window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.RECORD, 10))))
     assert(clip2.isDefined && clip2.get.signal.contains("FAIL"))
+    // include-first beyond the emit boundary can never be reached
+    val clip4 = runner.register(clickCountSpec("bad_inc4", durationMs = 10000,
+      window = Some(WindowSpec(WindowUnit.RECORD, 5, WindowUnit.RECORD, 9))))
+    assert(clip4.isDefined && clip4.get.signal.contains("FAIL"))
     // unsupported ops inside post-aggregations FAIL at register instead of
     // throwing at emit time inside lifecycle()
     val clip3 = runner.register(QuerySpec("bad_post",
@@ -730,6 +799,100 @@ class QueryRunnerSpec extends SparkTestBase {
     val r3 = new QueryRunner(spark, clock)
     r3.enableRegistryPersistence(dir)
     assert(r3.activeQueryIds.isEmpty)
+  }
+
+  test("Kafka-shape source e2e: runStream + checkpoint restart resumes without replay") {
+    // The DSLSpout-parity path end to end: a Kafka-shaped stream (a
+    // `value` payload column decoded by JsonRecords.fromKafka — identical
+    // frame shape to readStream.format("kafka")) through runStream with a
+    // checkpoint, results through JsonLinesSink, runner KILLED mid-stream
+    // and restarted on the same checkpoint. The restarted runner must
+    // (a) re-arm the registered query from the persisted registry and
+    // (b) resume the SOURCE from committed offsets — file1 must not
+    // replay, which the totals prove exactly.
+    val inDir = java.nio.file.Files.createTempDirectory("graft-kafka-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kafka-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-kafka-out").toString
+    val ddl = "event_id LONG, etype STRING, value DOUBLE, user STRING"
+    def payload(id: Long, et: String): String =
+      s"""{"value": "{\\"event_id\\": $id, \\"etype\\": \\"$et\\", \\"value\\": $id.0, \\"user\\": \\"u${id % 7}\\"}"}"""
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(inDir, s".$name.tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(inDir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def pipeline: org.apache.spark.sql.DataFrame =
+      graft.sources.JsonRecords.fromKafka(
+        spark.readStream.schema("value STRING").json(inDir), ddl)
+        .select(col("record.*"))
+    def awaitUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      cond
+    }
+    val spec = QuerySpec("kafka_raw",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = Raw(5), durationMs = 600000L)
+    val cntSpec = clickCountSpec("kafka_cnt", durationMs = 600000L)
+
+    // phase 1: register, stream file1 (3 clicks), then KILL the runner
+    val r1 = new QueryRunner(spark)
+    val sq1 = r1.runStream(pipeline, Some(ckpt), triggerMs = 200, tickIntervalMs = 100)
+    try {
+      r1.register(spec)
+      r1.register(cntSpec)
+      writeFile("f1.json", (1L to 9L).map(i =>
+        payload(i, if (i % 3 == 0) "click" else "view"))) // clicks: 3, 6, 9
+      assert(awaitUntil(30000)(
+        r1.queryStats("kafka_cnt").exists(_("records_seen") == 3L)),
+        s"file1 not consumed: ${r1.queryStats("kafka_cnt")}")
+      // the batch's offsets commit AFTER foreachBatch returns — killing
+      // the runner before the commit log catches up would replay file1 on
+      // restart (at-least-once). A graceful shutdown drains in-flight
+      // commits first; emulate it by awaiting commits == offsets.
+      def logMax(sub: String): Long = {
+        val files = Option(new java.io.File(s"$ckpt/$sub").list()).getOrElse(Array.empty)
+        files.filter(_.forall(_.isDigit)).map(_.toLong).foldLeft(-1L)(math.max)
+      }
+      assert(awaitUntil(30000)(logMax("commits") >= logMax("offsets")),
+        s"offset commit never landed: offsets=${logMax("offsets")} commits=${logMax("commits")}")
+    } finally sq1.stop()
+    assert(r1.results.isEmpty, "nothing should have completed pre-crash")
+
+    // file2 lands while the runner is down (5 clicks)
+    writeFile("f2.json", (10L to 24L).map(i =>
+      payload(i, if (i % 3 == 0) "click" else "view"))) // clicks: 12,15,18,21,24
+
+    // phase 2: fresh runner, SAME checkpoint — registry re-arms the
+    // queries, the source resumes after file1
+    val r2 = new QueryRunner(spark)
+    val sink2 = new JsonLinesSink(spark, outDir)
+    r2.onResult(sink2)
+    val sq2 = r2.runStream(pipeline, Some(ckpt), triggerMs = 200, tickIntervalMs = 100)
+    try {
+      assert(awaitUntil(30000)(r2.activeQueryIds.nonEmpty || r2.results.nonEmpty),
+        "registry did not re-arm the persisted queries")
+      // RAW 5 completes exactly when file2's 5 clicks arrive — possible
+      // only if file1 did NOT replay (a replay would complete it with
+      // file1's clicks in the buffer first)
+      assert(awaitUntil(30000)(r2.results.exists(c =>
+        c.queryId == "kafka_raw" && c.signal.contains("COMPLETE"))),
+        s"raw query did not complete post-restart: ${r2.results.map(_.queryId)}")
+    } finally sq2.stop()
+    val raw = r2.results.find(_.queryId == "kafka_raw").get
+    assert(raw.records.size === 5)
+    assert(raw.records.map(parse).forall(_("etype") == "click"))
+    assert(raw.records.map(parse).map(_("event_id").toString.toLong).toSet ===
+      Set(12L, 15L, 18L, 21L, 24L), "file1 replayed or file2 incomplete")
+    // the counting query saw ONLY file2's clicks post-restart (5, not 8)
+    val cnt = r2.finishAll().find(_.queryId == "kafka_cnt").get
+    assert(parse(cnt.records.head)("cnt") === 5)
+    // every clip is durable in the JSON-lines sink
+    sink2.close()
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(new java.net.URI(sink2.file).getPath)).getLines().toSeq
+    assert(lines.exists(_.contains("kafka_raw")))
   }
 
   test("tick thread finishes an expired query with no data flowing") {
