@@ -915,15 +915,34 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // Frame sampling (stub demux): one media row → strided frame rows.
-    // The chunking math is deterministic in the content length, so the
-    // oracle reproduces the full (media_id, frame_idx, frame_bytes) set.
+    // REAL frame sampling: the fixture writes genuine animated GIFs
+    // (2 + id mod 4 frames, per-frame closed-form pattern); the JDK
+    // ImageReader demuxes and every 2nd frame decodes to integer
+    // features. Oracle recomputes frame count, sampled indices, and each
+    // sampled frame's luminance sum in SQL.
     "q_multimodal_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.sampleFramesStub(
-          Multimodal.fromDocuments(rd(s, dir, "documents")), everyN = 2)
-        .toDF().select(col("media_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
+      val anims = Multimodal.syntheticAnimations(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      Multimodal.sampleFrames(anims, everyN = 2).toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"), col("lum_sum"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // REAL audio decode: the fixture writes genuine 16-bit PCM WAVs
+    // (javax.sound.sampled) with closed-form samples; the decode reads
+    // the format from the container and recovers every sample exactly.
+    // Oracle recomputes sample count, |sample| sum and max in SQL.
+    "q_multimodal_audio" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wavs = Multimodal.syntheticAudio(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      Multimodal.decodeAudio(wavs).toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("abs_sum"), col("max_abs"))
+        .orderBy("media_id")
     }),
 
     // REAL resize, proven by RE-DECODING the resized bytes: encode →
@@ -1072,12 +1091,28 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          |CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(lum) AS BIGINT) AS lum_sum
          |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin.replace("\n", " ")),
+    // Recompute the REAL GIF demux in pure SQL: frame count from the id,
+    // sampled indices 0, 2, ..., per-frame luminance sums over the
+    // (x + 3y + 7id + 11f) mod 256 grid.
     "q_multimodal_frames" ->
-      ("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
-         |f AS (SELECT doc_id, len, unnest(range(0, greatest(1, len // 64), 2)) AS frame_idx FROM d)
-         |SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-         |CAST(least(64, len - 64 * frame_idx) AS INTEGER) AS frame_bytes
-         |FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
+      ("""WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents WHERE doc_id < 200),
+         |fr AS (SELECT doc_id, nf, unnest(range(0, nf, 2)) AS f FROM d),
+         |px AS (SELECT doc_id, nf, f, (x + 3 * y + 7 * doc_id + 11 * f) % 256 AS lum
+         |FROM fr, unnest(range(0, 32)) AS tx(x), unnest(range(0, 24)) AS ty(y))
+         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, CAST(nf AS INTEGER) AS n_frames,
+         |CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height, CAST(sum(lum) AS BIGINT) AS lum_sum
+         |FROM px GROUP BY doc_id, nf, f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
+    // Recompute the WAV codec round trip in pure SQL: sample count from
+    // the id, |sample| aggregates over the ((7s + 13id) mod 2003) - 1001
+    // closed form.
+    "q_multimodal_audio" ->
+      ("""WITH d AS (SELECT doc_id, 1000 + 200 * (doc_id % 5) AS n FROM documents WHERE doc_id < 200),
+         |sm AS (SELECT doc_id, n, abs(((7 * s + 13 * doc_id) % 2003) - 1001) AS a
+         |FROM d, unnest(range(0, n)) AS ts(s))
+         |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples, CAST(8000 AS INTEGER) AS sample_rate,
+         |CAST(sum(a) AS BIGINT) AS abs_sum, CAST(max(a) AS INTEGER) AS max_abs
+         |FROM sm GROUP BY doc_id, n ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
     // Recompute the nearest-neighbor resample + re-decode in pure SQL:
     // resized pixel (x, y) reads source pixel (x*w/32, y*h/24) by
     // integer floor, whose luminance is the same closed form.

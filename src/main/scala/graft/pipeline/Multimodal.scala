@@ -224,8 +224,11 @@ object Multimodal {
    * frame rows, processed per partition so a real demuxer opens once.
    *
    * STUB: a real implementation demuxes the container and decodes key
-   * frames. The deterministic fake treats content as fixed-size chunks
-   * (`frameBytes` each) and keeps chunks 0, everyN, 2·everyN, ...
+   * frames (see [[sampleFrames]] for the REAL multi-frame path over
+   * animated GIF, the one multi-frame container the JDK can demux). The
+   * deterministic fake here treats content as fixed-size chunks
+   * (`frameBytes` each) and keeps chunks 0, everyN, 2·everyN, ... —
+   * kept as the opaque-container shape for formats with no JVM codec.
    */
   def sampleFramesStub(media: DataFrame, everyN: Int, frameBytes: Int = 64)
                       (implicit spark: SparkSession): Dataset[Frame] = {
@@ -241,6 +244,220 @@ object Multimodal {
         (0 until nFrames by everyN).map { f =>
           val start = f * frameBytes
           Frame(id, f, bytes.slice(start, math.min(start + frameBytes, bytes.length)))
+        }
+      }
+    }
+  }
+
+  /** Grayscale 256-level palette shared by every synthetic animation
+    * frame — an explicit IndexColorModel keeps the GIF encode → decode
+    * round trip bit-exact (the encoder never needs to quantize). */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Luminance of pixel (x, y) in frame `f` of synthetic animation `id` —
+    * closed form, SQL-recomputable like [[synthLum]]. */
+  @inline private def synthFrameLum(x: Int, y: Int, f: Int, id: Long): Int =
+    (((x + 3L * y + 7L * id + 11L * f) % 256L).toInt + 256) % 256
+
+  /**
+   * Write a REAL animated GIF per document id: `2 + id mod 4` full frames
+   * of `w`×`h` grayscale, frame `f` pixel luminance =
+   * [[synthFrameLum]]. GIF with a 256-gray palette is lossless, so the
+   * demux must reproduce every frame's pattern exactly. One encoder per
+   * partition (`prepareWriteSequence`/`writeToSequence` — the JDK's own
+   * multi-frame writer).
+   */
+  def syntheticAnimations(docs: DataFrame, w: Int = 32, h: Int = 24)
+                         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gifs = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { d =>
+        val nFrames = (2 + (d % 4)).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, synthFrameLum(x, y, f, d))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        (d, bos.toByteArray)
+      }
+    }.toDF("media_id", "content")
+    gifs.select(col("media_id"), col("content"),
+      struct(lit("gif").as("format"), lit(w).cast("int").as("width"),
+        lit(h).cast("int").as("height"),
+        octet_length(col("content")).cast("long").as("size_bytes")).as("meta"))
+  }
+
+  /** Decoded-frame feature row ([[sampleFrames]]). */
+  case class FrameFeatures(media_id: Long, frame_idx: Int, n_frames: Int,
+                           width: Int, height: Int, lum_sum: Long)
+
+  /**
+   * REAL frame sampling: demux a multi-frame container (animated GIF —
+   * the JDK's `ImageReader.getNumImages`/`read(i)` surface) and decode
+   * every `everyN`-th frame into integer features. One reader per item,
+   * per-partition batched; a frame row never materializes frames that
+   * were not sampled. Undecodable content contributes zero rows (the
+   * corrupt-media contract of [[decodeImages]], flatMap form).
+   */
+  def sampleFrames(media: DataFrame, everyN: Int)
+                  (implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(everyN > 0, "everyN must be positive")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
+        if (bytes.isEmpty) Seq.empty
+        else
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              try {
+                val n = reader.getNumImages(true)
+                (0 until n by everyN).map { f =>
+                  val img = reader.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      sum += (img.getRGB(x, y) >> 16) & 0xFF
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  FrameFeatures(id, f, n, w, h, sum)
+                }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case _: java.io.IOException => Seq.empty }
+      }
+    }
+  }
+
+  /** PCM sample `s` of synthetic audio `id` — closed form in
+    * [-1001, 1001], well inside 16-bit range; SQL-recomputable. */
+  @inline private def synthSample(s: Int, id: Long): Int =
+    (((7L * s + 13L * id) % 2003L).toInt) - 1001
+
+  /**
+   * Write a REAL mono 16-bit PCM WAV per document id (`javax.sound
+   * .sampled`, pure JDK): `1000 + 200·(id mod 5)` samples at 8 kHz,
+   * sample values from [[synthSample]]. WAV PCM is lossless — a decode
+   * must reproduce every sample exactly, making the audio codec round
+   * trip DuckDB-oracle-checkable like the image paths.
+   */
+  def syntheticAudio(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val wavs = docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      ids.map { d =>
+        val n = (1000 + 200 * (d % 5)).toInt
+        val pcm = new Array[Byte](n * 2)
+        var s = 0
+        while (s < n) {
+          val v = synthSample(s, d)
+          pcm(2 * s) = (v & 0xFF).toByte          // little-endian
+          pcm(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+          s += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (d, bos.toByteArray)
+      }
+    }.toDF("media_id", "content")
+    wavs.select(col("media_id"), col("content"),
+      struct(lit("wav").as("format"), lit(0).cast("int").as("width"),
+        lit(0).cast("int").as("height"),
+        octet_length(col("content")).cast("long").as("size_bytes")).as("meta"))
+  }
+
+  /** Decoded-audio feature row. Integer features (sum of |sample|, max
+    * |sample|) keep the oracle hash-stable; `ok = false` marks
+    * undecodable content, surviving like [[decodeImages]]. */
+  case class AudioFeatures(media_id: Long, ok: Boolean, n_samples: Long,
+                           sample_rate: Int, abs_sum: Long, max_abs: Int)
+
+  /**
+   * REAL audio decode via `javax.sound.sampled` (JDK built-in — WAV/AIFF
+   * PCM): bytes → AudioInputStream → per-sample integer features. Reads
+   * the format from the container (16-bit signed mono PCM expected;
+   * anything else flags `ok = false` rather than mis-parsing). Per-
+   * partition batched like the image decoders.
+   */
+  def decodeAudio(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val ok = fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!ok) AudioFeatures(id, ok = false, 0L, 0, 0L, 0)
+          else {
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            var sum = 0L
+            var maxAbs = 0
+            var s = 0
+            while (s < n) {
+              val lo = pcm(2 * s) & 0xFF
+              val hi = pcm(2 * s + 1).toInt // sign-extends
+              val v = (hi << 8) | lo
+              val a = math.abs(v)
+              sum += a
+              if (a > maxAbs) maxAbs = a
+              s += 1
+            }
+            AudioFeatures(id, ok = true, n.toLong,
+              math.round(fmt.getSampleRate), sum, maxAbs)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            AudioFeatures(id, ok = false, 0L, 0, 0L, 0)
         }
       }
     }

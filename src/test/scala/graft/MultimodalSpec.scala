@@ -104,6 +104,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(2L).map(_.frame_idx).toSeq === Seq(0))
   }
 
+  test("sampleFrames: REAL animated-GIF demux reproduces every sampled frame's pattern") {
+    implicit val s: SparkSession = spark
+    def flum(x: Int, y: Int, f: Int, id: Long): Long = (x + 3L * y + 7L * id + 11L * f) % 256L
+    val anims = Multimodal.syntheticAnimations(docs) // ids 1, 2, 10
+    // GIF magic
+    val raw = anims.filter(col("media_id") === 1L).collect()(0).getAs[Array[Byte]](1)
+    assert(new String(raw.take(6), "US-ASCII").startsWith("GIF8"))
+    val frames = Multimodal.sampleFrames(anims, everyN = 2)
+      .collect().groupBy(_.media_id)
+    // id 1: 2 + 1%4 = 3 frames → sampled 0, 2; id 2: 4 frames → 0, 2;
+    // id 10: 2 + 10%4 = 4 frames → 0, 2
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+    assert(frames(1L).head.n_frames === 3)
+    assert(frames(2L).head.n_frames === 4)
+    val f2 = frames(1L).find(_.frame_idx == 2).get
+    assert(f2.width === 32 && f2.height === 24)
+    val expected = (for (y <- 0 until 24; x <- 0 until 32) yield flum(x, y, 2, 1L)).sum
+    assert(f2.lum_sum === expected, "GIF demux round trip must be bit-exact")
+    // non-container content (text bytes) contributes zero rows, no throw
+    assert(Multimodal.sampleFrames(Multimodal.fromDocuments(docs), 2).count() === 0L)
+  }
+
+  test("decodeAudio: REAL WAV codec round trip recovers every PCM sample") {
+    implicit val s: SparkSession = spark
+    def sample(i: Int, id: Long): Int = ((7 * i + 13 * id) % 2003).toInt - 1001
+    val wavs = Multimodal.syntheticAudio(docs)
+    // RIFF/WAVE magic
+    val raw = wavs.filter(col("media_id") === 1L).collect()(0).getAs[Array[Byte]](1)
+    assert(new String(raw.take(4), "US-ASCII") === "RIFF")
+    assert(new String(raw.slice(8, 12), "US-ASCII") === "WAVE")
+    val feats = Multimodal.decodeAudio(wavs)
+      .collect().map(f => f.media_id -> f).toMap
+    val f1 = feats(1L)
+    assert(f1.ok && f1.sample_rate === 8000)
+    assert(f1.n_samples === 1200L) // 1000 + 200 * (1 % 5)
+    val expected = (0 until 1200).map(i => math.abs(sample(i, 1L)))
+    assert(f1.abs_sum === expected.map(_.toLong).sum)
+    assert(f1.max_abs === expected.max)
+    // text bytes are not WAV: flagged, not thrown
+    val bad = Multimodal.decodeAudio(Multimodal.fromDocuments(docs)).collect()
+    assert(bad.forall(f => !f.ok && f.abs_sum === 0L))
+  }
+
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
     val out = Multimodal.featureSummary(Multimodal.syntheticImages(docs))
