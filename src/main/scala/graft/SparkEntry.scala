@@ -584,6 +584,30 @@ object SparkEntry {
         .orderBy("etype")
     }),
 
+    // bullet-core nested type lattice, oracle-gated: map-of-map and
+    // list-of-map subfield access (FieldExpression f.k1.k2 / f[0].k)
+    // compiled through the ENGINE path — QuerySpec projection with nested
+    // ElementAt over shaped nested columns, then a grouped aggregation on
+    // the extracted values. The oracle recomputes both paths from the raw
+    // JSON column.
+    "q_nested_lattice" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+      val mapOfK = from_json(col("props"), MapType(StringType, IntegerType))
+      val shaped = rd(s, dir, "events").select(col("event_type"),
+        map(lit("inner"), mapOfK).as("mom"),  // map-of-map
+        array(mapOfK).as("lom"))              // list-of-map
+      val q = QuerySpec(id = "nl",
+        projection = Some(Seq(
+          "etype" -> Field("event_type"),
+          "mk" -> ElementAt(ElementAt(Field("mom"), "inner"), "k"),
+          "lk" -> ElementAt(ElementAt(Field("lom"), 0), "k"))),
+        aggregation = GroupBy(Seq("etype" -> "etype"), Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("mk"), "smk"),
+          GroupOp(GroupOpType.SUM, Some("lk"), "slk"))))
+      QueryCompiler.run(shaped, q).orderBy("etype")
+    }),
+
     // Delimited (CSV) converter round-trip: typed events → one CSV line
     // per row (native to_csv) → parsed back by declared schema (native
     // from_csv) → aggregate on the PARSED fields. The oracle aggregates
@@ -1162,6 +1186,11 @@ object SparkEntry {
     "q_csv_ingest" ->
       ("SELECT event_type AS etype, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, " +
         "min(value) AS mv, max(value) AS xv FROM events GROUP BY 1 ORDER BY 1"),
+    "q_nested_lattice" ->
+      ("SELECT event_type AS etype, count(*) AS cnt, " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS smk, " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS slk " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q_json_ingest" ->
       ("SELECT event_type AS etype, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS ks, " +
         "min(CAST(json_extract(props, '$.k') AS INTEGER)) AS kmin, " +

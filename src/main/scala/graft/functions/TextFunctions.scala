@@ -385,23 +385,26 @@ object TextFunctions {
       registry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
   }
 
-  /** `word_shingles(text, n)` as a Column; requires [[ensure]] or
-    * [[GraftExtensions]]. */
+  // The Column builders construct the native expression nodes DIRECTLY
+  // (org.apache.spark.sql.graft.ColumnBridge) — no session function
+  // registry involved, so the plan is identical on every thread and
+  // [[ensure]]/[[GraftExtensions]] are needed only for SQL-name access
+  // (`SELECT word_shingles(...)`, BQL).
+  import org.apache.spark.sql.graft.ColumnBridge.{column => nativeCol, expression => exprOf}
+
+  /** `word_shingles(text, n)` as a Column — session-free native node. */
   def wordShingles(text: Column, n: Int): Column =
-    call_function("word_shingles", text, lit(n))
+    nativeCol(WordShingles(exprOf(text), n))
 
-  /** `winnow_fingerprint(text, k, w)` as a Column; requires [[ensure]] or
-    * [[GraftExtensions]]. */
+  /** `winnow_fingerprint(text, k, w)` as a Column — session-free. */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
-    call_function("winnow_fingerprint", text, lit(k), lit(w))
+    nativeCol(WinnowFingerprint(exprOf(text), k, w))
 
-  /** `simhash64(text, n)` as a Column; requires [[ensure]] or
-    * [[GraftExtensions]]. */
+  /** `simhash64(text, n)` as a Column — session-free. */
   def simhash64(text: Column, n: Int): Column =
-    call_function("simhash64", text, lit(n))
+    nativeCol(SimHash64(exprOf(text), n))
 
-  /** `minhash_signature(text, n, numHashes)` as a Column; requires
-    * [[ensure]] or [[GraftExtensions]]. */
+  /** `minhash_signature(text, n, numHashes)` as a Column — session-free. */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
-    call_function("minhash_signature", text, lit(n), lit(numHashes))
+    nativeCol(MinHashSignature(exprOf(text), n, numHashes))
 }

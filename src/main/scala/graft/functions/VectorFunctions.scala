@@ -82,8 +82,13 @@ object VectorFunctions {
     if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
   }
 
-  /** `vec_dot(a, b)` as a Column; requires [[ensure]] or [[GraftExtensions]]. */
-  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  /** `vec_dot(a, b)` as a Column — session-free native node (see
+    * [[org.apache.spark.sql.graft.ColumnBridge]]); [[ensure]] /
+    * [[GraftExtensions]] are only needed for SQL-name access. */
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(VecDot(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }
 
 /** Session-extension hook: `SparkSession.builder.withExtensions(new

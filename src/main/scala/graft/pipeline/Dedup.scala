@@ -38,28 +38,18 @@ object Dedup {
 
   /** Distinct word n-grams, native: one codegen'd JVM call per row
     * ([[graft.functions.WordShingles]]) instead of the interpreted
-    * per-element lambda chain — bit-identical output, registered on the
-    * thread's ACTIVE session at plan-build time. No active session (e.g.
-    * a bare scheduler thread) falls back to the composable form, which
-    * resolves on any session — guessing a session here (default-session
-    * fallback) could register the function on a session the column never
-    * resolves against in multi-session apps. Operators that HAVE the
-    * DataFrame use [[shinglesOn]] and are thread-independent. */
+    * per-element lambda chain — bit-identical output. The Column wraps
+    * the expression node directly (ColumnBridge), so it is session-free
+    * and thread-independent: no registry, no getActiveSession dispatch
+    * (the round-4/5 exposure for external callers is gone). */
   def shingles(text: Column, n: Int): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.functions.TextFunctions.ensure(s)
-        graft.functions.TextFunctions.wordShingles(text, n)
-      case None => shinglesComposable(text, n)
-    }
-
-  /** [[shingles]] pinned to `df`'s own session (like
-    * TextAnalysis.fingerprints) — plan shape no longer depends on which
-    * thread builds it. The DataFrame-taking operators below use this. */
-  private def shinglesOn(df: DataFrame, text: Column, n: Int): Column = {
-    graft.functions.TextFunctions.ensure(df.sparkSession)
     graft.functions.TextFunctions.wordShingles(text, n)
-  }
+
+  /** Alias of [[shingles]], kept for the DataFrame-taking operators below
+    * (historically this pinned the function registration to `df`'s
+    * session; the native builder no longer needs a session at all). */
+  private def shinglesOn(df: DataFrame, text: Column, n: Int): Column =
+    shingles(text, n)
 
   /** Exact dedup by content hash: one survivor (min id) and a copy count
     * per identical content value. Single hash-shuffle on the digest. */
@@ -218,7 +208,6 @@ object Dedup {
     // Native signature ([[graft.functions.MinHashSignature]]): a narrow
     // codegen'd map over the scan — the aggregate form below shuffles
     // every gram. Bit-identical minima, so band keys are unchanged.
-    graft.functions.TextFunctions.ensure(df.sparkSession)
     val sigs = df.select(col(idCol).as("doc_id"),
         graft.functions.TextFunctions.minhashSignature(col(textCol), n, numHashes)
           .as("__sig"))
@@ -398,7 +387,6 @@ object Dedup {
     * form's pre-explode filter. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    graft.functions.TextFunctions.ensure(df.sparkSession)
     df.select(col(idCol).as("doc_id"),
         graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -450,7 +438,6 @@ object Dedup {
     // codegen operators — no cross-operator subexpression elimination).
     // A null signature (< n tokens) yields null band keys, which the
     // join's inferred isnotnull(bkey) drops before the shuffle anyway.
-    graft.functions.TextFunctions.ensure(df.sparkSession)
     val sig = df.select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
     val bandStructs = (0 until bands).map { b =>
@@ -515,7 +502,6 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    graft.functions.TextFunctions.ensure(stream.sparkSession)
     val sig = stream.withColumn("__sig",
       graft.functions.TextFunctions.simhash64(col(textCol), n))
     // docs too short for a signature (null) are omitted — they carry no

@@ -30,16 +30,10 @@ object Similarity {
   def dotd(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  /** Native codegen'd dot product (bit-identical to [[dotd]]): registers
-    * vec_dot on the thread's active session at plan-build time; falls back
-    * to the composable fold when no session is active. */
+  /** Native codegen'd dot product (bit-identical to [[dotd]]): wraps the
+    * expression node directly — session-free, thread-independent plan. */
   private[graft] def dot(a: Column, b: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.functions.VectorFunctions.ensure(s)
-        graft.functions.VectorFunctions.vecDot(a, b)
-      case None => dotd(a, b)
-    }
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   private def asD(c: Column): Column = c.cast("array<double>")
 

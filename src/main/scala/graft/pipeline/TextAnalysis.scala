@@ -113,10 +113,8 @@ object TextAnalysis {
    */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
-    // native one-call-per-row winnow (bit-identical, parity-tested),
-    // registered on df's OWN session — the analyzer resolves the function
-    // against df.sparkSession, which need not be the thread-active one
-    graft.functions.TextFunctions.ensure(df.sparkSession)
+    // native one-call-per-row winnow (bit-identical, parity-tested);
+    // session-free expression node — no registry involved
     val selected = graft.functions.TextFunctions.winnowFingerprint(col(textCol), k, w)
     df.select(col(idCol), selected.as("fingerprint"))
       .withColumn("fp_size", size(col("fingerprint")))
