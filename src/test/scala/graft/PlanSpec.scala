@@ -149,6 +149,25 @@ class PlanSpec extends SparkTestBase {
     assert(readSchema.contains("meta"), readSchema)
   }
 
+  test("synthetic media generators read ONLY doc_id — text never scans") {
+    // the codec fixtures derive everything from the id; reading the text
+    // column for 100 TB of documents would be pure wasted IO
+    Seq("q_multimodal_features", "q_multimodal_resize",
+        "q_multimodal_frames", "q_multimodal_audio").foreach { q =>
+      val p = plan(q)
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id"), s"$q: $readSchema")
+      assert(!readSchema.contains("text"), s"$q reads the text column: $readSchema")
+    }
+  }
+
+  test("q_nested_lattice: scan reads only the referenced columns") {
+    val p = plan("q_nested_lattice")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") && readSchema.contains("props"), readSchema)
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value"), readSchema)
+  }
+
   test("q_group_all: aggregation is two-phase (partial before shuffle)") {
     val p = plan("q_group_all")
     assert(p.contains("partial_"), p.take(1200))
