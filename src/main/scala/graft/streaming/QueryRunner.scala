@@ -570,15 +570,17 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         val direct =
           try {
             val rows = Await.result(f, Duration.Inf)
-            // Union cap hit with multiple fused queries: the kept smallest-
+            // Union cap hit with multiple fused classes: the kept smallest-
             // keys union can CROWD OUT one query's groups with another's
             // (a query under its own entries cap could lose groups it would
             // have kept from its own job). Rare — the over-cap regime — so
             // re-collect per query, each against exactly its old exact
-            // semantics (own filter, own entries budget).
-            val cap = QueryRunner.fusedEntriesCap(g.map(
-              _.spec.aggregation.asInstanceOf[GroupBy].entries))
-            if (g.size > 1 && rows.length >= cap) None else Some(rows)
+            // semantics (own filter, own entries budget). Cap and class
+            // count come from groupedCap/groupedRepRqs — the SAME formula
+            // collectGrouped limits by.
+            val cap = groupedCap(g)
+            if (groupedRepRqs(g).size > 1 && rows.length >= cap) None
+            else Some(rows)
           } catch { case NonFatal(_) => None }
         direct match {
           case Some(rows) => (g, Right(rows))
@@ -602,7 +604,10 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       def applyOne(rq: RQ)(body: => Unit): Unit =
         try body catch { case NonFatal(e) => failQuery(rq, e) }
       sharedC.foreach {
-        case Right(row) => simple.foreach(rq => applyOne(rq)(mergePartial(rq, row)))
+        case Right(row) =>
+          // read each query's class-representative columns (spec-class CSE)
+          val reps = sharedReps(simple)
+          simple.foreach(rq => applyOne(rq)(mergePartial(rq, row, reps(rq.spec.id))))
         case Left(outs) => outs.foreach {
           case (rq, Right(row)) => applyOne(rq)(mergePartial(rq, row))
           case (rq, Left(e))    => failQuery(rq, e)
@@ -618,7 +623,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       }
       groupedC.foreach {
         case (g, Right(rows)) =>
-          g.foreach(rq => applyOne(rq)(applyGrouped(Seq(rq), rows)))
+          // duplicate-spec queries read their representative's columns
+          val reps = sharedReps(g)
+          g.foreach(rq => applyOne(rq)(applyGrouped(Seq(rq), rows, reps)))
         case (_, Left(outs)) => outs.foreach {
           case (rq, Right(rows)) => applyOne(rq)(applyGrouped(Seq(rq), rows))
           case (rq, Left(e))     => failQuery(rq, e)
@@ -630,16 +637,43 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     lifecycle()
   }
 
-  /** One shared ungrouped pass (predicate CSE): queries sharing a filter
-    * evaluate it ONCE per record. Distinct filter ASTs (structural
-    * equality) pre-project to boolean columns; each query's aggregators
-    * gate on its column. A 100-query workload with 7 distinct filters
-    * evaluates 7 predicates per record, not 100. GROUP BY queries
-    * contribute only their matched-record count here (their grouped state
-    * rides the grouped jobs): the count must be computed UNGROUPED —
-    * summing over the kept top-`entries` groups would undercount once the
-    * key space exceeds the cap, starving RECORD windows and the
-    * records_seen metric. */
+  /** Spec-class key for per-batch computation sharing: queries with equal
+    * (filter, projection, aggregation) — duplicate registrations, the
+    * common many-dashboards shape — produce IDENTICAL per-batch partials,
+    * so one set of aggregate columns serves every member (each still
+    * merges into its OWN cumulative state; only the batch computation is
+    * shared). RAW is excluded: its collect column depends on the query's
+    * remaining buffer capacity, which is per-query state. */
+  private def sharedClassKey(rq: RQ): Option[(Option[Expr], Option[Seq[(String, Expr)]], Aggregation)] =
+    rq.spec.aggregation match {
+      case _: Raw => None
+      case a      => Some((rq.spec.filter, rq.spec.projection, a))
+    }
+
+  /** id → representative id (first member in list order). Pure function of
+    * the list — collectShared (column building) and the apply phase
+    * (row reading) call it on the same list and agree. */
+  private def sharedReps(simple: Seq[RQ]): Map[String, String] = {
+    val rep = mutable.HashMap.empty[(Option[Expr], Option[Seq[(String, Expr)]], Aggregation), String]
+    simple.map { rq =>
+      rq.spec.id -> (sharedClassKey(rq) match {
+        case Some(k) => rep.getOrElseUpdate(k, rq.spec.id)
+        case None    => rq.spec.id
+      })
+    }.toMap
+  }
+
+  /** One shared ungrouped pass (predicate CSE + spec-class CSE): queries
+    * sharing a filter evaluate it ONCE per record, and queries with an
+    * IDENTICAL spec class compute ONE set of partial aggregate columns
+    * ([[sharedReps]] fan-out at merge time). A 1000-query workload with 7
+    * distinct filters and ~40 distinct spec classes evaluates 7
+    * predicates and ~40 aggregate-column sets per record, not 1000.
+    * GROUP BY queries contribute only their matched-record count here
+    * (their grouped state rides the grouped jobs): the count must be
+    * computed UNGROUPED — summing over the kept top-`entries` groups
+    * would undercount once the key space exceeds the cap, starving
+    * RECORD windows and the records_seen metric. */
   private def collectShared(simple: Seq[RQ], df: DataFrame): Row = {
     val schema = df.schema
     val distinctFilters = simple.flatMap(_.spec.filter).distinct
@@ -654,7 +688,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       case Some(f) => col(s"__pred${predIdx(f)}")
       case None    => lit(true)
     }
-    val cols = simple.flatMap(rq => partialColumns(rq, schema, gate(rq)))
+    val reps = sharedReps(simple)
+    val cols = simple.filter(rq => reps(rq.spec.id) == rq.spec.id)
+      .flatMap(rq => partialColumns(rq, schema, gate(rq)))
     withPreds.agg(cols.head, cols.tail: _*).collect()(0)
   }
 
@@ -940,6 +976,20 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     * CALLER falls back to per-query jobs when that cap is hit (a
     * truncated union could crowd one query's groups out with another's —
     * see the groupedC fallback in processBatch). */
+  /** The class representatives of a fused grouped job ([[sharedReps]]
+    * classes): duplicate (filter, projection, aggregation) queries share
+    * one gate + one aggregate-column set. Used by BOTH collectGrouped
+    * (column building, cap) and the processBatch cap-hit check — the two
+    * must agree on the cap or the fallback would trigger inconsistently. */
+  private def groupedRepRqs(rqs: Seq[RQ]): Seq[RQ] = {
+    val reps = sharedReps(rqs)
+    rqs.filter(rq => reps(rq.spec.id) == rq.spec.id)
+  }
+
+  private def groupedCap(rqs: Seq[RQ]): Int =
+    QueryRunner.fusedEntriesCap(groupedRepRqs(rqs).map(
+      _.spec.aggregation.asInstanceOf[GroupBy].entries))
+
   private def collectGrouped(rqs: Seq[RQ], df: DataFrame): Array[Row] = {
     val head = rqs.head
     val spec0 = head.spec.aggregation.asInstanceOf[GroupBy]
@@ -948,17 +998,19 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     val keyCols = spec0.fields.map { case (f, alias) =>
       coalesce(fld(f).cast("string"), lit(SketchAggregators.NullString)).as(alias)
     }
-    val gates = rqs.map(rq => rq.spec.id -> pred(rq, schema)).toMap
+    // spec-class CSE: duplicate queries ride their representative's
+    // columns (the apply phase aliases reads the same way)
+    val repRqs = groupedRepRqs(rqs)
+    val gates = repRqs.map(rq => rq.spec.id -> pred(rq, schema)).toMap
     // rows matching NO fused query never enter the shuffle; with one
     // query this is exactly the old pre-filter
-    val filtered = df.filter(rqs.map(rq => gates(rq.spec.id)).reduce(_ || _))
-    val aggCols = rqs.flatMap { rq =>
+    val filtered = df.filter(repRqs.map(rq => gates(rq.spec.id)).reduce(_ || _))
+    val aggCols = repRqs.flatMap { rq =>
       val gate = gates(rq.spec.id)
       opColumns(rq.spec.id, rq.spec.aggregation.asInstanceOf[GroupBy].ops, gate, fld) :+
         sum(when(gate, lit(1L))).as(n(rq.spec.id))
     }
-    val entriesCap = QueryRunner.fusedEntriesCap(rqs.map(
-      _.spec.aggregation.asInstanceOf[GroupBy].entries))
+    val entriesCap = groupedCap(rqs)
     filtered
       .groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
@@ -967,7 +1019,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       .collect()
   }
 
-  private def applyGrouped(rqs: Seq[RQ], rows: Array[Row]): Unit = {
+  private def applyGrouped(rqs: Seq[RQ], rows: Array[Row],
+                           repOf: String => String = identity): Unit = {
     val spec0 = rqs.head.spec.aggregation.asInstanceOf[GroupBy]
     // matched-record counters (recordsSinceEmit/recordsSeen/batchesSeen) are
     // NOT derived from these capped rows — they ride the ungrouped shared
@@ -975,7 +1028,7 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     // groups exceed the entries cap.
     rqs.foreach { rq =>
       val spec = rq.spec.aggregation.asInstanceOf[GroupBy]
-      val id = rq.spec.id
+      val id = repOf(rq.spec.id)
       val st = rq.state.asInstanceOf[GroupByState]
       // same per-batch include gate as mergePartial — evaluated once at
       // batch start, so counter updates in the shared pass can't close

@@ -642,6 +642,40 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(runner.queryStats("ginc").get("records_seen") === 4L)
   }
 
+  test("duplicate-spec queries share one computation class and all get exact results") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    // three IDENTICAL GroupAll specs (one spec class), two identical
+    // GroupBy specs, one distinct query — every member must receive the
+    // full, correct result (spec-class CSE computes per class and fans
+    // out; a broken rep alias would throw or zero a member's state)
+    (1 to 3).foreach(i => runner.register(clickCountSpec(s"dup_$i", durationMs = 60000)))
+    def gspec(id: String) = QuerySpec(id,
+      aggregation = GroupBy(Seq("user" -> "u"),
+        Seq(GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+      durationMs = 60000)
+    runner.register(gspec("gdup_1"))
+    runner.register(gspec("gdup_2"))
+    runner.register(QuerySpec("loner",
+      filter = Some(Binary(Field("etype"), Lit("view"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      durationMs = 60000))
+    runner.processBatch(events)
+    runner.processBatch(events.filter(col("event_id") <= 30)) // cumulative state per query
+    val byId = runner.finishAll().map(c => c.queryId -> c).toMap
+    // 33 + 10 clicks across the two batches, identical for every duplicate
+    (1 to 3).foreach { i =>
+      val r = parse(byId(s"dup_$i").records.head)
+      assert(r("cnt") === 43, s"dup_$i: $r")
+    }
+    val g1 = byId("gdup_1").records.map(parse).map(r => r("u") -> r("cnt")).toMap
+    val g2 = byId("gdup_2").records.map(parse).map(r => r("u") -> r("cnt")).toMap
+    assert(g1 === g2)
+    assert(g1.values.map(_.toString.toInt).sum === 130) // 100 + 30 rows
+    assert(parse(byId("loner").records.head)("cnt") === 87) // 67 + 20 views
+  }
+
   test("window include validation: mixed units and include > every are rejected") {
     val runner = new QueryRunner(spark, new ManualClock(0))
     // include unit must match the emit unit (or be ALL) — the reference
