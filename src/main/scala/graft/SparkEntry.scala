@@ -792,6 +792,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // Deterministic epoch shuffle: every doc's position in the seeded
+    // global hash order, computed scale-safe (256 prefix-bucket windows +
+    // broadcast offsets — no single-partition window, no global sort).
+    // Oracle = the same md5-order row_number in DuckDB.
+    "q_sample_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(rd(s, dir, "documents"), "doc_id", seed = 7L)
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy("shuffle_rank")),
+
+    // Exactly-K-per-group cap ("at most 10 docs per language", the
+    // per-domain cap of a crawl pipeline): smallest seeded hash ranks win
+    // per group; WindowGroupLimit keeps a K-heap per partition instead of
+    // sorting whole groups.
+    "q_sample_group_k" -> ((s, dir) =>
+      Sampling.sampleKPerGroup(rd(s, dir, "documents"), Seq("lang"), "doc_id",
+        k = 10, seed = 7L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
+
     // Corpus vocabulary (tokenizer-training pass): top-50 tokens by
     // occurrence count with document frequency, ties by token.
     "q_vocab" -> ((s, dir) =>
@@ -1291,6 +1310,13 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(e AS INT) AS epoch
          |FROM d, UNNEST(range(0, n)) AS t(e) ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
     },
+    "q_sample_shuffle" ->
+      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7'), doc_id) AS BIGINT) AS shuffle_rank " +
+        "FROM documents ORDER BY shuffle_rank"),
+    "q_sample_group_k" ->
+      ("SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7'), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 10 ORDER BY lang, doc_id"),
     "q_vocab" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq

@@ -130,4 +130,64 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0), col("__n_epochs") - 1)))
       .drop("__n_epochs")
   }
+
+  /** Seeded per-row shuffle key: md5 of "<key>|<seed>". Content-
+    * independent, engine-portable (md5 hex is bit-identical in Spark and
+    * DuckDB), and a new seed is a fresh permutation. */
+  private def shuffleKey(key: Column, seed: Long): Column =
+    md5(concat_ws("|", key.cast("string"), lit(seed.toString)))
+
+  /**
+   * Deterministic corpus shuffle — the once-per-epoch "randomize training
+   * order" step: every row gets `shuffle_rank`, its position in the
+   * seeded-hash global order (ties on the hash broken by the key, so the
+   * permutation is total and reproducible). Changing `seed` yields an
+   * independent permutation; the same seed yields the same order on any
+   * cluster size or engine.
+   *
+   * Scale shape: a naive `row_number() over (order by hash)` collapses to
+   * ONE partition (unpartitioned window) — useless at 100 TB. This is the
+   * two-phase form instead: (1) rank within 256 hash-PREFIX buckets (the
+   * first hex byte of the same key — prefix order equals full-key order),
+   * windows partitioned by bucket so they parallelize and spill; (2) a
+   * 256-row bucket-offset table (cumulative counts) broadcasts back and
+   * shifts local ranks to global ones. One shuffle by bucket + one
+   * broadcast join; no global sort, no single-partition stage.
+   */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__sk", shuffleKey(col(keyCol), seed))
+      .withColumn("__b", substring(col("__sk"), 1, 2))
+    val ranked = bucketed.withColumn("__lr", row_number().over(
+      w.partitionBy("__b").orderBy(col("__sk"), col(keyCol))))
+    // 256 rows: the unpartitioned running-sum window is driver-trivial
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        w.orderBy(col("__b")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    ranked.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_rank", (col("__off") + col("__lr")).cast("long"))
+      .drop("__sk", "__b", "__lr", "__off")
+  }
+
+  /**
+   * Exactly-K-per-group deterministic sample (distributed reservoir by
+   * seeded hash rank): keep the `k` rows of each group with the smallest
+   * shuffle keys — "at most K documents per source/domain", the standard
+   * per-domain cap of a crawl-curation pipeline. Reproducible and
+   * join-stable like every operator here.
+   *
+   * Scale shape: one shuffle by the group keys; the rank-≤-k filter
+   * compiles to WindowGroupLimit (Spark ≥3.5), so each partition keeps a
+   * k-row heap per group instead of sorting whole groups — a giant
+   * domain never materializes or sorts fully.
+   */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rk = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol)))
+    df.withColumn("__rk", rk).filter(col("__rk") <= k).drop("__rk")
+  }
 }

@@ -120,4 +120,51 @@ class SamplingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(again === out.toSet)
   }
+
+  test("deterministicShuffle: total permutation, seed-keyed, partition-stable") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val out = Sampling.deterministicShuffle(df, "id", seed = 7L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank")).toMap
+    // a bijection onto 1..N (two-phase bucket ranks compose correctly)
+    assert(out.values.toSeq.sorted === (1L to 2000L))
+    // same seed is partition-stable; a different seed is a different order
+    val again = Sampling.deterministicShuffle(df.repartition(17), "id", 7L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank")).toMap
+    assert(again === out)
+    val other = Sampling.deterministicShuffle(df, "id", 8L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_rank")).toMap
+    assert(other !== out)
+    // the per-row ranking window is PARTITIONED by the hash-prefix bucket
+    // (an unpartitioned row_number would single-partition at scale); only
+    // the 256-row offset table uses an unpartitioned running sum
+    val plan = Sampling.deterministicShuffle(df, "id", 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition(__b")),
+      plan.take(1500))
+  }
+
+  test("sampleKPerGroup: exact per-group cap, deterministic, WindowGroupLimit plan") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.sampleKPerGroup(df, Seq("g"), "id", k = 10, seed = 7L).collect()
+    val byG = out.groupBy(_.getString(1))
+    assert(byG.keySet === Set("g0", "g1", "g2"))
+    assert(byG.values.forall(_.length == 10))
+    // stable under repartitioning
+    val again = Sampling.sampleKPerGroup(df.repartition(13), Seq("g"), "id", 10, 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getString(1))).toSet)
+    // a group smaller than k keeps all its rows
+    val tiny = Sampling.sampleKPerGroup(
+      df.filter($"id" <= 5), Seq("g"), "id", 10, 7L).count()
+    assert(tiny === 5L)
+    // the rank filter pushes into the window as a group limit
+    val plan = Sampling.sampleKPerGroup(df, Seq("g"), "id", 10, 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }
