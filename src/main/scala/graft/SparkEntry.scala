@@ -1599,6 +1599,20 @@ object SparkEntry {
         check(rd(s, dir, "documents").groupBy("lang").count()
           .agg(max(col("count"))).head.getLong(0), 8192L,
           "max per-lang document rows (k=8192)")),
+      // Dedup doc-frequency guard: the guarded entries (q_dedup_clusters,
+      // q_dedup_best, q_dedup_ngram_guarded, q_dedup_containment_guarded)
+      // are exact vs their UNGUARDED oracles only while no shingle's
+      // doc-frequency exceeds the maxDocFreq=200 cutoff — the same
+      // tuned-to-the-fixture exactness assumption as the sketch bounds,
+      // so it gets the same SF-explicit probe.
+      "q_dedup_clusters" -> ((s, dir) => {
+        val maxDf = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("g"))
+          .groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
+          .agg(max(col("df"))).head.getLong(0)
+        check(maxDf, 200L, "max shingle doc-frequency (maxDocFreq=200 guard)")
+      }),
       // FrequentItems: zero-error while distinct keys stay under the
       // purge load (~0.75 × maxMapSize)
       "q_topk" -> ((s, dir) =>

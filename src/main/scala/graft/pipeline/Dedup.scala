@@ -45,11 +45,6 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.TextFunctions.wordShingles(text, n)
 
-  /** Alias of [[shingles]], kept for the DataFrame-taking operators below
-    * (historically this pinned the function registration to `df`'s
-    * session; the native builder no longer needs a session at all). */
-  private def shinglesOn(df: DataFrame, text: Column, n: Int): Column =
-    shingles(text, n)
 
   /** Exact dedup by content hash: one survivor (min id) and a copy count
     * per identical content value. Single hash-shuffle on the digest. */
@@ -86,7 +81,7 @@ object Dedup {
 
   /** (doc_id, grams) pairs — the shingle-set form shared by the fuzzy ops. */
   private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), shinglesOn(df, col(textCol), n).as("grams"))
+    df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))
 
   /**
    * Exact n-gram Jaccard near-duplicate pairs via an inverted index:

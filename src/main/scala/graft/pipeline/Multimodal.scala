@@ -136,8 +136,11 @@ object Multimodal {
         val img =
           if (bytes.isEmpty) null
           else
+            // JDK decoders throw RuntimeExceptions (AIOOBE, IAE, NegativeArraySize)
+            // on hostile headers, not just IOException — catch NonFatal so a
+            // corrupt row flags instead of failing the job
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ImageFeatures(id, ok = false, 0, 0, 0L, 0L, new Array[Long](16))
         else {
@@ -191,7 +194,7 @@ object Multimodal {
           if (bytes.isEmpty) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null } // see decodeImages
         if (img == null) ResizedMedia(id, ok = false, 0, 0, Array.emptyByteArray)
         else {
           val (sw, sh) = (img.getWidth, img.getHeight)
@@ -335,10 +338,13 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
         if (bytes.isEmpty) Seq.empty
-        else
+        else {
+          // iis closes on EVERY exit — including the no-reader path (the
+          // common non-container row) and decoder throws — or each
+          // skipped row strands a MemoryCacheImageInputStream
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
           try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
             val readers = javax.imageio.ImageIO.getImageReaders(iis)
             if (!readers.hasNext) Seq.empty
             else {
@@ -361,9 +367,11 @@ object Multimodal {
                   }
                   FrameFeatures(id, f, n, w, h, sum)
                 }
-              } finally { reader.dispose(); iis.close() }
+              } finally reader.dispose()
             }
-          } catch { case _: java.io.IOException => Seq.empty }
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          finally iis.close()
+        }
       }
     }
   }
@@ -437,15 +445,21 @@ object Multimodal {
             fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           if (!ok) AudioFeatures(id, ok = false, 0L, 0, 0L, 0)
           else {
+            // honor the container's byte order: WAV is little-endian,
+            // AIFF big-endian — both decode correctly (assuming LE for a
+            // BE stream would silently byte-swap every sample)
+            val big = fmt.isBigEndian
             val pcm = ais.readAllBytes()
             val n = pcm.length / 2
             var sum = 0L
             var maxAbs = 0
             var s = 0
             while (s < n) {
-              val lo = pcm(2 * s) & 0xFF
-              val hi = pcm(2 * s + 1).toInt // sign-extends
-              val v = (hi << 8) | lo
+              val b0 = pcm(2 * s)
+              val b1 = pcm(2 * s + 1)
+              val v =
+                if (big) (b0.toInt << 8) | (b1 & 0xFF) // b0 sign-extends
+                else (b1.toInt << 8) | (b0 & 0xFF)
               val a = math.abs(v)
               sum += a
               if (a > maxAbs) maxAbs = a
@@ -455,8 +469,10 @@ object Multimodal {
               math.round(fmt.getSampleRate), sum, maxAbs)
           }
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException =>
+          // UnsupportedAudioFileException, IOException, and the
+          // RuntimeExceptions JDK parsers throw on hostile headers — a
+          // corrupt row must flag, never fail the job
+          case scala.util.control.NonFatal(_) =>
             AudioFeatures(id, ok = false, 0L, 0, 0L, 0)
         }
       }

@@ -152,7 +152,10 @@ object Sampling {
    * windows partitioned by bucket so they parallelize and spill; (2) a
    * 256-row bucket-offset table (cumulative counts) broadcasts back and
    * shifts local ranks to global ones. One shuffle by bucket + one
-   * broadcast join; no global sort, no single-partition stage.
+   * broadcast join; no global sort, no single-partition stage. The
+   * offsets job re-reads the input, but column pruning cuts its scan to
+   * `keyCol` alone (counts need only key → bucket), so the second pass
+   * reads one column, not the corpus.
    */
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

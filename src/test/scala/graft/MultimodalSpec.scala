@@ -147,6 +147,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.forall(f => !f.ok && f.abs_sum === 0L))
   }
 
+  test("decodeAudio honors container byte order: AIFF (big-endian) decodes correctly") {
+    implicit val s: SparkSession = spark
+    // same PCM samples, BIG-endian AIFF container: features must equal
+    // the WAV path's (assuming LE for a BE stream would byte-swap every
+    // sample into garbage with ok=true — the silent-corruption case)
+    val samples = (0 until 500).map(i => ((7 * i + 13) % 2003) - 1001)
+    val fmtBE = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = ((v >> 8) & 0xFF).toByte // big-endian: high byte first
+      pcm(2 * i + 1) = (v & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmtBE, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val sDf = spark
+    import sDf.implicits._
+    val media = Seq((1L, bos.toByteArray)).toDF("media_id", "content")
+    val f = Multimodal.decodeAudio(media).collect()(0)
+    assert(f.ok && f.n_samples === 500L)
+    assert(f.abs_sum === samples.map(v => math.abs(v).toLong).sum)
+    assert(f.max_abs === samples.map(math.abs).max)
+  }
+
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
     val out = Multimodal.featureSummary(Multimodal.syntheticImages(docs))
