@@ -624,6 +624,53 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(w2.head.records.head)("cnt") === 3)
   }
 
+  test("include-first gate matches the batch-granularity model under random batch splits") {
+    // For ANY split of the stream into batches, the runner must follow the
+    // documented model exactly: a batch's matched records enter window
+    // state iff the window's matched count BEFORE the batch is < M; the
+    // window emits (once per processBatch) when the count reaches N, then
+    // resets. Replaying that model in plain Scala pins the implementation
+    // against regressions for every split, not just the hand-picked ones.
+    val rnd = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(spark, clock)
+      runner.register(QuerySpec("m",
+        filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+        window = Some(WindowSpec(WindowUnit.RECORD, 7, WindowUnit.RECORD, 3)),
+        durationMs = 1000000))
+      // split event ids 1..100 into random contiguous batches
+      var start = 1L
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (start <= 100L) {
+        val len = 1 + rnd.nextInt(17)
+        batches += ((start, math.min(start + len - 1, 100L)))
+        start += len
+      }
+      // model state
+      var winMatched = 0L
+      var stateCnt = 0L
+      val expectedEmits = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val actualEmits = scala.collection.mutable.ArrayBuffer.empty[Long]
+      batches.foreach { case (lo, hi) =>
+        val m = (lo to hi).count(_ % 3 == 0).toLong // clicks in this batch
+        if (winMatched < 3) stateCnt += m           // gate open at batch start
+        winMatched += m
+        val clips = runner.processBatch(
+          events.filter(col("event_id").between(lo, hi)))
+        if (winMatched >= 7) {                      // one emission per pass
+          expectedEmits += stateCnt
+          winMatched = 0; stateCnt = 0
+        }
+        clips.filter(_.queryId == "m").foreach(c =>
+          actualEmits += parse(c.records.head)("cnt").toString.toLong)
+      }
+      assert(actualEmits.toSeq === expectedEmits.toSeq,
+        s"trial $trial with splits ${batches.toSeq}")
+    }
+  }
+
   test("GROUP BY RECORD `every N include first M`: grouped job honors the same gate") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)
