@@ -307,6 +307,13 @@ object QueryJson {
     req(n, "type").asText() match {
       case "REGISTER" => RegisterQuery(parseSpec(req(n, "query")),
         opt(n, "queryString").map(_.asText()))
+      // BQL text submission — the reference's primary user surface (a BQL
+      // string through the PubSub): parse here so a malformed query
+      // surfaces as the standard error Clip, and the original text rides
+      // along as the queryString for QUERY_STRING result metadata.
+      case "REGISTER_BQL" =>
+        val bql = req(n, "bql").asText()
+        RegisterQuery(graft.bql.Bql.parse(bql, req(n, "id").asText()), Some(bql))
       case "KILL"     => KillQuery(req(n, "id").asText())
       case other => throw new IllegalArgumentException(s"unknown message type: $other")
     }

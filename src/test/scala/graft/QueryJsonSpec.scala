@@ -74,6 +74,32 @@ class QueryJsonSpec extends SparkTestBase {
     assert(seen.toSeq === Seq("cq:KILL"))
   }
 
+  test("control plane: REGISTER_BQL submits raw BQL text end to end") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.configureMeta(Map(
+      "QUERY_METADATA" -> "meta", "QUERY_STRING" -> "query"))
+    val msg = """{"type":"REGISTER_BQL","id":"bq1","bql":
+      |"SELECT COUNT(*) AS cnt FROM STREAM WHERE etype = 'click' WINDOWING EVERY 2 RECORD"}"""
+      .stripMargin.replace("\n", "")
+    assert(runner.handleMessage(msg).isEmpty)
+    assert(runner.activeQueryIds === Seq("bq1"))
+    val s = spark
+    import s.implicits._
+    val clips = runner.processBatch(
+      Seq((1L, "click"), (2L, "click"), (3L, "view")).toDF("event_id", "etype"))
+    assert(clips.size === 1) // 2 clicks hit the 2-record window
+    assert(clips.head.queryId === "bq1")
+    // the submitted BQL text echoes back through the QUERY_STRING concept
+    val qm = clips.head.meta("meta").asInstanceOf[Map[String, Any]]
+    assert(qm("query").toString.startsWith("SELECT COUNT(*)"))
+    // malformed BQL text fails as the standard error clip, never a throw
+    val bad = runner.handleMessage(
+      """{"type":"REGISTER_BQL","id":"bq2","bql":"SELEKT garbage"}""")
+    assert(bad.isDefined && bad.get.signal.contains("FAIL"))
+    assert(!runner.activeQueryIds.contains("bq2"))
+  }
+
   test("malformed control message produces an error clip, not an exception") {
     val runner = new QueryRunner(spark, new ManualClock(0))
     val clip = runner.handleMessage("""{"type":"NONSENSE"}""")
