@@ -792,6 +792,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // Gap-based sessionization (clickstream sessions): per-user session
+    // index with a 30-minute gap rule, summarized per session. One
+    // shuffle by user; lag + running-sum + the summary agg all ride the
+    // same partitioning. Oracle = identical window SQL over epoch-nanos.
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.summarize(rd(s, dir, "events"), "user_id", "ts",
+        gapUnits = 1800000000000L, tieCol = "event_id")
+        .orderBy("user_id", "session_idx")),
+
     // Deterministic epoch shuffle: every doc's position in the seeded
     // global hash order, computed scale-safe (256 prefix-bucket windows +
     // broadcast offsets — no single-partition window, no global sort).
@@ -1310,6 +1319,18 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(e AS INT) AS epoch
          |FROM d, UNNEST(range(0, n)) AS t(e) ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
     },
+    "q_sessionize" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events),
+         |s AS (SELECT user_id, event_id, tn,
+         |  CASE WHEN lag(tn) OVER w IS NULL OR tn - lag(tn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         |x AS (SELECT user_id, tn,
+         |  sum(ns) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(tn) AS BIGINT) AS start_ts, CAST(max(tn) AS BIGINT) AS end_ts
+         |FROM x GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin.replace("\n", " ")),
     "q_sample_shuffle" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7'), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents ORDER BY shuffle_rank"),

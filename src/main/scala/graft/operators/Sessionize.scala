@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Gap-based sessionization: assign each event a per-entity session index,
+ * where a new session starts whenever the gap to the entity's previous
+ * event exceeds `gap` — the standard clickstream/user-journey operator
+ * (and the batch analog of Structured Streaming's session windows, which
+ * cover the live path).
+ *
+ * Scale shape: ONE shuffle by the entity key; the lag + running-sum
+ * windows both ride that single partitioning (one WindowExec, sort
+ * spills), so an entity with millions of events never materializes in
+ * memory. No joins. Session summaries re-aggregate on (entity, session)
+ * — same partitioning, map-side combinable.
+ *
+ * Timestamps are integer comparisons (epoch units of the caller's
+ * column); outputs are integers/longs — hash-stable for cross-engine
+ * oracles.
+ */
+object Sessionize {
+
+  /** Per-event session assignment: input columns plus `session_idx`
+    * (1-based, per entity, in time order; ties on ts break by `tieCol`
+    * so the assignment is total and deterministic). */
+  def assign(df: DataFrame, entityCol: String, tsCol: String,
+             gapUnits: Long, tieCol: String): DataFrame = {
+    require(gapUnits > 0, "gap must be positive")
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull ||
+      col(tsCol).cast("long") - prev.cast("long") > gapUnits, 1L).otherwise(0L)
+    df.withColumn("session_idx", sum(newSession).over(w))
+  }
+
+  /** Session summaries: one row per (entity, session) with event count
+    * and the session's first/last timestamp (as long epoch units). */
+  def summarize(df: DataFrame, entityCol: String, tsCol: String,
+                gapUnits: Long, tieCol: String): DataFrame =
+    assign(df, entityCol, tsCol, gapUnits, tieCol)
+      .groupBy(col(entityCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol).cast("long")).as("start_ts"),
+        max(col(tsCol).cast("long")).as("end_ts"))
+}

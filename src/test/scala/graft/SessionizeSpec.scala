@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkTestBase {
+
+  private lazy val events = {
+    val s = spark
+    import s.implicits._
+    // user 1: three events inside one gap, then a 100-unit jump → 2 sessions
+    // user 2: every event 100 apart → one session per event
+    Seq(
+      (1L, 10L, 100L), (2L, 12L, 101L), (3L, 15L, 102L),
+      (4L, 115L, 103L),
+      (5L, 10L, 200L), (6L, 110L, 201L), (7L, 210L, 202L)
+    ).toDF("eid", "ts", "uid")
+      .select(col("eid"), col("ts"), when(col("uid") < 200, 1L).otherwise(2L).as("uid"))
+  }
+
+  test("assign: session breaks exactly when the gap EXCEEDS the threshold") {
+    val out = Sessionize.assign(events, "uid", "ts", gapUnits = 10, tieCol = "eid")
+      .collect().map(r => r.getAs[Long]("eid") -> r.getAs[Long]("session_idx")).toMap
+    // user 1: gaps 2, 3 (≤10 → same session), 100 (> 10 → new)
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(4L) === 2L)
+    // user 2: every gap is 100 → each event its own session
+    assert(out(5L) === 1L && out(6L) === 2L && out(7L) === 3L)
+    // a gap EQUAL to the threshold does NOT break (strict >)
+    val s = spark
+    import s.implicits._
+    val eq = Sessionize.assign(
+      Seq((1L, 0L, 1L), (2L, 10L, 1L)).toDF("eid", "ts", "uid"),
+      "uid", "ts", gapUnits = 10, tieCol = "eid")
+      .collect().map(_.getAs[Long]("session_idx")).toSet
+    assert(eq === Set(1L))
+  }
+
+  test("summarize: per-session counts and bounds; stable under repartitioning") {
+    val out = Sessionize.summarize(events, "uid", "ts", 10, "eid")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"))).toMap
+    assert(out((1L, 1L)) === ((3L, 10L, 15L)))
+    assert(out((1L, 2L)) === ((1L, 115L, 115L)))
+    assert(out((2L, 2L)) === ((1L, 110L, 110L)))
+    val again = Sessionize.summarize(events.repartition(7), "uid", "ts", 10, "eid")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx"))).toSet
+    assert(again === out.keySet)
+  }
+
+  test("one shuffle: lag, running sum, and the summary agg share the entity partitioning") {
+    val plan = Sessionize.summarize(events, "uid", "ts", 10, "eid")
+      .queryExecution.executedPlan.toString
+    // exactly one exchange (by uid); the window pair and the groupBy reuse it
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges === 1, plan.take(1500))
+  }
+}
