@@ -45,4 +45,25 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol).cast("long")).as("start_ts"),
         max(col(tsCol).cast("long")).as("end_ts"))
+
+  /**
+   * Streaming session summaries over a live stream: Structured
+   * Streaming's native `session_window` (dynamic-gap event-time windows)
+   * with a watermark bounding state — a session closes, EMITS ONCE
+   * (append mode), and its state evicts when the watermark passes its
+   * end. This is the unbounded-stream configuration of [[summarize]];
+   * `tsCol` must be a TIMESTAMP column here (event time), and sessions
+   * are keyed on event time rather than [[assign]]'s 1-based index.
+   *
+   * State per open session is O(aggregates); skewed entities shard by
+   * Spark's session-window state partitioning. Late events beyond
+   * `watermarkDelay` are dropped — the documented streaming tradeoff.
+   */
+  def summarizeStream(stream: DataFrame, entityCol: String, tsCol: String,
+                      gap: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(entityCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entityCol), col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("n_events"))
 }

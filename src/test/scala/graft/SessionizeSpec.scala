@@ -48,6 +48,39 @@ class SessionizeSpec extends SparkTestBase {
     assert(again === out.keySet)
   }
 
+  test("summarizeStream: event-time session windows close and emit once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Sessionize.summarizeStream(
+      mem.toDF().toDF("uid", "ts"), "uid", "ts",
+      gap = "10 seconds", watermarkDelay = "0 seconds")
+    val sq = out.writeStream.format("memory")
+      .queryName("sess_stream_out").outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      // user 1: events at 1 s and 5 s coalesce (gap < 10 s) into one session
+      mem.addData((1L, t(1)), (1L, t(5)))
+      sq.processAllAvailable()
+      // an event far past the session's end advances the watermark beyond
+      // it → the closed session emits in append mode
+      mem.addData((2L, t(100)))
+      sq.processAllAvailable()
+      mem.addData((2L, t(300)))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val rows = spark.table("sess_stream_out")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
+        r.getLong(3)))
+    // user 1's merged session: [1, 15) (5 s + 10 s gap), 2 events
+    assert(rows.contains((1L, 1L, 15L, 2L)), rows.toSeq)
+    // user 2's first session closed by the 300 s event
+    assert(rows.contains((2L, 100L, 110L, 1L)), rows.toSeq)
+  }
+
   test("one shuffle: lag, running sum, and the summary agg share the entity partitioning") {
     val plan = Sessionize.summarize(events, "uid", "ts", 10, "eid")
       .queryExecution.executedPlan.toString
