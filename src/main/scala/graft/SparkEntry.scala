@@ -795,10 +795,15 @@ object SparkEntry {
     // Gap-based sessionization (clickstream sessions): per-user session
     // index with a 30-minute gap rule, summarized per session. One
     // shuffle by user; lag + running-sum + the summary agg all ride the
-    // same partitioning. Oracle = identical window SQL over epoch-nanos.
+    // same partitioning. Timestamps compare in MICROS on both sides
+    // (ts div 1000 here, epoch_us in the oracle — the q_asof convention):
+    // DuckDB reads the TIMESTAMP(NANOS) parquet column at microsecond
+    // precision, so nano-precision outputs would hash-mismatch in the
+    // last three digits.
     "q_sessionize" -> ((s, dir) =>
-      graft.operators.Sessionize.summarize(rd(s, dir, "events"), "user_id", "ts",
-        gapUnits = 1800000000000L, tieCol = "event_id")
+      graft.operators.Sessionize.summarize(
+        rd(s, dir, "events").withColumn("tsu", expr("ts div 1000")),
+        "user_id", "tsu", gapUnits = 1800000000L, tieCol = "event_id")
         .orderBy("user_id", "session_idx")),
 
     // Deterministic epoch shuffle: every doc's position in the seeded
@@ -1320,9 +1325,9 @@ object SparkEntry {
          |FROM d, UNNEST(range(0, n)) AS t(e) ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
     },
     "q_sessionize" ->
-      ("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tn FROM events),
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events),
          |s AS (SELECT user_id, event_id, tn,
-         |  CASE WHEN lag(tn) OVER w IS NULL OR tn - lag(tn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+         |  CASE WHEN lag(tn) OVER w IS NULL OR tn - lag(tn) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
          |x AS (SELECT user_id, tn,
          |  sum(ns) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)

@@ -58,12 +58,19 @@ object Sessionize {
    * State per open session is O(aggregates); skewed entities shard by
    * Spark's session-window state partitioning. Late events beyond
    * `watermarkDelay` are dropped — the documented streaming tradeoff.
+   *
+   * Output columns are deliberately NAMED DIFFERENTLY from
+   * [[summarize]]: `window_end` is the session window's end bound (last
+   * event + gap, a TIMESTAMP), NOT the batch path's `end_ts` (max event
+   * time as a long) — `last_event_ts` carries the batch-comparable
+   * value.
    */
   def summarizeStream(stream: DataFrame, entityCol: String, tsCol: String,
                       gap: String, watermarkDelay: String): DataFrame =
     stream.withWatermark(tsCol, watermarkDelay)
       .groupBy(col(entityCol), session_window(col(tsCol), gap))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col(entityCol), col("session_window.start").as("start_ts"),
-        col("session_window.end").as("end_ts"), col("n_events"))
+      .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_event_ts"))
+      .select(col(entityCol), col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"),
+        col("last_event_ts"), col("n_events"))
 }

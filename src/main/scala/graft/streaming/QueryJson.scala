@@ -310,10 +310,16 @@ object QueryJson {
       // BQL text submission — the reference's primary user surface (a BQL
       // string through the PubSub): parse here so a malformed query
       // surfaces as the standard error Clip, and the original text rides
-      // along as the queryString for QUERY_STRING result metadata.
+      // along as the queryString for QUERY_STRING result metadata. Parse
+      // failures carry the SUBMITTED id so the error clip is attributed
+      // to the query the client is watching, not "unknown".
       case "REGISTER_BQL" =>
+        val id = req(n, "id").asText()
         val bql = req(n, "bql").asText()
-        RegisterQuery(graft.bql.Bql.parse(bql, req(n, "id").asText()), Some(bql))
+        val spec =
+          try graft.bql.Bql.parse(bql, id)
+          catch { case e: Exception => throw new BqlParseException(id, e) }
+        RegisterQuery(spec, Some(bql))
       case "KILL"     => KillQuery(req(n, "id").asText())
       case other => throw new IllegalArgumentException(s"unknown message type: $other")
     }
@@ -324,3 +330,9 @@ sealed trait ControlMessage
 final case class RegisterQuery(spec: QuerySpec,
                                queryString: Option[String] = None) extends ControlMessage
 final case class KillQuery(id: String) extends ControlMessage
+
+/** A REGISTER_BQL whose BQL text failed to parse — carries the submitted
+  * query id so the error clip can be attributed to it. */
+final class BqlParseException(val queryId: String, cause: Throwable)
+    extends IllegalArgumentException(
+      s"BQL parse failed: ${Option(cause.getMessage).getOrElse(cause.toString)}", cause)

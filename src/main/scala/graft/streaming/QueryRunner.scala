@@ -200,6 +200,13 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         case KillQuery(id)           => kill(id)
       }
     } catch {
+      // a failed BQL parse knows its submitted id — attribute the error
+      // clip so a subscriber watching that id learns registration failed
+      case e: graft.streaming.BqlParseException =>
+        Some(record(Clip(e.queryId, Map(
+          "query_id" -> e.queryId,
+          "signal" -> Signal.FAIL.toString,
+          "errors" -> Seq(e.getMessage)), Seq.empty)))
       case e: Exception =>
         Some(record(Clip("unknown", Map(
           "query_id" -> "unknown",

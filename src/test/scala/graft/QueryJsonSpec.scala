@@ -93,10 +93,12 @@ class QueryJsonSpec extends SparkTestBase {
     // the submitted BQL text echoes back through the QUERY_STRING concept
     val qm = clips.head.meta("meta").asInstanceOf[Map[String, Any]]
     assert(qm("query").toString.startsWith("SELECT COUNT(*)"))
-    // malformed BQL text fails as the standard error clip, never a throw
+    // malformed BQL text fails as the standard error clip — ATTRIBUTED to
+    // the submitted id (a subscriber watching bq2 must learn it failed)
     val bad = runner.handleMessage(
       """{"type":"REGISTER_BQL","id":"bq2","bql":"SELEKT garbage"}""")
     assert(bad.isDefined && bad.get.signal.contains("FAIL"))
+    assert(bad.get.queryId === "bq2")
     assert(!runner.activeQueryIds.contains("bq2"))
   }
 

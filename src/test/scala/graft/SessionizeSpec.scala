@@ -74,11 +74,12 @@ class SessionizeSpec extends SparkTestBase {
     val rows = spark.table("sess_stream_out")
       .collect().map(r => (r.getLong(0),
         r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
-        r.getLong(3)))
-    // user 1's merged session: [1, 15) (5 s + 10 s gap), 2 events
-    assert(rows.contains((1L, 1L, 15L, 2L)), rows.toSeq)
+        r.getTimestamp(3).getTime / 1000, r.getLong(4)))
+    // user 1's merged session: window [1, 15) (last event 5 s + 10 s gap),
+    // last_event_ts carries the batch-comparable max event time
+    assert(rows.contains((1L, 1L, 15L, 5L, 2L)), rows.toSeq)
     // user 2's first session closed by the 300 s event
-    assert(rows.contains((2L, 100L, 110L, 1L)), rows.toSeq)
+    assert(rows.contains((2L, 100L, 110L, 100L, 1L)), rows.toSeq)
   }
 
   test("one shuffle: lag, running sum, and the summary agg share the entity partitioning") {
