@@ -927,6 +927,24 @@ object SparkEntry {
       TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher-style rule filter: per-doc metrics, per-rule flags, pass.
+    // Per-row narrow, zero shuffles.
+    "q_quality_rules" -> ((s, dir) =>
+      TextAnalysis.qualityRules(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Corpus-self unigram LM log-likelihood per document (CCNet-style
+    // quality signal). Occurrence-collapsed vocab join, two shuffles.
+    "q_text_unigram_ll" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // DSIR importance weights toward the DsirTargets source domain —
+    // both unigram distributions ride one conditional vocabulary pass.
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
+        "source", DsirTargets).orderBy("doc_id")),
+
     // Winnowing fingerprints. The selected hashes are hash-function
     // specific, so the oracle pins the planted-duplicate invariant: an
     // identical text yields an identical fingerprint set (equal fp_hash,
@@ -1435,6 +1453,47 @@ object SparkEntry {
         |       WHEN s_de > 0 THEN 'de'
         |       ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_quality_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS mean_word_len,
+        |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '…'))) AS DOUBLE) / len(ws) AS symbol_ratio,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','is','in','it','that'))) AS BIGINT) AS stop_hits
+        |FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+        |  n_words >= 5 AND n_words <= 100000 AS ok_words,
+        |  mean_word_len >= 1.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+        |  symbol_ratio <= 0.1 AS ok_symbols,
+        |  alpha_frac >= 0.8 AS ok_alpha,
+        |  stop_hits >= 2 AS ok_stop,
+        |  (n_words >= 5 AND n_words <= 100000) AND (mean_word_len >= 1.0 AND mean_word_len <= 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_text_unigram_ll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |v AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total FROM v),
+        |dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |  round(sum(c * ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS ll,
+        |  round(sum(c * ln(CAST(cnt AS DOUBLE) / n_total)) / sum(c), 4) AS avg_ll
+        |FROM dt JOIN v USING (t), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |v AS (SELECT t, count(*) AS cnt_b,
+        |  sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS cnt_t
+        |  FROM tok GROUP BY t),
+        |c AS (SELECT sum(cnt_b) AS n_b, sum(cnt_t) AS n_t, count(*) AS vsz FROM v),
+        |dt AS (SELECT doc_id, t, count(*) AS cc FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n_toks,
+        |  round(sum(cc * (ln(CAST(cnt_t + 1 AS DOUBLE) / (n_t + vsz))
+        |                - ln(CAST(cnt_b + 1 AS DOUBLE) / (n_b + vsz)))), 4) AS weight
+        |FROM dt JOIN v USING (t), c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
@@ -1453,6 +1512,10 @@ object SparkEntry {
 
   /** BM25 query terms shared by the Spark entry and the generated oracle. */
   private val Bm25Terms = Seq("vector", "stream", "window")
+
+  /** Target domain for the DSIR importance-weight entry — replicated
+    * verbatim in the SQL oracle. */
+  private val DsirTargets = Seq("src0", "src1", "src2")
 
   /** Planted 10-word boilerplate header for the segment-dedup entry —
     * exactly segWords long so organic segments keep their own alignment. */

@@ -347,4 +347,132 @@ object TextAnalysis {
         array_join(slice(col("__toks"), col("start_tok") + 1, lit(chunk)), " ")
           .as("chunk_text"))
   }
+
+  /** The default rule-filter stopword list — [[Stopwords]], exposed so the
+    * SQL oracle and callers replicate it verbatim. */
+  def ruleStopwords: Seq[String] = Stopwords
+
+  /**
+   * Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models",
+   * appendix A1.1): per-document heuristic metrics and a composite `pass`
+   * verdict. Rules: word count in `[minWords, maxWords]`; mean word length
+   * in `[minMeanLen, maxMeanLen]`; symbol-to-word ratio (`#` and `…`)
+   * ≤ `maxSymbolRatio`; fraction of words containing at least one
+   * alphabetic character ≥ `minAlphaFrac`; at least `minStopHits` hits
+   * from the [[ruleStopwords]] list. Output per doc: every metric, every
+   * per-rule flag, and `pass` — keeping the metrics lets a curation run
+   * tune thresholds from one materialized pass instead of re-scanning.
+   *
+   * Scale shape: per-row narrow work over built-in functions, zero
+   * shuffles, fully inside whole-stage codegen — 100 TB cost is exactly
+   * one scan. Mean word length divides a BIGINT character sum by the word
+   * count (one IEEE division — bit-identical on any engine).
+   */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 5, maxWords: Int = 100000,
+                   minMeanLen: Double = 1.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame = {
+    val t = toks(col(textCol))
+    val nWords = size(t).cast("long")
+    val lenSum = aggregate(transform(t, w => length(w)).cast("array<long>"),
+      lit(0L), (acc, x) => acc + x)
+    val nSymbols = size(t) - size(filter(t, w => !(w.contains("#") || w.contains("…"))))
+    val nAlpha = size(filter(t, w => w.rlike("[a-zA-Z]")))
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), nWords.as("n_words"),
+        (lenSum.cast("double") / nWords).as("mean_word_len"),
+        (nSymbols.cast("double") / nWords).as("symbol_ratio"),
+        (nAlpha.cast("double") / nWords).as("alpha_frac"),
+        hitCount(t, Stopwords).cast("long").as("stop_hits"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stop", col("stop_hits") >= minStopHits)
+      .withColumn("pass", col("ok_words") && col("ok_mean_len") &&
+        col("ok_symbols") && col("ok_alpha") && col("ok_stop"))
+  }
+
+  /**
+   * Per-document log-likelihood under the corpus's own unigram language
+   * model — the CCNet-style LM-quality signal (Wenzek et al. 2020) with
+   * the corpus itself as the model, so there is no external artifact to
+   * ship: `ll = Σ_tok ln(cnt(tok) / N)` over token occurrences, plus the
+   * length-normalized `avg_ll` (the per-token perplexity exponent).
+   * Documents made of rare tokens score low; stop-soup scores high —
+   * rank/filter on `avg_ll` to drop gibberish. Values are rounded to 4
+   * decimals: the sum's floating addition order is engine-dependent and
+   * `ln` itself may differ by an ulp across libm implementations, so the
+   * raw doubles are not oracle-comparable — at 4 decimals the ~1e-13
+   * accumulated discrepancy crosses a rounding boundary with probability
+   * ~1e-9 per value.
+   *
+   * Scale shape: explode is narrow off the scan; per-(doc, token) counts
+   * collapse occurrences in one partially-aggregated shuffle, so the join
+   * carries one row per distinct token per doc, not per occurrence; the
+   * vocabulary join is token-partitioned and AQE broadcasts it when small
+   * (a real corpus's unigram vocab is MBs — it will be); the final
+   * per-doc sum is the second shuffle. The 1-row total is a broadcast
+   * cross join, never a collect.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n_total"))
+    val docTok = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    docTok.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_toks"),
+        sum(col("c") * log(col("cnt").cast("double") / col("n_total"))).as("__ll"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("__ll"), 4).as("ll"),
+        round(col("__ll") / col("n_toks"), 4).as("avg_ll"))
+  }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document by
+   * how much more likely its tokens are under a *target* distribution
+   * (documents from `targetSources`) than under the whole-corpus
+   * background — `w = Σ_tok c · (ln p_t(tok) − ln p_b(tok))`, Laplace-
+   * smoothed over the corpus vocabulary so unseen-in-target tokens stay
+   * finite. Sampling proportionally to `exp(weight)` (or top-k on
+   * `weight`) reshapes a generic crawl toward the target domain. Rounded
+   * to 4 decimals (engine-dependent float summation order and libm `ln`
+   * ulps — see [[unigramLogProb]]).
+   *
+   * Scale shape: identical to [[unigramLogProb]] — occurrence collapse,
+   * token-partitioned vocab join (AQE-broadcast when small), one-row
+   * smoothing constants via broadcast cross join. Both distributions ride
+   * ONE vocabulary pass (conditional aggregation), not two scans.
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, targetSources: Seq[String]): DataFrame = {
+    require(targetSources.nonEmpty, "targetSources must be non-empty")
+    val tok = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("__src"),
+        explode(toks(col(textCol))).as("token"))
+    val isTarget = col("__src").isin(targetSources: _*)
+    val vocab = tok.groupBy("token").agg(
+      count(lit(1)).as("cnt_b"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("cnt_t"))
+    val consts = vocab.agg(
+      sum("cnt_b").as("n_b"), sum("cnt_t").as("n_t"),
+      count(lit(1)).as("vsz"))
+    val docTok = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    docTok.join(vocab, "token")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_toks"),
+        sum(col("c") * (
+          log((col("cnt_t") + 1).cast("double") / (col("n_t") + col("vsz"))) -
+          log((col("cnt_b") + 1).cast("double") / (col("n_b") + col("vsz")))))
+          .as("__w"))
+      .select(col("doc_id"), col("n_toks"), round(col("__w"), 4).as("weight"))
+  }
 }

@@ -238,4 +238,74 @@ class TextAnalysisSpec extends SparkTestBase {
       }
     }
   }
+
+  test("qualityRules: metrics and per-rule verdicts match hand computation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog ran to a tree"),   // 9 words, stopword-rich → pass
+      (2L, "one two"),                             // too few words
+      (3L, "pneumonoultramicroscopics volcanoconiosisy supercalifragilistic expialidocious antidisestablishment"), // mean len > 10, no stopwords
+      (4L, "# # # the # and # a # of #"),          // symbol soup
+      (5L, "1 2 3 4 5 the and 6 7 8 9 10 11 12")   // alpha frac low (2/14)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("n_words") === 9L)
+    assert(math.abs(out(1L).getAs[Double]("mean_word_len") - 25.0 / 9) < 1e-12)
+    assert(out(1L).getAs[Long]("stop_hits") === 5L) // the×2, and, to, a
+    assert(!out(2L).getAs[Boolean]("ok_words") && !out(2L).getAs[Boolean]("pass"))
+    assert(!out(3L).getAs[Boolean]("ok_mean_len") && !out(3L).getAs[Boolean]("ok_stop"))
+    assert(!out(4L).getAs[Boolean]("ok_symbols"))
+    assert(out(4L).getAs[Double]("symbol_ratio") === 7.0 / 11)
+    assert(!out(5L).getAs[Boolean]("ok_alpha"))
+    assert(out(5L).getAs[Double]("alpha_frac") === 2.0 / 14)
+  }
+
+  test("unigramLogProb: hand-checked two-doc corpus; stop-soup outscores rare") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, "b c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // corpus: a=3, b=2, c=1, N=6
+    val ll1 = 3 * math.log(3.0 / 6) + math.log(2.0 / 6)
+    val ll2 = math.log(2.0 / 6) + math.log(1.0 / 6)
+    assert(out(1L).getAs[Long]("n_toks") === 4L)
+    assert(math.abs(out(1L).getAs[Double]("ll") - ll1) < 6e-5)
+    assert(math.abs(out(2L).getAs[Double]("avg_ll") - ll2 / 2) < 6e-5)
+    // common-token doc scores higher per token than the rare-token doc
+    assert(out(1L).getAs[Double]("avg_ll") > out(2L).getAs[Double]("avg_ll"))
+  }
+
+  test("dsirWeights: docs made of target-domain tokens weigh positive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha alpha beta", "tgt"),
+      (2L, "alpha beta gamma", "tgt"),
+      (3L, "delta delta epsilon", "bg"),
+      (4L, "alpha beta delta", "bg"),
+      (5L, "delta epsilon epsilon", "bg")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirWeights(df, "doc_id", "text", "source", Seq("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("weight")).toMap
+    // hand formula: V=5, N_b=15, N_t=6; p_t(tok)=(cnt_t+1)/11, p_b=(cnt_b+1)/20
+    def w(toks: (String, Int)*): Double = {
+      val cntT = Map("alpha" -> 3, "beta" -> 2, "gamma" -> 1).withDefaultValue(0)
+      val cntB = Map("alpha" -> 4, "beta" -> 3, "gamma" -> 1, "delta" -> 4, "epsilon" -> 3)
+      toks.map { case (t, c) =>
+        c * (math.log((cntT(t) + 1.0) / 11) - math.log((cntB(t) + 1.0) / 20))
+      }.sum
+    }
+    assert(math.abs(out(1L) - w("alpha" -> 2, "beta" -> 1)) < 6e-5)
+    assert(math.abs(out(3L) - w("delta" -> 2, "epsilon" -> 1)) < 6e-5)
+    // target-style docs rank above background-only docs
+    assert(out(1L) > 0 && out(2L) > 0)
+    assert(out(3L) < 0 && out(5L) < 0)
+  }
 }
