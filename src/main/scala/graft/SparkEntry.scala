@@ -263,6 +263,24 @@ object SparkEntry {
       Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5).orderBy("id1", "id2")),
 
+    // Incremental dedup — the operational shape: a new crawl batch (docs
+    // ≥ 250 plus planted copies of corpus docs 0-99) probes the prebuilt
+    // MinHash band index of the existing corpus (docs < 250); candidates
+    // verified by exact cross-set Jaccard. Same recall argument as
+    // q_dedup_minhash (copies share the original's signature verbatim).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val newBatch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val index = Dedup.minhashBandIndex(corpus, "doc_id", "text", n = 3)
+      Dedup.lshPairsAgainstIndex(newBatch, "doc_id", "text", corpus, index,
+        n = 3, threshold = 0.5).orderBy("new_id", "corpus_id")
+    }),
+
     // SimHash near-dup pairs (banded 64-bit signatures). The raw pair set
     // is hash-function dependent, so the oracle pins the planted-duplicate
     // invariant instead: an identical text has an identical SimHash
@@ -1091,6 +1109,29 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_ngram_guarded" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_dedup_incremental" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 250
+        |), ntoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, string_split(text, ' ') FROM documents WHERE doc_id < 100
+        |), cgrams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), ngrams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM ntoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), csz AS (SELECT doc_id, count(*) AS sz FROM cgrams GROUP BY 1
+        |), nsz AS (SELECT doc_id, count(*) AS sz FROM ngrams GROUP BY 1
+        |), inter AS (
+        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS ic
+        |  FROM ngrams n JOIN cgrams c ON n.g = c.g GROUP BY 1, 2
+        |)
+        |SELECT new_id, corpus_id, jaccard FROM (
+        |  SELECT new_id, corpus_id, CAST(ic AS DOUBLE) / (ns.sz + cs.sz - ic) AS jaccard
+        |  FROM inter JOIN nsz ns ON new_id = ns.doc_id JOIN csz cs ON corpus_id = cs.doc_id
+        |) WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
     "q_dedup_clusters" -> dupClustersOracle,
     "q_dedup_containment" -> containmentOracle,
     "q_dedup_containment_guarded" -> containmentOracle,

@@ -198,24 +198,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
-    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val gs = gramSets(df, idCol, textCol, n)
-    // Native signature ([[graft.functions.MinHashSignature]]): a narrow
-    // codegen'd map over the scan — the aggregate form below shuffles
-    // every gram. Bit-identical minima, so band keys are unchanged.
-    val sigs = df.select(col(idCol).as("doc_id"),
-        graft.functions.TextFunctions.minhashSignature(col(textCol), n, numHashes)
-          .as("__sig"))
-      .filter(col("__sig").isNotNull)
-    val numBands = numHashes / bandRows
-    val bandStructs = (0 until numBands).map { b =>
-      val cols = (b * bandRows until (b + 1) * bandRows)
-        .map(i => element_at(col("__sig"), i + 1))
-      struct(lit(b).as("band"), hash(cols :+ lit(b): _*).as("bkey"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val buckets = minhashBandIndex(df, idCol, textCol, n, numHashes, bandRows)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -226,6 +210,82 @@ object Dedup {
     val g2 = gs.select(col("doc_id").as("id2"), col("grams").as("g2"))
     cands.join(g1, "id1").join(g2, "id2")
       .select(col("id1"), col("id2"),
+        (size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * The persistable MinHash-LSH band index of a corpus: one row per
+   * (doc_id, band, bkey), where `bkey` hashes the band's signature slice.
+   * Build it ONCE over the existing corpus, write it out (bucket the
+   * table by `bkey` so later probes co-locate), and every future batch
+   * dedups against the corpus by joining this index — never by
+   * re-pairing the corpus with itself. Same signature family as
+   * [[minhashLshPairs]] (native codegen'd [[graft.functions
+   * .MinHashSignature]] — a narrow map over the scan), so an index built
+   * here and pairs computed there agree bucket-for-bucket.
+   */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val sigs = df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(col(textCol), n, numHashes)
+          .as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val numBands = numHashes / bandRows
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows)
+        .map(i => element_at(col("__sig"), i + 1))
+      struct(lit(b).as("band"), hash(cols :+ lit(b): _*).as("bkey"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /**
+   * Incremental near-duplicate detection: probe a NEW batch of documents
+   * against an EXISTING corpus via its prebuilt [[minhashBandIndex]],
+   * verifying candidates by exact n-gram Jaccard — the operational shape
+   * of corpus dedup at scale. A 100 TB corpus is deduplicated once; every
+   * incoming crawl increment then costs O(batch) signature work + a join
+   * against the (corpus × bands)-row index + exact verification of the
+   * few candidate pairs, instead of re-running corpus-wide pairing.
+   * Output: `(new_id, corpus_id, jaccard)` for every cross pair at or
+   * above `threshold` — anti-join new docs against `new_id`s to keep
+   * only novel documents.
+   *
+   * Recall is the LSH S-curve (see [[minhashLshPairs]]): with the default
+   * 16 bands × 2 rows, a true copy (J ≈ 1) is caught with certainty for
+   * practical purposes; J = 0.5 pairs with p ≈ 0.98.
+   *
+   * Scale shape: new-batch signatures are a narrow codegen'd map; the
+   * candidate join shuffles by (band, bkey) — against a bucketed index
+   * table the corpus side doesn't shuffle at all; the verify join
+   * re-shingles only candidate corpus documents (the id-keyed join prunes
+   * the corpus scan to candidate ids; AQE broadcasts the candidate side
+   * when small, which a crawl increment's candidate set is).
+   *
+   * `n`, `numHashes`, `bandRows` MUST match the values the index was
+   * built with; `corpus` must expose the same `idCol`/`textCol` columns
+   * the index's doc_ids refer to.
+   */
+  def lshPairsAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                           corpus: DataFrame, index: DataFrame,
+                           n: Int, threshold: Double,
+                           numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    val newBuckets = minhashBandIndex(newDocs, idCol, textCol, n, numHashes, bandRows)
+    val cands = newBuckets.as("a")
+      .join(index.select(col("doc_id").as("corpus_id"),
+        col("band"), col("bkey")).as("b"), Seq("band", "bkey"))
+      .select(col("a.doc_id").as("new_id"), col("corpus_id"))
+      .distinct()
+    val ng = gramSets(newDocs, idCol, textCol, n)
+      .select(col("doc_id").as("new_id"), col("grams").as("g1"))
+    val cg = gramSets(corpus, idCol, textCol, n)
+      .select(col("doc_id").as("corpus_id"), col("grams").as("g2"))
+    cands.join(ng, "new_id").join(cg, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
         (size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

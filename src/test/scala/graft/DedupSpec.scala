@@ -456,6 +456,34 @@ class DedupSpec extends SparkTestBase {
     assert(jac === 0)
   }
 
+  test("lshPairsAgainstIndex: new batch probes corpus index, cross-set pairs only") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark query engines here"),
+      (3L, "another unrelated corpus document about weather patterns now")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),    // copy of 1
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),  // near-dup of 1
+      (12L, "genuinely novel content that matches nothing in corpus"),
+      (13L, "genuinely novel content that matches nothing in corpus") // dup WITHIN batch — not a cross pair
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text", n = 3)
+    val out = Dedup.lshPairsAgainstIndex(newBatch, "doc_id", "text", corpus, index,
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.map(p => (p._1, p._2)) === Set((10L, 1L), (11L, 1L)))
+    assert(out.find(_._1 == 10L).get._3 === 1.0)
+    // and it agrees with the exact cross-set Jaccard answer
+    val exactCross = Dedup.ngramJaccardPairs(
+        corpus.unionByName(newBatch), "doc_id", "text", 3, 0.5)
+      .filter(col("id2") >= 10 && col("id1") < 10)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(out === exactCross)
+  }
+
   test("dupClustersBest keeps the highest-scoring cluster member; ties → min id") {
     val s = spark
     import s.implicits._

@@ -49,7 +49,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("no cartesian products anywhere in the fuzzy-dedup plans") {
-    Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash").foreach { q =>
+    Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_incremental").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
