@@ -940,6 +940,19 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Bucketized interval join: unit prices matched to part price bands
+    // via bucket equi-join + exact filter — never a nested-loop join.
+    "q_range_join" -> ((s, dir) => {
+      val pts = rd(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      val iv = rd(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice") - 0.05).as("lo"),
+        (col("p_retailprice") + 0.05).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(pts, "unit", iv, "lo", "hi",
+        bucketWidth = 0.1).orderBy("l_orderkey", "p_partkey")
+    }),
+
     // Stopword-marker language ID with CJK detection.
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
@@ -1494,6 +1507,14 @@ object SparkEntry {
         |       WHEN s_de > 0 THEN 'de'
         |       ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_range_join" ->
+      """SELECT l_orderkey, l_extendedprice / l_quantity AS unit, p_partkey,
+        |  p_retailprice - 0.05 AS lo, p_retailprice + 0.05 AS hi
+        |FROM lineitem, part
+        |WHERE l_linenumber = 1
+        |  AND l_extendedprice / l_quantity >= p_retailprice - 0.05
+        |  AND l_extendedprice / l_quantity <= p_retailprice + 0.05
+        |ORDER BY l_orderkey, p_partkey""".stripMargin.replace("\n", " "),
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL AND text <> ''),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-safe interval (range) join: match each point row to the interval
+ * rows whose `[lo, hi]` contains it, WITHOUT a non-equi join. Spark plans
+ * a raw `p >= lo AND p <= hi` join as BroadcastNestedLoopJoin — O(n·m)
+ * work that only survives when one side fits in memory. This operator
+ * bucketizes the domain instead: every interval explodes to the buckets
+ * it covers, every point lands in exactly ONE bucket, and the join is a
+ * plain equi-join on the bucket id followed by the exact containment
+ * filter. One hash shuffle per side, AQE-skew-splittable, and no
+ * duplicate pairs by construction (a point has one bucket, and each
+ * matching interval covers that bucket exactly once).
+ *
+ * `bucketWidth` trades explode factor against bucket selectivity: an
+ * interval produces `len/width + 1` rows, a bucket collects points and
+ * interval-fragments within `width` of each other. Pick it near the
+ * median interval length. `maxBucketsPerInterval` is the skew guard — a
+ * pathological interval spanning the whole domain would otherwise explode
+ * into millions of rows; the job FAILS (assert) rather than silently
+ * ballooning, mirroring `Similarity.semanticDedup`'s cell guard.
+ *
+ * Inspired by the bucketized overlap-join strategy in genomic/interval
+ * analytics on Spark (e.g. the "interval binning" scheme used by ADAM
+ * and by range-join optimizations in several SQL engines).
+ */
+object RangeJoin {
+
+  /**
+   * Join `points` to the `intervals` whose `[loCol, hiCol]` (closed on
+   * both ends) contains `ptCol`. Output: every points column + every
+   * intervals column (names must not collide). Intervals with
+   * `hi < lo` are empty and match nothing; null endpoints or points
+   * never match.
+   */
+  def pointInInterval(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    val pb = points
+      .filter(col(ptCol).isNotNull)
+      .withColumn("__bucket", floor(col(ptCol) / bucketWidth).cast("long"))
+    val lo = floor(col(loCol) / bucketWidth).cast("long")
+    val hi = floor(col(hiCol) / bucketWidth).cast("long")
+    val ib = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(hiCol) >= col(loCol))
+      .withColumn("__nb", hi - lo + 1L)
+      .filter(assert_true(col("__nb") <= maxBucketsPerInterval,
+        concat(lit("interval spans "), col("__nb"),
+          lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval: " +
+            "raise bucketWidth (or the cap) — a domain-spanning interval " +
+            "explodes the bucket join"))).isNull)
+      .withColumn("__bucket", explode(sequence(lo, hi)))
+      .drop("__nb")
+    pb.join(ib, "__bucket")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

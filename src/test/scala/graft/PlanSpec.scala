@@ -207,6 +207,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "semdedup has a cartesian product")
   }
 
+  test("unigram LM and DSIR: occurrence-collapsed joins, no cartesian") {
+    Seq("q_text_unigram_ll", "q_dsir_weights").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // the 1-row totals side arrives broadcast, not shuffled
+      assert(p.contains("BroadcastExchange"), s"$q lost the totals broadcast")
+    }
+  }
+
+  test("q_quality_rules: per-row narrow — zero shuffles before output") {
+    val p = plan("q_quality_rules")
+    val shuffles = p.linesIterator.count(_.contains("Exchange"))
+    // only the final orderBy's range exchange
+    assert(shuffles <= 2, s"expected narrow plan, got $shuffles exchanges:\n${p.take(1200)}")
+  }
+
+  test("q_range_join: bucket equi-join — never a nested-loop join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("q_asof: union + one window shuffle — never a range join") {
     val p = plan("q_asof")
     assert(p.contains("Window"), p.take(800))

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+
+  test("pointInInterval matches closed bounds, negatives, and bucket boundaries") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (1L, 0.0), (2L, 5.0), (3L, -3.5), (4L, 10.0), (5L, 99.0),
+      (6L, Double.NaN)
+    ).toDF("pid", "p")
+    val ivs = Seq(
+      (10L, 0.0, 5.0),    // catches 1 (lo bound), 2 (hi bound)
+      (11L, -4.0, -3.0),  // catches 3 (negative domain)
+      (12L, 9.5, 10.5),   // catches 4
+      (13L, 50.0, 40.0)   // hi < lo: empty, matches nothing
+    ).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bucketWidth = 2.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L)))
+  }
+
+  test("pointInInterval agrees with the naive non-equi join on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 100 - 50)).toDF("pid", "p")
+    val ivs = (1 to 80).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (i.toLong, lo, lo + rnd.nextDouble() * 5)
+    }.toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bucketWidth = 3.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("no duplicate pairs even when an interval spans many buckets") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 7.3)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 100.0)).toDF("iid", "lo", "hi")
+    val rows = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bucketWidth = 0.5)
+      .collect()
+    assert(rows.length === 1)
+  }
+
+  test("the bucket-span guard fails loudly on a domain-spanning interval") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi",
+        bucketWidth = 1.0, maxBucketsPerInterval = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")), msgs(ex).mkString("; "))
+  }
+}

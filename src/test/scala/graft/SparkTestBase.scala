@@ -12,6 +12,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep bucketed-table tests out of the repo tree
+      .config("spark.sql.warehouse.dir", s"/tmp/graft-test-warehouse-${sys.props("user.name")}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
