@@ -843,6 +843,48 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Best-K-per-group by score (the quality-ranked per-domain keep): top
+    // 3 docs per source by n_chars, ties by doc_id. WindowGroupLimit keeps
+    // a 3-heap per partition pre-shuffle — the exchange moves O(groups·k)
+    // rows, never whole sorted groups (PlanSpec asserts).
+    "q_group_topn" -> ((s, dir) =>
+      Sampling.topKPerGroup(rd(s, dir, "documents"), Seq("source"), "n_chars",
+        "doc_id", k = 3)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("rank").as("rnk"))
+        .orderBy("source", "rnk")),
+
+    // OLAP rollup (grouping sets — "free if extended" per SURVEY §2.4):
+    // doc counts + char sums at (lang, source), (lang) and grand-total
+    // levels in ONE two-phase hash aggregation; grouping flags
+    // disambiguate rollup-nulls from data-nulls.
+    "q_rollup" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang_g"),
+          coalesce(col("source"), lit("(all)")).as("source_g"),
+          col("g_lang"), col("g_source"), col("n_docs"), col("sum_chars"))
+        .orderBy("g_lang", "g_source", "lang_g", "source_g")),
+
+    // Relational set operations (SURVEY §2.7 — none in the reference,
+    // free in Spark): users who clicked AND purchased (INTERSECT) vs
+    // clicked and NEVER purchased (EXCEPT), tagged and unioned. Set-op
+    // semantics are DISTINCT on both engines; each leg is one shuffle on
+    // user_id.
+    "q_set_ops" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id")
+      users("click").intersect(users("purchase"))
+        .withColumn("tag", lit("both"))
+        .unionByName(users("click").except(users("purchase"))
+          .withColumn("tag", lit("click_only")))
+        .orderBy("tag", "user_id")
+    }),
+
     // Corpus vocabulary (tokenizer-training pass): top-50 tokens by
     // occurrence count with document frequency, ties by token.
     "q_vocab" -> ((s, dir) =>
@@ -1415,6 +1457,23 @@ object SparkEntry {
       ("SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER " +
         "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7'), doc_id) AS rk " +
         "FROM documents) WHERE rk <= 10 ORDER BY lang, doc_id"),
+    "q_group_topn" ->
+      ("SELECT source, doc_id, n_chars, rnk FROM (SELECT source, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk " +
+        "FROM documents) WHERE rnk <= 3 ORDER BY source, rnk"),
+    "q_rollup" ->
+      """SELECT coalesce(lang, '(all)') AS lang_g, coalesce(source, '(all)') AS source_g,
+        |  GROUPING(lang) AS g_lang, GROUPING(source) AS g_source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY g_lang, g_source, lang_g, source_g""".stripMargin.replace("\n", " "),
+    "q_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS tag FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |ORDER BY tag, user_id""".stripMargin.replace("\n", " "),
     "q_vocab" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq

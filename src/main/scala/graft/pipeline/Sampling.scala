@@ -193,4 +193,24 @@ object Sampling {
       .orderBy(shuffleKey(col(keyCol), seed), col(keyCol)))
     df.withColumn("__rk", rk).filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Best-K-per-group selection ("keep the K highest-quality documents per
+    * domain" — the score-ranked sibling of [[sampleKPerGroup]]'s random
+    * cap). Rows rank within their group by `scoreCol` DESCENDING with
+    * `tieCol` ascending as the deterministic tie-break (rank order must be
+    * total or the kept set is nondeterministic across runs/engines); rows
+    * ranked ≤ k survive, with the 1-based rank exposed as `rank`.
+    *
+    * Scale shape: the `row_number <= k` filter becomes a WindowGroupLimit
+    * (asserted in PlanSpec) — every input partition keeps only a K-heap
+    * per group BEFORE the window shuffle, so the exchange moves O(groups·k)
+    * rows, not the corpus, and no group is ever fully sorted. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rk = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tieCol)))
+    df.withColumn("rank", rk.cast("long")).filter(col("rank") <= k)
+  }
 }

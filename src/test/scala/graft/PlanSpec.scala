@@ -223,6 +223,21 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles <= 2, s"expected narrow plan, got $shuffles exchanges:\n${p.take(1200)}")
   }
 
+  test("q_group_topn: rank filter becomes a per-partition WindowGroupLimit") {
+    val p = plan("q_group_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-K-per-group lost the group-limit pushdown:\n${p.take(1200)}")
+  }
+
+  test("q_rollup: one Expand + two-phase aggregation, single shuffle") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), p.take(800))
+    // partial agg before the exchange, final after; only the orderBy adds
+    // a second (range) exchange
+    val shuffles = p.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles <= 2, s"rollup should shuffle once + sort, got $shuffles:\n${p.take(1200)}")
+  }
+
   test("q_range_join: bucket equi-join — never a nested-loop join") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

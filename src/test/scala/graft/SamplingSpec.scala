@@ -167,4 +167,22 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  test("topKPerGroup: highest scores win, ties break low-id, rank is 1-based") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0), (4L, "a", 30.0),
+      (5L, "b", 1.0)
+    ).toDF("id", "g", "score")
+    val out = Sampling.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // ties at 30.0: id=2 beats id=4; id=4 takes rank 2; group b keeps its
+    // single row
+    assert(out === Set(("a", 2L, 1L), ("a", 4L, 2L), ("b", 5L, 1L)))
+    val plan = Sampling.topKPerGroup(df, Seq("g"), "score", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }
