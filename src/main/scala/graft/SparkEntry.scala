@@ -964,6 +964,14 @@ object SparkEntry {
       TextAnalysis.textStats(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Character-level Shannon entropy (gibberish/boilerplate signal):
+    // per-row higher-order functions, zero shuffle.
+    "q_text_entropy" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
     // Gopher-style within-document repetition ratio (share of n-gram
     // occurrences that repeat an earlier one) — per-row narrow, no shuffle.
     "q_text_repetition" -> ((s, dir) =>
@@ -1526,6 +1534,13 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' ')) AS stop_ratio,
         |  least(1.0, len(string_split(text, ' ')) / 100.0) * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','an','and','of','to','is','in','it','that'))) / len(string_split(text, ' '))) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
+        |SELECT doc_id, round(-sum((k / n) * log2(k / n)), 4) AS entropy
+        |FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_text_bm25" ->
       TextAnalysis.bm25OracleSql("documents", "doc_id", "text", Bm25Terms, k = 10),
     "q_text_repetition" ->

@@ -51,6 +51,23 @@ object TextAnalysis {
       qualityCol(col(textCol)).as("quality"))
   }
 
+  /** Character-level Shannon entropy in bits — the classic gibberish /
+    * boilerplate signal (near-0 for single-char spam, ~4.1 for English
+    * prose, ~log2(alphabet) for uniform noise). Pure per-row higher-order
+    * functions — narrow, zero shuffle, codegen-friendly; O(distinct·len)
+    * per row which is fine for the ≤ few-KB documents this targets.
+    * Rounded to 4 decimals (summed-doubles oracle convention: Spark folds
+    * the array sequentially, SQL engines sum in group order). */
+  def charEntropy(text: Column): Column = {
+    val cs = split(text, "")
+    val n = size(cs).cast("double")
+    val ent = aggregate(array_distinct(cs), lit(0.0d), (acc, c) => {
+      val p = size(filter(cs, x => x === c)).cast("double") / n
+      acc - p * log(2.0, p)
+    })
+    round(ent, 4)
+  }
+
   /** Marker stopwords per language — tiny, deterministic, and replicated
     * verbatim in the SQL oracle. CJK scripts are detected by codepoint
     * range instead (space-tokenization doesn't apply). */

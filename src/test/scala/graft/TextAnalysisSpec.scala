@@ -308,4 +308,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) > 0 && out(2L) > 0)
     assert(out(3L) < 0 && out(5L) < 0)
   }
+
+  test("charEntropy: known closed-form values") {
+    val s = spark
+    import s.implicits._
+    val out = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, "aab"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.charEntropy($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.0)         // single symbol
+    assert(out(2L) === 1.0)         // two equiprobable symbols
+    assert(out(3L) === 2.0)         // four equiprobable symbols
+    // H(2/3, 1/3) = log2(3) - 2/3 ≈ 0.9183
+    assert(out(4L) === 0.9183)
+  }
 }
