@@ -1071,6 +1071,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Perceptual image near-dup (aHash + banded Hamming buckets): 50
+    // byte-identical planted copies must ALL surface at hamming 0. The
+    // decode is the narrow per-partition pass; the pair machinery reuses
+    // the text-SimHash band path and shuffles only 8-byte hashes.
+    "q_multimodal_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val imgs = Multimodal.syntheticImages(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      val planted = imgs.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val pairs = Multimodal.imageNearDupPairs(imgs.unionByName(planted),
+        maxHamming = 2)
+      pairs.filter(col("id2") === col("id1") + 1000000L && col("id1") < 50)
+        .select(col("id1"), col("id2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id1")
+    }),
+
     // REAL frame sampling: the fixture writes genuine animated GIFs
     // (2 + id mod 4 frames, per-frame closed-form pattern); the JDK
     // ImageReader demuxes and every 2nd frame decodes to integer
@@ -1252,6 +1270,9 @@ object SparkEntry {
     "q_dedup_simhash" ->
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
+    "q_multimodal_phash" ->
+      ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     "q_ann_lsh" ->
       "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
     "q_ann_ivf" ->

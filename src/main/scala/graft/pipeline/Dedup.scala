@@ -485,9 +485,6 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, maxHamming: Int, bands: Int = 4,
                    maxBucket: Option[Int] = None): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     // Unfiltered projection, NOT simhashSignatures: its isNotNull filter
     // re-evaluates simhash64 per row (filter + project are separate
     // codegen operators — no cross-operator subexpression elimination).
@@ -495,6 +492,25 @@ object Dedup {
     // join's inferred isnotnull(bkey) drops before the shuffle anyway.
     val sig = df.select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
+    hammingBandPairs(sig, "doc_id", "simhash", maxHamming, bands, maxBucket)
+  }
+
+  /**
+   * Generic banded Hamming-distance pairs over ANY 64-bit signature
+   * column (SimHash text signatures, perceptual image hashes, …): the
+   * signature splits into `bands` equal bit-bands, rows sharing a band
+   * value are candidates (pigeonhole: hamming < bands ⟹ some band
+   * equal), candidates verify popcount(xor) ≤ `maxHamming`. Same scale
+   * regime and `maxBucket` skew guard as [[simhashPairs]] (which
+   * delegates here). Output: `id1 < id2`, `hamming`.
+   */
+  def hammingBandPairs(sigDf: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int, bands: Int = 4,
+                       maxBucket: Option[Int] = None): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = sigDf.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))

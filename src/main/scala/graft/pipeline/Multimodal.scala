@@ -218,6 +218,77 @@ object Multimodal {
     }
   }
 
+  /** Perceptual fingerprint row. */
+  case class ImageHash(media_id: Long, ok: Boolean, ahash: Long)
+
+  /**
+   * 64-bit average-hash (aHash) perceptual fingerprint: decode
+   * (`javax.imageio`) → nearest-neighbor 8×8 grayscale downsample (red
+   * channel, same integer-floor resample as [[resizeImages]]) → bit i set
+   * iff pixel i is strictly above the 64-pixel mean. The comparison uses
+   * integer cross-multiplication (`lum·64 > Σlum`) so the hash is
+   * bit-deterministic with no float rounding. Byte-identical images get
+   * identical hashes; small re-encodes/crops land within a few bits of
+   * Hamming distance. Undecodable content → `ok = false`, hash 0.
+   */
+  def imageAHash(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
+        val img =
+          if (bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null } // see decodeImages
+        if (img == null) ImageHash(id, ok = false, 0L)
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val lums = new Array[Int](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val sx = ((i % 8).toLong * sw / 8).toInt
+            val sy = ((i / 8).toLong * sh / 8).toInt
+            val lum = (img.getRGB(sx, sy) >> 16) & 0xFF
+            lums(i) = lum; sum += lum
+            i += 1
+          }
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (lums(i).toLong * 64 > sum) hash |= (1L << i)
+            i += 1
+          }
+          ImageHash(id, ok = true, hash)
+        }
+      }
+    }
+  }
+
+  /**
+   * Perceptual near-duplicate image pairs: [[imageAHash]] signatures fed
+   * through the SAME banded Hamming machinery as text SimHash
+   * ([[graft.pipeline.Dedup.hammingBandPairs]]) — 4 16-bit bands bucket
+   * candidates, popcount verifies `hamming ≤ maxHamming`, `maxBucket`
+   * guards degenerate buckets (e.g. a corpus of near-black thumbnails).
+   * The decode is the narrow per-partition pass; everything after moves
+   * only (media_id, 8-byte hash) — at 100 TB of images the shuffle
+   * carries ~16 bytes/row regardless of image size.
+   */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 2, bands: Int = 4,
+                        maxBucket: Option[Int] = None)
+                       (implicit spark: SparkSession): DataFrame = {
+    val sig = imageAHash(media).toDF()
+      .filter(col("ok")).select(col("media_id"), col("ahash"))
+    graft.pipeline.Dedup.hammingBandPairs(sig, "media_id", "ahash",
+      maxHamming, bands, maxBucket)
+  }
+
   /** One sampled frame of a media item. */
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

@@ -173,6 +173,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.max_abs === samples.map(math.abs).max)
   }
 
+  test("imageAHash: deterministic, byte-identical images hash equal, corrupt flags") {
+    implicit val s: SparkSession = spark
+    val imgs = Multimodal.syntheticImages(docs)
+    val h1 = Multimodal.imageAHash(imgs).collect().map(x => x.media_id -> x).toMap
+    val h2 = Multimodal.imageAHash(imgs).collect().map(x => x.media_id -> x).toMap
+    assert(h1.keySet === Set(1L, 2L, 10L))
+    assert(h1.values.forall(_.ok))
+    h1.keys.foreach(k => assert(h1(k).ahash === h2(k).ahash)) // deterministic
+    // distinct synthetic patterns should not all collapse to one hash
+    assert(h1.values.map(_.ahash).toSet.size > 1)
+    import s.implicits._
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    assert(!Multimodal.imageAHash(bad).collect().head.ok)
+  }
+
+  test("imageNearDupPairs: planted byte-identical copy found at hamming 0; no cartesian") {
+    implicit val s: SparkSession = spark
+    val imgs = Multimodal.syntheticImages(docs)
+    val planted = imgs.filter(col("media_id") === 1L)
+      .withColumn("media_id", col("media_id") + 1000L)
+    val pairs = Multimodal.imageNearDupPairs(imgs.unionByName(planted), maxHamming = 0)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(got.contains((1L, 1001L, 0L)), got.mkString(", "))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1000))
+  }
+
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
     val out = Multimodal.featureSummary(Multimodal.syntheticImages(docs))
