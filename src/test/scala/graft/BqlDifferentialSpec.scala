@@ -85,7 +85,7 @@ class BqlDifferentialSpec extends SparkTestBase {
   private def gen(rnd: Random, id: String): GenQ = {
     val filter = if (rnd.nextInt(4) > 0) Some(genFilter(rnd, 2)) else None
     val where = filter.map(f => s" WHERE ${r(f)}").getOrElse("")
-    rnd.nextInt(4) match {
+    rnd.nextInt(7) match {
       case 0 => // RAW: computed projection + order + limit
         val lim = 1 + rnd.nextInt(20)
         val proj = Seq("event_id" -> (Field("event_id"): Expr),
@@ -135,6 +135,26 @@ class BqlDifferentialSpec extends SparkTestBase {
         GenQ(QuerySpec(id, filter, None, CountDistinct(flds, "cd")),
           s"SELECT COUNT(DISTINCT ${flds.mkString(", ")}) AS cd" +
             s" FROM STREAM$where")
+      case 4 => // TOP-K frequent items
+        val flds = if (rnd.nextBoolean()) Seq("etype") else Seq("etype", "cat")
+        val k = 2 + rnd.nextInt(4)
+        GenQ(
+          QuerySpec(id, filter, None,
+            TopK(flds.map(f => f -> f), k, "cnt")),
+          s"SELECT TOP($k, ${flds.mkString(", ")}) AS cnt FROM STREAM$where")
+      case 5 => // DISTRIBUTION quantiles at explicit points
+        val pts = Seq(0.0, 0.25, 0.5, 0.75, 1.0).take(2 + rnd.nextInt(4))
+        GenQ(
+          QuerySpec(id, filter, None,
+            Distribution("value", DistributionType.QUANTILE, pts)),
+          s"SELECT QUANTILE(value, [${pts.mkString(", ")}])" +
+            s" FROM STREAM$where")
+      case 6 => // DISTRIBUTION PMF with REGION start/end/increment points
+        GenQ(
+          QuerySpec(id, filter, None,
+            Distribution("value", DistributionType.PMF,
+              Seq(0.0, 12.0, 24.0, 36.0, 48.0))),
+          s"SELECT FREQ(value, 0.0, 48.0, 12.0) FROM STREAM$where")
     }
   }
 
