@@ -281,6 +281,24 @@ object SparkEntry {
         n = 3, threshold = 0.5).orderBy("new_id", "corpus_id")
     }),
 
+    // Incremental EXACT dedup (the "don't re-ingest" nightly op): a new
+    // batch (docs 300-499 + 50 planted re-ingests of corpus docs)
+    // self-dedups by content hash, then anti-joins the corpus hash
+    // index. Planted copies all drop; the shuffle moves 16-byte hashes,
+    // never content.
+    "q_dedup_incr_exact" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 300)
+      val newBatch = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactIncremental(newBatch, "doc_id", "text", corpus, "text")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
     // SimHash near-dup pairs (banded 64-bit signatures). The raw pair set
     // is hash-function dependent, so the oracle pins the planted-duplicate
     // invariant instead: an identical text has an identical SimHash
@@ -1190,6 +1208,15 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_ngram_guarded" -> ngramJaccardOracle,
     "q_dedup_minhash" -> ngramJaccardOracle,
+    "q_dedup_incr_exact" ->
+      """WITH nb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |sk AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text FROM nb GROUP BY text)
+        |SELECT keep_id, n_copies FROM sk
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id < 300 AND c.text = sk.text)
+        |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" ->
       """WITH ctoks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 250

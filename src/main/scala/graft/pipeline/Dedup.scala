@@ -79,6 +79,29 @@ object Dedup {
     }
   }
 
+  /**
+   * Incremental EXACT dedup: survivors of a NEW batch against a prior
+   * corpus — the "don't re-ingest what we already have" nightly op, the
+   * exact sibling of the MinHash [[minhashBandIndex]]/[[lshPairsAgainstIndex]]
+   * incremental path. Two steps, both keyed on the md5 content hash:
+   * (1) in-batch self-dedup (min-id survivor + copy count per hash, the
+   * [[exactByContent]] rule), (2) hash anti-join against the corpus's
+   * distinct-hash index. The index is 16 bytes per distinct corpus doc —
+   * at 100 TB the anti-join shuffles hashes, never content. An md5
+   * collision could only drop an innocent new doc (same tradeoff
+   * documented on [[segmentDedup]]).
+   */
+  def exactIncremental(newBatch: DataFrame, idCol: String, contentCol: String,
+                       corpus: DataFrame, corpusContentCol: String): DataFrame = {
+    val idx = corpus
+      .select(md5(col(corpusContentCol).cast("binary")).as("content_hash"))
+      .distinct()
+    newBatch
+      .groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(idx, Seq("content_hash"), "left_anti")
+  }
+
   /** (doc_id, grams) pairs — the shingle-set form shared by the fuzzy ops. */
   private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))

@@ -498,4 +498,19 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) === (3L, true) && out(4L) === (3L, false))
     assert(out(5L) === (5L, true))
   }
+
+  test("exactIncremental: in-batch self-dedup then corpus-hash anti-join") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),                 // re-ingest of corpus content → dropped
+      (12L, "gamma"), (11L, "gamma"), // in-batch dupe → min id survives
+      (13L, "delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, "doc_id", "text", corpus, "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
 }
