@@ -1017,8 +1017,11 @@ object SparkEntry {
       val iv = rd(s, dir, "part").select(col("p_partkey"),
         (col("p_retailprice") - 0.05).as("lo"),
         (col("p_retailprice") + 0.05).as("hi"))
+      // `unit` in the sort makes the order total by construction — the
+      // fixture's lineitem can carry several l_linenumber=1 rows per
+      // order, and two of them matching one part would otherwise tie.
       graft.operators.RangeJoin.pointInInterval(pts, "unit", iv, "lo", "hi",
-        bucketWidth = 0.1).orderBy("l_orderkey", "p_partkey")
+        bucketWidth = 0.1).orderBy("l_orderkey", "p_partkey", "unit")
     }),
 
     // Stopword-marker language ID with CJK detection.
@@ -1636,7 +1639,7 @@ object SparkEntry {
         |WHERE l_linenumber = 1
         |  AND l_extendedprice / l_quantity >= p_retailprice - 0.05
         |  AND l_extendedprice / l_quantity <= p_retailprice + 0.05
-        |ORDER BY l_orderkey, p_partkey""".stripMargin.replace("\n", " "),
+        |ORDER BY l_orderkey, p_partkey, unit""".stripMargin.replace("\n", " "),
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL AND text <> ''),

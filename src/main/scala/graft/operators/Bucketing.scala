@@ -44,9 +44,31 @@ object Bucketing {
    * same bucket count. The plan contains no Exchange on either side —
    * `BucketingSpec` asserts it. `leftKey`/`rightKey` may differ in name
    * (l_orderkey vs o_orderkey); what must match is the bucketing spec.
+   *
+   * FAILS LOUDLY (catalog check, before any job runs) when the tables are
+   * not actually co-bucketed — unbucketed, different bucket counts, or
+   * bucketed on other columns. A silent mismatch would still "work": Spark
+   * quietly reinstates the shuffle Exchange this API exists to eliminate,
+   * and at the scale bucketing targets that is the dominant job cost
+   * coming back with no signal.
    */
   def cooperativeJoin(spark: SparkSession, leftTable: String, leftKey: String,
                       rightTable: String, rightKey: String): DataFrame = {
+    def spec(table: String, key: String) = {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val bs = spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table is not bucketed — write it with writeBucketed first"))
+      require(bs.bucketColumnNames == Seq(key),
+        s"$table is bucketed on ${bs.bucketColumnNames.mkString(",")}, " +
+          s"not on the join key $key — the join would shuffle")
+      bs
+    }
+    val lb = spec(leftTable, leftKey)
+    val rb = spec(rightTable, rightKey)
+    require(lb.numBuckets == rb.numBuckets,
+      s"bucket counts differ ($leftTable=${lb.numBuckets}, " +
+        s"$rightTable=${rb.numBuckets}) — the join would shuffle one side")
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
     l.join(r, l.col(leftKey) === r.col(rightKey))

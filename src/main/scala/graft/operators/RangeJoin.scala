@@ -50,14 +50,20 @@ object RangeJoin {
     val ib = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(hiCol) >= col(loCol))
-      .withColumn("__nb", hi - lo + 1L)
-      .filter(assert_true(col("__nb") <= maxBucketsPerInterval,
-        concat(lit("interval spans "), col("__nb"),
+      // Guard in DOUBLE arithmetic, BEFORE any long bucket index exists: a
+      // sentinel endpoint (1e300, Infinity as "no upper bound") overflows
+      // the long index, and a long-based `hi - lo + 1` would wrap negative
+      // and slip past the cap into a billion-row explode. The normalized
+      // length never overflows and Infinity fails the comparison (the
+      // guard is ≤ one bucket conservative vs the exact explode count).
+      .withColumn("__len", (col(hiCol) - col(loCol)) / bucketWidth)
+      .filter(assert_true(col("__len") < maxBucketsPerInterval,
+        concat(lit("interval spans ~"), col("__len"),
           lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval: " +
             "raise bucketWidth (or the cap) — a domain-spanning interval " +
             "explodes the bucket join"))).isNull)
       .withColumn("__bucket", explode(sequence(lo, hi)))
-      .drop("__nb")
+      .drop("__len")
     pb.join(ib, "__bucket")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bucket")

@@ -515,7 +515,12 @@ object Dedup {
     // join's inferred isnotnull(bkey) drops before the shuffle anyway.
     val sig = df.select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
-    hammingBandPairs(sig, "doc_id", "simhash", maxHamming, bands, maxBucket)
+    // requireFullRecall=false: maxHamming ≥ bands is a documented
+    // best-effort regime here — candidates are still only pairs sharing a
+    // band, the loose threshold just widens verification (callers use it
+    // to tolerate signature noise on long near-dup docs).
+    hammingBandPairs(sig, "doc_id", "simhash", maxHamming, bands, maxBucket,
+      requireFullRecall = false)
   }
 
   /**
@@ -529,8 +534,15 @@ object Dedup {
    */
   def hammingBandPairs(sigDf: DataFrame, idCol: String, sigCol: String,
                        maxHamming: Int, bands: Int = 4,
-                       maxBucket: Option[Int] = None): DataFrame = {
+                       maxBucket: Option[Int] = None,
+                       requireFullRecall: Boolean = true): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
+    require(!requireFullRecall || maxHamming < bands,
+      s"maxHamming=$maxHamming >= bands=$bands breaks the pigeonhole recall " +
+        "guarantee (hamming < bands => some band equal): pairs with their " +
+        "differing bits spread one per band would be silently lost. " +
+        "Raise bands, lower maxHamming, or pass requireFullRecall = false " +
+        "to accept best-effort recall explicitly.")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = sigDf.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))

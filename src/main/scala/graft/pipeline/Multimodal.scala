@@ -108,6 +108,18 @@ object Multimodal {
         octet_length(col("content")).cast("long").as("size_bytes")).as("meta"))
   }
 
+  /** Shared decode contract of [[decodeImages]]/[[resizeImages]]/
+    * [[imageAHash]]: bytes → BufferedImage, or null for empty/corrupt
+    * content. JDK decoders throw RuntimeExceptions (AIOOBE, IAE,
+    * NegativeArraySize) on hostile headers, not just IOException — catch
+    * NonFatal so a corrupt row flags instead of failing the job. Any
+    * codec-hardening fix lands here once, for all three operators. */
+  @inline private def decodeOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
   /** Decoded-image feature row. `ok = false` marks undecodable content
     * (corrupt bytes, unsupported format) — the row survives with zeroed
     * features instead of failing the job, the only sane contract for a
@@ -133,14 +145,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
-        val img =
-          if (bytes.isEmpty) null
-          else
-            // JDK decoders throw RuntimeExceptions (AIOOBE, IAE, NegativeArraySize)
-            // on hostile headers, not just IOException — catch NonFatal so a
-            // corrupt row flags instead of failing the job
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
+        val img = decodeOrNull(bytes)
         if (img == null)
           ImageFeatures(id, ok = false, 0, 0, 0L, 0L, new Array[Long](16))
         else {
@@ -190,11 +195,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
-        val img =
-          if (bytes.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null } // see decodeImages
+        val img = decodeOrNull(bytes)
         if (img == null) ResizedMedia(id, ok = false, 0, 0, Array.emptyByteArray)
         else {
           val (sw, sh) = (img.getWidth, img.getHeight)
@@ -240,11 +241,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
-        val img =
-          if (bytes.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null } // see decodeImages
+        val img = decodeOrNull(bytes)
         if (img == null) ImageHash(id, ok = false, 0L)
         else {
           val (sw, sh) = (img.getWidth, img.getHeight)

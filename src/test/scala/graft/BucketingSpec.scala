@@ -33,6 +33,32 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("cooperativeJoin fails loudly on bucket-spec mismatches instead of silently shuffling") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("key", "v")
+    Bucketing.writeBucketed(df, "bspec_m8", "key", numBuckets = 8)
+    Bucketing.writeBucketed(df.toDF("key2", "v2"), "bspec_m4", "key2", numBuckets = 4)
+    df.write.mode("overwrite").format("parquet").saveAsTable("bspec_plain")
+    try {
+      val diff = intercept[IllegalArgumentException] {
+        Bucketing.cooperativeJoin(s, "bspec_m8", "key", "bspec_m4", "key2")
+      }
+      assert(diff.getMessage.contains("bucket counts differ"), diff.getMessage)
+      val unb = intercept[IllegalArgumentException] {
+        Bucketing.cooperativeJoin(s, "bspec_m8", "key", "bspec_plain", "key")
+      }
+      assert(unb.getMessage.contains("not bucketed"), unb.getMessage)
+      val wrongKey = intercept[IllegalArgumentException] {
+        Bucketing.cooperativeJoin(s, "bspec_m8", "v", "bspec_m4", "key2")
+      }
+      assert(wrongKey.getMessage.contains("not on the join key"), wrongKey.getMessage)
+    } finally {
+      Seq("bspec_m8", "bspec_m4", "bspec_plain")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("one file per bucket with coalesceToBuckets (read cost stays one seek)") {
     val s = spark
     import s.implicits._

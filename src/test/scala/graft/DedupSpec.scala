@@ -499,6 +499,16 @@ class DedupSpec extends SparkTestBase {
     assert(out(5L) === (5L, true))
   }
 
+  test("hammingBandPairs rejects maxHamming >= bands (pigeonhole recall broken)") {
+    val s = spark
+    import s.implicits._
+    val sig = Seq((1L, 0L)).toDF("id", "sig")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.hammingBandPairs(sig, "id", "sig", maxHamming = 4, bands = 4)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
   test("exactIncremental: in-batch self-dedup then corpus-hash anti-join") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,24 @@ class RangeJoinSpec extends SparkTestBase {
     assert(rows.length === 1)
   }
 
+  test("the guard catches sentinel endpoints that would overflow the long bucket index") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    // "no upper bound" encodings: Infinity and a near-max double — a
+    // long-based count would wrap negative and slip past the cap
+    Seq(Double.PositiveInfinity, 1e300).foreach { hi =>
+      val ivs = Seq((10L, 0.0, hi)).toDF("iid", "lo", "hi")
+      val ex = intercept[Exception] {
+        RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi",
+          bucketWidth = 1.0, maxBucketsPerInterval = 1000).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")), msgs(ex).mkString("; "))
+    }
+  }
+
   test("the bucket-span guard fails loudly on a domain-spanning interval") {
     val s = spark
     import s.implicits._
