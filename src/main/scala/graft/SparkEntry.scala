@@ -1110,6 +1110,23 @@ object SparkEntry {
         .orderBy("id1")
     }),
 
+    // Audio near-dup (energy-delta fingerprint + banded Hamming buckets):
+    // 50 byte-identical planted WAV copies must ALL surface at hamming 0,
+    // mirroring q_multimodal_phash for the audio modality.
+    "q_multimodal_audiohash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wavs = Multimodal.syntheticAudio(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      val planted = wavs.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val pairs = Multimodal.audioNearDupPairs(wavs.unionByName(planted),
+        maxHamming = 2)
+      pairs.filter(col("id2") === col("id1") + 1000000L && col("id1") < 50)
+        .select(col("id1"), col("id2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id1")
+    }),
+
     // REAL frame sampling: the fixture writes genuine animated GIFs
     // (2 + id mod 4 frames, per-frame closed-form pattern); the JDK
     // ImageReader demuxes and every 2nd frame decodes to integer
@@ -1301,6 +1318,9 @@ object SparkEntry {
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3 ORDER BY doc_id"),
     "q_multimodal_phash" ->
+      ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
+    "q_multimodal_audiohash" ->
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     "q_ann_lsh" ->

@@ -484,6 +484,82 @@ object Multimodal {
         octet_length(col("content")).cast("long").as("size_bytes")).as("meta"))
   }
 
+  /** Audio fingerprint row. */
+  case class AudioHash(media_id: Long, ok: Boolean, ahash: Long)
+
+  /**
+   * 64-bit audio fingerprint (energy-delta hash, a Shazam-lite shape):
+   * decode PCM (same 16-bit mono contract and byte-order handling as
+   * [[decodeAudio]]), split the sample stream into 65 equal windows, set
+   * bit i iff window i+1 has strictly higher integer energy (Σ|sample|)
+   * than window i. Integer-only comparisons make the fingerprint
+   * bit-deterministic; byte-identical audio hashes equal, and
+   * level-preserving re-encodes land within a few Hamming bits. Clips
+   * shorter than 65 samples (or undecodable/unsupported) flag
+   * `ok = false`.
+   */
+  def audioAHash(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioHash] = {
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val usable = fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!usable) AudioHash(id, ok = false, 0L)
+          else {
+            val big = fmt.isBigEndian
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            if (n < 65) AudioHash(id, ok = false, 0L)
+            else {
+              val energy = new Array[Long](65)
+              var s = 0
+              while (s < n) {
+                val b0 = pcm(2 * s)
+                val b1 = pcm(2 * s + 1)
+                val v = if (big) (b0.toInt << 8) | (b1 & 0xFF) // b0 sign-extends
+                        else (b1.toInt << 8) | (b0 & 0xFF)
+                energy((s.toLong * 65 / n).toInt) += math.abs(v)
+                s += 1
+              }
+              var hash = 0L
+              var i = 0
+              while (i < 64) {
+                if (energy(i + 1) > energy(i)) hash |= (1L << i)
+                i += 1
+              }
+              AudioHash(id, ok = true, hash)
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => AudioHash(id, ok = false, 0L)
+        }
+      }
+    }
+  }
+
+  /**
+   * Audio near-duplicate pairs: [[audioAHash]] fingerprints through the
+   * same banded Hamming machinery as images and text
+   * ([[graft.pipeline.Dedup.hammingBandPairs]]); the shuffle moves
+   * (media_id, 8-byte hash) regardless of clip size.
+   */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 2, bands: Int = 4,
+                        maxBucket: Option[Int] = None)
+                       (implicit spark: SparkSession): DataFrame = {
+    val sig = audioAHash(media).toDF()
+      .filter(col("ok")).select(col("media_id"), col("ahash"))
+    graft.pipeline.Dedup.hammingBandPairs(sig, "media_id", "ahash",
+      maxHamming, bands, maxBucket)
+  }
+
   /** Decoded-audio feature row. Integer features (sum of |sample|, max
     * |sample|) keep the oracle hash-stable; `ok = false` marks
     * undecodable content, surviving like [[decodeImages]]. */

@@ -202,6 +202,26 @@ class MultimodalSpec extends SparkTestBase {
       p.take(1000))
   }
 
+  test("audioAHash: deterministic; identical clips equal; short/corrupt flag ok=false") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val wavs = Multimodal.syntheticAudio(docs)
+    val h1 = Multimodal.audioAHash(wavs).collect().map(x => x.media_id -> x).toMap
+    val h2 = Multimodal.audioAHash(wavs).collect().map(x => x.media_id -> x).toMap
+    assert(h1.keySet === Set(1L, 2L, 10L))
+    assert(h1.values.forall(_.ok))
+    h1.keys.foreach(k => assert(h1(k).ahash === h2(k).ahash))
+    assert(h1.values.map(_.ahash).toSet.size > 1)
+    val bad = Seq((99L, Array[Byte](9, 9, 9))).toDF("media_id", "content")
+    assert(!Multimodal.audioAHash(bad).collect().head.ok)
+    // planted byte-identical copy surfaces at hamming 0
+    val planted = wavs.filter(col("media_id") === 2L)
+      .withColumn("media_id", col("media_id") + 1000L)
+    val pairs = Multimodal.audioNearDupPairs(wavs.unionByName(planted), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.contains((2L, 1002L, 0L)), pairs.mkString(", "))
+  }
+
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
     val out = Multimodal.featureSummary(Multimodal.syntheticImages(docs))
