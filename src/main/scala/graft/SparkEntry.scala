@@ -1127,6 +1127,23 @@ object SparkEntry {
         .orderBy("id1")
     }),
 
+    // Video near-dup (per-frame aHash majority-vote fingerprint): 50
+    // byte-identical planted animated-GIF copies at hamming 0 —
+    // completing the text/image/audio/video sweep on one band engine.
+    "q_multimodal_videohash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val anims = Multimodal.syntheticAnimations(
+        rd(s, dir, "documents").filter(col("doc_id") < 200))
+      val planted = anims.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val pairs = Multimodal.videoNearDupPairs(anims.unionByName(planted),
+        maxHamming = 2)
+      pairs.filter(col("id2") === col("id1") + 1000000L && col("id1") < 50)
+        .select(col("id1"), col("id2"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id1")
+    }),
+
     // REAL frame sampling: the fixture writes genuine animated GIFs
     // (2 + id mod 4 frames, per-frame closed-form pattern); the JDK
     // ImageReader demuxes and every 2nd frame decodes to integer
@@ -1321,6 +1338,9 @@ object SparkEntry {
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     "q_multimodal_audiohash" ->
+      ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
+    "q_multimodal_videohash" ->
       ("SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS BIGINT) AS hamming " +
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
     "q_ann_lsh" ->

@@ -222,6 +222,32 @@ object Multimodal {
   /** Perceptual fingerprint row. */
   case class ImageHash(media_id: Long, ok: Boolean, ahash: Long)
 
+  /** The aHash core shared by [[imageAHash]] (whole image) and
+    * [[videoAHash]] (per demuxed frame): nearest-neighbor 8×8 grayscale
+    * downsample (red channel, integer-floor resample), bit i set iff
+    * pixel i is strictly above the 64-pixel mean — compared by integer
+    * cross-multiplication (`lum·64 > Σlum`) so no float rounding. */
+  @inline private def ahashOf(img: java.awt.image.BufferedImage): Long = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val lums = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val sx = ((i % 8).toLong * sw / 8).toInt
+      val sy = ((i / 8).toLong * sh / 8).toInt
+      val lum = (img.getRGB(sx, sy) >> 16) & 0xFF
+      lums(i) = lum; sum += lum
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (lums(i).toLong * 64 > sum) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /**
    * 64-bit average-hash (aHash) perceptual fingerprint: decode
    * (`javax.imageio`) → nearest-neighbor 8×8 grayscale downsample (red
@@ -243,26 +269,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
         val img = decodeOrNull(bytes)
         if (img == null) ImageHash(id, ok = false, 0L)
-        else {
-          val (sw, sh) = (img.getWidth, img.getHeight)
-          val lums = new Array[Int](64)
-          var sum = 0L
-          var i = 0
-          while (i < 64) {
-            val sx = ((i % 8).toLong * sw / 8).toInt
-            val sy = ((i / 8).toLong * sh / 8).toInt
-            val lum = (img.getRGB(sx, sy) >> 16) & 0xFF
-            lums(i) = lum; sum += lum
-            i += 1
-          }
-          var hash = 0L
-          i = 0
-          while (i < 64) {
-            if (lums(i).toLong * 64 > sum) hash |= (1L << i)
-            i += 1
-          }
-          ImageHash(id, ok = true, hash)
-        }
+        else ImageHash(id, ok = true, ahashOf(img))
       }
     }
   }
@@ -283,6 +290,82 @@ object Multimodal {
     val sig = imageAHash(media).toDF()
       .filter(col("ok")).select(col("media_id"), col("ahash"))
     graft.pipeline.Dedup.hammingBandPairs(sig, "media_id", "ahash",
+      maxHamming, bands, maxBucket)
+  }
+
+  /** Video fingerprint row. */
+  case class VideoHash(media_id: Long, ok: Boolean, n_frames: Int, vhash: Long)
+
+  /**
+   * 64-bit video fingerprint: demux the multi-frame container (animated
+   * GIF, the JDK-demuxable stand-in for video — same reader pattern as
+   * [[sampleFrames]]), compute the [[imageAHash]] core per frame, then
+   * majority-vote each bit across frames (the SimHash construction, with
+   * frame aHashes as the "features"). Byte-identical videos fingerprint
+   * identically; re-encodes or a few changed frames move only the bits
+   * whose majority flips. Undecodable / zero-frame content → `ok = false`.
+   */
+  def videoAHash(media: DataFrame)(implicit spark: SparkSession): Dataset[VideoHash] = {
+    import spark.implicits._
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
+        if (bytes.isEmpty) VideoHash(id, ok = false, 0, 0L)
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) VideoHash(id, ok = false, 0, 0L)
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              try {
+                val n = reader.getNumImages(true)
+                if (n == 0) VideoHash(id, ok = false, 0, 0L)
+                else {
+                  val votes = new Array[Int](64)
+                  var f = 0
+                  while (f < n) {
+                    val fh = ahashOf(reader.read(f))
+                    var b = 0
+                    while (b < 64) {
+                      votes(b) += (if (((fh >>> b) & 1L) == 1L) 1 else -1)
+                      b += 1
+                    }
+                    f += 1
+                  }
+                  var vhash = 0L
+                  var b = 0
+                  while (b < 64) {
+                    if (votes(b) > 0) vhash |= (1L << b)
+                    b += 1
+                  }
+                  VideoHash(id, ok = true, n, vhash)
+                }
+              } finally reader.dispose()
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => VideoHash(id, ok = false, 0, 0L)
+          } finally iis.close()
+        }
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs — [[videoAHash]] fingerprints through
+    * [[graft.pipeline.Dedup.hammingBandPairs]], completing the
+    * text/image/audio/video sweep on one banded pair engine. */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 2, bands: Int = 4,
+                        maxBucket: Option[Int] = None)
+                       (implicit spark: SparkSession): DataFrame = {
+    val sig = videoAHash(media).toDF()
+      .filter(col("ok")).select(col("media_id"), col("vhash"))
+    graft.pipeline.Dedup.hammingBandPairs(sig, "media_id", "vhash",
       maxHamming, bands, maxBucket)
   }
 

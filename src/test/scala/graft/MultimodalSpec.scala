@@ -222,6 +222,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.contains((2L, 1002L, 0L)), pairs.mkString(", "))
   }
 
+  test("videoAHash: deterministic per-GIF fingerprint; planted copy at hamming 0") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val anims = Multimodal.syntheticAnimations(docs)
+    val h1 = Multimodal.videoAHash(anims).collect().map(x => x.media_id -> x).toMap
+    val h2 = Multimodal.videoAHash(anims).collect().map(x => x.media_id -> x).toMap
+    assert(h1.keySet === Set(1L, 2L, 10L))
+    assert(h1.values.forall(v => v.ok && v.n_frames >= 2))
+    h1.keys.foreach(k => assert(h1(k).vhash === h2(k).vhash))
+    val bad = Seq((99L, Array[Byte](0, 1, 2))).toDF("media_id", "content")
+    assert(!Multimodal.videoAHash(bad).collect().head.ok)
+    val planted = anims.filter(col("media_id") === 10L)
+      .withColumn("media_id", col("media_id") + 1000L)
+    val pairs = Multimodal.videoNearDupPairs(anims.unionByName(planted), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.contains((10L, 1010L, 0L)), pairs.mkString(", "))
+  }
+
   test("featureSummary joins decode output back to metadata") {
     implicit val s: SparkSession = spark
     val out = Multimodal.featureSummary(Multimodal.syntheticImages(docs))
