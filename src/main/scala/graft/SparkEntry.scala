@@ -903,6 +903,60 @@ object SparkEntry {
         .orderBy("tag", "user_id")
     }),
 
+    // Analytic window functions (SURVEY §2.5 — none in the reference,
+    // free in Spark): per-user event timeline with row_number, lag and a
+    // running value sum. One shuffle on user_id; the running frame is
+    // explicit ROWS (ties impossible — event_id is unique in the order
+    // key, so ROWS == RANGE on both engines). The running sum is over
+    // integer CENTS, not the raw double: DuckDB computes windowed sums
+    // with a segment tree whose addition order differs from Spark's
+    // sequential accumulator, so a double sum would not hash-match. The
+    // values carry exactly 2 decimals, so round(value*100) is lossless.
+    "q_window_analytic" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      rd(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          sum(round(col("value") * 100).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_sum_cents"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // OLAP cube (all four grouping-set combinations of two keys) over
+    // lineitem — the CUBE companion of q_rollup's ROLLUP. Still ONE
+    // two-phase hash aggregation: Spark expands each input row to the 4
+    // grouping sets map-side and partial-aggregates before the shuffle.
+    // l_quantity values are integral doubles, so the sum is exact and
+    // casts to long losslessly on both engines.
+    "q_cube" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")),
+
+    // JSON scalar extraction (SURVEY §2.9 — the reference serializes JSON
+    // but never parses it; Spark's get_json_object is codegen'd): pull
+    // props.$.k out of the raw JSON string column and aggregate it per
+    // event type. The extraction is per-row narrow; the groupBy is the
+    // only shuffle.
+    "q_json_props" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // Corpus vocabulary (tokenizer-training pass): top-50 tokens by
     // occurrence count with document frequency, ties by token.
     "q_vocab" -> ((s, dir) =>
@@ -1573,6 +1627,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT user_id, 'click_only' AS tag FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
         |ORDER BY tag, user_id""".stripMargin.replace("\n", " "),
+    "q_window_analytic" ->
+      """SELECT user_id, event_id, CAST(row_number() OVER w AS INT) AS rn,
+        |  lag(value) OVER w AS prev_value,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, rn""".stripMargin.replace("\n", " "),
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin.replace("\n", " "),
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
     "q_vocab" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
