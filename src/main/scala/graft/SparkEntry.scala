@@ -582,6 +582,64 @@ object SparkEntry {
       s.createDataFrame(rows.asJava, schema)
     }),
 
+    // TOP_K through the runner (§2.4 streaming path): the same spec as
+    // the batch q_topk, but computed as a FrequentItems partial per
+    // batch and merged at the driver combine (JoinBolt analog). Exact
+    // regime (distinct keys ≪ maxMapSize·3/4 — probed), so the batch
+    // oracle pins the streaming sketch path bit-for-bit.
+    "q_runner_topk" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("tk",
+        aggregation = TopK(Seq("l_returnflag" -> "rflag", "l_linestatus" -> "lstatus"),
+          k = 3, countName = "cnt", threshold = Some(1L), maxMapSize = 1024)))
+      // two batches: the merge contract (partial ⊕ partial = whole) is
+      // what distinguishes this from the batch entry
+      val li = rd(s, dir, "lineitem")
+      runner.processBatch(li.filter(col("l_orderkey") % 2 === 0))
+      runner.processBatch(li.filter(col("l_orderkey") % 2 =!= 0))
+      clock.advance(100000)
+      val clips = runner.onTick()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = clips.head.records.map(mapper.readTree).map { r =>
+        org.apache.spark.sql.Row(r.get("rflag").asText(),
+          r.get("lstatus").asText(), r.get("cnt").asLong())
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rflag", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(rows.asJava, schema)
+        .orderBy(desc("cnt"), asc("rflag"), asc("lstatus"))
+    }),
+
+    // DISTRIBUTION (QUANTILE) through the runner: KLL partials per batch,
+    // driver-merged, finished at tick. Same quartile ranks and k as the
+    // batch q_dist_quantile, so the same percentile_disc oracle pins the
+    // streaming merge path (exact regime — n ≤ k, probed).
+    "q_runner_dist" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("dq",
+        aggregation = Distribution("c_acctbal", DistributionType.QUANTILE,
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0), k = 32768)))
+      val cust = rd(s, dir, "customer")
+      runner.processBatch(cust.filter(col("c_custkey") % 2 === 0))
+      runner.processBatch(cust.filter(col("c_custkey") % 2 =!= 0))
+      clock.advance(100000)
+      val clips = runner.onTick()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = clips.head.records.map(mapper.readTree).map { r =>
+        org.apache.spark.sql.Row(r.get("Quantile").asDouble(), r.get("Value").asDouble())
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("Quantile", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("Value", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows.asJava, schema).orderBy("Quantile")
+    }),
+
     // BQL string front-end (§2.10 stretch): SQL-ish text → QuerySpec →
     // the same compiled plan.
     "q_bql" -> ((s, dir) => {
@@ -1552,6 +1610,9 @@ object SparkEntry {
       ("SELECT etype, cnt, cnt / 100.0 AS ratio FROM " +
         "(SELECT event_type AS etype, count(*) AS cnt FROM events GROUP BY 1) " +
         "WHERE cnt > 2000 ORDER BY etype"),
+    "q_runner_topk" ->
+      "SELECT l_returnflag AS rflag, l_linestatus AS lstatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY cnt DESC, rflag, lstatus LIMIT 3",
+    "q_runner_dist" -> quartileOracle,
     "q_pipeline_e2e" ->
       ("""WITH stats AS (
          |  SELECT doc_id, least(1.0, len(string_split(text, ' ')) / 100.0) *
@@ -2016,6 +2077,18 @@ object SparkEntry {
           .groupBy("event_type")
           .agg(countDistinct(col("user_bucket")).as("db"))
           .agg(max(col("db"))).head.getLong(0), (1024L * 3) / 4,
-          "max per-event_type distinct user_bucket (maxMapSize=1024)")))
+          "max per-event_type distinct user_bucket (maxMapSize=1024)")),
+      // Runner-path twins of q_topk / q_dist_quantile: same sketch
+      // constants, same fixtures — the exact-regime precondition is
+      // identical but asserted per entry so a future retune of one
+      // doesn't silently strand the other.
+      "q_runner_topk" -> ((s, dir) =>
+        check(rd(s, dir, "lineitem")
+          .select(countDistinct(col("l_returnflag"), col("l_linestatus")))
+          .head.getLong(0), (1024L * 3) / 4,
+          "distinct (l_returnflag, l_linestatus) (maxMapSize=1024)")),
+      "q_runner_dist" -> ((s, dir) =>
+        check(rd(s, dir, "customer").filter(col("c_acctbal").isNotNull).count(),
+          32768L, "customer c_acctbal rows (k=32768)")))
   }
 }
