@@ -148,6 +148,15 @@ object SparkEntry {
       QueryCompiler.run(rd(s, dir, "lineitem"), q)
     }),
 
+    // Theta set algebra between segment audiences (§2.4's sketch family
+    // doing what it was picked for): click∩purchase / click∖purchase
+    // distinct-user cardinalities from ONE scan — two per-segment theta
+    // partials, set ops on the two compact sketches. Exact regime probed.
+    "q_sketch_setops" -> ((s, dir) =>
+      graft.operators.SketchSetOps.distinctOverlap(
+        rd(s, dir, "events"), "event_type", Seq("user_id"),
+        segA = "click", segB = "purchase", lgK = 18)),
+
     // §2.4 DISTRIBUTION QUANTILE via KLL (exact regime: n ≤ k keeps every
     // value in the sketch's level-0 buffer, so quantiles are exact and
     // INCLUSIVE search == SQL percentile_disc).
@@ -844,6 +853,17 @@ object SparkEntry {
       Sampling.hashSample(rd(s, dir, "documents"), "doc_id", fraction = 0.2)
         .select(col("doc_id"), col("lang"), col("source")).orderBy("doc_id")),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // inclusion ∝ word count, 50 survivors via a per-partition top-k
+    // heap — no full sort. The md5-derived uniform makes the draw
+    // engine-portable, so DuckDB replays the identical selection.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+        rd(s, dir, "documents")
+          .withColumn("wt", size(split(col("text"), " ")).cast("double")),
+        "doc_id", col("wt"), k = 50)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
     // Stratified: per-language keep rates (pretraining-mix rebalancing),
     // one codegen'd when-chain, zero shuffle.
     "q_sample_stratified" -> ((s, dir) =>
@@ -1120,6 +1140,21 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Same decontamination through the Bloom-prefiltered scale path: the
+    // benchmark grams fold into ONE native BloomFilterAggregate, corpus
+    // grams probe might_contain before the verify join ships anything.
+    // Deliberately small numBits (~5 bits/gram) so false positives DO
+    // occur and the exact verify join is what the oracle certifies.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("bid"), col("text"))
+      TextAnalysis.benchmarkOverlapBloom(docs, "doc_id", "text",
+        bench, "bid", "text", n = 3, minOverlap = 2,
+        estimatedGrams = 1 << 12, numBits = 5L << 12)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Bucketized interval join: unit prices matched to part price bands
     // via bucket equi-join + exact filter — never a nested-loop join.
     "q_range_join" -> ((s, dir) => {
@@ -1319,6 +1354,16 @@ object SparkEntry {
       "SELECT count(DISTINCT (l_orderkey, l_suppkey)) AS count FROM lineitem",
     "q_count_distinct_grouped" ->
       "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS du FROM events GROUP BY 1 ORDER BY 1",
+    "q_sketch_setops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'click' AS seg_a, 'purchase' AS seg_b,
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_a_not_b,
+        |  (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_b_not_a""".stripMargin.replace("\n", " "),
     "q_dist_quantile" -> quartileOracle,
     "q_dist_linear" -> quartileOracle, // LINEAR numPoints=5 == these ranks
     "q_time_rollup" ->
@@ -1627,6 +1672,14 @@ object SparkEntry {
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' ORDER BY doc_id"),
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |       / 4294967296.0) / len(string_split(text, ' ')) AS score
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0
+        |  ORDER BY score DESC LIMIT 50
+        |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_sample_stratified" ->
       ("""SELECT doc_id, lang FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
@@ -1783,6 +1836,18 @@ object SparkEntry {
         |       ELSE 0.0 END AS rep_ratio
         |FROM toks t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
     "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |)
+        |SELECT d.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM grams d JOIN grams b ON d.g = b.g AND b.doc_id < 5
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    // Bloom prefilter + exact verify ≡ the exact overlap join (false
+    // positives die in the verify join, false negatives impossible), so
+    // the bloom path shares q_decontaminate's oracle verbatim.
+    "q_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
@@ -2037,6 +2102,13 @@ object SparkEntry {
           .agg(countDistinct(col("user_id")).as("du"))
           .agg(max(col("du"))).head.getLong(0), 1L << 17,
           "max per-event_type distinct user_id (lgK=17)")),
+      // Theta set ops are exact while BOTH input sketches are exact-mode
+      "q_sketch_setops" -> ((s, dir) =>
+        check(rd(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type").agg(countDistinct(col("user_id")).as("du"))
+          .agg(max(col("du"))).head.getLong(0), 1L << 18,
+          "max segment distinct user_id (lgK=18)")),
       // KLL: exact (percentile_disc parity) while n ≤ k per sketch;
       // one probe covers quantile/linear/pmf/cdf (same column, same k)
       "q_dist_quantile" -> ((s, dir) =>

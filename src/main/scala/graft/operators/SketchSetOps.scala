@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.agg.{BufSerde, ThetaBuf, ThetaPartialAgg}
+import graft.compile.QueryCompiler
+import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/**
+ * Theta-sketch SET OPERATIONS between segment audiences: distinct-value
+ * intersection / difference / union cardinalities between two segments of
+ * one scan — "how many users who clicked also purchased" at 100 TB.
+ *
+ * This is the set-expression side of the reference's Theta count-distinct
+ * (SURVEY §2.4; DataSketches theta supports union/intersection/A-not-B on
+ * the same sketch family — the reason bullet chose theta over HLL). The
+ * plan is ONE shuffle: per-segment theta partials combine map-side
+ * (`ThetaPartialAgg` — O(2^lgK) state per task, never O(distinct)), one
+ * final sketch per segment lands at the driver (two bounded rows), and
+ * the set algebra runs on the two compact sketches there. Exact while
+ * both segments stay inside the sketch exact regime (≤ 2^lgK retained
+ * entries — probed per SF like every sketch entry); beyond it, theta's
+ * documented set-operation error bounds apply.
+ */
+object SketchSetOps {
+
+  /** One row of audience-overlap cardinalities between `segA` and `segB`:
+    * `n_a, n_b, n_union, n_intersect, n_a_not_b, n_b_not_a`. `fields` is
+    * the identity tuple (composite-keyed like every grouped sketch). */
+  def distinctOverlap(df: DataFrame, segCol: String, fields: Seq[String],
+                      segA: String, segB: String, lgK: Int = 18): DataFrame = {
+    require(segA != segB, "overlap of a segment with itself is just its cardinality")
+    val agg = udaf(new ThetaPartialAgg(lgK), Encoders.STRING)
+    // one scan, one shuffle to exactly two reducer keys
+    val partials = df.filter(col(segCol).isin(segA, segB))
+      .groupBy(col(segCol).as("seg"))
+      .agg(agg(QueryCompiler.compositeKey(df, fields)).as("sk"))
+      .collect() // bounded: ≤ 2 rows of ≤ 2^lgK·8 bytes
+      .map(r => r.getString(0) -> BufSerde.de[ThetaBuf](r.getAs[Array[Byte]](1)).result)
+      .toMap
+    def sketchOf(seg: String): CompactSketch =
+      partials.getOrElse(seg,
+        SetOperation.builder().setNominalEntries(1 << lgK).buildUnion().getResult)
+    val (a, b) = (sketchOf(segA), sketchOf(segB))
+    val union = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    union.union(a); union.union(b)
+    val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
+    inter.intersect(a); inter.intersect(b)
+    def est(s: CompactSketch): Long = Math.round(s.getEstimate)
+    val row = Row(segA, segB, est(a), est(b), est(union.getResult),
+      est(inter.getResult),
+      est(SetOperation.builder().buildANotB().aNotB(a, b)),
+      est(SetOperation.builder().buildANotB().aNotB(b, a)))
+    val schema = StructType(Seq(
+      StructField("seg_a", StringType), StructField("seg_b", StringType),
+      StructField("n_a", LongType), StructField("n_b", LongType),
+      StructField("n_union", LongType), StructField("n_intersect", LongType),
+      StructField("n_a_not_b", LongType), StructField("n_b_not_a", LongType)))
+    df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+}

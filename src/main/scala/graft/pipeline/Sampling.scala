@@ -89,6 +89,40 @@ object Sampling {
       temperatureFractions(weights, temperature, scale),
       defaultFraction = 0.0, hexDigits)
 
+  /** Deterministic uniform in (0,1) from the stable md5 of `key`: the
+    * first 8 hex chars as a 32-bit integer, mid-bucketed (+0.5) so the
+    * value is never exactly 0 or 1 — safe under `ln`/`pow`. Portable:
+    * `ln((CAST(concat('0x', substr(md5(k),1,8)) AS BIGINT) + 0.5) /
+    * 4294967296.0)` reproduces it bit-for-bit in DuckDB. */
+  def hashUniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+   * every row draws the deterministic uniform u = [[hashUniform]](key)
+   * and scores `ln(u) / w`; the k largest scores are exactly a weighted
+   * sample without replacement with per-row inclusion ∝ weight (the
+   * exponential-keys construction, keys Exp(w) via −ln(u)/w, smallest k
+   * arrival times ≡ largest k of ln(u)/w). Deterministic in the key, so
+   * reproducible across runs/engines and join-stable like every sampler
+   * here.
+   *
+   * Scale shape: the score is a per-row narrow expression riding the
+   * scan; `orderBy(score).limit(k)` compiles to TakeOrderedAndProject —
+   * a size-k heap per partition, only k rows per partition reach the
+   * driver merge. No full sort, no shuffle of the data. Rows with
+   * non-positive or null weight are never sampled.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    df.filter(weight > 0)
+      .withColumn("__es_score", log(hashUniform(col(keyCol))) / weight)
+      .orderBy(desc("__es_score")).limit(k)
+      .drop("__es_score")
+  }
+
   /** Disjoint train/validation/test split by stable hash: returns the
     * split label per row (fractions must sum to ≤ 1; remainder → "train").
     * The same key always lands in the same split, on any engine. */

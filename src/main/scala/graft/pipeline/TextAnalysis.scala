@@ -185,6 +185,47 @@ object TextAnalysis {
   }
 
   /**
+   * [[benchmarkOverlap]] with a Bloom prefilter in front of the verify
+   * join — the 100 TB configuration. The benchmark grams aggregate into
+   * one Bloom filter (native `BloomFilterAggregate`: per-task partial
+   * filters OR-merged at a 1-row exchange, state O(numBits) per task).
+   * The corpus side probes `might_contain` per gram BEFORE the join, so
+   * only grams that (probably) occur in the benchmark are ever exploded
+   * into the shuffle — at a realistic corpus:benchmark ratio that drops
+   * the join input by orders of magnitude, and the probe itself is a
+   * codegen'd narrow filter riding the corpus scan.
+   *
+   * The result is EXACTLY [[benchmarkOverlap]]'s: Bloom false positives
+   * survive the prefilter but die in the exact gram join; false negatives
+   * cannot occur. `numBits` therefore tunes cost only — size it at ~10
+   * bits per distinct benchmark gram for ~1% FP.
+   *
+   * The built filter is collected to the driver (ONE bounded row of
+   * numBits/8 bytes — the same designed-collect pattern as the runner's
+   * partials row) and shipped as a Literal so executors deserialize it
+   * once and the probe stays inside whole-stage codegen.
+   */
+  def benchmarkOverlapBloom(docs: DataFrame, idCol: String, textCol: String,
+                            bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                            n: Int = 3, minOverlap: Int = 1,
+                            estimatedGrams: Long = 1 << 20,
+                            numBits: Long = 8L << 20): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bg = bench.select(col(benchIdCol).as("bench_id"),
+      explode(Dedup.shingles(col(benchTextCol), n)).as("g"))
+    val bloom = bg
+      .select(BloomFunctions.bloomFilterAgg(col("g"), estimatedGrams, numBits))
+      .head.getAs[Array[Byte]](0)
+    val dg = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .filter(BloomFunctions.mightContain(bloom, col("g")))
+    dg.join(broadcast(bg), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /**
    * BM25 (Okapi, Lucene idf variant) top-k retrieval for a bag of query
    * terms:
    *

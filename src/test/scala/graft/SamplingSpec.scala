@@ -22,6 +22,39 @@ class SamplingSpec extends SparkTestBase {
     assert(ids1 === ids2) // partitioning-independent, unlike df.sample
   }
 
+  test("weightedSample matches the brute-force exponential-keys selection") {
+    val s = spark
+    import s.implicits._
+    // weights 1..4 by id mod 4 (+1); brute-force the same A-ES keys locally
+    val df = (1L to 2000L).map(i => (i, (i % 4 + 1).toDouble)).toDF("id", "w")
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    val expected = (1L to 2000L)
+      .map(i => i -> math.log(u(i)) / (i % 4 + 1).toDouble)
+      .sortBy(-_._2).take(100).map(_._1).toSet
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // heavier weights must be overrepresented: w=4 ids ≫ w=1 ids
+    val byW = got.groupBy(i => i % 4 + 1).view.mapValues(_.size).toMap
+    assert(byW.getOrElse(4L, 0) > byW.getOrElse(1L, 0))
+  }
+
+  test("weightedSample never selects non-positive or null weights") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0))
+      .toDF("id", "w")
+      .union(Seq((5L, Option.empty[Double])).toDF("id", "w"))
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L))
+  }
+
   test("thresholdHex maps fractions to fixed-width lowercase hex") {
     assert(Sampling.thresholdHex(0.0) === "0000")
     assert(Sampling.thresholdHex(0.5) === "8000")

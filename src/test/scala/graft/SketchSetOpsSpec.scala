@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.SketchSetOps
+
+class SketchSetOpsSpec extends SparkTestBase {
+
+  test("distinctOverlap: exact-regime set cardinalities match brute force") {
+    val s = spark
+    import s.implicits._
+    // a = {0..299}, b = {200..449}: |a∩b| = 100, |a∖b| = 200, |b∖a| = 150
+    val df = ((0 until 300).map(i => ("click", i.toLong)) ++
+      (200 until 450).map(i => ("purchase", i.toLong)) ++
+      (0 until 50).map(i => ("view", i.toLong)))  // third segment filtered out
+      .toDF("event_type", "user_id")
+    val r = SketchSetOps.distinctOverlap(df, "event_type", Seq("user_id"),
+      "click", "purchase", lgK = 12).collect()(0)
+    assert(r.getString(0) === "click" && r.getString(1) === "purchase")
+    assert(r.getLong(2) === 300L, "n_a")
+    assert(r.getLong(3) === 250L, "n_b")
+    assert(r.getLong(4) === 450L, "n_union")
+    assert(r.getLong(5) === 100L, "n_intersect")
+    assert(r.getLong(6) === 200L, "n_a_not_b")
+    assert(r.getLong(7) === 150L, "n_b_not_a")
+  }
+
+  test("distinctOverlap: an absent segment behaves as the empty set") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 10).map(i => ("click", i.toLong)).toDF("event_type", "user_id")
+    val r = SketchSetOps.distinctOverlap(df, "event_type", Seq("user_id"),
+      "click", "purchase", lgK = 12).collect()(0)
+    assert(r.getLong(2) === 10L && r.getLong(3) === 0L)
+    assert(r.getLong(4) === 10L && r.getLong(5) === 0L)
+    assert(r.getLong(6) === 10L && r.getLong(7) === 0L)
+  }
+}

@@ -108,6 +108,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out === Map((10L, 1L) -> 2L))
   }
 
+  test("benchmarkOverlapBloom equals the exact path even with a tiny filter") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 200L).map { i =>
+      (i, s"filler${i} tokens about topic${i % 7} item${i} end${i}")
+    }.toDF("doc_id", "text")
+      .union(Seq(
+        (500L, "the quick brown fox jumps high"),
+        (501L, "quick brown fox jumps over things")).toDF("doc_id", "text"))
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("bid", "text")
+    val exact = TextAnalysis.benchmarkOverlap(corpus, "doc_id", "text",
+      bench, "bid", "text", n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 64 bits for ~800 corpus grams: false positives are certain, so this
+    // certifies the verify join actually removes them.
+    val bloomed = TextAnalysis.benchmarkOverlapBloom(corpus, "doc_id", "text",
+      bench, "bid", "text", n = 3, minOverlap = 1,
+      estimatedGrams = 8, numBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bloomed === exact)
+    assert(exact.contains((500L, 1L)) && exact.contains((501L, 1L)))
+  }
+
   test("langId: marker languages, CJK, and und are all detected") {
     val out = TextAnalysis.langId(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(5)).toMap
