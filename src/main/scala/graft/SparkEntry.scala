@@ -455,6 +455,41 @@ object SparkEntry {
     // pass over the batch; driver merges the byte[] partials and finishes
     // at duration expiry. Metric choice keeps doubles order-independent
     // (long sums; min/max) so the oracle hash-matches.
+    // Stream-static enrichment through the runner: events broadcast-join
+    // a customer dimension BEFORE the shared pass, and the registered
+    // query groups on the dim column — the standard "enrich then query"
+    // composition (runner input is any DataFrame, so the same join works
+    // per micro-batch under runStream; the dim side never shuffles).
+    "q_runner_enrich" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("bynation",
+        aggregation = GroupBy(Seq("c_nationkey" -> "nk"), Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("user_id"), "su"),
+          GroupOp(GroupOpType.MAX, Some("value"), "mx")))))
+      val dim = rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+      runner.processBatch(rd(s, dir, "events")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .drop("c_custkey"))
+      clock.advance(100000)
+      val clips = runner.onTick().map(c => c.queryId -> c).toMap
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = clips("bynation").records.map(mapper.readTree).map { r =>
+        org.apache.spark.sql.Row(r.get("nk").asLong(), r.get("cnt").asLong(),
+          r.get("su").asLong(), r.get("mx").asDouble())
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nk", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("su", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mx", org.apache.spark.sql.types.DoubleType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema).orderBy("nk")
+    }),
+
     // Cross-filter GROUP BY fusion under the oracle gate: three queries
     // over the same key but different filters ride ONE fused grouped job;
     // each must see exactly its own groups with exact values.
@@ -1155,6 +1190,110 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Z-order (Morton) key for multi-dimensional layout clustering:
+    // pure shift/mask interleave of (l_partkey, l_suppkey), the sort key
+    // ZOrder.cluster range-partitions on so parquet min-max stats prune
+    // on EITHER dimension. The oracle replays the identical bit formula.
+    "q_zorder" -> ((s, dir) =>
+      rd(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ZOrder.zValue(
+            Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // EXACT Levenshtein near-dup pairs on 24-char prefixes via PassJoin
+    // segment blocking: candidates share a (segment, ±k window) key — one
+    // equi-join shuffle, no cross join — then the real levenshtein
+    // verifies. Blocking is lossless, so the brute-force oracle matches
+    // bit-for-bit.
+    "q_dedup_editdist" -> ((s, dir) =>
+      graft.pipeline.Dedup.editDistancePairs(
+          rd(s, dir, "documents"), "doc_id", "text", prefixLen = 24, maxDist = 2)
+        .orderBy("doc_id1", "doc_id2")),
+
+    // Pivot (wide aggregation): return-flag counts as columns per line
+    // status. Spark pivots with explicit values (no extra distinct job);
+    // ONE two-phase hash aggregation. Counts coalesce to 0 so empty
+    // combinations match the oracle's FILTER form.
+    "q_pivot" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R")).count()
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0L)).as("A"),
+          coalesce(col("N"), lit(0L)).as("N"),
+          coalesce(col("R"), lit(0L)).as("R"))
+        .orderBy("l_linestatus")),
+
+    // Unpivot (melt) — the inverse reshape: the pivoted wide row back to
+    // (status, flag, cnt) long form via the native Unpivot plan node.
+    // Round-tripping through pivot exercises both directions in one
+    // entry; the oracle is the dense status × flag count grid.
+    "q_unpivot" -> ((s, dir) =>
+      queries("q_pivot")(s, dir)
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "l_returnflag", "cnt")
+        .orderBy("l_linestatus", "l_returnflag")),
+
+    // Equi-width histogram of extended price: bucket = floor(x / width).
+    // Single division + floor per row (bit-exact IEEE on both engines),
+    // one hash aggregation; bucket bounds reconstruct client-side.
+    "q_histogram" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // Column profiling (ANALYZE-style): one scan computes non-null/ndv/
+    // min/max for four lineitem columns at once, exploded to one row per
+    // column. Exact ndv via a single Expand-backed aggregate — see
+    // Profiling.scala for the approx_count_distinct swap at extreme scale.
+    "q_profile" -> ((s, dir) =>
+      graft.pipeline.Profiling.profile(rd(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"))
+        .orderBy("col_name")),
+
+    // ORC round-trip: nation re-encoded as ORC (Spark-builtin columnar
+    // format) into a temp dir, read back, aggregated. Proves the second
+    // columnar source/sink end-to-end; the oracle reads the original
+    // parquet.
+    "q_orc_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      rd(s, dir, "nation").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
+    // Bigram conditional LM log-likelihood (order-2 CCNet signal): word
+    // order now matters — same plan family as the unigram entry, with the
+    // bigram generation a narrow arrays_zip (no extra shuffle).
+    "q_text_bigram_ll" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.bigramLogProb(
+          rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Top-3 TF-IDF keywords per document — scores rounded BEFORE ranking
+    // with term-string tie-breaks, so ranks are engine-deterministic.
+    "q_tfidf_terms" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.tfidfTopTerms(
+          rd(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn")),
+
+    // Date/time scalar surface (SURVEY §2.9 — none in the reference,
+    // free in Spark): year/quarter extraction, month truncation and
+    // day-formatting over ship dates in one grouped pass. Session TZ is
+    // UTC on both engines, so day boundaries agree.
+    "q_date_funcs" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy(
+          year(col("l_shipdate")).cast("long").as("yr"),
+          quarter(col("l_shipdate")).cast("long").as("qtr"),
+          date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd")
+            .as("month_start"))
+        .agg(count(lit(1)).as("n"),
+          min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("first_day"),
+          max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("last_day"))
+        .orderBy("yr", "qtr", "month_start")),
+
     // Bucketized interval join: unit prices matched to part price bands
     // via bucket equi-join + exact filter — never a nested-loop join.
     "q_range_join" -> ((s, dir) => {
@@ -1636,6 +1775,11 @@ object SparkEntry {
     "q_runner_multi" ->
       ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS su, min(value) AS mn, max(value) AS mx, " +
         "(SELECT count(DISTINCT user_id) FROM events) AS du FROM events WHERE value > 10.0"),
+    "q_runner_enrich" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nk, count(*) AS cnt,
+        |  CAST(sum(e.user_id) AS BIGINT) AS su, max(e.value) AS mx
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY nk""".stripMargin.replace("\n", " "),
     "q_runner_grouped" ->
       """SELECT query, et, cnt, su, mn FROM (
         |  SELECT 'hi' AS query, event_type AS et, count(*) AS cnt,
@@ -1872,6 +2016,83 @@ object SparkEntry {
         |       WHEN s_de > 0 THEN 'de'
         |       ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_zorder" ->
+      (s"SELECT l_orderkey, l_linenumber, " +
+        s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_text_bigram_ll" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        |  WHERE text IS NOT NULL AND text <> '' AND len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, list_extract(a, i) AS w1, list_extract(a, i + 1) AS w2
+        |  FROM d, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+        |v AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY 1, 2),
+        |c AS (SELECT w1, sum(cnt) AS ctx FROM v GROUP BY 1),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(sum(c * ln(CAST(cnt AS DOUBLE) / ctx)), 4) AS ll2,
+        |  round(sum(c * ln(CAST(cnt AS DOUBLE) / ctx)) / sum(c), 4) AS avg_ll2
+        |FROM db JOIN v USING (w1, w2) JOIN c USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY t),
+        |dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, t,
+        |  round(c * ln(CAST(nd AS DOUBLE) / dfc), 4) AS score
+        |  FROM dt JOIN dfq USING (t), n),
+        |rk AS (SELECT doc_id, t, score, CAST(row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS INT) AS rn FROM sc)
+        |SELECT doc_id, t, score, rn FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin.replace("\n", " "),
+    "q_date_funcs" ->
+      """SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+        |  CAST(extract(quarter FROM l_shipdate) AS BIGINT) AS qtr,
+        |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+        |  COUNT(*) AS n,
+        |  MIN(strftime(l_shipdate, '%Y-%m-%d')) AS first_day,
+        |  MAX(strftime(l_shipdate, '%Y-%m-%d')) AS last_day
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY yr, qtr, month_start"""
+        .stripMargin.replace("\n", " "),
+    "q_dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS p FROM documents)
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |       levenshtein(a.p, b.p) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 2
+        |ORDER BY doc_id1, doc_id2""".stripMargin.replace("\n", " "),
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS A,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'N') AS N,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+        .stripMargin.replace("\n", " "),
+    "q_unpivot" ->
+      """SELECT s.l_linestatus, f.l_returnflag, COALESCE(c.cnt, 0) AS cnt
+        |FROM (SELECT DISTINCT l_linestatus FROM lineitem) s
+        |CROSS JOIN (VALUES ('A'), ('N'), ('R')) f(l_returnflag)
+        |LEFT JOIN (SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2) c
+        |  ON s.l_linestatus = c.l_linestatus
+        | AND f.l_returnflag = c.l_returnflag
+        |ORDER BY s.l_linestatus, f.l_returnflag""".stripMargin.replace("\n", " "),
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "q_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS ndv,
+           |  CAST(MIN($c) AS VARCHAR) AS vmin, CAST(MAX($c) AS VARCHAR) AS vmax
+           |FROM lineitem""".stripMargin.replace("\n", " ")
+      }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+    "q_orc_ingest" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin.replace("\n", " "),
     "q_range_join" ->
       """SELECT l_orderkey, l_extendedprice / l_quantity AS unit, p_partkey,
         |  p_retailprice - 0.05 AS lo, p_retailprice + 0.05 AS hi

@@ -760,4 +760,67 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /**
+   * EXACT edit-distance (Levenshtein) near-duplicate pairs over a fixed
+   * prefix of each document, via PassJoin-style segment blocking (Li,
+   * Deng, Feng — "PASS-JOIN: a partition-based method for similarity
+   * joins", PVLDB 2012): partition each prefix into `maxDist + 1`
+   * contiguous segments; if ed(a, b) ≤ maxDist then at least one of a's
+   * segments is untouched by the edit script and therefore occurs
+   * verbatim in b, shifted by at most `maxDist` positions. So candidates
+   * are the pairs sharing (segment index, segment text) against a window
+   * index of ±maxDist shifted substrings — ONE equi-join shuffle keyed on
+   * short byte strings, never an all-pairs cross join — and each
+   * candidate is then verified with the real `levenshtein` (built-in,
+   * codegen'd). The blocking is lossless, so the output is bit-identical
+   * to the O(N²) brute force.
+   *
+   * Keys per document: `maxDist+1` segments + ≤ `(maxDist+1)(2·maxDist+1)`
+   * windows — constants. At 100 TB the shuffle is O(N · maxDist²) narrow
+   * rows and the verify cost is bounded by true-ish candidates only.
+   *
+   * Skew note: documents SHORTER than `prefixLen` leave their tail
+   * segments empty, and empty segments match every other empty window —
+   * short docs therefore pool into one candidate bucket (still exactly
+   * verified, but quadratic in their count). Pre-filter very short texts
+   * or shrink `prefixLen` on short-doc corpora. Dropping the empty
+   * matches instead would silently lose pairs whose every non-empty
+   * segment was edited.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 24, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(prefixLen % (maxDist + 1) == 0,
+      s"prefixLen=$prefixLen must divide into maxDist+1=${maxDist + 1} equal segments")
+    val segLen = prefixLen / (maxDist + 1)
+    val docs = df.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("p"))
+    // a-side: the maxDist+1 disjoint segments of the prefix
+    val segs = docs.select(col("doc_id"), col("p"), explode(array(
+      (0 to maxDist).map(i => struct(lit(i).as("si"),
+        substring(col("p"), i * segLen + 1, segLen).as("seg"))): _*)).as("e"))
+      .select(col("doc_id"), col("p"), col("e.si"), col("e.seg"))
+    // b-side: every segment-length window within ±maxDist of each
+    // segment's home position (clipped at the string start)
+    val wins = docs.select(col("doc_id"), col("p"), explode(array(
+      (for {
+        i <- 0 to maxDist
+        d <- -maxDist to maxDist
+        pos = i * segLen + 1 + d if pos >= 1
+      } yield struct(lit(i).as("si"),
+        substring(col("p"), pos, segLen).as("w"))): _*)).as("e"))
+      .select(col("doc_id"), col("p"), col("e.si"), col("e.w"))
+    // ed ≤ k holds in both orientations, so the a.id < b.id half-space
+    // still sees every qualifying pair (each side partitions ITS string).
+    val cand = segs.as("a").join(wins.as("b"),
+        col("a.si") === col("b.si") && col("a.seg") === col("b.w") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        col("a.p").as("p1"), col("b.p").as("p2"))
+      .distinct()
+    cand.select(col("doc_id1"), col("doc_id2"),
+        levenshtein(col("p1"), col("p2")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

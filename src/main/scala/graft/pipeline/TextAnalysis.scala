@@ -455,6 +455,73 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document conditional log-likelihood under the corpus's own BIGRAM
+   * language model — the order-2 companion of [[unigramLogProb]]:
+   * `ll2 = Σ_(w1,w2) c · ln( c(w1 w2) / c(w1 ·) )` over adjacent token
+   * pairs, where `c(w1 ·)` counts w1 in non-final position (the MLE
+   * conditional). Word SEQUENCE now matters: a doc of common words in an
+   * incoherent order scores far below the same bag in corpus-typical
+   * order — the repetition/gibberish signal unigram scoring cannot see.
+   * Docs with fewer than two tokens have no bigrams and are omitted.
+   * Rounded to 4 decimals for the same engine-parity reasons as
+   * [[unigramLogProb]].
+   *
+   * Scale shape: bigram generation is narrow (an `arrays_zip` of the
+   * token array with its own tail — no join, no extra shuffle over the
+   * exploded form); per-(doc, bigram) occurrence collapse, the
+   * bigram-vocabulary join, and the context-count join are all
+   * partitioned on the bigram / context token with AQE broadcasting the
+   * small sides, exactly like the unigram plan.
+   */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val a = toks(col(textCol))
+    val big = df.filter(col(textCol).isNotNull && col(textCol) =!= "" &&
+        size(toks(col(textCol))) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(arrays_zip(slice(a, lit(1), size(a) - 1),
+          slice(a, lit(2), size(a) - 1))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val vocab = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val ctx = vocab.groupBy("w1").agg(sum("cnt").as("ctx"))
+    val docBig = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    docBig.join(vocab, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        sum(col("c") * log(col("cnt").cast("double") / col("ctx"))).as("__ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__ll"), 4).as("ll2"),
+        round(col("__ll") / col("n_bigrams"), 4).as("avg_ll2"))
+  }
+
+  /**
+   * Top-`k` TF-IDF terms per document — the classic keyword-extraction /
+   * sparse-retrieval signal: `score = c(doc, t) · ln(N / df(t))` with raw
+   * term counts and unsmoothed idf. Scores are rounded to 4 decimals
+   * BEFORE ranking and ties break on the term string, so the ranking is
+   * engine-deterministic (an unrounded rank could flip on a 1-ulp libm
+   * difference). One occurrence-collapse shuffle, a token-partitioned
+   * doc-frequency join (AQE-broadcast when small), a 1-row broadcast for
+   * N, and a per-doc WindowGroupLimit top-k — no sort of the full term
+   * space.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+    val nDocs = tok.agg(count_distinct(col("doc_id")).as("nd"))
+    val dfreq = tok.groupBy("t").agg(count_distinct(col("doc_id")).as("dfc"))
+    val dt = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("t").asc)
+    dt.join(dfreq, "t").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("t"),
+        round(col("c") * log(col("nd").cast("double") / col("dfc")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /**
    * Per-document log-likelihood under the corpus's own unigram language
    * model — the CCNet-style LM-quality signal (Wenzek et al. 2020) with
    * the corpus itself as the model, so there is no external artifact to

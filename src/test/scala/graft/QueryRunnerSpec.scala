@@ -1036,6 +1036,35 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(clips.head.records.head)("cnt") === 2)
   }
 
+  test("stream-static enrichment: dim columns group-able through runStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(QuerySpec("bytier",
+      aggregation = GroupBy(Seq("tier" -> "tier"), Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv")))))
+    val dim = Seq(("u1", "gold"), ("u2", "basic"), ("u3", "gold"))
+      .toDF("user", "tier")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, String)]
+    val enriched = mem.toDF().toDF("event_id", "etype", "value", "user")
+      .join(broadcast(dim), "user") // stream-static join, re-planned per batch
+    val sq = runner.runStream(enriched, triggerMs = 50)
+    try {
+      mem.addData((1L, "click", 1.0, "u1"), (2L, "view", 2.0, "u2"))
+      sq.processAllAvailable()
+      mem.addData((3L, "click", 4.0, "u3"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    clock.advance(20000)
+    val recs = runner.onTick().head.records.map(parse)
+    val byTier = recs.map(r => r("tier") -> r).toMap
+    assert(byTier("gold")("cnt") === 2 && byTier("gold")("sv") === 5.0)
+    assert(byTier("basic")("cnt") === 1 && byTier("basic")("sv") === 2.0)
+  }
+
   test("empty n-ary conjunction is rejected at register, not at batch time") {
     val runner = new QueryRunner(spark, new ManualClock(0))
     val clip = runner.register(QuerySpec("e0",

@@ -305,6 +305,47 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L).getAs[Double]("avg_ll") > out(2L).getAs[Double]("avg_ll"))
   }
 
+  test("bigramLogProb: hand-checked corpus; scrambled word order scores lower") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the sat cat"), // scrambled: rare continuations of common contexts
+      (4L, "the cat sat"),
+      (5L, "x")            // single token: no bigrams, omitted
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(5L))
+    // bigrams: (the,cat)=3 (cat,sat)=2 (cat,ran)=1 (the,sat)=1 (sat,cat)=1
+    // ctx: the=4, cat=3, sat=1
+    val ll1 = math.log(3.0 / 4) + math.log(2.0 / 3)
+    assert(out(1L).getAs[Long]("n_bigrams") === 2L)
+    assert(math.abs(out(1L).getAs[Double]("ll2") - ll1) < 6e-5)
+    // doc 3 picks the RARE continuation of 'the' -> strictly lower avg
+    assert(out(3L).getAs[Double]("avg_ll2") < out(1L).getAs[Double]("avg_ll2"))
+  }
+
+  test("tfidfTopTerms: idf zeroes ubiquitous terms; rare term ranks first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    // 'common' is in all 3 docs: idf = ln(1) = 0 everywhere
+    val (t1, s1) = out((1L, 1))
+    assert(t1 === "rare" && math.abs(s1 - math.log(3.0)) < 6e-5)
+    assert(out((1L, 2))._2 === 0.0) // 'common', tf 2 x idf 0
+    // doc 2: 'other' (df 2) beats 'common' (idf 0)
+    assert(out((2L, 1))._1 === "other")
+  }
+
   test("dsirWeights: docs made of target-domain tokens weigh positive") {
     val s = spark
     import s.implicits._
