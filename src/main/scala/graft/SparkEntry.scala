@@ -1264,6 +1264,72 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Hopping (sliding) time windows in batch via the NATIVE window()
+    // generator: 2-minute windows every 1 minute, so each event lands in
+    // exactly two windows map-side (Expand), then ONE hash aggregation.
+    // The oracle replays the two candidate window starts per event.
+    "q_hopping_window" -> ((s, dir) =>
+      rd(s, dir, "events")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("t"), "2 minutes", "1 minute").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          unix_timestamp(col("w.end")).as("w_end"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")),
+
+    // Farthest-point (k-center) coreset selection over embeddings, gated
+    // like the ANN entries: the distributed selection's radii must be
+    // non-increasing AND match a driver recomputation from the k selected
+    // vectors (k² tiny). Oracle pins the gate constants.
+    "q_coreset" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val seed = emb.agg(min(col("vec_id"))).head.getLong(0)
+      val sel = graft.pipeline.Similarity.coresetFPS(
+        emb, "vec_id", "embedding", k = 8, seedId = seed)
+      val picked = sel.join(
+          emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          "vec_id")
+        .select("sel_order", "radius", "v")
+        .collect().sortBy(_.getInt(0))
+      def dist(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        1.0 - d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val vs = picked.map(_.getSeq[Double](2))
+      val radii = picked.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      val monotone = radii.flatten.sliding(2).forall {
+        case Array(a, b) => a >= b - 1e-9; case _ => true
+      }
+      val consistent = (1 until picked.length).forall { i =>
+        val recomputed = (0 until i).map(j => dist(vs(i), vs(j))).min
+        math.abs(radii(i).get - recomputed) < 1e-9
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_sel", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("radius_monotone", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("radii_consistent", org.apache.spark.sql.types.BooleanType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(Seq(org.apache.spark.sql.Row(
+        picked.length.toLong, monotone, consistent)).asJava, schema)
+    }),
+
+    // Fixed-iteration PageRank over the undirected part—supplier graph
+    // (supplier ids offset to disjoint node space): 3 unrolled supersteps,
+    // each ONE edge⋈rank join + ONE by-destination aggregation. The
+    // oracle replays the identical unrolled arithmetic; ranks round to 4
+    // decimals (engine float-sum order).
+    "q_pagerank" -> ((s, dir) => {
+      val edges = rd(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy("node")
+    }),
+
     // Bigram conditional LM log-likelihood (order-2 CCNet signal): word
     // order now matters — same plan family as the unigram entry, with the
     // bigram generation a narrow arrays_zip (no extra shuffle).
@@ -2020,6 +2086,33 @@ object SparkEntry {
       (s"SELECT l_orderkey, l_linenumber, " +
         s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
         "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_hopping_window" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 1000000000 AS e, event_type FROM events),
+        |w AS (SELECT (e // 60) * 60 - 60 AS w_start, event_type FROM b
+        |      UNION ALL SELECT (e // 60) * 60, event_type FROM b)
+        |SELECT w_start, w_start + 120 AS w_end, event_type, count(*) AS cnt
+        |FROM w GROUP BY 1, 3 ORDER BY w_start, event_type"""
+        .stripMargin.replace("\n", " "),
+    "q_coreset" ->
+      ("SELECT CAST(8 AS BIGINT) AS n_sel, CAST(1 AS BOOLEAN) AS radius_monotone, " +
+        "CAST(1 AS BOOLEAN) AS radii_consistent"),
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey + 1000000 AS t FROM lineitem),
+        |e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+        |deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY s),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |r0 AS (SELECT node, 1.0 AS r FROM n),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum(r0.r / deg.d), 0) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN r0 ON r0.node = e.s
+        |       LEFT JOIN deg ON deg.s = e.s GROUP BY n.node),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum(r1.r / deg.d), 0) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN r1 ON r1.node = e.s
+        |       LEFT JOIN deg ON deg.s = e.s GROUP BY n.node),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum(r2.r / deg.d), 0) AS r
+        |       FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN r2 ON r2.node = e.s
+        |       LEFT JOIN deg ON deg.s = e.s GROUP BY n.node)
+        |SELECT node, round(r, 4) AS rank FROM r3 ORDER BY node"""
+        .stripMargin.replace("\n", " "),
     "q_text_bigram_ll" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
         |  WHERE text IS NOT NULL AND text <> '' AND len(string_split(text, ' ')) >= 2),

@@ -796,11 +796,15 @@ object Dedup {
     val segLen = prefixLen / (maxDist + 1)
     val docs = df.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("p"))
+    // join keys ride as xxhash64(segment-index, text): 8 bytes through
+    // the shuffle instead of a string. A hash collision can only ADD a
+    // spurious candidate — the levenshtein verify rejects it — never
+    // drop a true pair (equal strings always hash equal), so exactness
+    // is preserved.
     // a-side: the maxDist+1 disjoint segments of the prefix
     val segs = docs.select(col("doc_id"), col("p"), explode(array(
-      (0 to maxDist).map(i => struct(lit(i).as("si"),
-        substring(col("p"), i * segLen + 1, segLen).as("seg"))): _*)).as("e"))
-      .select(col("doc_id"), col("p"), col("e.si"), col("e.seg"))
+      (0 to maxDist).map(i =>
+        xxhash64(lit(i), substring(col("p"), i * segLen + 1, segLen))): _*)).as("seg"))
     // b-side: every segment-length window within ±maxDist of each
     // segment's home position (clipped at the string start)
     val wins = docs.select(col("doc_id"), col("p"), explode(array(
@@ -808,14 +812,11 @@ object Dedup {
         i <- 0 to maxDist
         d <- -maxDist to maxDist
         pos = i * segLen + 1 + d if pos >= 1
-      } yield struct(lit(i).as("si"),
-        substring(col("p"), pos, segLen).as("w"))): _*)).as("e"))
-      .select(col("doc_id"), col("p"), col("e.si"), col("e.w"))
+      } yield xxhash64(lit(i), substring(col("p"), pos, segLen))): _*)).as("w"))
     // ed ≤ k holds in both orientations, so the a.id < b.id half-space
     // still sees every qualifying pair (each side partitions ITS string).
     val cand = segs.as("a").join(wins.as("b"),
-        col("a.si") === col("b.si") && col("a.seg") === col("b.w") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.seg") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
         col("a.p").as("p1"), col("b.p").as("p2"))
       .distinct()

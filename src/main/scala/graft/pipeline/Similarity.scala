@@ -342,4 +342,61 @@ object Similarity {
       .select(col("id1"), col("id2"))
     Dedup.dupClusters(df.select(col(idCol)), idCol, pairs, maxIters)
   }
+
+  /**
+   * Greedy farthest-point (k-center / Gonzalez) coreset selection by
+   * cosine distance — the geometric data-selection recipe (DeepCore-style
+   * coverage sampling): start from `seedId`, then `k-1` times add the
+   * point whose distance to the nearest already-selected center is
+   * LARGEST. The selected set 2-approximates the optimal k-center cover,
+   * so training on it preserves embedding-space coverage instead of
+   * oversampling dense regions. Deterministic: ties break on the lowest
+   * vec_id.
+   *
+   * Returns (sel_order, vec_id, radius) with `radius` = the point's
+   * min-distance-to-centers at selection time (null for the seed). The
+   * radius sequence is non-increasing — radius_i is the covering radius
+   * of the first i centers, the standard stopping diagnostic.
+   *
+   * Scale shape: the corpus never moves — each round broadcasts ONE new
+   * center into a narrow `least(md, dist-to-center)` column update and
+   * runs one top-1 reduce (`orderBy.limit(1)` lowers to TakeOrdered: a
+   * per-partition heap + driver merge of partition winners, never a full
+   * sort). `localCheckpoint` after each update keeps round `i` from
+   * recomputing rounds `0..i-1` (and truncates the k-deep lineage).
+   * Driver holds k centers — O(k · dim), not O(N).
+   */
+  def coresetFPS(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 seedId: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("vec_id"), asD(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val seed = base.filter(col("vec_id") === seedId).select("v").head.getSeq[Double](0)
+    var center: Seq[Double] = seed
+    var cur = base.withColumn("md", lit(Double.PositiveInfinity)).localCheckpoint()
+    val sel = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()
+    sel += ((0, seedId, None))
+    var chosen = Set(seedId)
+    for (i <- 1 until k) {
+      val cNrm = math.sqrt(center.map(x => x * x).sum)
+      cur = cur.withColumn("md", least(col("md"),
+          lit(1.0) - dot(col("v"), typedLit(center)) / (col("nrm") * lit(cNrm))))
+        .localCheckpoint()
+      val nxt = cur.filter(!col("vec_id").isInCollection(chosen))
+        .orderBy(desc("md"), asc("vec_id")).limit(1)
+        .select("vec_id", "md", "v").head
+      sel += ((i, nxt.getLong(0), Some(nxt.getDouble(1))))
+      center = nxt.getSeq[Double](2)
+      chosen += nxt.getLong(0)
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = sel.map { case (o, id, r) =>
+      org.apache.spark.sql.Row(o, id, r.orNull)
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sel_order", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("radius", org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.pipeline.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+
+  // triangle a-b-c plus pendant c-d
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+  }
+
+  test("degrees: triangle nodes have 2 (3 for the hub), pendant has 1") {
+    val got = Graph.degrees(fixture, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("pageRank single iteration matches hand computation") {
+    val got = Graph.pageRank(fixture, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // deg: 1->2, 2->2, 3->3, 4->1; all start at 1
+    val e1 = 0.15 + 0.85 * (1.0 / 2 + 1.0 / 3) // from 2 and 3
+    val e3 = 0.15 + 0.85 * (1.0 / 2 + 1.0 / 2 + 1.0) // from 1, 2 and 4
+    val e4 = 0.15 + 0.85 * (1.0 / 3)
+    assert(math.abs(got(1L) - e1) < 1e-12)
+    assert(math.abs(got(2L) - e1) < 1e-12)
+    assert(math.abs(got(3L) - e3) < 1e-12)
+    assert(math.abs(got(4L) - e4) < 1e-12)
+  }
+
+  test("rank mass is conserved across iterations on a symmetrized graph") {
+    val ranks = Graph.pageRank(fixture, "src", "dst", iters = 5)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(ranks - 4.0) < 1e-9, s"mass drifted: $ranks")
+  }
+
+  test("hub outranks leaf; plan has no cartesian product") {
+    val pr = Graph.pageRank(fixture, "src", "dst", iters = 3)
+    val got = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) > got(1L) && got(1L) > got(4L))
+    val p = pr.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
