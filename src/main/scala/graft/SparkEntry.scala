@@ -1264,6 +1264,81 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Semi/anti-join relational surface: orders that DO have a returned
+    // line (LEFT SEMI) tagged against orders that have none (LEFT ANTI).
+    // Both legs broadcast the build side and never duplicate probe rows.
+    "q_exists_join" -> ((s, dir) => {
+      val returned = rd(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      val o = rd(s, dir, "orders").select("o_orderkey")
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .withColumn("tag", lit("has_return"))
+        .unionByName(
+          o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+            .withColumn("tag", lit("no_return")))
+        .groupBy("tag").agg(count(lit(1)).as("n_orders"))
+        .orderBy("tag")
+    }),
+
+    // Correlated scalar subquery de-correlated the Spark way: parts
+    // priced above their brand average — ONE pass + a per-brand window
+    // average instead of a per-row subquery execution.
+    "q_scalar_subquery" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand")
+      rd(s, dir, "part")
+        .withColumn("brand_n", count(lit(1)).over(w))
+        // integral-cents sum keeps the mean exact on both engines
+        .withColumn("brand_avg_cents",
+          sum(round(col("p_retailprice") * 100).cast("long")).over(w)
+            .cast("double") / col("brand_n"))
+        .filter(round(col("p_retailprice") * 100) > col("brand_avg_cents"))
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("brand_avg_cents") / 100, 4).as("brand_avg"))
+        .orderBy("p_partkey")
+    }),
+
+    // Exact interpolating percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`: both p·(n-1) interpolation; quantity values
+    // are integral doubles so midpoints are exact halves — bit-stable).
+    "q_median" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Source-precedence dedup across corpus snapshots: for each duplicated
+    // content hash keep the copy from the highest-priority source (doc_id
+    // tie-break) — the cross-snapshot merge rule. ONE hash shuffle via
+    // min_by on a (priority, doc_id) struct; no window, no sort.
+    "q_dedup_priority" -> ((s, dir) => {
+      val pr = when(col("source") === "src0", 0)
+        .when(col("source") === "src1", 1).otherwise(2)
+      rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"), pr.as("prio"),
+          xxhash64(col("text")).as("h"))
+        .groupBy("h")
+        .agg(min_by(struct(col("doc_id"), col("source")),
+            struct(col("prio"), col("doc_id"))).as("keep"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep.doc_id").as("doc_id"),
+          col("keep.source").as("source"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
+    // Correlation / covariance statistics per group (Pearson corr and
+    // sample covariance of quantity vs extended price) — the numeric
+    // column-relationship profile. Rounded to 4 decimals (engine-order
+    // float sums).
+    "q_corr" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000, 4)
+            .as("cov_k"))
+        .orderBy("l_returnflag")),
+
     // Hopping (sliding) time windows in batch via the NATIVE window()
     // generator: 2-minute windows every 1 minute, so each event lands in
     // exactly two windows map-side (Expand), then ONE hash aggregation.
@@ -2086,6 +2161,44 @@ object SparkEntry {
       (s"SELECT l_orderkey, l_linenumber, " +
         s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
         "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_exists_join" ->
+      """SELECT tag, count(*) AS n_orders FROM (
+        |  SELECT o_orderkey, CASE WHEN EXISTS (
+        |    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_returnflag = 'R')
+        |    THEN 'has_return' ELSE 'no_return' END AS tag
+        |  FROM orders o) GROUP BY tag ORDER BY tag"""
+        .stripMargin.replace("\n", " "),
+    "q_scalar_subquery" ->
+      """WITH b AS (SELECT p_partkey, p_brand,
+        |  round(p_retailprice * 100) AS cents,
+        |  count(*) OVER (PARTITION BY p_brand) AS brand_n,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_sum
+        |  FROM part)
+        |SELECT p_partkey, p_brand,
+        |  round(brand_sum / brand_n / 100, 4) AS brand_avg
+        |FROM b WHERE cents > brand_sum / brand_n ORDER BY p_partkey"""
+        .stripMargin.replace("\n", " "),
+    "q_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_dedup_priority" ->
+      """WITH k AS (SELECT doc_id, source, text,
+        |  CASE WHEN source = 'src0' THEN 0 WHEN source = 'src1' THEN 1
+        |       ELSE 2 END AS prio FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  count(*) OVER (PARTITION BY text) AS n_copies,
+        |  row_number() OVER (PARTITION BY text ORDER BY prio, doc_id) AS rn
+        |  FROM k)
+        |SELECT doc_id, source, n_copies FROM r WHERE rn = 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+    "q_corr" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS r,
+        |  round(covar_samp(l_quantity, l_extendedprice) / 1000, 4) AS cov_k
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_hopping_window" ->
       """WITH b AS (SELECT epoch_ns(ts) // 1000000000 AS e, event_type FROM events),
         |w AS (SELECT (e // 60) * 60 - 60 AS w_start, event_type FROM b

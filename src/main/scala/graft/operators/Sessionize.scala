@@ -1,8 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input shape for [[Sessionize.statefulSessions]]. */
+case class SessionEvent(entity: String, ts: java.sql.Timestamp, etype: String)
+
+/** Open-session accumulator held in stream state (epoch millis). */
+case class OpenSession(start: Long, last: Long, n: Long,
+                       firstType: String, lastType: String, switches: Long)
+
+/** A closed session with its behavioral summary (epoch millis). */
+case class ClosedSession(entity: String, start_ms: Long, end_ms: Long,
+                         n_events: Long, first_type: String,
+                         last_type: String, type_switches: Long)
 
 /**
  * Gap-based sessionization: assign each event a per-entity session index,
@@ -73,4 +86,68 @@ object Sessionize {
       .select(col(entityCol), col("session_window.start").as("window_start"),
         col("session_window.end").as("window_end"),
         col("last_event_ts"), col("n_events"))
+
+  /**
+   * Stateful sessionization with a CUSTOM session payload via
+   * `flatMapGroupsWithState` — the escape hatch for session summaries
+   * `session_window` cannot express, because the aggregate depends on
+   * event ORDER within the session: here first/last event type and the
+   * number of type TRANSITIONS (the "journey shape" signal). Sessions
+   * close and emit exactly once, either in-batch (a later event arrives
+   * past the gap) or via EVENT-TIME TIMEOUT when the watermark passes
+   * `last + gap` — so idle entities' state is reclaimed by the engine,
+   * never leaked.
+   *
+   * State per entity is ONE fixed-size [[OpenSession]] (no event buffer:
+   * arrivals fold in sorted order per batch), partitioned by entity key —
+   * the standard keyed-state scale shape. Late events older than the
+   * watermark are dropped by the engine before the function runs.
+   */
+  def statefulSessions(stream: DataFrame, entityCol: String, tsCol: String,
+                       etypeCol: String, gapMs: Long,
+                       watermarkDelay: String): Dataset[ClosedSession] = {
+    require(gapMs > 0, "gap must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream.withWatermark(tsCol, watermarkDelay)
+      .select(col(entityCol).cast("string").as("entity"),
+        col(tsCol).as("ts"), col(etypeCol).cast("string").as("etype"))
+      .as[SessionEvent]
+    ds.groupByKey(_.entity)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (entity: String, events: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(entity, s.start, s.last,
+            s.n, s.firstType, s.lastType, s.switches)
+          if (state.hasTimedOut) {
+            val out = close(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    lastType = e.etype,
+                    switches = s.switches + (if (e.etype != s.lastType) 1 else 0)))
+                case Some(s) => // gap exceeded inside the batch: close + restart
+                  closed += close(s)
+                  open = Some(OpenSession(t, t, 1, e.etype, e.etype, 0))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.etype, e.etype, 0))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

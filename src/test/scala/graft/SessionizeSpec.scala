@@ -82,6 +82,41 @@ class SessionizeSpec extends SparkTestBase {
     assert(rows.contains((2L, 100L, 110L, 100L, 1L)), rows.toSeq)
   }
 
+  test("statefulSessions: order-dependent payload, in-batch close, and timeout close") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, String)]
+    val out = Sessionize.statefulSessions(
+      mem.toDF().toDF("user", "ts", "etype"), "user", "ts", "etype",
+      gapMs = 10000L, watermarkDelay = "0 seconds")
+    val sq = out.writeStream.format("memory")
+      .queryName("stateful_sess_out").outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      // u1: click->view->view in one session (1 type switch);
+      // u2: two events 500 s apart in the SAME batch -> in-batch close
+      mem.addData(("u1", t(1), "click"), ("u1", t(4), "view"),
+        ("u1", t(8), "view"), ("u2", t(2), "click"), ("u2", t(502), "buy"))
+      sq.processAllAvailable()
+      // watermark is now 502 s >> u1's last+gap (18 s): u1 times out on
+      // the next batch
+      mem.addData(("u3", t(600), "view"))
+      sq.processAllAvailable()
+      mem.addData(("u3", t(601), "view"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val rows = spark.table("stateful_sess_out")
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000,
+        r.getLong(2) / 1000, r.getLong(3), r.getString(4), r.getString(5),
+        r.getLong(6))).toSet
+    // u2's first session closed IN-BATCH by the 502 s event
+    assert(rows.contains(("u2", 2L, 2L, 1L, "click", "click", 0L)), rows)
+    // u1's session closed by event-time timeout with the journey payload
+    assert(rows.contains(("u1", 1L, 8L, 3L, "click", "view", 1L)), rows)
+  }
+
   test("one shuffle: lag, running sum, and the summary agg share the entity partitioning") {
     val plan = Sessionize.summarize(events, "uid", "ts", 10, "eid")
       .queryExecution.executedPlan.toString
