@@ -1264,6 +1264,57 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Ranking-function family (rank, dense_rank, percent_rank, ntile,
+    // cume_dist) per user over the event timeline. percent_rank/cume_dist
+    // are single exact rational divisions — bit-stable cross-engine.
+    "q_rank_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      rd(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("user_id", "rnk", "event_id")
+    }),
+
+    // OLS regression aggregates (slope/intercept/R²) of extended price on
+    // quantity per return flag — the built-in regr_* family on both
+    // engines, rounded to 4 decimals (engine float-sum order).
+    "q_regression" -> ((s, dir) =>
+      rd(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) / 100, 4)
+            .as("icept_h"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+        .orderBy("l_returnflag")),
+
+    // Conversion attribution (event-time interval join): each purchase
+    // joined to the user's clicks in the preceding 10 minutes — equi-join
+    // on user + residual time-range filter (the same operator runs as a
+    // watermarked stream-stream join; AttributionSpec covers that mode).
+    // Microsecond-exact arithmetic on both engines.
+    "q_attribution" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"), col("t").as("cts"))
+      val touch = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("touch_id"), col("t").as("tts"))
+      graft.operators.Attribution.attribute(
+          conv, touch, "user_id", "cts", "tts", windowSec = 600)
+        .groupBy(col("c.conv_id").as("conv_id"), col("c.cts").as("cts"))
+        .agg(count(lit(1)).as("n_touch"),
+          max(unix_micros(col("t.tts"))).as("last_us"))
+        .select(col("conv_id"), col("n_touch"),
+          (unix_micros(col("cts")) - col("last_us")).as("gap_us"))
+        .orderBy("conv_id")
+    }),
+
     // Semi/anti-join relational surface: orders that DO have a returned
     // line (LEFT SEMI) tagged against orders that have none (LEFT ANTI).
     // Both legs broadcast the build side and never duplicate probe rows.
@@ -2161,6 +2212,30 @@ object SparkEntry {
       (s"SELECT l_orderkey, l_linenumber, " +
         s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
         "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_rank_funcs" ->
+      """SELECT user_id, event_id, rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk, percent_rank() OVER w AS prnk,
+        |  ntile(4) OVER w AS quartile, cume_dist() OVER w AS cdist
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, rnk, event_id""".stripMargin.replace("\n", " "),
+    "q_regression" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity) / 100, 4) AS icept_h,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS conv_id, user_id, us AS cus FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS touch_id, user_id, us AS tus FROM e
+        |      WHERE event_type = 'click')
+        |SELECT conv_id, count(*) AS n_touch, cus - max(tus) AS gap_us
+        |FROM c JOIN t USING (user_id)
+        |WHERE tus <= cus AND tus > cus - 600000000
+        |GROUP BY conv_id, cus ORDER BY conv_id""".stripMargin.replace("\n", " "),
     "q_exists_join" ->
       """SELECT tag, count(*) AS n_orders FROM (
         |  SELECT o_orderkey, CASE WHEN EXISTS (
