@@ -1264,6 +1264,41 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Equi-DEPTH histogram (quantile bucketing, the ML feature-binning
+    // op): exact quartile boundaries over integer CENTS (interpolation of
+    // integers is exact double math — no cross-engine boundary flips),
+    // then a broadcast CASE assigns buckets in one narrow pass + count.
+    "q_equidepth" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      val b = li.agg(
+        expr("percentile(cents, 0.25)").as("b1"),
+        expr("percentile(cents, 0.5)").as("b2"),
+        expr("percentile(cents, 0.75)").as("b3")).head
+      val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+      li.select(when(col("cents") <= b1, 0L).when(col("cents") <= b2, 1L)
+          .when(col("cents") <= b3, 2L).otherwise(3L).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    // Schema evolution across parquet batches: two writes with DIFFERENT
+    // column subsets read back as one dataset via mergeSchema — the
+    // schema-drift reality of long-lived ingest directories. Missing
+    // columns surface as nulls; the counts pin exactly which batch
+    // carried which column.
+    "q_schema_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val n = rd(s, dir, "nation")
+      n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(s"$tmp/b1")
+      n.select("n_nationkey", "n_regionkey").write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_name")).as("n_names"),
+          count(col("n_regionkey")).as("n_regions"),
+          count_distinct(col("n_nationkey")).as("ndv_key"))
+    }),
+
     // Ranking-function family (rank, dense_rank, percent_rank, ntile,
     // cume_dist) per user over the event timeline. percent_rank/cume_dist
     // are single exact rational divisions — bit-stable cross-engine.
@@ -2212,6 +2247,19 @@ object SparkEntry {
       (s"SELECT l_orderkey, l_linenumber, " +
         s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
         "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_equidepth" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |b AS (SELECT quantile_cont(cents, 0.25) AS b1,
+        |             quantile_cont(cents, 0.5) AS b2,
+        |             quantile_cont(cents, 0.75) AS b3 FROM c)
+        |SELECT CAST(CASE WHEN cents <= b1 THEN 0 WHEN cents <= b2 THEN 1
+        |            WHEN cents <= b3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM c, b GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "q_schema_merge" ->
+      ("SELECT 2 * count(*) AS n_rows, count(*) AS n_names, " +
+        "count(*) AS n_regions, count(DISTINCT n_nationkey) AS ndv_key FROM nation"),
     "q_rank_funcs" ->
       """SELECT user_id, event_id, rank() OVER w AS rnk,
         |  dense_rank() OVER w AS drnk, percent_rank() OVER w AS prnk,
