@@ -1264,6 +1264,28 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Leakage-aware train/test split: deterministic hash split, then every
+    // TEST doc is probed against the TRAIN MinHash band index — the
+    // "no near-dup crosses the split" audit an eval pipeline must run.
+    // Composition of splitLabel + minhashBandIndex + lshPairsAgainstIndex;
+    // the oracle recomputes leaks by exact cross-split Jaccard.
+    "q_clean_split" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lab = docs.withColumn("split",
+        Sampling.splitLabel(col("doc_id"), 0.1, 0.1))
+      val train = lab.filter(col("split") === "train").select("doc_id", "text")
+      val test = lab.filter(col("split") === "test").select("doc_id", "text")
+      val index = Dedup.minhashBandIndex(train, "doc_id", "text", n = 3)
+      val leaks = Dedup.lshPairsAgainstIndex(test, "doc_id", "text",
+        train, index, n = 3, threshold = 0.5)
+      test.join(leaks.groupBy(col("new_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_leaks")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+          (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"))
+        .orderBy("doc_id")
+    }),
+
     // Equi-DEPTH histogram (quantile bucketing, the ML feature-binning
     // op): exact quartile boundaries over integer CENTS (interpolation of
     // integers is exact double math — no cross-engine boundary flips),
@@ -2247,6 +2269,29 @@ object SparkEntry {
       (s"SELECT l_orderkey, l_linenumber, " +
         s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
         "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_clean_split" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 'test'
+        |       ELSE 'train' END AS split FROM documents),
+        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s WHERE split = 'test'),
+        |rtoks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s WHERE split = 'train'),
+        |tgrams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM ttoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)),
+        |rgrams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM rtoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)),
+        |tsz AS (SELECT doc_id, count(*) AS sz FROM tgrams GROUP BY 1),
+        |rsz AS (SELECT doc_id, count(*) AS sz FROM rgrams GROUP BY 1),
+        |inter AS (SELECT t.doc_id AS tid, r.doc_id AS rid, count(*) AS ic
+        |  FROM tgrams t JOIN rgrams r ON t.g = r.g GROUP BY 1, 2),
+        |leaks AS (SELECT tid, count(*) AS n_leaks FROM (
+        |  SELECT tid, rid, CAST(ic AS DOUBLE) / (ts.sz + rs.sz - ic) AS j
+        |  FROM inter JOIN tsz ts ON tid = ts.doc_id JOIN rsz rs ON rid = rs.doc_id)
+        |  WHERE j >= 0.5 GROUP BY tid)
+        |SELECT s.doc_id, COALESCE(l.n_leaks, 0) AS n_leaks,
+        |  COALESCE(l.n_leaks, 0) > 0 AS leaked
+        |FROM s LEFT JOIN leaks l ON s.doc_id = l.tid
+        |WHERE s.split = 'test' ORDER BY s.doc_id""".stripMargin.replace("\n", " "),
     "q_equidepth" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |           FROM lineitem),

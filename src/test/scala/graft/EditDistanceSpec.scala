@@ -59,6 +59,19 @@ class EditDistanceSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("docs shorter than the prefix still pair via their empty tail segments") {
+    val s = spark
+    import s.implicits._
+    // len 10 vs len 9 (one delete): every non-empty segment may be touched,
+    // so the empty-segment match path must keep the pair findable
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcdfghij"),
+      (3L, "zzzzzzzzzz")).toDF("id", "t")
+    val got = Dedup.editDistancePairs(docs, "id", "t", prefixLen = 24, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 1)), got)
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("rejects a prefix length that does not split into equal segments") {
     val s = spark
     import s.implicits._
