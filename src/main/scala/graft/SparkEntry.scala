@@ -1264,6 +1264,25 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Sketch persistence round-trip (incremental count-distinct): half the
+    // stream's theta partials are WRITTEN to parquet (binary column),
+    // read back, and merged with the other half's fresh partials —
+    // distinct users per event type without ever re-scanning history.
+    // Exact regime (probed); oracle is the exact distinct count.
+    "q_sketch_persist" -> ((s, dir) => {
+      import graft.operators.SketchSetOps
+      val ev = rd(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sk").toString
+      SketchSetOps.thetaPartials(ev.filter(col("event_id") % 2 === 0),
+          "event_type", Seq("user_id"), lgK = 18)
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val fresh = SketchSetOps.thetaPartials(ev.filter(col("event_id") % 2 =!= 0),
+        "event_type", Seq("user_id"), lgK = 18)
+      SketchSetOps.mergedDistinct(stored.unionByName(fresh), lgK = 18)
+        .orderBy("seg")
+    }),
+
     // Leakage-aware train/test split: deterministic hash split, then every
     // TEST doc is probed against the TRAIN MinHash band index — the
     // "no near-dup crosses the split" audit an eval pipeline must run.
@@ -2269,6 +2288,9 @@ object SparkEntry {
       (s"SELECT l_orderkey, l_linenumber, " +
         s"${graft.operators.ZOrder.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z " +
         "FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
+    "q_sketch_persist" ->
+      ("SELECT event_type AS seg, count(DISTINCT user_id) AS n_distinct " +
+        "FROM events GROUP BY 1 ORDER BY seg"),
     "q_clean_split" ->
       """WITH s AS (SELECT doc_id, text,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
@@ -2704,6 +2726,13 @@ object SparkEntry {
           .groupBy("event_type").agg(countDistinct(col("user_id")).as("du"))
           .agg(max(col("du"))).head.getLong(0), 1L << 18,
           "max segment distinct user_id (lgK=18)")),
+      // Persisted-partial merge: exact while each segment's TOTAL distinct
+      // (across all merged snapshots) stays in the exact regime
+      "q_sketch_persist" -> ((s, dir) =>
+        check(rd(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("du"))
+          .agg(max(col("du"))).head.getLong(0), 1L << 18,
+          "max per-event_type distinct user_id (lgK=18)")),
       // KLL: exact (percentile_disc parity) while n ≤ k per sketch;
       // one probe covers quantile/linear/pmf/cdf (same column, same k)
       "q_dist_quantile" -> ((s, dir) =>

@@ -62,6 +62,22 @@ final class ThetaPartialAgg(lgK: Int = 17)
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Re-merge PERSISTED theta partials (the bytes [[ThetaPartialAgg]]
+  * emits) and finish to the rounded distinct estimate — the second half
+  * of the save/restore contract: sketches written to a parquet binary
+  * column in one run merge with fresh partials in the next, so history
+  * is never re-scanned. */
+final class ThetaMergeEstimateAgg(lgK: Int = 17)
+    extends Aggregator[Array[Byte], ThetaBuf, java.lang.Long] {
+  def zero: ThetaBuf = new ThetaBuf(lgK)
+  def reduce(b: ThetaBuf, in: Array[Byte]): ThetaBuf =
+    if (in == null) b else b.merge(BufSerde.de[ThetaBuf](in))
+  def merge(b1: ThetaBuf, b2: ThetaBuf): ThetaBuf = b1.merge(b2)
+  def finish(b: ThetaBuf): java.lang.Long = Math.round(b.result.getEstimate)
+  def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
+  def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
+}
+
 final class KllPartialAgg(k: Int = 2048)
     extends Aggregator[java.lang.Double, KllBuf, Array[Byte]] {
   def zero: KllBuf = new KllBuf(k)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.agg.{BufSerde, ThetaBuf, ThetaPartialAgg}
+import graft.agg.{BufSerde, ThetaBuf, ThetaMergeEstimateAgg, ThetaPartialAgg}
 import graft.compile.QueryCompiler
 import org.apache.datasketches.theta.{CompactSketch, SetOperation}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
@@ -59,5 +59,25 @@ object SketchSetOps {
       StructField("n_a_not_b", LongType), StructField("n_b_not_a", LongType)))
     df.sparkSession.createDataFrame(
       java.util.Collections.singletonList(row), schema)
+  }
+
+  /** Per-segment theta partials as a (seg, sk) frame — `sk` is the
+    * serialized sketch buffer, persistable as a parquet BINARY column.
+    * One scan + one shuffle; each row is O(2^lgK) bytes max. */
+  def thetaPartials(df: DataFrame, segCol: String, fields: Seq[String],
+                    lgK: Int = 18): DataFrame = {
+    val agg = udaf(new ThetaPartialAgg(lgK), Encoders.STRING)
+    df.groupBy(col(segCol).as("seg"))
+      .agg(agg(QueryCompiler.compositeKey(df, fields)).as("sk"))
+  }
+
+  /** Merge any union of [[thetaPartials]] tables (several snapshots of
+    * the same segments) into per-segment distinct estimates — the
+    * incremental count-distinct read path: history is merged as KBs of
+    * sketch bytes, never re-scanned. Distributed: one shuffle on `seg`,
+    * map-side partial merges. Exact inside the sketch's exact regime. */
+  def mergedDistinct(parts: DataFrame, lgK: Int = 18): DataFrame = {
+    val agg = udaf(new ThetaMergeEstimateAgg(lgK), Encoders.BINARY)
+    parts.groupBy("seg").agg(agg(col("sk")).as("n_distinct"))
   }
 }

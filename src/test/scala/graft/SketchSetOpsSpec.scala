@@ -33,4 +33,22 @@ class SketchSetOpsSpec extends SparkTestBase {
     assert(r.getLong(4) === 10L && r.getLong(5) === 0L)
     assert(r.getLong(6) === 10L && r.getLong(7) === 0L)
   }
+
+  test("thetaPartials persist to parquet and re-merge to the exact union count") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    // overlapping halves: seg a holds ids 0-59 and 40-99 across snapshots
+    val h1 = (0 until 60).map(i => ("a", i.toString)) ++
+      (0 until 10).map(i => ("b", i.toString))
+    val h2 = (40 until 100).map(i => ("a", i.toString))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sk_test").toString
+    SketchSetOps.thetaPartials(h1.toDF("seg0", "id"), "seg0", Seq("id"), lgK = 12)
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val fresh = SketchSetOps.thetaPartials(h2.toDF("seg0", "id"), "seg0", Seq("id"), lgK = 12)
+    val got = SketchSetOps.mergedDistinct(stored.unionByName(fresh), lgK = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 100L, "b" -> 10L))
+  }
 }
