@@ -1309,14 +1309,15 @@ object SparkEntry {
     // op): exact quartile boundaries over integer CENTS (interpolation of
     // integers is exact double math — no cross-engine boundary flips),
     // then a broadcast CASE assigns buckets in one narrow pass + count.
+    // Boundaries come from ExactQuantiles (count-based, O(distinct)
+    // state) — NOT the built-in exact percentile, which buffers every
+    // row in its aggregation state.
     "q_equidepth" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem")
         .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-      val b = li.agg(
-        expr("percentile(cents, 0.25)").as("b1"),
-        expr("percentile(cents, 0.5)").as("b2"),
-        expr("percentile(cents, 0.75)").as("b3")).head
-      val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+      val q = graft.operators.ExactQuantiles.quantiles(
+        li, "cents", Seq(0.25, 0.5, 0.75))
+      val (b1, b2, b3) = (q(0.25), q(0.5), q(0.75))
       li.select(when(col("cents") <= b1, 0L).when(col("cents") <= b2, 1L)
           .when(col("cents") <= b3, 2L).otherwise(3L).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
