@@ -19,6 +19,18 @@ import scala.jdk.CollectionConverters._
 object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Fixed per-entry scratch dir for round-trip entries (ORC re-encode,
+    * sketch persistence, schema evolution). A STABLE path + overwrite-mode
+    * writes keep /tmp bounded at one copy per entry no matter how many
+    * times Verify/Bench re-invoke the entry — `createTempDirectory` per
+    * invocation leaked a fresh copy each run. */
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
   private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
     // read it as a long of epoch-nanos instead.
@@ -1257,7 +1269,7 @@ object SparkEntry {
     // columnar source/sink end-to-end; the oracle reads the original
     // parquet.
     "q_orc_ingest" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = scratch("orc_ingest")
       rd(s, dir, "nation").write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
@@ -1272,7 +1284,7 @@ object SparkEntry {
     "q_sketch_persist" -> ((s, dir) => {
       import graft.operators.SketchSetOps
       val ev = rd(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sk").toString
+      val tmp = scratch("sketch_persist")
       SketchSetOps.thetaPartials(ev.filter(col("event_id") % 2 === 0),
           "event_type", Seq("user_id"), lgK = 18)
         .write.mode("overwrite").parquet(tmp)
@@ -1330,7 +1342,7 @@ object SparkEntry {
     // columns surface as nulls; the counts pin exactly which batch
     // carried which column.
     "q_schema_merge" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val tmp = scratch("schema_merge")
       val n = rd(s, dir, "nation")
       n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(s"$tmp/b1")
       n.select("n_nationkey", "n_regionkey").write.mode("overwrite").parquet(s"$tmp/b2")
@@ -2088,10 +2100,10 @@ object SparkEntry {
     "q_sample_weighted" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
-        |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-        |       / 4294967296.0) / len(string_split(text, ' ')) AS score
+        |    round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |       / 4294967296.0) / len(string_split(text, ' ')), 9) AS score
         |  FROM documents WHERE len(string_split(text, ' ')) > 0
-        |  ORDER BY score DESC LIMIT 50
+        |  ORDER BY score DESC, doc_id LIMIT 50
         |) ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_sample_stratified" ->
       ("""SELECT doc_id, lang FROM documents

@@ -102,6 +102,17 @@ object Sessionize {
    * arrivals fold in sorted order per batch), partitioned by entity key —
    * the standard keyed-state scale shape. Late events older than the
    * watermark are dropped by the engine before the function runs.
+   *
+   * Within-watermark late arrivals (possible whenever `watermarkDelay`
+   * > 0: an event older than the open session's newest lands in a LATER
+   * micro-batch) are folded without pretending they are newest: the
+   * session's `start`/`firstType` move back when the late event precedes
+   * them, `last`/`lastType` never rewind, and — because O(1) state
+   * cannot reconstruct where mid-session the event truly slotted —
+   * `type_switches` counts transitions among ON-TIME events only. A
+   * late event more than `gapMs` BEFORE the open session's start cannot
+   * belong to it (or to any state still held) and emits immediately as
+   * its own single-event closed session.
    */
   def statefulSessions(stream: DataFrame, entityCol: String, tsCol: String,
                        etypeCol: String, gapMs: Long,
@@ -131,8 +142,22 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
+                // in-batch events arrive sorted, so t < s.last only for
+                // state carried over from a PREVIOUS batch — a
+                // within-watermark late arrival
+                case Some(s) if t < s.start - gapMs =>
+                  // too early to belong to the open session (or any
+                  // state still held): its own already-elapsed session
+                  closed += ClosedSession(entity, t, t, 1, e.etype, e.etype, 0)
+                case Some(s) if t < s.last =>
+                  // late merge: extend backwards only — never rewrite
+                  // the newest-event fields or the on-time switch count
+                  open = Some(s.copy(
+                    start = math.min(s.start, t),
+                    firstType = if (t < s.start) e.etype else s.firstType,
+                    n = s.n + 1))
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                  open = Some(s.copy(last = t, n = s.n + 1,
                     lastType = e.etype,
                     switches = s.switches + (if (e.etype != s.lastType) 1 else 0)))
                 case Some(s) => // gap exceeded inside the batch: close + restart

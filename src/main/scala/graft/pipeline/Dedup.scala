@@ -783,19 +783,36 @@ object Dedup {
    * Skew note: documents SHORTER than `prefixLen` leave their tail
    * segments empty, and empty segments match every other empty window —
    * short docs therefore pool into one candidate bucket (still exactly
-   * verified, but quadratic in their count). Pre-filter very short texts
-   * or shrink `prefixLen` on short-doc corpora. Dropping the empty
+   * verified, but quadratic in their count). The pool is ENFORCED
+   * bounded: an aggregate riding the plan counts short docs and the job
+   * FAILS via `assert_true` past `maxShortDocs` (same guard pattern as
+   * `semanticDedup`'s cell-size precondition) — pre-filter very short
+   * texts or shrink `prefixLen` on short-doc corpora. Dropping the empty
    * matches instead would silently lose pairs whose every non-empty
    * segment was edited.
    */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        prefixLen: Int = 24, maxDist: Int = 2): DataFrame = {
+                        prefixLen: Int = 24, maxDist: Int = 2,
+                        maxShortDocs: Long = 100000L): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(prefixLen % (maxDist + 1) == 0,
       s"prefixLen=$prefixLen must divide into maxDist+1=${maxDist + 1} equal segments")
+    require(maxShortDocs >= 0, "maxShortDocs must be >= 0")
     val segLen = prefixLen / (maxDist + 1)
     val docs = df.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("p"))
+    // short-doc pool guard: one aggregate over the (already narrow)
+    // prefix projection, cross-joined back as a 1-row broadcast global —
+    // the quadratic-pool precondition fails loudly instead of silently
+    // spilling a giant bucket
+    val shortGuard = docs
+      .agg(coalesce(sum(when(length(col("p")) < prefixLen, 1L)), lit(0L)).as("__short"))
+      .select(assert_true(col("__short") <= maxShortDocs,
+        concat(lit("editDistancePairs: "), col("__short"),
+          lit(s" docs shorter than prefixLen=$prefixLen exceeds " +
+            s"maxShortDocs=$maxShortDocs — empty tail segments pool every " +
+            "short doc into one quadratic candidate bucket; pre-filter " +
+            "short texts or shrink prefixLen"))).as("__g"))
     // join keys ride as xxhash64(segment-index, text): 8 bytes through
     // the shuffle instead of a string. A hash collision can only ADD a
     // spurious candidate — the levenshtein verify rejects it — never
@@ -820,7 +837,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
         col("a.p").as("p1"), col("b.p").as("p2"))
       .distinct()
-    cand.select(col("doc_id1"), col("doc_id2"),
+    // the guard must survive column pruning: referencing __g in a FILTER
+    // (not a dropped projection) keeps the assert in the executed plan —
+    // same pattern as semanticDedup's cell-size filter
+    cand.crossJoin(shortGuard)
+      .filter(col("__g").isNull)
+      .select(col("doc_id1"), col("doc_id2"),
         levenshtein(col("p1"), col("p2")).as("dist"))
       .filter(col("dist") <= maxDist)
   }

@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
  * Everything is edge-list relational algebra — one shuffle-join + one
  * aggregation per PageRank iteration, keyed on node id. No graph library,
  * no driver-side adjacency: the same plan a Pregel superstep lowers to.
- * Iterations are unrolled into the logical plan; for deep iteration
- * counts at scale, `localCheckpoint` the rank frame every few rounds to
- * cut lineage, and pre-partition the symmetrized edges and degrees by
- * source so every superstep reuses one exchange.
+ * Iterations are unrolled into the logical plan; `pageRank`'s
+ * `checkpointEvery` truncates lineage every few rounds for deep
+ * iteration counts, and at scale pre-partition the symmetrized edges
+ * and degrees by source so every superstep reuses one exchange.
  */
 object Graph {
 
@@ -46,16 +46,25 @@ object Graph {
    * frame on the source node and one aggregation by destination — both
    * hash-partitioned on node id, the degree join riding the same key.
    * Edges dominate and are never reshaped; ranks are O(nodes).
+   *
+   * `checkpointEvery` > 0 `localCheckpoint`s the rank frame every that
+   * many rounds (same lineage-truncation pattern as
+   * [[graft.pipeline.Similarity.coresetFPS]]): without it the unrolled
+   * plan grows with `iters` — exponential-ish for the optimizer past
+   * ~10 rounds and fully re-executed on any task retry. Leave 0 only
+   * for shallow, oracle-replayable iteration counts.
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
     val sym = symmetrize(edges, srcCol, dstCol)
     val deg = sym.groupBy("s").agg(count(lit(1)).cast("double").as("d"))
     val nodes = sym.select(col("s").as("node")).distinct()
     var r = nodes.withColumn("r", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = sym.join(r.withColumnRenamed("node", "s"), "s")
         .join(deg, "s")
         .groupBy(col("t").as("node"))
@@ -66,6 +75,9 @@ object Graph {
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+      // truncate lineage so plan depth stays O(checkpointEvery), not O(iters)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = r.localCheckpoint()
     }
     r.select(col("node"), col("r").as("rank"))
   }

@@ -25,11 +25,14 @@ import org.apache.spark.sql.types._
  * PNG/BMP/GIF/JPEG) with per-partition codec init, and
  * [[syntheticImages]] writes genuine PNG bytes whose pixel pattern is a
  * closed form of the id — so a DuckDB oracle can recompute the decoded
- * luminance sums without any image library. Only video frame sampling
- * ([[sampleFramesStub]]) remains a clearly-marked deterministic fake:
- * the JDK has no container demuxer, so the stub keeps the real
- * plumbing (bounded per-row explode, per-partition demux init shape)
- * with chunking standing in for decode.
+ * luminance sums without any image library. Video rides the one
+ * multi-frame container the JDK can demux, animated GIF: frame
+ * sampling ([[sampleFrames]]) and the video fingerprint
+ * ([[videoAHash]]) both run the real `ImageReader` multi-image
+ * surface. Formats with no JVM codec (MP4/AVI) need an external
+ * demuxer on the executor classpath and are out of scope here — the
+ * GIF path pins the exact per-partition reader-init + bounded-explode
+ * shape such a demuxer would plug into.
  */
 object Multimodal {
 
@@ -367,40 +370,6 @@ object Multimodal {
       .filter(col("ok")).select(col("media_id"), col("vhash"))
     graft.pipeline.Dedup.hammingBandPairs(sig, "media_id", "vhash",
       maxHamming, bands, maxBucket)
-  }
-
-  /** One sampled frame of a media item. */
-  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
-
-  /**
-   * Sample every `everyN`-th "frame" from each media item — the video
-   * frame-sampling shape: one input row explodes to a bounded number of
-   * frame rows, processed per partition so a real demuxer opens once.
-   *
-   * STUB: a real implementation demuxes the container and decodes key
-   * frames (see [[sampleFrames]] for the REAL multi-frame path over
-   * animated GIF, the one multi-frame container the JDK can demux). The
-   * deterministic fake here treats content as fixed-size chunks
-   * (`frameBytes` each) and keeps chunks 0, everyN, 2·everyN, ... —
-   * kept as the opaque-container shape for formats with no JVM codec.
-   */
-  def sampleFramesStub(media: DataFrame, everyN: Int, frameBytes: Int = 64)
-                      (implicit spark: SparkSession): Dataset[Frame] = {
-    import spark.implicits._
-    require(everyN > 0 && frameBytes > 0)
-    val idIdx = media.schema.fieldIndex("media_id")
-    val contentIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { rows: Iterator[Row] =>
-      rows.flatMap { r =>
-        val id = r.getLong(idIdx)
-        val bytes = Option(r.getAs[Array[Byte]](contentIdx)).getOrElse(Array.emptyByteArray)
-        val nFrames = math.max(1, bytes.length / frameBytes)
-        (0 until nFrames by everyN).map { f =>
-          val start = f * frameBytes
-          Frame(id, f, bytes.slice(start, math.min(start + frameBytes, bytes.length)))
-        }
-      }
-    }
   }
 
   /** Grayscale 256-level palette shared by every synthetic animation

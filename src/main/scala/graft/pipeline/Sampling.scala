@@ -113,13 +113,20 @@ object Sampling {
    * a size-k heap per partition, only k rows per partition reach the
    * driver merge. No full sort, no shuffle of the data. Rows with
    * non-positive or null weight are never sampled.
+   *
+   * The score is ROUNDED to 9 decimals with the key as tie-break before
+   * the top-k cut: `ln` and the division are libm calls whose last ulp
+   * differs across engines, and an unrounded k-th-place boundary can
+   * flip on that ulp (the repo-wide float-parity convention). 1e-9
+   * resolution is far below any meaningful weight ratio, so the sample
+   * distribution is unchanged.
    */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      k: Int): DataFrame = {
     require(k > 0, "sample size k must be positive")
     df.filter(weight > 0)
-      .withColumn("__es_score", log(hashUniform(col(keyCol))) / weight)
-      .orderBy(desc("__es_score")).limit(k)
+      .withColumn("__es_score", round(log(hashUniform(col(keyCol))) / weight, 9))
+      .orderBy(desc("__es_score"), col(keyCol)).limit(k)
       .drop("__es_score")
   }
 

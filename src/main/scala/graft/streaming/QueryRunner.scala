@@ -92,6 +92,11 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       * caps exactly at M via its state cap) — the same coalescing
       * deviation as the per-record sliding window (SURVEY §7.3). */
     var includeOpen: Boolean = true
+    /** Filter latency (reference bullet_filter_latency): wall ms from
+      * batch-processing start to this query's partial merging into
+      * state, last batch + running total (avg = total / batches_seen). */
+    var filterLatencyMsLast: Long = 0L
+    var filterLatencyMsTotal: Long = 0L
     def isGrouped: Boolean = spec.aggregation.isInstanceOf[GroupBy]
     /** Cached eq-partition tuple — pure function of the immutable spec,
       * but consulted several times per batch per query (partitioner
@@ -99,6 +104,10 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       * at thousands of registered queries. */
     lazy val eqKeys: Option[Seq[(String, Any)]] = computeEqPartitionKeys(spec)
   }
+
+  /** Set at [[processBatch]] entry; read by [[mergePartial]] for the
+    * per-batch filter-latency gauge. Guarded by the runner lock. */
+  private var batchStartNanos: Long = System.nanoTime()
 
   private val queries = mutable.LinkedHashMap.empty[String, RQ]
   private val emissions = mutable.ArrayBuffer.empty[Clip]
@@ -439,6 +448,12 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   /** Process one micro-batch: shared partial pass + driver combine + window
     * and lifecycle evaluation. Returns the Clips emitted for this batch. */
   def processBatch(batch: DataFrame): Seq[Clip] = synchronized {
+    // per-batch record-latency gauge anchor (reference
+    // bullet_filter_latency, FilterBolt.java:201-207): every query whose
+    // partials merge from this batch records now → merge-complete as the
+    // batch's filter latency. Wall clock, not the injected tick clock —
+    // latency is a real-time observable even under ManualClock tests.
+    batchStartNanos = System.nanoTime()
     val active = queries.values.filter(!_.done).toSeq
     active.foreach(rq => rq.includeOpen = includeOpenNow(rq))
     val grouped = active.filter(_.isGrouped)
@@ -913,13 +928,18 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
   }
 
   /** Per-query engine metrics (reference built-in metrics,
-    * bullet_storm_defaults.yaml:31-37): matched records and batches seen. */
+    * bullet_storm_defaults.yaml:31-37): matched records and batches seen,
+    * plus the per-batch filter-latency gauge (bullet_filter_latency,
+    * FilterBolt.java:201-207) — wall ms from batch start to this query's
+    * partials merging, last batch and running total. */
   def queryStats(id: String): Option[Map[String, Long]] =
     synchronized(queries.get(id).map(rq => Map(
       "records_seen" -> rq.recordsSeen,
       "batches_seen" -> rq.batchesSeen,
       "records_emitted" -> rq.emitted,
-      "windows_emitted" -> rq.windowsEmitted)))
+      "windows_emitted" -> rq.windowsEmitted,
+      "filter_latency_ms_last" -> rq.filterLatencyMsLast,
+      "filter_latency_ms_total" -> rq.filterLatencyMsTotal)))
 
   /** Is this query's `include first M` window still absorbing at the
     * start of the current batch? True when no include cap applies
@@ -944,6 +964,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     rq.recordsSinceEmit += matched
     rq.recordsSeen += matched
     rq.batchesSeen += 1
+    rq.filterLatencyMsLast = (System.nanoTime() - batchStartNanos) / 1000000L
+    rq.filterLatencyMsTotal += rq.filterLatencyMsLast
     if (!rq.includeOpen) return // include-first window already has its M
     rq.spec.aggregation match {
       case Raw(_) =>

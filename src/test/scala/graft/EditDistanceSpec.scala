@@ -49,14 +49,18 @@ class EditDistanceSpec extends SparkTestBase {
     assert(fast === brute)
   }
 
-  test("plan is an equi-join on segment keys — no cartesian / nested loop") {
+  test("plan is an equi-join on segment keys — no cartesian, only the 1-row guard NLJ") {
     val s = spark
     import s.implicits._
     val docs = Seq((1L, "abcdefabcdefabcdefabcdef")).toDF("id", "t")
     val p = Dedup.editDistancePairs(docs, "id", "t")
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // exactly ONE nested-loop join: the 1-row broadcast short-doc guard
+    // (the repo's 1-row-global pattern). The candidate join itself must
+    // stay an equi-join on the hashed segment keys.
+    val nlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj === 1, p.take(1200))
   }
 
   test("docs shorter than the prefix still pair via their empty tail segments") {

@@ -27,4 +27,21 @@ class ExactQuantilesSpec extends SparkTestBase {
     assert(got(0.5) === 25.0)
     assert(math.abs(got(1.0 / 3) - 20.0) < 1e-9)
   }
+
+  test("domain guard: continuous doubles raise instead of single-task sorting") {
+    val s = spark
+    import s.implicits._
+    // every value distinct — the regime where the one-task cumulative
+    // window would absorb the whole column
+    val continuous = (1 to 2000).map(i => i + 1e-7 * i).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.quantiles(continuous, "v", Seq(0.5), maxDomain = 1000L)
+    }
+    assert(e.getMessage.contains("maxDomain"))
+    assert(e.getMessage.contains("GroupedDistribution"), // names the sketch fallback
+      s"error must point at the KLL path: ${e.getMessage}")
+    // same data passes once the domain bound admits it
+    val ok = ExactQuantiles.quantiles(continuous, "v", Seq(0.5), maxDomain = 2000L)
+    assert(ok(0.5) > 1000 && ok(0.5) < 1001)
+  }
 }

@@ -37,6 +37,26 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(ranks - 4.0) < 1e-9, s"mass drifted: $ranks")
   }
 
+  test("checkpointEvery bounds plan depth at 20 iterations without changing ranks") {
+    val deep = Graph.pageRank(fixture, "src", "dst", iters = 20, checkpointEvery = 5)
+    // lineage truncation: the optimized plan must be the tail-of-loop
+    // shape (O(checkpointEvery) operators over a LogicalRDD), ~9k chars
+    // here, independent of iters — NOT 20 unrolled join+agg rounds,
+    // whose plan string grows without bound and whose optimization alone
+    // takes minutes.
+    val planChars = deep.queryExecution.optimizedPlan.toString.length
+    assert(planChars < 20000, s"plan not truncated: $planChars chars")
+    val got = deep.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 4 && got.values.forall(v => v > 0 && v < 4))
+    // checkpointing must not change the arithmetic: compare at a depth
+    // the unrolled plan still optimizes quickly
+    val got10 = Graph.pageRank(fixture, "src", "dst", iters = 10, checkpointEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want10 = Graph.pageRank(fixture, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    want10.foreach { case (k, v) => assert(math.abs(got10(k) - v) < 1e-9) }
+  }
+
   test("hub outranks leaf; plan has no cartesian product") {
     val pr = Graph.pageRank(fixture, "src", "dst", iters = 3)
     val got = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

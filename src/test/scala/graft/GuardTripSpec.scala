@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{ExactQuantiles, GroupedDistribution, ZOrder}
+import graft.pipeline.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Adversarial fixtures that TRIP every scale guard — each guard is
+ * asserted at sf0.1 cardinalities by the oracle entries, but a guard
+ * that has never fired is a guard you only believe in. Fixtures here
+ * are 10×-degenerate by construction (one stop-shingle across the
+ * whole corpus, one k-means cell holding everything, one short-doc
+ * pool, a fully-continuous value domain, an out-of-range z-dimension,
+ * a group past the KLL exact regime) and every message-bearing guard
+ * must surface ITS message, not a generic crash.
+ */
+class GuardTripSpec extends SparkTestBase {
+
+  /** All messages down a (possibly wrapped) failure chain. */
+  private def messages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
+  test("semanticDedup: one degenerate cell at 10x fails with the maxCellSize message") {
+    val s = spark
+    import s.implicits._
+    // 5,000 identical vectors + one centroid: every row lands in ONE cell
+    val vecs = (1L to 5000L).map(i => (i, Array(1.0f, 0.0f))).toDF("doc_id", "vec")
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(vecs, "doc_id", "vec", threshold = 0.99,
+        centroids = Array(Array(1.0, 0.0)), maxCellSize = 1000).collect()
+    }
+    assert(messages(e).exists(m => m.contains("maxCellSize=1000") &&
+      m.contains("raise nlist")), messages(e).mkString("; "))
+  }
+
+  test("editDistancePairs: a 3k short-doc pool fails with the maxShortDocs message") {
+    val s = spark
+    import s.implicits._
+    // every doc far shorter than the 24-char prefix — the all-empty-tail
+    // pool that would otherwise build one quadratic candidate bucket
+    val shorts = (1L to 3000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(shorts, "doc_id", "text",
+        prefixLen = 24, maxDist = 2, maxShortDocs = 500L).collect()
+    }
+    assert(messages(e).exists(m => m.contains("maxShortDocs=500") &&
+      m.contains("pre-filter short texts")), messages(e).mkString("; "))
+    // under the bound the same corpus verifies exactly (the pool is
+    // quadratic but answer-preserving): d1..d9 prefixes are within
+    // edit distance 2 of each other
+    val ok = Dedup.editDistancePairs(shorts.filter(col("doc_id") < 10),
+      "doc_id", "text", prefixLen = 24, maxDist = 2, maxShortDocs = 500L)
+    assert(ok.count() === 36L) // all C(9,2) single-digit pairs at dist 1
+  }
+
+  test("ExactQuantiles: a continuous 10k-distinct domain fails naming the KLL fallback") {
+    val s = spark
+    import s.implicits._
+    val continuous = (1 to 10000).map(i => i * 1.0000001).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.quantiles(continuous, "v", Seq(0.5), maxDomain = 1000L)
+    }
+    assert(e.getMessage.contains("maxDomain=1000") &&
+      e.getMessage.contains("GroupedDistribution"), e.getMessage)
+  }
+
+  test("ZOrder.cluster: an out-of-range dimension fails with the overflow message") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5L), (2L, 1L << 16)).toDF("a", "b") // 2^16 needs 17 bits
+    val e = intercept[Exception] {
+      ZOrder.cluster(df, Seq("a", "b"), numFiles = 2, bits = 16).collect()
+    }
+    assert(messages(e).exists(_.contains("z-order dimension out of")),
+      messages(e).mkString("; "))
+  }
+
+  test("GroupedDistribution requireExact: a group past the KLL regime fails loudly") {
+    val s = spark
+    import s.implicits._
+    // one group with 5,000 rows against k=1024: level-0 exactness is gone
+    val df = (1 to 5000).map(i => ("g", i.toDouble)).toDF("key", "v")
+    val e = intercept[Exception] {
+      GroupedDistribution.quantiles(df, Seq("key"), "v", Seq(0.5),
+        k = 1024, requireExact = true).collect()
+    }
+    assert(messages(e).exists(_.contains("no longer exact")),
+      messages(e).mkString("; "))
+  }
+
+  test("ngram maxDocFreq: a corpus-wide stop-shingle is dropped, not joined") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    // 2,000 docs whose ONLY shared 3-gram is the boilerplate footer: the
+    // unguarded index would build one 2,000-doc bucket (~2M pairs); the
+    // guard must drop it BEFORE any bucket materializes, leaving only the
+    // 10 planted true near-dup pairs (which share non-hot shingles).
+    val boiler = "all rights reserved"
+    val docs = (1L to 2000L).map { i =>
+      // planted body long enough that dropping the hot footer shingle
+      // plus the 3 copy$i-bearing shingles still leaves Jaccard ≥ 0.5
+      val body =
+        if (i <= 10) "planted duplicate body text number shared alpha bravo " +
+          s"charlie delta echo foxtrot golf hotel india juliet kilo lima mike copy$i"
+        else s"unique body u$i v$i w$i x$i y$i z$i"
+      (i, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = Some(100)).collect()
+    // the planted family pairs survive; nothing else does
+    assert(pairs.nonEmpty && pairs.forall(r => r.getLong(0) <= 10 && r.getLong(1) <= 10),
+      s"got ${pairs.length} pairs incl ${pairs.take(3).mkString(",")}")
+    assert(pairs.length === 45, s"C(10,2) planted pairs expected, got ${pairs.length}")
+  }
+
+  test("simhash maxBucket: 2,000 colliding fingerprints drop their bucket, keep the rest") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    // 2,000 byte-identical texts (identical simhash ⇒ one degenerate
+    // bucket per band) plus 2 distinct near-identical docs elsewhere
+    val docs = ((1L to 2000L).map(i => (i, "the exact same degenerate text everywhere")) ++
+      Seq((9001L, "completely different planted pair body alpha"),
+          (9002L, "completely different planted pair body alphaz"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      n = 2, maxHamming = 3, maxBucket = Some(100)).collect()
+    assert(pairs.forall(r => r.getLong(0) >= 9000L),
+      s"degenerate bucket leaked: ${pairs.take(3).mkString(",")}")
+  }
+}

@@ -92,18 +92,6 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad.forall(r => !r.ok && r.content.isEmpty))
   }
 
-  test("sampleFramesStub: bounded frames per item, strided indices") {
-    implicit val s: SparkSession = spark
-    val frames = Multimodal.sampleFramesStub(
-      Multimodal.fromDocuments(docs), everyN = 2, frameBytes = 4)
-      .collect().groupBy(_.media_id)
-    // doc 10: 21 bytes / 4 = 5 frames → indices 0, 2, 4
-    assert(frames(10L).map(_.frame_idx).sorted.toSeq === Seq(0, 2, 4))
-    assert(frames(10L).forall(_.frame.length <= 4))
-    // doc 2: 3 bytes → 1 frame, index 0
-    assert(frames(2L).map(_.frame_idx).toSeq === Seq(0))
-  }
-
   test("sampleFrames: REAL animated-GIF demux reproduces every sampled frame's pattern") {
     implicit val s: SparkSession = spark
     def flum(x: Int, y: Int, f: Int, id: Long): Long = (x + 3L * y + 7L * id + 11L * f) % 256L

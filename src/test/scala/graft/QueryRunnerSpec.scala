@@ -260,6 +260,24 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(runner.queryStats("gw").get("records_seen") === 100L)
   }
 
+  test("filter-latency gauge: per-batch wall delta accumulates per query") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    runner.register(clickCountSpec("lat", durationMs = 100000))
+    runner.processBatch(events)
+    val s1 = runner.queryStats("lat").get
+    // a real Spark job ran between batch start and the merge — the gauge
+    // must be a positive wall-ms reading, independent of the ManualClock
+    assert(s1("batches_seen") === 1L)
+    assert(s1("filter_latency_ms_last") > 0L, s1.toString)
+    assert(s1("filter_latency_ms_total") === s1("filter_latency_ms_last"))
+    runner.processBatch(events)
+    val s2 = runner.queryStats("lat").get
+    assert(s2("batches_seen") === 2L)
+    assert(s2("filter_latency_ms_total") ===
+      s1("filter_latency_ms_total") + s2("filter_latency_ms_last"))
+  }
+
   test("tumbling time window: emit + reset per interval") {
     val clock = new ManualClock(0)
     val runner = new QueryRunner(spark, clock)

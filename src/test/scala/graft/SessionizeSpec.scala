@@ -117,6 +117,47 @@ class SessionizeSpec extends SparkTestBase {
     assert(rows.contains(("u1", 1L, 8L, 3L, "click", "view", 1L)), rows)
   }
 
+  test("statefulSessions: within-watermark late events extend backwards, never rewrite newest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, String)]
+    val out = Sessionize.statefulSessions(
+      mem.toDF().toDF("user", "ts", "etype"), "user", "ts", "etype",
+      gapMs = 10000L, watermarkDelay = "600 seconds") // generous lateness budget
+    val sq = out.writeStream.format("memory")
+      .queryName("stateful_late_out").outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      // batch 1 opens u1 at [100, 108] with one click->view switch
+      mem.addData(("u1", t(100), "click"), ("u1", t(108), "view"))
+      sq.processAllAvailable()
+      // batch 2: three LATE events inside the watermark —
+      //  t=104 mid-session: merges, n+1, no field rewrites
+      //  t=95 before start (within gap): start/firstType move back
+      //  t=50 more than gap before start: own singleton closed session
+      mem.addData(("u1", t(104), "view"), ("u1", t(95), "search"),
+        ("u1", t(50), "ad"))
+      sq.processAllAvailable()
+      // close u1 by advancing the watermark far past last+gap
+      mem.addData(("u2", t(2000), "view"))
+      sq.processAllAvailable()
+      mem.addData(("u2", t(2001), "view"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val rows = spark.table("stateful_late_out")
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000,
+        r.getLong(2) / 1000, r.getLong(3), r.getString(4), r.getString(5),
+        r.getLong(6))).toSet
+    // the too-early late event is its own session, emitted immediately
+    assert(rows.contains(("u1", 50L, 50L, 1L, "ad", "ad", 0L)), rows)
+    // the open session absorbed t=104 and t=95: start pulled back to 95,
+    // firstType to the late "search", last/lastType still the on-time
+    // (108, view), switches still the on-time 1
+    assert(rows.contains(("u1", 95L, 108L, 4L, "search", "view", 1L)), rows)
+  }
+
   test("one shuffle: lag, running sum, and the summary agg share the entity partitioning") {
     val plan = Sessionize.summarize(events, "uid", "ts", 10, "eid")
       .queryExecution.executedPlan.toString
