@@ -5,6 +5,7 @@ import graft.compile.QueryCompiler
 import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 import scala.jdk.CollectionConverters._
 
@@ -32,8 +33,13 @@ object SparkEntry {
     p.toString
   }
   private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
-    // read it as a long of epoch-nanos instead.
+    // events.ts arrives as epoch-nanos LONG everywhere downstream; the
+    // physical parquet type has varied across testdata generations
+    // (TIMESTAMP(NANOS) → long via nanosAsLong; TIMESTAMP(MICROS) →
+    // TIMESTAMP_NTZ under Spark's inferTimestampNTZ). Normalize both to
+    // nanos here so entry code and oracles never see the difference. The
+    // NTZ wall-clock is interpreted as UTC — same convention DuckDB's
+    // epoch_ns/epoch_us apply to a naive TIMESTAMP, so the two sides agree.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // InferFiltersFromGenerate duplicates the generator-input expression
     // into a pre-Generate filter. Every explode in this engine feeds on a
@@ -47,7 +53,13 @@ object SparkEntry {
     if (!cur.exists(_.split(",").map(_.trim).contains(rule)))
       s.conf.set("spark.sql.optimizer.excludedRules",
         cur.map(_ + "," + rule).getOrElse(rule))
-    s.read.parquet(t(dir, name))
+    val df = s.read.parquet(t(dir, name))
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
   }
 
   /** Clustered embedding fixture derived from the embeddings table: 8
