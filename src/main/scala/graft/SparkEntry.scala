@@ -1767,6 +1767,70 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("lum_sum"))
         .orderBy("media_id")
     }),
+
+    // Hybrid retrieval: RRF fusion of the BM25 top-100 and the
+    // embedding-cosine top-100 for one query vector. Each modality
+    // reduces the corpus to a bounded ranked list before fusion, so the
+    // rank windows and the full-outer join run on 2x100 rows regardless
+    // of corpus size; ranks are ints and the fused score is a fixed-order
+    // sum of two small-integer reciprocals — bit-identical cross-engine.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.pipeline.Retrieval.rrfHybrid(
+        rd(s, dir, "documents"), "doc_id", "text", Bm25Terms,
+        rd(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVecId = 0L, n = 100, k = 20)
+    }),
+
+    // Integer-exact spike detection over per-(user, hour) event counts:
+    // z² > 3² decided entirely in BIGINT via cross-multiplication, so
+    // the flagged set hashes identically on any engine. Two shuffles on
+    // user_id, per-row arithmetic otherwise.
+    "q_ts_anomaly" -> ((s, dir) => {
+      val c = graft.operators.TimeSeries.bucketCounts(
+        rd(s, dir, "events"), "user_id", "ts", 3600000000000L, "event_id")
+      graft.operators.TimeSeries.anomalies(c, z = 3, minBuckets = 12)
+        .select(col("key").as("user_id"), col("bucket").as("hour_b"),
+          col("cnt"), col("n"), col("s"))
+        .orderBy("user_id", "hour_b")
+    }),
+
+    // Dense hourly resample with forward fill for a bounded key set:
+    // every user gets one row per hour from first to last activity,
+    // missing hours at cnt=0 carrying the last seen event_id forward.
+    // The sequence explode is bounded by span/grain (30 days @ hour
+    // grain = 720 rows/user); user_id < 50 bounds the oracle compare.
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = rd(s, dir, "events").filter(col("user_id") < 50)
+      val c = graft.operators.TimeSeries.bucketCounts(
+        ev, "user_id", "ts", 3600000000000L, "event_id")
+      graft.operators.TimeSeries.gapFill(c)
+        .select(col("key").as("user_id"), col("bucket").as("hour_b"),
+          col("cnt"), col("carry").as("last_eid"))
+        .orderBy("user_id", "hour_b")
+    }),
+
+    // Domain-level curation: keep documents whose source's mean token
+    // count >= the corpus mean, the comparison cross-multiplied into
+    // pure BIGINT. The corpus never shuffles — per-source stats are one
+    // map-side-combined groupBy and the kept-source list broadcasts
+    // back as a semi-join.
+    "q_source_filter" -> ((s, dir) =>
+      TextAnalysis.sourceQualityFilter(
+          rd(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
+    // Per-node triangle counts on the part co-occurrence graph (parts
+    // sharing an order, sampled to every 5th order): two self-joins
+    // enumerate each triangle once as a<b<c, each corner credits its
+    // node. Community-density signal over the same edge-list relational
+    // algebra as PageRank — no graph library, no driver adjacency.
+    "q_triangles" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+      val edges = graft.pipeline.Graph.cooccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+      graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2570,6 +2634,66 @@ object SparkEntry {
         |  CAST(64 + (doc_id % 5) * 16 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
         |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_hybrid_rrf" ->
+      graft.pipeline.Retrieval.rrfOracleSql(
+        "documents", "doc_id", "text", Bm25Terms,
+        "embeddings", "vec_id", "embedding",
+        queryVecId = 0L, n = 100, k = 20),
+    "q_ts_anomaly" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_b,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cnt) AS BIGINT) AS s,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT c.user_id, hour_b, cnt, n, s
+        |FROM c JOIN m USING (user_id)
+        |WHERE n >= 12 AND (cnt * n - s) * (cnt * n - s) > 9 * (n * ss - s * s)
+        |ORDER BY user_id, hour_b""".stripMargin.replace("\n", " "),
+    "q_gap_fill" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS b,
+        |         CAST(count(*) AS BIGINT) AS cnt, max(event_id) AS me
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1),
+        |d AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM s)
+        |SELECT d.user_id, d.b AS hour_b, coalesce(cnt, 0) AS cnt,
+        |  last_value(me IGNORE NULLS) OVER (
+        |    PARTITION BY d.user_id ORDER BY d.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_eid
+        |FROM d LEFT JOIN c ON d.user_id = c.user_id AND d.b = c.b
+        |ORDER BY d.user_id, hour_b""".stripMargin.replace("\n", " "),
+    "q_source_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+        |             CAST(sum(tk) AS BIGINT) AS sum_s
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_g,
+        |             CAST(sum(sum_s) AS BIGINT) AS sum_g FROM s),
+        |keep AS (SELECT source FROM s, g WHERE sum_s * n_g >= sum_g * n_s)
+        |SELECT d.doc_id, d.source FROM d JOIN keep USING (source)
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |t AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
   )
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series operators over an epoch-long timestamp column: bucketed
+ * resampling with gap fill / forward fill, and integer-exact per-key
+ * anomaly flagging — the monitoring pass a pipeline runs over ingest
+ * volumes (per-source rates, per-user activity) to catch collection
+ * failures (gaps) and floods (spikes) before they poison downstream
+ * statistics.
+ *
+ * Both operators are two-shuffle plans keyed on the series key:
+ * bucketing is a groupBy(key, bucket) with map-side partial
+ * aggregation; the per-key pass (span or moment statistics) rides one
+ * more exchange on the key alone. Nothing buffers a series in memory —
+ * gap generation is a bounded `sequence` explode (one row per bucket in
+ * the key's span) and anomaly scoring is pure per-row arithmetic
+ * against broadcast-sized per-key moments.
+ *
+ * Anomaly scoring is INTEGER-exact: instead of a floating z-score
+ * (whose summation-order-dependent variance would break cross-engine
+ * hashes), the z² > z₀² test is cross-multiplied into
+ * `(cnt·n − s)² > z₀²·(n·ss − s²)` over BIGINT counts — the population
+ * z-test decided without a single double. Overflow headroom: with
+ * per-bucket counts ≤ ~10⁶ and ≤ ~10⁵ buckets per key the largest term
+ * is ~10¹⁷ < 2⁶³.
+ */
+object TimeSeries {
+
+  /** Per-(key, bucket) event counts plus an optional carried value (the
+    * max of `carryCol` in the bucket). `bucketSize` is in the timestamp
+    * column's own unit (e.g. 3_600_000_000_000L for hours over
+    * epoch-nanos). */
+  def bucketCounts(df: DataFrame, keyCol: String, tsCol: String,
+                   bucketSize: Long, carryCol: String): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    // `div`, not `/`: Column./ is DOUBLE division, and epoch-nanos
+    // (~1.7e18) are far beyond a double's 2^53 exact-integer range —
+    // the truncated quotient would be off by whole buckets.
+    df.groupBy(col(keyCol).as("key"),
+        expr(s"CAST($tsCol AS BIGINT) div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col(carryCol)).as("carry"))
+  }
+
+  /**
+   * Dense resample: every key gets one row per bucket from its first to
+   * its last observed bucket; missing buckets appear with `cnt = 0` and
+   * the carry column forward-filled from the last observed bucket.
+   *
+   * Scale shape: the span frame is one row per key (tiny next to the
+   * counts) and joins back on the key; the `sequence` explode emits
+   * exactly span-many rows per key — callers bound the blow-up by
+   * choosing the bucket size against the data's time span (a 30-day
+   * span at hour grain is 720 rows/key; at millisecond grain it would
+   * be 2.6e9 — the operator trusts the caller's grain). Forward fill is
+   * one window pass ordered by bucket within the key partition.
+   */
+  def gapFill(counts: DataFrame): DataFrame = {
+    val spans = counts.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans
+      .select(col("key"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(counts, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last(col("carry"), ignoreNulls = true).over(w).as("carry"))
+  }
+
+  /**
+   * Integer-exact spike detection: flags buckets whose count deviates
+   * from the key's own mean by more than `z` population standard
+   * deviations, deciding `((cnt·n − s)² > z²·(n·ss − s²))` entirely in
+   * BIGINT. Keys with fewer than `minBuckets` observed buckets are not
+   * scored (a 3-point series has no meaningful variance). Returns only
+   * the flagged rows: (key, bucket, cnt, n, s).
+   */
+  def anomalies(counts: DataFrame, z: Int, minBuckets: Int): DataFrame = {
+    val moments = counts.groupBy("key").agg(
+      count(lit(1)).as("n"), sum("cnt").as("s"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("cnt") * col("n") - col("s")
+    counts.join(moments, "key")
+      .filter(col("n") >= minBuckets &&
+        dev * dev > lit(z.toLong * z) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("key"), col("bucket"), col("cnt"), col("n"), col("s"))
+  }
+}

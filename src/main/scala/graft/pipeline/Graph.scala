@@ -81,4 +81,41 @@ object Graph {
     }
     r.select(col("node"), col("r").as("rank"))
   }
+
+  /** Distinct undirected co-occurrence edges: items sharing a group form
+    * a clique; emitted once each as (a, b) with a < b. The pair explosion
+    * is quadratic in GROUP size, not corpus size — callers cap or skip
+    * pathological groups upstream (a 10⁶-item group is 5·10¹¹ pairs; the
+    * n-gram dedup path's maxDocFreq guard is the same discipline). */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    m.as("x").join(m.as("y"), col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .select(col("x.i").as("a"), col("y.i").as("b"))
+      .distinct()
+  }
+
+  /**
+   * Per-node triangle participation counts over a distinct (a, b), a < b
+   * undirected edge list: two self-joins enumerate each triangle exactly
+   * once as a < b < c (wedge a–b–c closed by edge a–c), then each corner
+   * credits its node. Returns (node, n_triangles) for nodes in ≥ 1
+   * triangle.
+   *
+   * Scale shape: wedge volume is Σ_b deg(b)² on the join key, so the
+   * id-ordering here is the oracle-replayable form for roughly uniform
+   * graphs; on skewed degree distributions orient edges by
+   * (degree, id) instead (compact-forward) to bound the per-key wedge
+   * fan-out at the cost of a degree-join — same two-self-join plan
+   * after the re-orientation.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

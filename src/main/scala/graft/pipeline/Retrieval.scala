@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical BM25
+ * ranking and a semantic embedding-cosine ranking — the standard
+ * two-tower serving pattern (Cormack et al.'s RRF, the fusion used by
+ * every hybrid search stack). Each modality contributes
+ * `1 / (k₀ + rank)` for the documents in its top-`n` list; documents
+ * missing from a list contribute 0 from it.
+ *
+ * Scale shape: each modality reduces the corpus to an n-row ranked
+ * list BEFORE fusion — BM25 via [[TextAnalysis.bm25TopK]] (per-partition
+ * heaps, broadcast globals) and cosine via [[Similarity.bruteForceTopK]]
+ * (broadcast query, WindowGroupLimit heaps; swap in [[Similarity.lshTopK]]
+ * for a bucketed corpus at scale). The fusion itself then touches only
+ * 2·n rows: the rank windows and the full-outer join run on frames that
+ * fit in a single task no matter the corpus size.
+ *
+ * Determinism: ranks are integers; the fused score is
+ * `1/(k₀+r_lex) + 1/(k₀+r_sem)` — two correctly-rounded double
+ * divisions of small integers added in a fixed order, bit-identical on
+ * any IEEE-754 engine, so the fused score itself is safely emittable
+ * and hashable cross-engine. Ties order by document id.
+ */
+object Retrieval {
+
+  /** Rank an (already top-n) scored frame 1..n by (score desc, id asc).
+    * The frame is at most n rows — the unpartitioned window is a
+    * deliberate single-task pass over a bounded list, not a corpus sort. */
+  private def ranked(list: DataFrame, idCol: String, scoreCol: String,
+                     rankName: String): DataFrame =
+    list.select(col(idCol).as("id"),
+        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc))
+          .cast("long").as(rankName))
+
+  /**
+   * Fuse the top-`n` BM25 list for `terms` with the top-`n` cosine list
+   * for the embedding of `queryVecId`, returning the top `k` documents
+   * by RRF score: (doc_id, r_lex, r_sem, fused) — null rank = absent
+   * from that modality's list. Documents are matched on
+   * `docs.idCol = embeddings.vecIdCol`.
+   */
+  def rrfHybrid(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], embeddings: DataFrame,
+                vecIdCol: String, vecCol: String, queryVecId: Long,
+                n: Int, k: Int, k0: Int = 60)
+               (implicit spark: SparkSession): DataFrame = {
+    val lex = ranked(
+      TextAnalysis.bm25TopK(docs, idCol, textCol, terms, n),
+      "doc_id", "score", "r_lex")
+    val sem = ranked(
+      Similarity.bruteForceTopK(
+        embeddings.filter(col(vecIdCol) === queryVecId), embeddings,
+        vecIdCol, vecCol, n),
+      "neighbor_id", "sim", "r_sem")
+    val contrib = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(k0.toLong) + r), lit(0.0))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("r_lex"), col("r_sem"),
+        (contrib(col("r_lex")) + contrib(col("r_sem"))).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB SQL mirroring [[rrfHybrid]] stage for stage: the BM25 CTEs
+    * come from [[TextAnalysis.bm25OracleSql]]'s formulation, the cosine
+    * CTE from the `list_dot_product` form the ANN oracles pin, and the
+    * fusion arithmetic keeps the identical fixed-order double ops. */
+  def rrfOracleSql(docTable: String, idCol: String, textCol: String,
+                   terms: Seq[String], embTable: String,
+                   vecIdCol: String, vecCol: String, queryVecId: Long,
+                   n: Int, k: Int, k0: Int = 60,
+                   k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfs = terms.zipWithIndex.map { case (term, i) =>
+      val esc = term.replace("'", "''")
+      s"CAST(len(ws) - len(list_filter(ws, x -> x != '$esc')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"(CAST(tf$i AS DOUBLE) * ${k1 + 1}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $k1 * (${1 - b} + $b * dl / " +
+        s"(CAST(sum_dl AS DOUBLE) / n_docs)))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT $idCol AS doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfs
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS ws FROM $docTable)
+       |), g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base
+       |), lex AS (
+       |  SELECT doc_id AS id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+       |  FROM (SELECT base.doc_id, $score AS score FROM base, g ORDER BY score DESC, doc_id LIMIT $n)
+       |), qv AS (
+       |  SELECT CAST($vecCol AS DOUBLE[]) AS q FROM $embTable WHERE $vecIdCol = $queryVecId
+       |), sems AS (
+       |  SELECT c.$vecIdCol AS id,
+       |    list_dot_product(qv.q, c.v) / (sqrt(list_dot_product(qv.q, qv.q)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+       |  FROM (SELECT $vecIdCol, CAST($vecCol AS DOUBLE[]) AS v FROM $embTable) c, qv
+       |  WHERE c.$vecIdCol <> $queryVecId
+       |), sem AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS r_sem
+       |  FROM (SELECT * FROM sems ORDER BY sim DESC, id LIMIT $n)
+       |)
+       |SELECT doc_id, r_lex, r_sem, fused FROM (
+       |  SELECT coalesce(lex.id, sem.id) AS doc_id, r_lex, r_sem,
+       |    coalesce(CAST(1 AS DOUBLE) / ($k0 + r_lex), 0) + coalesce(CAST(1 AS DOUBLE) / ($k0 + r_sem), 0) AS fused
+       |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+       |) ORDER BY fused DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+}

@@ -600,4 +600,34 @@ object TextAnalysis {
           .as("__w"))
       .select(col("doc_id"), col("n_toks"), round(col("__w"), 4).as("weight"))
   }
+
+  /**
+   * Domain-level curation: keep documents whose SOURCE's mean token
+   * count is at least the corpus mean — the "drop low-quality domains
+   * wholesale" pass (a domain whose pages average 40 tokens is boiler-
+   * plate/SEO spam regardless of any single page's score). The mean
+   * comparison is INTEGER-exact by cross-multiplying:
+   * `sum_s · n_g ≥ sum_g · n_s` decides `sum_s/n_s ≥ sum_g/n_g` with no
+   * doubles, so the kept set hashes identically on any engine.
+   *
+   * Scale shape: one groupBy(source) over per-row token counts (map-side
+   * partial), a one-row global broadcast, and a broadcast semi-join of
+   * the kept-source list back onto the corpus — the corpus shuffles
+   * zero times. Source cardinality is assumed ≪ corpus (domains vs
+   * pages); a corpus with millions of sources broadcast-joins the kept
+   * list all the same at ~8 bytes a row.
+   */
+  def sourceQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String): DataFrame = {
+    val d = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      size(toks(col(textCol))).cast("long").as("tk"))
+    val perSource = d.groupBy("source")
+      .agg(count(lit(1)).as("n_s"), sum("tk").as("sum_s"))
+    val global = perSource.agg(sum("n_s").as("n_g"), sum("sum_s").as("sum_g"))
+    val kept = perSource.crossJoin(broadcast(global))
+      .filter(col("sum_s") * col("n_g") >= col("sum_g") * col("n_s"))
+      .select("source")
+    d.join(broadcast(kept), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("source"))
+  }
 }

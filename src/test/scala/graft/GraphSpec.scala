@@ -12,6 +12,39 @@ class GraphSpec extends SparkTestBase {
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
   }
 
+  test("cooccurrenceEdges emits each within-group pair once, ordered a < b") {
+    val s = spark
+    import s.implicits._
+    val m = Seq((10L, 3L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 3L),
+      (30L, 1L), (30L, 3L), (10L, 3L)).toDF("g", "i") // dup membership row
+    val got = Graph.cooccurrenceEdges(m, "g", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // group 10 clique on {1,2,3}; groups 20 and 30 both yield (1,3) — once
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("triangleCounts: K4 has 4 triangles, every node in 3") {
+    val s = spark
+    import s.implicits._
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toDF("a", "b")
+    val got = Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: pendant edge joins no triangle; open wedge counts zero") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} + pendant 3-4 + open wedge 4-5, 5-6
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("degrees: triangle nodes have 2 (3 for the hub), pendant has 1") {
     val got = Graph.degrees(fixture, "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -386,4 +386,19 @@ class TextAnalysisSpec extends SparkTestBase {
     // H(2/3, 1/3) = log2(3) - 2/3 ≈ 0.9183
     assert(out(4L) === 0.9183)
   }
+
+  test("sourceQualityFilter keeps sources at or above the corpus mean, integer-exactly") {
+    val s = spark
+    import s.implicits._
+    // srcA: 2 docs x 4 tokens (mean 4); srcB: 2 docs x 2 tokens (mean 2);
+    // srcC: 1 doc x 3 tokens (mean 3). Global: 15 tokens / 5 docs = 3.
+    // Kept: srcA (4 > 3) and srcC (3 >= 3, boundary inclusive); srcB dropped.
+    val docs = Seq(
+      (1L, "a b c d", "srcA"), (2L, "e f g h", "srcA"),
+      (3L, "a b", "srcB"), (4L, "c d", "srcB"),
+      (5L, "x y z", "srcC")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceQualityFilter(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "srcA", 2L -> "srcA", 5L -> "srcC"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkTestBase {
+
+  // epoch-nanos base far beyond a double's 2^53 exact-integer range —
+  // catches any float division sneaking into the bucketing
+  private val T0 = 1704067200000000000L // 2024-01-01T00:00:00Z in nanos
+  private val Hour = 3600000000000L
+
+  private def events(rows: Seq[(Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "ts", "event_id")
+  }
+
+  test("bucketCounts buckets by exact integral division on epoch-nanos") {
+    val df = events(Seq(
+      (1L, T0, 10L), (1L, T0 + Hour - 1, 11L), // same hour, last nano
+      (1L, T0 + Hour, 12L),                    // next hour, first nano
+      (2L, T0 + 5 * Hour + 123L, 20L)))
+    val got = TimeSeries.bucketCounts(df, "user_id", "ts", Hour, "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val h0 = T0 / Hour
+    assert(got === Set((1L, h0, 2L, 11L), (1L, h0 + 1, 1L, 12L), (2L, h0 + 5, 1L, 20L)))
+  }
+
+  test("gapFill emits every bucket in each key's span, zero-filled, carry forward") {
+    val df = events(Seq(
+      (1L, T0, 10L), (1L, T0 + 3 * Hour, 13L), // gap at hours +1, +2
+      (2L, T0 + Hour, 21L)))                   // single-bucket span
+    val c = TimeSeries.bucketCounts(df, "user_id", "ts", Hour, "event_id")
+    val got = TimeSeries.gapFill(c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val h0 = T0 / Hour
+    assert(got === Set(
+      (1L, h0, 1L, 10L),
+      (1L, h0 + 1, 0L, 10L), // gap: cnt 0, carry held
+      (1L, h0 + 2, 0L, 10L),
+      (1L, h0 + 3, 1L, 13L),
+      (2L, h0 + 1, 1L, 21L)))
+  }
+
+  test("anomalies flags a planted spike integer-exactly and honors minBuckets") {
+    // key 1: twelve quiet hours at cnt=1 plus one spike hour at cnt=10
+    // key 2: same shape but only 5 buckets -> below minBuckets, never scored
+    val quiet = (0 until 12).flatMap(h => Seq((1L, T0 + h * Hour, 100L + h)))
+    val spike = (0 until 10).map(i => (1L, T0 + 12 * Hour + i * 1000L, 200L + i))
+    val small = (0 until 5).map(h => (2L, T0 + h * Hour, 300L + h))
+    val c = TimeSeries.bucketCounts(
+      events(quiet ++ spike ++ small), "user_id", "ts", Hour, "event_id")
+    val got = TimeSeries.anomalies(c, z = 3, minBuckets = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, T0 / Hour + 12, 10L)))
+    // hand-check the integer inequality for the flagged row:
+    // n=13, s=22, ss=112: (10*13-22)^2 = 11664 > 9*(13*112-484) = 8748
+    assert((10L * 13 - 22) * (10L * 13 - 22) > 9L * (13 * 112 - 22 * 22))
+    // and for a quiet row: (1*13-22)^2 = 81 <= 8748 -> not flagged
+    assert((1L * 13 - 22) * (1L * 13 - 22) <= 9L * (13 * 112 - 22 * 22))
+  }
+
+  test("anomalies never flags a constant series (zero variance both sides)") {
+    val rows = (0 until 20).map(h => (1L, T0 + h * Hour, h.toLong))
+    val c = TimeSeries.bucketCounts(events(rows), "user_id", "ts", Hour, "event_id")
+    assert(TimeSeries.anomalies(c, z = 3, minBuckets = 12).count() === 0L)
+  }
+}
