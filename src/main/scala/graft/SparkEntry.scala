@@ -1831,6 +1831,53 @@ object SparkEntry {
         li, "l_orderkey", "l_partkey")
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
+
+    // Pareto frontier over (length, lexical diversity): docs not
+    // dominated on both axes — multi-criteria selection without an
+    // ad-hoc weighted score. Partition-local sweep prunes candidates
+    // before the bounded global sweep; the oracle states dominance
+    // directly as NOT EXISTS, an independent formulation of the same
+    // set.
+    "q_skyline" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+      graft.operators.Skyline.skyline2D(d, "n_chars", "n_uniq")
+        .orderBy("doc_id")
+    }),
+
+    // Greedy token-budget fill: walk docs by integer quality score
+    // (stopword hits per 10k tokens — div, no floats) and keep every
+    // doc starting before the 12k-token budget line. The cumulative sum
+    // is a two-phase distributed prefix sum (range partition -> per-
+    // partition totals -> broadcast offsets -> local running sum), not
+    // a single-task global window.
+    "q_token_budget" -> ((s, dir) => {
+      val t = TextAnalysis.toks(col("text"))
+      val d = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), size(t).cast("long").as("tk"),
+          (TextAnalysis.hitCount(t, TextAnalysis.ruleStopwords).cast("long")
+            * 10000L).as("__h"))
+        .filter(col("tk") > 0)
+        .withColumn("q", expr("__h div tk")).drop("__h")
+      graft.operators.BudgetSelect
+        .selectByBudget(d, "doc_id", "tk", "q", budget = 12000L)
+        .select("doc_id", "tk", "q", "cum").orderBy("doc_id")
+    }),
+
+    // Per-event-type winsorization of `value` at the [p5, p95] discrete
+    // percentiles: bounds are values present in the data (no
+    // interpolation arithmetic), clipping copies stored doubles —
+    // hash-safe cross-engine. Fact side never shuffles; bounds
+    // broadcast back.
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Winsorize
+        .clip(rd(s, dir, "events"), "event_type", "value", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"), col("lo"), col("hi"),
+          col("clipped"))
+        .orderBy("event_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2694,6 +2741,41 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_skyline" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        |  FROM documents WHERE text IS NOT NULL AND text <> '')
+        |SELECT doc_id, n_chars, n_uniq FROM d r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d s
+        |  WHERE s.n_chars >= r.n_chars AND s.n_uniq >= r.n_uniq
+        |    AND (s.n_chars > r.n_chars OR s.n_uniq > r.n_uniq))
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS tk,
+        |    CAST(len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','is','in','it','that'))) * 10000 AS BIGINT) // len(ws) AS q
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE text IS NOT NULL AND text <> '')
+        |  WHERE len(ws) > 0),
+        |r AS (
+        |  SELECT doc_id, tk, q,
+        |    CAST(sum(tk) OVER (ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, tk, q, cum FROM r WHERE cum - tk < 12000
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, lo, hi,
+        |  least(greatest(value, lo), hi) AS clipped
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
   )
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for

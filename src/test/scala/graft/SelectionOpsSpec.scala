@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{BudgetSelect, Skyline, Winsorize}
+import org.apache.spark.sql.functions._
+
+class SelectionOpsSpec extends SparkTestBase {
+
+  test("skyline2D keeps exactly the non-dominated points, duplicates included") {
+    val s = spark
+    import s.implicits._
+    // frontier: (5,1), (3,3) x2, (1,5); dominated: (2,2) by (3,3),
+    // (3,1) by (3,3) (same x, lower y), (1,3) by (3,3)
+    val df = Seq(
+      (1L, 5L, 1L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 1L, 5L),
+      (5L, 2L, 2L), (6L, 3L, 1L), (7L, 1L, 3L)).toDF("id", "x", "y")
+    val got = Skyline.skyline2D(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("skyline2D: single max point dominates everything") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 50L).map(i => (i, i % 7, i % 5)).toDF("id", "x", "y")
+      .union(Seq((99L, 100L, 100L)).toDF("id", "x", "y"))
+    val got = Skyline.skyline2D(base, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(99L))
+  }
+
+  test("selectByBudget keeps rows starting before the budget, in score order") {
+    val s = spark
+    import s.implicits._
+    // order by (q desc, id): id2(q9,c5) cum5, id1(q8,c5) cum10,
+    // id4(q7,c5) cum15, id3(q1,c5) cum20. budget 11: rows starting at
+    // 0,5,10 -> ids 2,1,4 (the straddler 4 starts at 10 < 11).
+    val df = Seq(
+      (1L, 5L, 8L), (2L, 5L, 9L), (3L, 5L, 1L), (4L, 5L, 7L))
+      .toDF("id", "cost", "q")
+    val got = BudgetSelect.selectByBudget(df, "id", "cost", "q", budget = 11L)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 5L, 1L -> 10L, 4L -> 15L))
+  }
+
+  test("selectByBudget cum telescopes correctly across many partitions") {
+    val s = spark
+    import s.implicits._
+    val n = 1000
+    val df = (1 to n).map(i => (i.toLong, 1L, (i % 97).toLong)).toDF("id", "cost", "q")
+    val out = BudgetSelect.selectByBudget(df, "id", "cost", "q", budget = 250L)
+      .select("id", "q", "cum").collect()
+    assert(out.length === 250)
+    // cum over the selected prefix must be exactly 1..250 when re-sorted
+    // by the selection order (q desc, id asc)
+    val inOrder = out.sortBy(r => (-r.getLong(1), r.getLong(0))).map(_.getLong(2))
+    assert(inOrder.toSeq === (1L to 250L))
+  }
+
+  test("winsorize clips to discrete per-group percentiles (values present in data)") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+    val b = (1 to 10).map(i => (100L + i, "b", i * 10.0))
+    val df = (a ++ b).toDF("id", "g", "v")
+    val got = Winsorize.clip(df, "g", "v", 0.05, 0.95)
+      .select("id", "lo", "hi", "clipped").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // group a: lo = 5th percentile disc = 5.0, hi = 95.0
+    assert(got(1L) === ((5.0, 95.0, 5.0)))   // 1.0 clipped up to 5
+    assert(got(50L) === ((5.0, 95.0, 50.0))) // untouched
+    assert(got(100L) === ((5.0, 95.0, 95.0))) // 100 clipped down
+    // group b: n=10, p05 -> first value 10, p95 -> 100
+    assert(got(101L)._3 === 10.0)
+    assert(got(110L)._3 === 100.0)
+    // every clipped value is a value present in its group's data
+    val aVals = a.map(_._3).toSet ++ Set.empty
+    assert(got.filterKeys(_ <= 100L).values.forall(t => aVals.contains(t._3)))
+  }
+}
