@@ -1867,6 +1867,31 @@ object SparkEntry {
         .select("doc_id", "tk", "q", "cum").orderBy("doc_id")
     }),
 
+    // Debounce: collapse same-(user, type) repeats arriving within 60 s
+    // of the nearest preceding occurrence — one shuffle on the key,
+    // window lag, integer timestamp comparison. event_id breaks ts ties
+    // so the survivor set is a total-order function of the data.
+    "q_debounce" -> ((s, dir) =>
+      graft.operators.TimeSeries.debounce(
+          rd(s, dir, "events"), Seq("user_id", "event_type"), "ts",
+          gap = 60000000000L, tieCols = Seq("event_id"))
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")),
+
+    // Population Stability Index between the src0-4 cohort and the rest
+    // over token-count buckets: one conditional-aggregation scan, 1-row
+    // broadcast totals, per-bucket contribution with Laplace smoothing.
+    // Counts exact; the single log-based double rounded to 4 decimals
+    // (same emit discipline as the DSIR weights).
+    "q_psi_drift" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+      graft.operators.Drift.psiByBucket(d,
+          expr("CAST(size(split(text, ' ')) AS BIGINT) div 20"),
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .orderBy("bucket")
+    }),
+
     // Per-event-type winsorization of `value` at the [p5, p95] discrete
     // percentiles: bounds are values present in the data (no
     // interpolation arithmetic), clipping copies stored doubles —
@@ -2766,6 +2791,34 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, tk, q, cum FROM r WHERE cum - tk < 12000
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_debounce" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL OR ts - prev > 60000000000
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q_psi_drift" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) // 20 AS bucket,
+        |         source IN ('src0','src1','src2','src3','src4') AS ina
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |c AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |         CAST(sum(cnt_b) AS BIGINT) AS n_b,
+        |         CAST(count(*) AS BIGINT) AS nb FROM c)
+        |SELECT bucket, cnt_a, cnt_b,
+        |  round((CAST(cnt_a + 1 AS DOUBLE) / (n_a + nb)
+        |       - CAST(cnt_b + 1 AS DOUBLE) / (n_b + nb))
+        |    * ln((CAST(cnt_a + 1 AS DOUBLE) / (n_a + nb))
+        |       / (CAST(cnt_b + 1 AS DOUBLE) / (n_b + nb))), 4) AS psi
+        |FROM c, t ORDER BY bucket""".stripMargin.replace("\n", " "),
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Time-series operators over an epoch-long timestamp column: bucketed
@@ -88,5 +89,69 @@ object TimeSeries {
       .filter(col("n") >= minBuckets &&
         dev * dev > lit(z.toLong * z) * (col("n") * col("ss") - col("s") * col("s")))
       .select(col("key"), col("bucket"), col("cnt"), col("n"), col("s"))
+  }
+
+  /** One (key, bucket) observation entering [[anomaliesStream]]. */
+  case class BucketObs(key: Long, bucket: Long, cnt: Long)
+  /** Running per-key moments carried between micro-batches. */
+  case class Moments(n: Long, s: Long, ss: Long)
+  /** A flagged bucket: `n`/`s` are the moments the score was taken
+    * against (BEFORE absorbing the bucket itself). */
+  case class AnomalyFlag(key: Long, bucket: Long, cnt: Long, n: Long, s: Long)
+
+  /**
+   * ONLINE variant of [[anomalies]] for unbounded streams: each key
+   * carries only its running (n, Σcnt, Σcnt²) moments — O(1) state per
+   * key, no bucket history — and every arriving bucket is scored
+   * against the moments accumulated so far, then absorbed. Same
+   * integer-exact cross-multiplied z² test; the semantic difference
+   * from the batch pass (which scores against FULL-corpus moments) is
+   * inherent to online detection and intended — a flood is flagged
+   * when it happens, not in retrospect after it has inflated the mean.
+   * Within a micro-batch, buckets apply in ascending bucket order so
+   * results don't depend on shuffle arrival order.
+   */
+  def anomaliesStream(counts: Dataset[BucketObs], z: Int, minBuckets: Int): Dataset[AnomalyFlag] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.groupByKey(_.key)
+      .flatMapGroupsWithState[Moments, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, obs: Iterator[BucketObs], state: GroupState[Moments]) =>
+          var m = state.getOption.getOrElse(Moments(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[AnomalyFlag]()
+          obs.toSeq.sortBy(o => (o.bucket, o.cnt)).foreach { o =>
+            val dev = o.cnt * m.n - m.s
+            if (m.n >= minBuckets &&
+                dev * dev > z.toLong * z * (m.n * m.ss - m.s * m.s))
+              out += AnomalyFlag(key, o.bucket, o.cnt, m.n, m.s)
+            m = Moments(m.n + 1, m.s + o.cnt, m.ss + o.cnt * o.cnt)
+          }
+          state.update(m)
+          out.iterator
+      }
+  }
+
+  /**
+   * Debounce (event-storm / double-fire suppression): a row survives
+   * when the nearest preceding same-key row is MORE than `gap` older —
+   * the lag-1 form, so a burst keeps only rows preceded by quiet, not
+   * one row per `gap` of burst (that variant needs the kept-chain
+   * recurrence; this one is a single window pass and what dashboards
+   * mean by "collapse repeats within N seconds"). Pure integer
+   * comparison on the timestamp column; one shuffle on the key
+   * columns, window lag, filter.
+   */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               gap: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    // tieCols make the lag order total when timestamps can collide —
+    // without a total order, which of two same-ts rows survives is
+    // engine- and shuffle-dependent
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull || col(tsCol) - col("__prev") > gap)
+      .drop("__prev")
   }
 }

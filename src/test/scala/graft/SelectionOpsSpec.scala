@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BudgetSelect, Skyline, Winsorize}
+import graft.operators.{BudgetSelect, Drift, Skyline, Winsorize}
 import org.apache.spark.sql.functions._
 
 class SelectionOpsSpec extends SparkTestBase {
@@ -75,5 +75,28 @@ class SelectionOpsSpec extends SparkTestBase {
     // every clipped value is a value present in its group's data
     val aVals = a.map(_._3).toSet ++ Set.empty
     assert(got.filterKeys(_ <= 100L).values.forall(t => aVals.contains(t._3)))
+  }
+
+  test("psiByBucket: identical cohort distributions give exactly zero PSI") {
+    val s = spark
+    import s.implicits._
+    // both cohorts: 10 rows in bucket 0, 5 in bucket 1
+    val df = (Seq.fill(10)((0L, true)) ++ Seq.fill(5)((1L, true)) ++
+      Seq.fill(10)((0L, false)) ++ Seq.fill(5)((1L, false))).toDF("b", "ina")
+    val got = Drift.psiByBucket(df, col("b"), col("ina"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((10L, 10L, 0.0)))
+    assert(got(1L) === ((5L, 5L, 0.0)))
+  }
+
+  test("psiByBucket: one-sided bucket contributes positively via smoothing, never NaN") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(10)((0L, true)) ++ Seq.fill(10)((1L, false))).toDF("b", "ina")
+    val got = Drift.psiByBucket(df, col("b"), col("ina"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // p≠q in both buckets; contributions are finite and positive
+    // ((p-q) and ln(p/q) always share sign)
+    assert(got.values.forall(v => !v.isNaN && v > 0))
   }
 }

@@ -66,4 +66,53 @@ class TimeSeriesSpec extends SparkTestBase {
     val c = TimeSeries.bucketCounts(events(rows), "user_id", "ts", Hour, "event_id")
     assert(TimeSeries.anomalies(c, z = 3, minBuckets = 12).count() === 0L)
   }
+
+  test("debounce keeps rows whose same-key predecessor is more than gap older") {
+    val df = events(Seq(
+      (1L, T0, 10L),
+      (1L, T0 + 30L, 11L),  // 30ns after -> suppressed (gap 60)
+      (1L, T0 + 100L, 12L), // 70ns after previous EVENT -> kept
+      (2L, T0 + 10L, 20L))) // different key -> kept
+    val got = TimeSeries.debounce(df, Seq("user_id"), "ts", gap = 60L,
+        tieCols = Seq("event_id"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 12L, 20L))
+  }
+
+  test("debounce ties on ts resolve by tieCols, deterministically") {
+    val df = events(Seq((1L, T0, 2L), (1L, T0, 1L), (1L, T0 + 100L, 3L)))
+    val got = TimeSeries.debounce(df, Seq("user_id"), "ts", gap = 60L,
+        tieCols = Seq("event_id"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // order is (ts, event_id): id1 first (kept), id2 same ts (diff 0,
+    // suppressed), id3 100ns later (kept)
+    assert(got === Set(1L, 3L))
+  }
+
+  test("anomaliesStream scores online against prior-batch moments, O(1) state") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TimeSeries.BucketObs]
+    val q = TimeSeries.anomaliesStream(in.toDS(), z = 3, minBuckets = 12)
+      .writeStream.format("memory").queryName("anoms")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: twelve quiet buckets for key 1 — builds moments, and the
+      // online pass flags nothing (early buckets score vs n < minBuckets)
+      in.addData((0 until 12).map(b => TimeSeries.BucketObs(1L, b, 1L)): _*)
+      q.processAllAvailable()
+      assert(s.table("anoms").count() === 0L)
+      // batch 2: a spike bucket and another quiet one; spike flags
+      // against moments n=12, s=12, ss=12:
+      // (10*12-12)^2 = 11664 > 9*(12*12-144) = 0 -> flagged
+      in.addData(TimeSeries.BucketObs(1L, 12L, 10L), TimeSeries.BucketObs(1L, 13L, 1L))
+      q.processAllAvailable()
+      val flagged = s.table("anoms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(flagged.toSeq === Seq((1L, 12L, 10L, 12L, 12L)))
+    } finally q.stop()
+  }
 }
