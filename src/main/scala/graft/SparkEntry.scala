@@ -1867,6 +1867,44 @@ object SparkEntry {
         .select("doc_id", "tk", "q", "cum").orderBy("doc_id")
     }),
 
+    // Stratified token budget: an independent 3k-token budget per
+    // language, cut in quality order within each stratum — how real
+    // training mixes allocate ("N tokens of each language"). The
+    // running sum is a window partitioned by the stratum.
+    "q_budget_stratified" -> ((s, dir) => {
+      val t = TextAnalysis.toks(col("text"))
+      val d = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("lang"), size(t).cast("long").as("tk"),
+          (TextAnalysis.hitCount(t, TextAnalysis.ruleStopwords).cast("long")
+            * 10000L).as("__h"))
+        .filter(col("tk") > 0)
+        .withColumn("q", expr("__h div tk")).drop("__h")
+      graft.operators.BudgetSelect
+        .selectByBudgetPerGroup(d, "doc_id", "tk", "q", "lang", budget = 3000L)
+        .select("doc_id", "lang", "tk", "q", "cum").orderBy("doc_id")
+    }),
+
+    // Incremental aggregate maintenance: per-key exact partials
+    // (cnt/sum/min/max on an integral column) persisted to parquet,
+    // then MERGED with a delta batch instead of recomputing — the
+    // materialized-rollup pattern; the oracle recomputes from scratch,
+    // pinning merge(partials(A), partials(B)) == partials(A ∪ B).
+    "q_incr_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ev = rd(s, dir, "events")
+      val tmp = scratch("incr_agg")
+      IncrementalAgg
+        .partials(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
+        .write.mode("overwrite").parquet(tmp)
+      val delta = IncrementalAgg
+        .partials(ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
+      IncrementalAgg.merge(s.read.parquet(tmp), delta)
+        .select(col("key").as("event_type"), col("cnt"), col("sum"),
+          col("min"), col("max"), expr("sum div cnt").as("avg_floor"))
+        .orderBy("event_type")
+    }),
+
     // Debounce: collapse same-(user, type) repeats arriving within 60 s
     // of the nearest preceding occurrence — one shuffle on the key,
     // window lag, integer timestamp comparison. event_id breaks ts ties
@@ -2791,6 +2829,27 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, tk, q, cum FROM r WHERE cum - tk < 12000
         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_budget_stratified" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS tk,
+        |    CAST(len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','is','in','it','that'))) * 10000 AS BIGINT) // len(ws) AS q
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |        FROM documents WHERE text IS NOT NULL AND text <> '')
+        |  WHERE len(ws) > 0),
+        |r AS (
+        |  SELECT doc_id, lang, tk, q,
+        |    CAST(sum(tk) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, tk, q, cum FROM r WHERE cum - tk < 3000
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_incr_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(user_id) AS BIGINT) AS sum,
+        |  CAST(min(user_id) AS BIGINT) AS min,
+        |  CAST(max(user_id) AS BIGINT) AS max,
+        |  CAST(sum(user_id) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_floor
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_debounce" ->
       """SELECT event_id, user_id, event_type, ts FROM (
         |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,

@@ -53,4 +53,27 @@ object BudgetSelect {
       .filter(col("cum") - col(costCol) < budget)
       .drop("__pid", "__off")
   }
+
+  /**
+   * Stratified variant: an independent budget per `groupCol` value —
+   * how real training mixes are cut ("2B tokens of code, 500M of each
+   * low-resource language"). Here the running sum IS a plain window
+   * partitioned by the group (each stratum hash-partitions to one
+   * task's stream), which holds as long as no single stratum's rowcount
+   * breaks a task — strata are languages/domains, orders of magnitude
+   * coarser than rows. For a budget over the WHOLE corpus (one giant
+   * stratum) use [[selectByBudget]]'s two-phase prefix sum instead.
+   * Emits the input columns plus `cum` (within-stratum cumulative cost
+   * including the row).
+   */
+  def selectByBudgetPerGroup(df: DataFrame, idCol: String, costCol: String,
+                             scoreCol: String, groupCol: String,
+                             budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col(costCol)).over(w))
+      .filter(col("cum") - col(costCol) < budget)
+  }
 }

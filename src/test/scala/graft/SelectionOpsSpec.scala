@@ -77,6 +77,37 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(got.filterKeys(_ <= 100L).values.forall(t => aVals.contains(t._3)))
   }
 
+  test("selectByBudgetPerGroup cuts each stratum independently") {
+    val s = spark
+    import s.implicits._
+    // lang a: 3 docs of cost 4 (q order: id1,id2,id3) — budget 7 keeps
+    // id1 (starts 0) and id2 (starts 4); id3 starts 8.
+    // lang b: 1 doc of cost 100 — straddler always kept.
+    val df = Seq(
+      (1L, "a", 4L, 9L), (2L, "a", 4L, 8L), (3L, "a", 4L, 7L),
+      (4L, "b", 100L, 1L)).toDF("id", "lang", "cost", "q")
+    val got = graft.operators.BudgetSelect
+      .selectByBudgetPerGroup(df, "id", "cost", "q", "lang", budget = 7L)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L, 2L -> 8L, 4L -> 100L))
+  }
+
+  test("IncrementalAgg: merge of split partials equals recompute over the union") {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 100).map(i => ((i % 3).toString, i.toLong)).toDF("k", "v")
+    val a = all.filter($"v" % 2 === 0)
+    val b = all.filter($"v" % 2 === 1)
+    import graft.operators.IncrementalAgg
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.partials(a, "k", "v"), IncrementalAgg.partials(b, "k", "v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val direct = IncrementalAgg.partials(all, "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged === direct)
+    assert(merged.keySet === Set("0", "1", "2"))
+  }
+
   test("psiByBucket: identical cohort distributions give exactly zero PSI") {
     val s = spark
     import s.implicits._
