@@ -187,23 +187,33 @@ object Bench {
       timed(name)(fn(spark, sfDir).count())
     }
     System.gc() // drop per-query GC debt before the runner benches
-    // warm the runner plans now (not earlier — see warmup comment above):
+    // Each runner bench warms IMMEDIATELY before its own timed run —
     // codegen/janino compilation of the shared-pass aggregate columns is
-    // the dominant cold-start cost and must not land in the measured runs
-    try runnerPass(spark, sfDir, 100) catch { case _: Throwable => () }
-    try runnerPass(spark, sfDir, 1000) catch { case _: Throwable => () }
-    try eqRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
-    try eqTupleRunnerPass(spark, sfDir, 200) catch { case _: Throwable => () }
-    val results = perQuery :+ timed("b7_runner_100q") {
+    // the dominant cold-start cost, and interleaving another bench's
+    // (different) codegen surface between a warmup and its measurement
+    // re-churns the JIT code cache the warmup just populated.
+    def warmed(name: String)(warm: => Unit)(body: => Unit): (String, Double) = {
+      try warm catch { case _: Throwable => () }
+      timed(name)(body)
+    }
+    val results = perQuery :+ warmed("b7_runner_100q") {
+      runnerPass(spark, sfDir, 100)
+    } {
       val finished = runnerPass(spark, sfDir, 100)
       require(finished == 100, s"runner finished $finished of 100 queries")
-    } :+ timed("b11_runner_1000q") {
+    } :+ warmed("b11_runner_1000q") {
+      runnerPass(spark, sfDir, 1000)
+    } {
       val finished = runnerPass(spark, sfDir, 1000)
       require(finished == 1000, s"runner finished $finished of 1000 queries")
-    } :+ timed("b9_runner_200eq") {
+    } :+ warmed("b9_runner_200eq") {
+      eqRunnerPass(spark, sfDir, 200)
+    } {
       val finished = eqRunnerPass(spark, sfDir, 200)
       require(finished == 200, s"eq runner finished $finished of 200 queries")
-    } :+ timed("b10_runner_200eq_tuple") {
+    } :+ warmed("b10_runner_200eq_tuple") {
+      eqTupleRunnerPass(spark, sfDir, 200)
+    } {
       val finished = eqTupleRunnerPass(spark, sfDir, 200)
       require(finished == 200, s"tuple runner finished $finished of 200 queries")
     } :+ timedOnce("b8_stream_tumbling") {

@@ -1832,6 +1832,20 @@ object SparkEntry {
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // Market-basket association rules over parts-in-order memberships
+    // (bucketed to 50 items so supports are meaningful): support /
+    // confidence / lift per pair with RELATIVE support >= 0.6% of
+    // orders (cross-multiplied, integer-exact — an absolute threshold
+    // can't discriminate at more than one scale factor). Conf and lift
+    // are single IEEE divisions of exact BIGINT operands — unrounded.
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("g"), (col("l_partkey") % 50).as("i"))
+      graft.pipeline.Associations.rules(li, "g", "i",
+          minSupportNum = 6L, minSupportDen = 1000L)
+        .orderBy("a", "b")
+    }),
+
     // Pareto frontier over (length, lexical diversity): docs not
     // dominated on both axes — multi-criteria selection without an
     // ad-hoc weighted score. Partition-local sweep prunes candidates
@@ -2804,6 +2818,20 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_assoc_rules" ->
+      """WITH m AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey % 50 AS i FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM m),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM m x JOIN m y ON x.g = y.g AND x.i < y.i, n
+        |  GROUP BY 1, 2, n.n HAVING count(*) * 1000 >= n.n * 6)
+        |SELECT a, b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  CAST(c_ab AS DOUBLE) / ca.c AS conf,
+        |  CAST(n.n * c_ab AS DOUBLE) / (ca.c * cb.c) AS lift
+        |FROM p JOIN ic ca ON p.a = ca.i JOIN ic cb ON p.b = cb.i, n
+        |ORDER BY a, b""".stripMargin.replace("\n", " "),
     "q_skyline" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,
