@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: memberships dedup once (one shuffle); the pair
  * explosion is quadratic in GROUP size like
- * [[Graph.cooccurrenceEdges]] — cap pathological groups upstream; the
- * `minSupport` filter applies at the pair-count aggregation (before
- * the stats joins), and the per-item counts frame is items-sized and
+ * [[Graph.cooccurrenceEdges]] and carries the same ENFORCED
+ * `maxGroupSize` guard (any group over the bound fails loudly); the
+ * support filter applies at the pair-count aggregation (before the
+ * stats joins), and the per-item counts frame is items-sized and
  * broadcasts.
  */
 object Associations {
@@ -36,10 +37,13 @@ object Associations {
     * (a, b) orientation; the reverse reads off the same row as
     * c_ab / c_b. */
   def rules(df: DataFrame, groupCol: String, itemCol: String,
-            minSupportNum: Long, minSupportDen: Long): DataFrame = {
+            minSupportNum: Long, minSupportDen: Long,
+            maxGroupSize: Long = 1L << 16): DataFrame = {
     require(minSupportNum >= 0 && minSupportDen >= 1,
       s"bad support fraction $minSupportNum/$minSupportDen")
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val m = Graph.guardGroupSize(
+      df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct(),
+      maxGroupSize, "Associations.rules")
     val nGroups = m.agg(countDistinct("g").as("n"))
     val itemCnt = m.groupBy("i").agg(count(lit(1)).as("c"))
     val pairs = m.as("x").join(m.as("y"),

@@ -84,14 +84,36 @@ object Graph {
 
   /** Distinct undirected co-occurrence edges: items sharing a group form
     * a clique; emitted once each as (a, b) with a < b. The pair explosion
-    * is quadratic in GROUP size, not corpus size — callers cap or skip
-    * pathological groups upstream (a 10⁶-item group is 5·10¹¹ pairs; the
-    * n-gram dedup path's maxDocFreq guard is the same discipline). */
-  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    * is quadratic in GROUP size, not corpus size (a 10⁶-item group is
+    * 5·10¹¹ pairs), so the bound is ENFORCED, not advisory: any group
+    * over `maxGroupSize` fails the job loudly via `assert_true` riding
+    * the plan — the same discipline as `semanticDedup`'s cell guard and
+    * the n-gram path's maxDocFreq. Truly pathological groups should be
+    * filtered or capped upstream as an explicit modeling decision. */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxGroupSize: Long = 1L << 16): DataFrame = {
+    val m = guardGroupSize(
+      df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct(),
+      maxGroupSize, "cooccurrenceEdges")
     m.as("x").join(m.as("y"), col("x.g") === col("y.g") && col("x.i") < col("y.i"))
       .select(col("x.i").as("a"), col("y.i").as("b"))
       .distinct()
+  }
+
+  /** Enforce a per-group membership bound on a (g, i) frame: any group
+    * larger than `maxGroupSize` fails the job at run time with a
+    * message naming the group. */
+  private[pipeline] def guardGroupSize(m: DataFrame, maxGroupSize: Long,
+                                       op: String): DataFrame = {
+    require(maxGroupSize >= 1, s"$op: maxGroupSize must be >= 1")
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    m.withColumn("__gs", count(lit(1)).over(byG))
+      .filter(assert_true(col("__gs") <= maxGroupSize,
+        concat(lit(s"$op group "), col("g"), lit(" holds "), col("__gs"),
+          lit(s" items > maxGroupSize=$maxGroupSize: the pair explosion " +
+            "is quadratic per group — cap or filter pathological groups " +
+            "upstream"))).isNull)
+      .drop("__gs")
   }
 
   /**

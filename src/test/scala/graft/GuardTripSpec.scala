@@ -130,4 +130,25 @@ class GuardTripSpec extends SparkTestBase {
     assert(pairs.forall(r => r.getLong(0) >= 9000L),
       s"degenerate bucket leaked: ${pairs.take(3).mkString(",")}")
   }
+
+  test("cooccurrenceEdges: a group over maxGroupSize fails with the quadratic message") {
+    val s = spark
+    import s.implicits._
+    val m = (1L to 500L).map(i => (7L, i)).toDF("g", "i")
+    val e = intercept[Exception] {
+      graft.pipeline.Graph.cooccurrenceEdges(m, "g", "i", maxGroupSize = 100L).collect()
+    }
+    assert(messages(e).exists(m => m.contains("maxGroupSize=100") &&
+      m.contains("quadratic")), messages(e).mkString("; "))
+  }
+
+  test("Associations.rules: a basket over maxGroupSize fails loudly") {
+    val s = spark
+    import s.implicits._
+    val m = (1L to 500L).map(i => (7L, i)).toDF("g", "i")
+    val e = intercept[Exception] {
+      graft.pipeline.Associations.rules(m, "g", "i", 0L, 1L, maxGroupSize = 100L).collect()
+    }
+    assert(messages(e).exists(_.contains("maxGroupSize=100")), messages(e).mkString("; "))
+  }
 }
