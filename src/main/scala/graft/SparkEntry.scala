@@ -1832,6 +1832,20 @@ object SparkEntry {
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // First-touch conversion funnel view -> click -> purchase within a
+    // 7-day window of the first view: one conditional-min aggregation
+    // per step plus equi-joins on the entity key — no windows, no
+    // per-entity buffering. Earliest-completion is greedy-optimal, so
+    // depth is exact; timestamps stay integers end to end.
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+          rd(s, dir, "events"), "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"),
+          windowSize = 604800000000000L)
+        .select(col("entity").as("user_id"), col("t1"), col("t2"),
+          col("t3"), col("depth"))
+        .orderBy("user_id")),
+
     // Market-basket association rules over parts-in-order memberships
     // (bucketed to 50 items so supports are meaningful): support /
     // confidence / lift per pair with RELATIVE support >= 0.6% of
@@ -2818,6 +2832,18 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + 604800000000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + 604800000000000 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  CAST(CASE WHEN t2 IS NULL THEN 1 ELSE CASE WHEN t3 IS NULL THEN 2 ELSE 3 END END
+        |       AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin.replace("\n", " "),
     "q_assoc_rules" ->
       """WITH m AS (
         |  SELECT DISTINCT l_orderkey AS g, l_partkey % 50 AS i FROM lineitem),
