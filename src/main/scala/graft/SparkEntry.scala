@@ -1832,6 +1832,25 @@ object SparkEntry {
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // SCD2 dimension history rebuilt from a change log: customers start
+    // at INIT, every order observation is a potential priority change;
+    // no-op observations collapse, intervals close at the next change,
+    // open rows are current. Two same-key window passes, one exchange.
+    "q_scd2" -> ((s, dir) => {
+      val init = rd(s, dir, "customer").select(
+        col("c_custkey").as("k"), lit(-1L).as("t"),
+        lit("INIT").as("a"), lit(-1L).as("tie"))
+      val upd = rd(s, dir, "orders").select(
+        col("o_custkey").as("k"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("t"),
+        col("o_orderpriority").as("a"), col("o_orderkey").as("tie"))
+      graft.operators.Scd2
+        .fromChangeLog(init.unionByName(upd), "k", "t", "a", "tie")
+        .select(col("key").as("c_custkey"), col("attr"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("c_custkey", "valid_from", "attr")
+    }),
+
     // First-touch conversion funnel view -> click -> purchase within a
     // 7-day window of the first view: one conditional-min aggregation
     // per step plus equi-joins on the entity key — no windows, no
@@ -2832,6 +2851,23 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_scd2" ->
+      """WITH log AS (
+        |  SELECT c_custkey AS key, CAST(-1 AS BIGINT) AS t, 'INIT' AS attr,
+        |         CAST(-1 AS BIGINT) AS tie FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT),
+        |         o_orderpriority, o_orderkey FROM orders),
+        |f AS (
+        |  SELECT key, t, attr, tie FROM (
+        |    SELECT key, t, attr, tie, lag(attr) OVER w AS prev
+        |    FROM log WINDOW w AS (PARTITION BY key ORDER BY t, tie))
+        |  WHERE prev IS NULL OR attr <> prev)
+        |SELECT key AS c_custkey, attr, t AS valid_from,
+        |  lead(t) OVER w2 AS valid_to,
+        |  lead(t) OVER w2 IS NULL AS is_current
+        |FROM f WINDOW w2 AS (PARTITION BY key ORDER BY t, tie)
+        |ORDER BY c_custkey, valid_from, attr""".stripMargin.replace("\n", " "),
     "q_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
