@@ -1832,6 +1832,31 @@ object SparkEntry {
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // Symmetric int8 quantization summary per embedding: scale + integer
+    // code-vector stats, truncation toward zero (the cross-engine-exact
+    // convention). Narrow per-row work, zero shuffles.
+    "q_embed_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(rd(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
+    // Referential-integrity audit across the docs <-> embeddings link:
+    // orphan counts both directions plus the matched count — two
+    // broadcast anti/semi joins and three 1-row aggregates, assembled
+    // into one row. The data-quality gate before any cross-modal join.
+    "q_integrity" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"))
+      val e = rd(s, dir, "embeddings").select(col("vec_id"))
+      val docsOnly = d.join(e, d("doc_id") === e("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("docs_without_vec"))
+      val vecsOnly = e.join(d, d("doc_id") === e("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("vecs_without_doc"))
+      val matched = d.join(e, d("doc_id") === e("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(e.agg(count(lit(1)).as("n_vecs")))
+        .crossJoin(docsOnly).crossJoin(vecsOnly).crossJoin(matched)
+    }),
+
     // SCD2 dimension history rebuilt from a change log: customers start
     // at INIT, every order observation is a potential priority change;
     // no-op observations collapse, intervals close at the next change,
@@ -2851,6 +2876,26 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_embed_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |m AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS mx FROM v),
+        |s AS (SELECT vec_id, ev,
+        |        CASE WHEN mx = 0 THEN 0 ELSE CAST(127 AS DOUBLE) / mx END AS scale FROM m),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(ev, x -> CAST(trunc(x * scale) AS BIGINT)) AS qv FROM s)
+        |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_min(qv) AS BIGINT) AS qmin, CAST(list_max(qv) AS BIGINT) AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "q_integrity" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  (SELECT count(*) FROM documents d WHERE NOT EXISTS
+        |     (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS docs_without_vec,
+        |  (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+        |     (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS vecs_without_doc,
+        |  (SELECT count(*) FROM documents d WHERE EXISTS
+        |     (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n_matched""".stripMargin.replace("\n", " "),
     "q_scd2" ->
       """WITH log AS (
         |  SELECT c_custkey AS key, CAST(-1 AS BIGINT) AS t, 'INIT' AS attr,

@@ -399,4 +399,26 @@ object Similarity {
       org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("radius", org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
+
+  /**
+   * Symmetric int8 quantization summary per vector — the serving-side
+   * compression pass (4× smaller index, SIMD-friendly dot products):
+   * `scale = 127 / max|vᵢ|`, `qᵢ = trunc(vᵢ · scale)` toward zero
+   * (truncation, not rounding: Spark's double→int cast truncates while
+   * SQL engines' round conventions differ at .5, so truncation is the
+   * cross-engine-exact choice). All-zero vectors get scale 0 and a zero
+   * code vector rather than a division blow-up. Emits the integer
+   * summary (sum/min/max of the code vector) plus the scale — enough
+   * to pin the full quantization without exploding dims into rows.
+   * Pure per-row narrow work; never shuffles.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = asD(col(vecCol))
+    val mx = array_max(transform(vd, v => abs(v)))
+    val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+    val q = transform(vd, v => (v * scale).cast("int").cast("long"))
+    df.select(col(idCol).as("vec_id"), scale.as("scale"),
+      aggregate(q, lit(0L), _ + _).as("qsum"),
+      array_min(q).as("qmin"), array_max(q).as("qmax"))
+  }
 }

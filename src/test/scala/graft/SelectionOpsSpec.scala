@@ -108,6 +108,39 @@ class SelectionOpsSpec extends SparkTestBase {
     assert(merged.keySet === Set("0", "1", "2"))
   }
 
+  test("skyline2D matches brute-force dominance on 500 random points (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 500L).map(i =>
+      (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("id", "x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got === naive)
+  }
+
+  test("selectByBudget matches a single global running sum on 2000 random rows (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 2000L).map(i =>
+      (i, 1L + rnd.nextInt(50).toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "cost", "q")
+    val got = BudgetSelect.selectByBudget(df, "id", "cost", "q", budget = 5000L)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val naive = rows.sortBy(r => (-r._3, r._1)).flatMap { case (id, c, _) =>
+      val start = cum; cum += c
+      if (start < 5000L) Some(id -> cum) else None
+    }.toMap
+    assert(got === naive)
+  }
+
   test("psiByBucket: identical cohort distributions give exactly zero PSI") {
     val s = spark
     import s.implicits._

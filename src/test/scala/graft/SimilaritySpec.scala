@@ -189,4 +189,20 @@ class SimilaritySpec extends SparkTestBase {
       col("embedding").cast("array<double>"), planes)).collect().map(_.getInt(0)).toSeq
     assert(s1 === s2)
   }
+
+  test("quantizeInt8: hand-computed codes, truncation toward zero, zero-vector guard") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f)), // scale 63.5 -> codes 127, -63, 31
+      (2L, Array(0.0f, 0.0f, 0.0f)),  // zero vector: scale 0, codes 0
+      (3L, Array(-4.0f))              // scale 31.75 -> code -127
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((63.5, 127L - 63L + 31L, -63L, 127L)))
+    assert(got(2L) === ((0.0, 0L, 0L, 0L)))
+    assert(got(3L) === ((31.75, -127L, -127L, -127L)))
+  }
 }
