@@ -2013,6 +2013,176 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("lo"), col("hi"),
           col("clipped"))
         .orderBy("event_id")),
+
+    // CDC latest-wins apply: the orders stream as a changelog keyed by
+    // customer (seq = order epoch-day, tie = orderkey; status 'F' is a
+    // tombstone). `max_by(struct)` — an aggregate, not a window — so
+    // map-side partials collapse hot keys BEFORE the exchange; the
+    // oracle states the same semantics independently via row_number
+    // DESC. Companion of q_scd2 (full history) — this keeps only the
+    // current image.
+    "q_cdc_merge" -> ((s, dir) => {
+      val log = rd(s, dir, "orders").select(
+        col("o_custkey").as("k"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("t"),
+        col("o_orderkey").as("tie"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_orderpriority").as("prio"))
+      graft.operators.CdcMerge(log, "k", "t", "tie", "op", "D")
+        .select(col("k").as("o_custkey"), col("prio"))
+        .orderBy("o_custkey")
+    }),
+
+    // First-order Markov transitions over per-user event sequences:
+    // (src event_type -> dst event_type) counts plus the per-src total
+    // for exact P(dst|src). One entity-key window shuffle + a two-phase
+    // pair count; src totals are a window over the tiny aggregated
+    // pair table, never the raw events.
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.Transitions.transitionCounts(
+          rd(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("src", "dst")),
+
+    // Weekly cohort retention: entities grouped by first-active week,
+    // counted at each later week offset. ONE shuffle of the event
+    // stream (groupBy entity with min + collect_set of week indexes —
+    // state bounded by distinct WEEKS, not events); the explode back
+    // out is narrow and the final count's domain is |cohorts|·|offsets|.
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Retention.retentionMatrix(
+          rd(s, dir, "events"), "user_id", "ts", 604800000000000L)
+        .orderBy("cohort", "offset")),
+
+    // Size-balanced shard assignment: cut the corpus into ~100 kB-of-
+    // text shards in doc_id order — the greedy sequential writer's
+    // assignment, computed with the two-phase distributed prefix sum
+    // (range exchange + per-partition offsets), never a single-task
+    // global window. Balanced by COST (chars), not row count.
+    "q_shard_assign" -> ((s, dir) =>
+      graft.operators.Sharding.assignShards(
+          rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", 100000L)
+        .select(col("doc_id"), col("cum"), col("shard"))
+        .orderBy("doc_id")),
+
+    // Curriculum interleave: rank docs by length (difficulty proxy),
+    // cut into 4 contiguous tiers, emit the round-robin training
+    // position so every output prefix mixes all tiers. Global rank is
+    // the two-phase form; tier/pos are pure integer arithmetic on
+    // (rank, n) that the oracle replicates from row_number + count(*).
+    "q_curriculum" -> ((s, dir) =>
+      graft.operators.Curriculum.interleave(
+          rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", 4)
+        .select(col("doc_id"), col("rank").as("rnk"), col("tier"), col("pos"))
+        .orderBy("pos")),
+
+    // True RANGE-frame trailing window: per event, count/max/sum of
+    // value-cents over the preceding hour AT that event — the per-event
+    // form tumbling buckets can't express. Frame is timestamp-distance,
+    // so same-ts peers are in-frame regardless of tie order (ROWS would
+    // be order-dependent and unverifiable). Cents keep the windowed sum
+    // integer-exact across engines.
+    "q_trailing_range" -> ((s, dir) =>
+      graft.operators.TimeSeries.trailingRange(
+          rd(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "user_id", "ts", "cents", 3600000000000L)
+        .select(col("event_id"), col("user_id"), col("trail_n"),
+          col("trail_max"), col("trail_sum"))
+        .orderBy("event_id")),
+
+    // Sketch-guided EXACT heavy hitters: Misra-Gries candidates (no
+    // false negatives) -> one exact count restricted to the candidate
+    // set -> exact relative cut (cross-multiplied, scale-invariant).
+    // Bit-exact answer; the heavy shuffle is bounded by candidate
+    // count, not key cardinality. The oracle is the single-pass exact
+    // groupBy the two-pass plan avoids at scale.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.exactHeavyHitters(
+          rd(s, dir, "events"), "user_id",
+          support = 0.005, thresholdNum = 3L, thresholdDen = 400L)
+        .orderBy("user_id")),
+
+    // Bloom-pruned shuffle join: a selective-but-not-broadcast dim
+    // (large parts) ships a 10-bits/key Bloom of its keys into the fact
+    // scan; non-matching lineitems drop BEFORE the join exchange.
+    // False positives cost only shuffled bytes — the equi-join behind
+    // the prefilter keeps the result bit-exact, as the oracle's plain
+    // join states.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = rd(s, dir, "part").filter(col("p_size") >= 45)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.operators.BloomJoin.bloomPrunedJoin(
+          rd(s, dir, "lineitem"), dim, "l_partkey", "p_partkey",
+          estimatedItems = 2048L, numBits = 20480L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Higher-order array functions (SURVEY §2.9): transform / filter /
+    // aggregate / array_max over the token list, all codegen'd lambda
+    // expressions riding one narrow scan — no explode, no shuffle
+    // before the output sort. The oracle restates each with DuckDB's
+    // list_* lambda family, an independent implementation.
+    "q_array_funcs" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => length(t) > lit(5)))
+            .cast("long").as("n_long"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .as("sum_chars"),
+          array_max(transform(col("toks"), t => length(t)))
+            .cast("long").as("max_len"))
+        .orderBy("doc_id")),
+
+    // LOSSLESS prefix-filtering set-similarity self-join (All-Pairs/
+    // PPJoin): postings only for each doc's rarest `sz - ceil(t·sz) + 1`
+    // shingles in a global ascending-doc-frequency order — complete by
+    // the prefix lemma, and skew-proof by construction (the prefix
+    // keeps the RAREST tokens, so buckets are the smallest ones). Same
+    // answer and oracle as q_dedup_ngram, third member of the exact/
+    // guarded/prefix family. Prefix length uses integer ceil on the
+    // rational threshold: float ceil could shorten a prefix and lose
+    // pairs.
+    "q_dedup_prefix" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(rd(s, dir, "documents"), "doc_id",
+        "text", n = 3, tNum = 1L, tDen = 2L).orderBy("id1", "id2")),
+
+    // Robust per-group outliers: |v − median| > 3·MAD. Median and MAD
+    // are percentile_disc values present in the data (the MAD a stored
+    // IEEE difference), the compare an integer multiply — every output
+    // bit deterministic cross-engine, no float accumulation. 50%
+    // breakdown point vs the z-score's 0%. Fact side never shuffles;
+    // per-group bounds broadcast back.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.operators.Robust.madOutliers(
+          rd(s, dir, "events"), "event_type", "value", 3)
+        .select(col("event_id"), col("event_type"), col("med"), col("mad"),
+          col("is_outlier"))
+        .orderBy("event_id")),
+
+    // Period-over-period deltas: weekly event counts with the previous
+    // week's count and the integer delta alongside. The lag window is
+    // unpartitioned BUT runs over the already-aggregated week domain —
+    // |weeks| rows, driver-scale by construction (the raw events went
+    // through one two-phase count first), so the single-task window is
+    // the right plan, not a hazard.
+    "q_period_over_period" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      rd(s, dir, "events")
+        .selectExpr("ts div 604800000000000 AS week")
+        .groupBy("week").agg(count(lit(1)).as("cnt"))
+        .withColumn("prev_cnt", lag(col("cnt"), 1).over(Window.orderBy("week")))
+        .withColumn("delta", col("cnt") - col("prev_cnt"))
+        .orderBy("week")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3023,6 +3193,113 @@ object SparkEntry {
         |  least(greatest(value, lo), hi) AS clipped
         |FROM events e JOIN b USING (event_type)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q_cdc_merge" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS t,
+        |    o_orderkey AS tie,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS prio
+        |  FROM orders),
+        |last AS (
+        |  SELECT k, op, prio,
+        |    row_number() OVER (PARTITION BY k ORDER BY t DESC, tie DESC) AS rn
+        |  FROM log)
+        |SELECT k AS o_custkey, prio FROM last
+        |WHERE rn = 1 AND op <> 'D' ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS dst
+        |  FROM events),
+        |p AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM s
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS src_total
+        |FROM p ORDER BY src, dst""".stripMargin.replace("\n", " "),
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS p FROM events),
+        |c AS (
+        |  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM d)
+        |SELECT cohort, p - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin.replace("\n", " "),
+    "q_shard_assign" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT doc_id, CAST(cum AS BIGINT) AS cum,
+        |  (CAST(cum AS BIGINT) - n_chars) // 100000 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM documents),
+        |t AS (SELECT doc_id, rnk, ((rnk - 1) * 4) // n AS tier, n FROM r)
+        |SELECT doc_id, rnk, tier,
+        |  (rnk - 1 - (tier * n + 3) // 4) * 4 + tier AS pos
+        |FROM t ORDER BY pos""".stripMargin.replace("\n", " "),
+    "q_trailing_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n,
+        |  max(cents) OVER w AS trail_max,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS trail_sum
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+        |  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events, t GROUP BY user_id, total
+        |HAVING CAST(count(*) AS BIGINT) * 400 > total * 3
+        |ORDER BY user_id""".stripMargin.replace("\n", " "),
+    "q_bloom_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 45
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
+    "q_array_funcs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND text <> '')
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long,
+        |  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_chars,
+        |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_len
+        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_dedup_prefix" -> ngramJaccardOracle,
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med)) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT event_id, e.event_type, med, mad,
+        |  abs(value - med) > mad * 3 AS is_outlier
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q_period_over_period" ->
+      """WITH w AS (
+        |  SELECT epoch_ns(ts) // 604800000000000 AS week,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
+        |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
+        |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
   )
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for

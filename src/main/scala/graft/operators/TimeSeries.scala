@@ -154,4 +154,28 @@ object TimeSeries {
       .filter(col("__prev").isNull || col(tsCol) - col("__prev") > gap)
       .drop("__prev")
   }
+
+  /**
+   * Trailing-window aggregates with a true RANGE frame: for every
+   * event, counts and an integer max over all same-key events in
+   * `(ts - width, ts]` — "requests in the last hour AT each request",
+   * the per-event form that tumbling buckets can't express (a bucket
+   * boundary splits the hour; this frame never does). RANGE, not ROWS:
+   * the frame is defined by timestamp distance, so same-ts peers are
+   * all in-frame regardless of tie order, and sparse keys don't drag
+   * old rows in. One shuffle on the key; Spark evaluates the moving
+   * frame with two pointers over each key's sorted run — O(run), no
+   * per-row rescan. The aggregated column must be integral (cents,
+   * bytes, tokens): a windowed double sum would accumulate in
+   * engine-specific order.
+   */
+  def trailingRange(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(-(width - 1), Window.currentRow)
+    df.withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_max", max(col(valCol)).over(w))
+      .withColumn("trail_sum", sum(col(valCol)).over(w))
+  }
 }

@@ -846,4 +846,63 @@ object Dedup {
         levenshtein(col("p1"), col("p2")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /**
+   * LOSSLESS set-similarity self-join via prefix filtering (the
+   * All-Pairs/PPJoin candidate rule): order every document's shingles
+   * by a single global order (ascending document frequency, rarest
+   * first), keep only each document's first `|x| - ⌈t·|x|⌉ + 1` tokens
+   * as postings, and pair documents sharing a PREFIX token.
+   *
+   * Why that is complete: J(x,y) ≥ t implies `|x∩y| ≥ ⌈t·|x|⌉` (the
+   * union is at least `|x|`). Let m be the intersection token smallest
+   * in the global order. If m sat outside x's prefix, every
+   * intersection token would sit in x's order-suffix of length
+   * `⌈t·|x|⌉ − 1` — too short. So m is in BOTH prefixes and the pair
+   * survives candidate generation; the exact Jaccard verify then keeps
+   * only true matches. Unlike the `maxDocFreq` guard (which drops hot
+   * shingles and perturbs measured Jaccard unless the cutoff clears the
+   * corpus) or MinHash-LSH (probabilistic recall), prefix filtering is
+   * exact BY CONSTRUCTION at any skew: the prefix keeps each document's
+   * RAREST tokens, so posting buckets are naturally the smallest ones —
+   * frequency ordering is itself the skew mitigation.
+   *
+   * The prefix length uses the rational threshold `tNum/tDen` with
+   * integer ceil — a float `ceil(0.3·10)` evaluating to 4 instead of 3
+   * would silently shorten a prefix and lose pairs. The final cut is
+   * the same cross-multiplied integer compare. Output (id1, id2,
+   * jaccard) matches [[ngramJaccardPairs]] bit-for-bit.
+   */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val gs = gramSets(df, idCol, textCol, n).filter(size(col("grams")) > 0)
+    val posts = gs.select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("g0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("g0")).as("g"))
+    val dfreq = posts.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val prefix = posts.join(dfreq, "g")
+      .withColumn("__r", row_number().over(w))
+      // integer ceil: alpha = (tNum·sz + tDen − 1) div tDen
+      .filter(col("__r") <=
+        col("sz") - expr(s"($tNum * sz + $tDen - 1) div $tDen") + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets = gs.select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("grams").as("g1"),
+        col("sz").as("sz1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("grams").as("g2"),
+        col("sz").as("sz2")), "id2")
+      .withColumn("ic", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .filter(col("ic") * tDen >= lit(tNum) * (col("sz1") + col("sz2") - col("ic")))
+      .select(col("id1"), col("id2"),
+        (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic")))
+          .as("jaccard"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Conformance for the sketch-guided / runtime-filter two-pass
+  * operators: exact heavy hitters and the Bloom-pruned join. */
+class TwoPassOpsSpec extends SparkTestBase {
+  private val s = spark
+  import s.implicits._
+
+  test("heavy hitters: exact counts, relative cut, no false negatives") {
+    // key 1: 500 rows (50%), key 2: 300 (30%), keys 3..102: 2 each
+    val df = (Seq.fill(500)(1L) ++ Seq.fill(300)(2L) ++
+      (3L to 102L).flatMap(k => Seq(k, k))).toDF("k")
+    val out = HeavyHitters.exactHeavyHitters(df, "k",
+        support = 0.05, thresholdNum = 1L, thresholdDen = 10L)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("n")).toMap
+    assert(out === Map(1L -> 500L, 2L -> 300L))
+  }
+
+  test("heavy hitters: support wider than threshold is rejected") {
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(df, "k", 0.5, 1L, 10L)
+    }
+  }
+
+  test("bloom join matches the plain join exactly") {
+    val fact = (1L to 1000L).map(i => (i, i % 50)).toDF("fid", "fk")
+    val dim = (0L to 49L).filter(_ % 7 == 0).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = BloomJoin.bloomPrunedJoin(fact, dim, "fk", "dk", 64L, 1024L)
+      .select("fid", "name").as[(Long, String)].collect().toSet
+    val want = fact.join(dim, fact("fk") === dim("dk"))
+      .select("fid", "name").as[(Long, String)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("bloom prefilter drops non-candidate rows before the join") {
+    val fact = (1L to 1000L).map(i => (i, i % 50)).toDF("fid", "fk")
+    val dim = Seq((7L, "d7")).toDF("dk", "name")
+    // with one dim key the prefiltered fact side must be ~20 rows, not
+    // 1000 — count the filter's survivors directly
+    val bloom = dim.agg(graft.functions.BloomFunctions
+      .bloomFilterAgg(col("dk"), 64L, 1024L)).head.getAs[Array[Byte]](0)
+    val survivors = fact.filter(
+      graft.functions.BloomFunctions.mightContain(bloom, col("fk"))).count()
+    assert(survivors >= 20L && survivors < 100L) // exact 20 + rare FPs
+  }
+}
