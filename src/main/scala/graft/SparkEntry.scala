@@ -2168,6 +2168,50 @@ object SparkEntry {
           col("is_outlier"))
         .orderBy("event_id")),
 
+    // Session path mining: 30-min gap sessions -> ordered journey
+    // strings -> top-10 most frequent paths. The per-session
+    // collect_list rides the sessionization window's partitioning (no
+    // second event exchange); in-session order is total via (ts,
+    // event_id) structs under array_sort, so the rendered string never
+    // depends on shuffle arrival; top-k is TakeOrdered.
+    "q_top_paths" -> ((s, dir) =>
+      graft.operators.Paths.topPaths(
+          rd(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          gapUnits = 1800000000000L, k = 10)
+        .orderBy(col("n").desc, col("path"))),
+
+    // Canonicalization + exact dedup — the first pass of every real
+    // dedup pipeline: lowercase, strip non-alphanumerics, collapse
+    // whitespace, THEN group. Catches "Hello, World!" == "hello world"
+    // that byte-exact dedup misses. Grouped by the canonical string
+    // itself (no digest parity to maintain); one hash shuffle.
+    "q_dedup_canonical" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("canon", trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // Star-schema join: fact lineitem through orders -> customer ->
+    // nation -> region with integer measures. nation/region broadcast
+    // (tiny dims — zero exchanges for them); lineitem->orders->customer
+    // shuffle on their keys; Catalyst owns the join order. The classic
+    // multi-dim rollup every warehouse runs, pinned with an oracle.
+    "q_star_join" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .join(rd(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("r_name", "n_name")),
+
     // Period-over-period deltas: weekly event counts with the previous
     // week's count and the integer delta alongside. The lag window is
     // unpartitioned BUT runs over the already-aggregated week domain —
@@ -3279,6 +3323,39 @@ object SparkEntry {
         |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_len
         |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_dedup_prefix" -> ngramJaccardOracle,
+    "q_top_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, t, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin.replace("\n", " "),
+    "q_dedup_canonical" ->
+      """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |  ' +', ' ', 'g')) AS canon,
+        |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin.replace("\n", " "),
+    "q_star_join" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin.replace("\n", " "),
     "q_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type,
