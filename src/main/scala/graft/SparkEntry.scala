@@ -2212,6 +2212,74 @@ object SparkEntry {
           sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy("r_name", "n_name")),
 
+    // Snapshot diff: old corpus vs a synthetic refresh (every 7th doc
+    // removed, every 5th text edited, 30 docs added) classified
+    // added/removed/changed/unchanged per key. ONE full-outer shuffle
+    // join — the minimum for a key-aligned diff; the compare is
+    // null-safe column equality in the join projection (no digests, so
+    // no collision-born false "unchanged").
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text", "lang")
+      val refreshed = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      graft.operators.SnapshotDiff.diff(docs, refreshed, "doc_id",
+          Seq("text", "lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Data-quality constraint audit — the publish gate: row count,
+    // range violations, null flags, primary-key duplicates, and orphan
+    // fact rows, all as ONE row of exact counts. The main constraints
+    // ride a single conditional-aggregation scan; the PK-dup term is
+    // count minus distinct-tuple count; orphans are a left-anti join
+    // count (broadcast- or shuffle-planned by size, Catalyst's call).
+    "q_dq_audit" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val base = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_qty_range"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+          .as("n_null_flag"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("n_dup_pk"))
+      val orphans = li.join(rd(s, dir, "orders"),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      base.crossJoin(orphans)
+    }),
+
+    // Bounded hierarchy closure: every ancestor within 5 parent steps
+    // of the synthetic doc tree (parent = id div 10). Frontier-only
+    // iteration — each level joins one level's rows to the edge table,
+    // never the accumulated closure — with localCheckpoint lineage
+    // truncation (the pageRank discipline). Oracle is DuckDB's
+    // WITH RECURSIVE, an independent engine's closure semantics.
+    "q_hierarchy" -> ((s, dir) => {
+      val edges = rd(s, dir, "documents").filter(col("doc_id") >= 1)
+        .select(col("doc_id").as("c"), expr("doc_id div 10").as("p"))
+      graft.operators.Hierarchy.ancestors(edges, "c", "p", maxLevels = 5)
+        .orderBy("node", "level")
+    }),
+
+    // Deflate compression-ratio quality signal (CCNet-family):
+    // boilerplate compresses far better than prose, junk barely at
+    // all. Deterministic DEFLATE per partition (one Deflater,
+    // amortized); exact integer numerator/denominator ride along so
+    // thresholds can cross-multiply. No SQL twin exists (DuckDB has no
+    // deflate) — rows-only driver check; invariants pinned in
+    // HierarchySpec (ordering, determinism, ratio-field consistency).
+    "q_compression" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.pipeline.Compression.deflateRatio(
+          rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // Period-over-period deltas: weekly event counts with the previous
     // week's count and the integer delta alongside. The lag window is
     // unpartitioned BUT runs over the already-aggregated week domain —
@@ -3369,6 +3437,45 @@ object SparkEntry {
         |  abs(value - med) > mad * 3 AS is_outlier
         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, lang FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 30)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text
+        |            AND o.lang IS NOT DISTINCT FROM n.lang THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_dq_audit" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  (SELECT CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+        |     FROM lineitem) AS n_qty_range,
+        |  (SELECT CAST(count(*) FILTER (l_returnflag IS NULL) AS BIGINT)
+        |     FROM lineitem) AS n_null_flag,
+        |  (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |     FROM lineitem) AS n_dup_pk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |     AS n_orphans""".stripMargin.replace("\n", " "),
+    "q_hierarchy" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS c, doc_id // 10 AS p FROM documents WHERE doc_id >= 1),
+        |a AS (
+        |  SELECT c AS node, p AS ancestor, CAST(1 AS BIGINT) AS level FROM e
+        |  UNION ALL
+        |  SELECT a.node, e.p, a.level + 1 FROM a JOIN e ON a.ancestor = e.c
+        |  WHERE a.level < 5)
+        |SELECT node, ancestor, level FROM a
+        |ORDER BY node, level""".stripMargin.replace("\n", " "),
     "q_period_over_period" ->
       """WITH w AS (
         |  SELECT epoch_ns(ts) // 604800000000000 AS week,

@@ -880,10 +880,14 @@ object Dedup {
     val posts = gs.select(col("doc_id"), size(col("grams")).as("sz"),
         explode(col("grams")).as("g0"))
       .select(col("doc_id"), col("sz"), xxhash64(col("g0")).as("g"))
-    val dfreq = posts.groupBy("g").agg(count(lit(1)).as("df"))
+    // doc frequency as a window over the posting exchange itself — the
+    // groupBy+join formulation would shuffle the postings a second time
+    // to bring the counts back; the window reads them off the same
+    // hash-partitioning it counted on
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val prefix = posts.join(dfreq, "g")
+    val prefix = posts.withColumn("df", count(lit(1)).over(byG))
       .withColumn("__r", row_number().over(w))
       // integer ceil: alpha = (tNum·sz + tDen − 1) div tDen
       .filter(col("__r") <=

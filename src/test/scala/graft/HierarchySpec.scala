@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Hierarchy
+import graft.pipeline.Compression
+
+/** Conformance for bounded hierarchy closure and the deflate-ratio
+  * quality signal. */
+class HierarchySpec extends SparkTestBase {
+  private val s = spark
+  import s.implicits._
+
+  test("ancestors: chain closure to maxLevels, no phantom rows") {
+    // 4 -> 3 -> 2 -> 1, and 9 -> 1
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L), (9L, 1L)).toDF("c", "p")
+    val got = Hierarchy.ancestors(edges, "c", "p", maxLevels = 10,
+        checkpointEvery = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (4L, 3L, 1L), (4L, 2L, 2L), (4L, 1L, 3L),
+      (3L, 2L, 1L), (3L, 1L, 2L),
+      (2L, 1L, 1L), (9L, 1L, 1L)))
+  }
+
+  test("ancestors: maxLevels truncates deep chains") {
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("c", "p")
+    val got = Hierarchy.ancestors(edges, "c", "p", maxLevels = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.forall(_._3 <= 2L) && got.contains((4L, 2L, 2L)) &&
+      !got.exists(t => t._1 == 4L && t._2 == 1L))
+  }
+
+  test("deflate ratio: repetitive < prose < random-ish; deterministic") {
+    implicit val sp = s
+    val docs = Seq(
+      (1L, "ab " * 2000),                                       // repetitive
+      (2L, (1 to 400).map(i => s"word$i with varied text ${i * 37 % 91}").mkString(" ")),
+      (3L, (1 to 4000).map(i =>
+        ((scala.util.hashing.MurmurHash3.stringHash(i.toString) & 0x7fffffff)
+          % 93 + 33).toChar).mkString)
+    ).toDF("doc_id", "text")
+    def run() = Compression.deflateRatio(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq)                 // bit-deterministic
+    val byId = a.map(r => r._1 -> r._4).toMap
+    assert(byId(1L) < byId(2L) && byId(2L) < byId(3L))
+    assert(byId(1L) < 0.05 && byId(3L) > 0.5)
+    // integer fields consistent with the ratio
+    a.foreach { case (_, raw, defl, ratio) =>
+      assert(math.abs(ratio - defl.toDouble / raw) < 1e-15) }
+  }
+}
