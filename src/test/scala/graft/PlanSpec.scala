@@ -320,4 +320,71 @@ class PlanSpec extends SparkTestBase {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.count(_.contains("hashpartitioning")) === 1, exchanges)
   }
+
+  test("q_cdc_merge: aggregate with map-side partials, no window sort") {
+    val p = plan("q_cdc_merge")
+    assert(p.contains("partial_"), p.take(1200))
+    assert(!p.contains("Window"), "CDC apply must not be a window sort")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) === 1, exchanges)
+  }
+
+  test("q_star_join: tiny dims broadcast; no cartesian anywhere") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_snapshot_diff: exactly one join (the full-outer), both sides hash-partitioned") {
+    val p = plan("q_snapshot_diff")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins === 1, s"expected exactly 1 join, plan:\n${p.take(1500)}")
+    assert(p.contains("FullOuter"), p.take(1500))
+  }
+
+  test("shard/curriculum prefix machinery: offsets broadcast, data range-partitioned") {
+    Seq("q_shard_assign", "q_curriculum").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"),
+        s"$q: corpus must move through ONE balanced range exchange")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: per-partition offsets must broadcast back, not shuffle-join")
+    }
+  }
+
+  test("q_retention: the event stream shuffles ONCE (entity groupBy); explode is narrow") {
+    val p = plan("q_retention")
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    // entity groupBy + the final (cohort, offset) count = two hash
+    // exchanges, but only the FIRST carries event-granularity data; the
+    // second moves |cohorts|x|offsets| rows. Assert no third.
+    assert(hashEx.size <= 2, s"unexpected exchanges: $hashEx")
+  }
+
+  test("q_trailing_range / q_transitions: single entity-key window exchange") {
+    Seq("q_trailing_range", "q_transitions").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q must use a window")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q_heavy_hitters: candidate filter reaches the scan before the exact count") {
+    val p = plan("q_heavy_hitters")
+    // the second pass must filter by the candidate set BEFORE the
+    // aggregate — and the In-predicate must reach the parquet scan
+    assert(p.contains("INSET"), p.take(1500))
+    assert(p.contains("PushedFilters: [In(user_id"), p.take(1500))
+  }
+
+  test("q_bloom_join: bloom probe prefilters the fact scan") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p.take(1500))
+  }
+
+  test("q_top_paths: top-k journeys via TakeOrdered, not a global sort") {
+    assert(plan("q_top_paths").contains("TakeOrderedAndProject"))
+  }
 }
