@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Latest-wins change-data-capture apply: collapse a changelog of
@@ -41,5 +42,51 @@ object CdcMerge {
       .agg(max_by(latest, ord).as("__last"))
       .filter(col(s"__last.$opCol") =!= deleteOp)
       .select(col(keyCol) +: payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** One changelog record entering [[applyStream]]. */
+  case class CdcRecord(key: Long, seq: Long, tie: Long, op: String, payload: String)
+  /** Per-key carried state: the winning (seq, tie) and its record. */
+  case class CdcState(seq: Long, tie: Long, op: String, payload: String)
+  /** The key's current image after a batch that touched it. `deleted`
+    * marks a tombstone-latest key (the consumer drops it). */
+  case class CdcImage(key: Long, seq: Long, op: String, payload: String,
+                      deleted: Boolean)
+
+  /**
+   * Streaming latest-wins apply: the unbounded-changelog form of
+   * [[apply]]. Per-key state is ONE record — the current (seq, tie)
+   * winner — updated as batches arrive; each batch emits the new
+   * current image for exactly the keys it touched (Update-style
+   * downstream upsert feed). Out-of-order arrivals are absorbed
+   * correctly because the comparison is on (seq, tie), not arrival:
+   * a stale record loses against state no matter when it shows up.
+   * Within a batch, records apply in (seq, tie) order so emission
+   * never depends on shuffle arrival order. State never times out —
+   * a CDC image IS the table; bound the key domain upstream if the
+   * table itself is unbounded.
+   */
+  def applyStream(log: Dataset[CdcRecord], deleteOp: String): Dataset[CdcImage] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcImage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, recs: Iterator[CdcRecord], state: GroupState[CdcState]) =>
+          var cur = state.getOption.orNull
+          var changed = false
+          recs.toSeq.sortBy(r => (r.seq, r.tie)).foreach { r =>
+            if (cur == null || r.seq > cur.seq ||
+                (r.seq == cur.seq && r.tie > cur.tie)) {
+              cur = CdcState(r.seq, r.tie, r.op, r.payload)
+              changed = true
+            }
+          }
+          if (changed) {
+            state.update(cur)
+            Iterator.single(CdcImage(key, cur.seq, cur.op, cur.payload,
+              cur.op == deleteOp))
+          } else Iterator.empty
+      }
   }
 }

@@ -34,6 +34,37 @@ class SequenceOpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"))
   }
 
+  test("cdc stream: out-of-order loses, tombstone emits deleted, stale batch silent") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcMerge.CdcRecord]
+    val q = CdcMerge.applyStream(in.toDS(), deleteOp = "D")
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode(OutputMode.Append).start()
+    def images() = s.table("cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getBoolean(4))).toSeq
+    try {
+      in.addData(
+        CdcMerge.CdcRecord(1L, 10L, 1L, "U", "a"),
+        CdcMerge.CdcRecord(1L, 20L, 2L, "U", "b"),   // same batch: 20 wins
+        CdcMerge.CdcRecord(2L, 10L, 3L, "U", "x"))
+      q.processAllAvailable()
+      assert(images().toSet === Set((1L, 20L, "U", "b", false),
+        (2L, 10L, "U", "x", false)))
+      // batch 2: stale update for key 1 (silent), tombstone for key 2
+      in.addData(
+        CdcMerge.CdcRecord(1L, 15L, 4L, "U", "stale"),
+        CdcMerge.CdcRecord(2L, 30L, 5L, "D", ""))
+      q.processAllAvailable()
+      val after = images()
+      assert(after.size === 3)                       // only key 2 re-emitted
+      assert(after.toSet.contains((2L, 30L, "D", "", true)))
+      assert(!after.exists(_._4 == "stale"))
+    } finally q.stop()
+  }
+
   // ---- Transitions --------------------------------------------------
 
   test("transitions: adjacent pairs per entity, counts + src totals") {
