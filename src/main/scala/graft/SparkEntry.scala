@@ -2280,6 +2280,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Pareto contribution cut: the sources supplying the top 80% of
+    // documents (greedy by count until the share crosses, crossing row
+    // kept). The running share is a window over the AGGREGATED source
+    // domain — |sources| rows, driver-scale by construction — and the
+    // cut is cross-multiplied integers (80% = 4/5), no float shares.
+    "q_pareto_sources" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = rd(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.withColumn("cum", sum("n").over(w))
+        .crossJoin(broadcast(c.agg(sum(col("n")).as("total"))))
+        .filter((col("cum") - col("n")) * 5 < col("total") * 4)
+        .select(col("source"), col("n"), col("cum"))
+        .orderBy("cum")
+    }),
+
     // Period-over-period deltas: weekly event counts with the previous
     // week's count and the integer delta alongside. The lag window is
     // unpartitioned BUT runs over the already-aggregated week domain —
@@ -3476,6 +3494,17 @@ object SparkEntry {
         |  WHERE a.level < 5)
         |SELECT node, ancestor, level FROM a
         |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_pareto_sources" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (
+        |  SELECT source, n,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT source, n, cum FROM r, t
+        |WHERE (cum - n) * 5 < total * 4 ORDER BY cum""".stripMargin.replace("\n", " "),
     "q_period_over_period" ->
       """WITH w AS (
         |  SELECT epoch_ns(ts) // 604800000000000 AS week,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * First-order (Markov) transition counts over per-entity event
@@ -36,5 +37,44 @@ object Transitions {
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
     pairs.withColumn("src_total",
       sum(col("n")).over(Window.partitionBy("src")))
+  }
+
+  /** One event entering [[transitionsStream]]. */
+  case class Ev(entity: Long, ts: Long, tie: Long, state: String)
+  /** Per-entity carried state: the last event seen (in (ts, tie) order). */
+  case class LastEv(ts: Long, tie: Long, state: String)
+  /** An observed adjacent transition. */
+  case class Transition(entity: Long, src: String, dst: String, ts: Long)
+
+  /**
+   * Streaming form: each entity carries only its LAST event — O(1)
+   * state — and every arriving event emits the (last.state → state)
+   * transition before becoming the new last. Within a micro-batch
+   * events apply in (ts, tie) order, so a batch of k events emits the
+   * same k transitions the batch pass would. Events older than the
+   * carried last (cross-batch stragglers) are dropped rather than
+   * spliced — splicing would retro-emit a corrected PAIR of
+   * transitions, which an append sink can't retract; the drop is the
+   * documented semantic difference from the batch operator.
+   */
+  def transitionsStream(events: Dataset[Ev]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (entity: Long, evs: Iterator[Ev], state: GroupState[LastEv]) =>
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          evs.toSeq.sortBy(e => (e.ts, e.tie)).foreach { e =>
+            if (last == null || e.ts > last.ts ||
+                (e.ts == last.ts && e.tie > last.tie)) {
+              if (last != null) out += Transition(entity, last.state, e.state, e.ts)
+              last = LastEv(e.ts, e.tie, e.state)
+            }
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
   }
 }

@@ -79,6 +79,29 @@ class SequenceOpsSpec extends SparkTestBase {
     assert(out === Map(("a", "b") -> (2L, 2L), ("b", "a") -> (1L, 1L)))
   }
 
+  test("transitions stream: O(1) last-event state; stragglers dropped, not spliced") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Transitions.Ev]
+    val q = Transitions.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append).start()
+    def rows() = s.table("trans").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    try {
+      in.addData(Transitions.Ev(1L, 1L, 1L, "a"), Transitions.Ev(1L, 2L, 2L, "b"),
+        Transitions.Ev(2L, 1L, 3L, "x"))
+      q.processAllAvailable()
+      assert(rows().toSet === Set((1L, "a", "b", 2L)))
+      // batch 2: continuation across batches + a straggler older than state
+      in.addData(Transitions.Ev(1L, 3L, 4L, "c"),   // b -> c
+        Transitions.Ev(2L, 0L, 5L, "stale"))        // dropped
+      q.processAllAvailable()
+      assert(rows().toSet === Set((1L, "a", "b", 2L), (1L, "b", "c", 3L)))
+    } finally q.stop()
+  }
+
   // ---- Retention ----------------------------------------------------
 
   test("retention: cohort = first period; offsets count distinct entities") {
