@@ -143,7 +143,16 @@ object Bench {
     // per-entry timings evicted their compiled code from the JIT code
     // cache — BENCH_r06 recorded 8 entries 2.5-6x slower on unchanged
     // plans from exactly that ordering.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the per-entry section (and its
+    // warmup) to the named entries — the iterate-on-one-query loop. The
+    // runner benches and b8 still run; unset for driver-comparable output.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val entries = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (k, _) => sel(k) }
+      case None => SparkEntry.queries
+    }
+    entries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
@@ -183,7 +192,7 @@ object Bench {
 
     val b8Secs = sys.env.getOrElse("SPARK_GRAFT_B8_SECS", "60").toInt
     var b8 = (0L, -1.0, 0L)
-    val perQuery = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val perQuery = entries.toSeq.map { case (name, fn) =>
       timed(name)(fn(spark, sfDir).count())
     }
     System.gc() // drop per-query GC debt before the runner benches
@@ -196,7 +205,7 @@ object Bench {
       try warm catch { case _: Throwable => () }
       timed(name)(body)
     }
-    val results = perQuery :+ warmed("b7_runner_100q") {
+    val results = if (only.isDefined) perQuery else perQuery :+ warmed("b7_runner_100q") {
       runnerPass(spark, sfDir, 100)
     } {
       val finished = runnerPass(spark, sfDir, 100)

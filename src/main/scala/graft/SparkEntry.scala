@@ -2266,6 +2266,24 @@ object SparkEntry {
         .orderBy("node", "level")
     }),
 
+    // Hierarchical rollup THROUGH the closure: document counts at every
+    // ancestor node of the synthetic tree — the query a flattened
+    // hierarchy exists to serve ("docs under each category, any
+    // depth"). Self nodes count too (level 0 union), so every node's
+    // total includes its own docs. Closure join + one count; the
+    // closure reuses q_hierarchy's frontier iteration.
+    "q_hierarchy_rollup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").filter(col("doc_id") >= 1)
+      val edges = docs.select(col("doc_id").as("c"), expr("doc_id div 10").as("p"))
+      val anc = graft.operators.Hierarchy.ancestors(edges, "c", "p", maxLevels = 5)
+        .select(col("node"), col("ancestor"))
+        .unionByName(docs.select(col("doc_id").as("node"),
+          col("doc_id").as("ancestor")))
+      anc.groupBy(col("ancestor"))
+        .agg(count(lit(1)).as("n_desc"))
+        .orderBy("ancestor")
+    }),
+
     // Deflate compression-ratio quality signal (CCNet-family):
     // boilerplate compresses far better than prose, junk barely at
     // all. Deterministic DEFLATE per partition (one Deflater,
@@ -3494,6 +3512,20 @@ object SparkEntry {
         |  WHERE a.level < 5)
         |SELECT node, ancestor, level FROM a
         |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_hierarchy_rollup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS c, doc_id // 10 AS p FROM documents WHERE doc_id >= 1),
+        |a AS (
+        |  SELECT c AS node, p AS ancestor, 1 AS level FROM e
+        |  UNION ALL
+        |  SELECT a.node, e.p, a.level + 1 FROM a JOIN e ON a.ancestor = e.c
+        |  WHERE a.level < 5),
+        |full_a AS (
+        |  SELECT node, ancestor FROM a
+        |  UNION ALL
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id >= 1)
+        |SELECT ancestor, CAST(count(*) AS BIGINT) AS n_desc
+        |FROM full_a GROUP BY 1 ORDER BY ancestor""".stripMargin.replace("\n", " "),
     "q_pareto_sources" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),

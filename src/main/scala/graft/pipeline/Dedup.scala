@@ -876,10 +876,15 @@ object Dedup {
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                n: Int, tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // hash every shingle ONCE per document (8-byte tokens from here on):
+    // the postings shuffle longs and — unlike the string formulation —
+    // the exact-verify intersection below compares longs too, which
+    // halves its cost. Same collision argument as pairCounts.
     val gs = gramSets(df, idCol, textCol, n).filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        transform(col("grams"), g => xxhash64(g)).as("grams"))
     val posts = gs.select(col("doc_id"), size(col("grams")).as("sz"),
-        explode(col("grams")).as("g0"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("g0")).as("g"))
+        explode(col("grams")).as("g"))
     // doc frequency as a window over the posting exchange itself — the
     // groupBy+join formulation would shuffle the postings a second time
     // to bring the counts back; the window reads them off the same
