@@ -151,4 +151,35 @@ class GuardTripSpec extends SparkTestBase {
     }
     assert(messages(e).exists(_.contains("maxGroupSize=100")), messages(e).mkString("; "))
   }
+
+  test("round-8 operator preconditions reject bad arguments eagerly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "c")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sharding.assignShards(df, "id", "c", capacity = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curriculum.interleave(df, "id", "c", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Hierarchy.ancestors(df, "id", "c", maxLevels = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Retention.retentionMatrix(df, "id", "c", periodNanos = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.trailingRange(df, "id", "c", "c", width = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Paths.topPaths(df, "id", "c", "c", "c", 10L, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.prefixFilterJaccardPairs(
+        Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", 3, 2L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SnapshotDiff.diff(df, df, "id", Seq.empty)
+    }
+  }
 }
