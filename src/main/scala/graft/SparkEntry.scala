@@ -2298,6 +2298,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Last-observation-carried-forward fill: per-entity running
+    // `last(v, ignoreNulls)` over the time order — the standard repair
+    // for intermittently-reported metrics (here value < 5 is nullified
+    // as synthetic missingness). Filled values are COPIES of stored
+    // doubles (no arithmetic), hash-safe cross-engine; one entity-key
+    // window shuffle.
+    "q_locf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "events")
+        .withColumn("v0",
+          when(col("value") < 5, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("event_id"), col("v0"),
+          last(col("v0"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("event_id")
+    }),
+
     // Pareto contribution cut: the sources supplying the top 80% of
     // documents (greedy by count until the share crosses, crossing row
     // kept). The running share is a window over the AGGREGATED source
@@ -3512,6 +3530,16 @@ object SparkEntry {
         |  WHERE a.level < 5)
         |SELECT node, ancestor, level FROM a
         |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+        |    CASE WHEN value < 5 THEN NULL ELSE value END AS v0
+        |  FROM events)
+        |SELECT user_id, event_id, v0,
+        |  last_value(v0 IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM e ORDER BY event_id""".stripMargin.replace("\n", " "),
     "q_hierarchy_rollup" ->
       """WITH RECURSIVE e AS (
         |  SELECT doc_id AS c, doc_id // 10 AS p FROM documents WHERE doc_id >= 1),
