@@ -2298,6 +2298,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Round-8 curation pipeline, end to end: canonical dedup keeps one
+    // doc per normalized text, curriculum-interleaves the survivors by
+    // length into 4 tiers, then cuts size-balanced ~50 kB shards in
+    // training order — dedup -> ordering -> packing as ONE composed
+    // plan (the shard boundary rides the interleaved position, so every
+    // shard mixes all difficulty tiers). All integer arithmetic; the
+    // oracle restates the whole chain in SQL.
+    "q_pipeline_curation2" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+      val keep = docs
+        .withColumn("canon", trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        .groupBy("canon").agg(min(col("doc_id")).as("keep_id"))
+      val surv = docs.join(keep, docs("doc_id") === keep("keep_id"))
+        .select(col("doc_id"), col("n_chars"))
+      val cur = graft.operators.Curriculum.interleave(surv, "doc_id",
+        "n_chars", 4)
+      graft.operators.Sharding.assignShards(cur, "pos", "n_chars", 50000L)
+        .select(col("doc_id"), col("rank").as("rnk"), col("tier"),
+          col("pos"), col("shard"))
+        .orderBy("pos")
+    }),
+
     // Last-observation-carried-forward fill: per-entity running
     // `last(v, ignoreNulls)` over the time order — the standard repair
     // for intermittently-reported metrics (here value < 5 is nullified
@@ -3530,6 +3554,31 @@ object SparkEntry {
         |  WHERE a.level < 5)
         |SELECT node, ancestor, level FROM a
         |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_pipeline_curation2" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS canon
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |k AS (SELECT canon, min(doc_id) AS keep_id FROM d GROUP BY 1),
+        |s AS (SELECT d.doc_id, d.n_chars FROM d JOIN k ON d.doc_id = k.keep_id),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM s),
+        |t AS (SELECT doc_id, n_chars, rnk, ((rnk - 1) * 4) // n AS tier, n FROM r),
+        |p AS (
+        |  SELECT doc_id, n_chars, rnk, tier,
+        |    (rnk - 1 - (tier * n + 3) // 4) * 4 + tier AS pos
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, rnk, tier, pos, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM p)
+        |SELECT doc_id, rnk, tier, pos, (cum - n_chars) // 50000 AS shard
+        |FROM c ORDER BY pos""".stripMargin.replace("\n", " "),
     "q_locf" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS t,
