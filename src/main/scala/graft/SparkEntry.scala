@@ -2298,6 +2298,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Sparse similarity self-join on raw-tf vectors: integer dot
+    // products over shared tokens (the inverted-index discipline — one
+    // token shuffle per side, two-phase pair aggregation, never
+    // all-pairs). Integer tf keeps the dot BIGINT-exact for the oracle;
+    // a float tf-idf dot would accumulate in engine order.
+    "q_tf_dot_pairs" -> ((s, dir) =>
+      graft.pipeline.Retrieval.tfDotPairs(
+          rd(s, dir, "documents"), "doc_id", "text", minDot = 300L)
+        .orderBy("id1", "id2")),
+
     // Round-8 curation pipeline, end to end: canonical dedup keeps one
     // doc per normalized text, curriculum-interleaves the survivors by
     // length into 4 tiers, then cuts size-balanced ~50 kB shards in
@@ -3554,6 +3564,20 @@ object SparkEntry {
         |  WHERE a.level < 5)
         |SELECT node, ancestor, level FROM a
         |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_tf_dot_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, dot FROM p WHERE dot >= 300
+        |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_pipeline_curation2" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,

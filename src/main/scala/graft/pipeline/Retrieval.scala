@@ -112,4 +112,45 @@ object Retrieval {
        |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
        |) ORDER BY fused DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
   }
+
+  /**
+   * Sparse similarity self-join on raw term-frequency vectors: the
+   * INTEGER dot product `Σ tf₁(t)·tf₂(t)` over shared tokens, for every
+   * document pair above `minDot`. The integer formulation is the point:
+   * a tf-idf float dot accumulates in engine-specific order and can't
+   * be oracle-hashed, while raw-tf dots are exact BIGINTs — use this
+   * as the first-stage candidate scorer and rescale survivors.
+   *
+   * Plan shape is the inverted-index discipline of the dedup family:
+   * explode to (doc, token-hash, tf) — 8-byte tokens — one shuffle per
+   * join side on the token, pairs aggregate two-phase on (id1, id2).
+   * Only documents sharing a token ever meet; nothing is all-pairs.
+   * Ubiquitous tokens are the skew to watch: pass `maxDocFreq` to drop
+   * tokens present in more than that many documents before the join
+   * (stop-words contribute near-zero discrimination but quadratic
+   * pairs; unlike Jaccard the dot just loses their additive term).
+   */
+  def tfDotPairs(df: DataFrame, idCol: String, textCol: String,
+                 minDot: Long, maxDocFreq: Option[Int] = None): DataFrame = {
+    val tf = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("t"))
+      .agg(count(lit(1)).as("tf"))
+    val pruned = maxDocFreq match {
+      case Some(m) =>
+        val byTok = Window.partitionBy("t")
+        tf.withColumn("__df", count(lit(1)).over(byTok))
+          .filter(col("__df") <= m).drop("__df")
+      case None => tf
+    }
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .filter(col("dot") >= minDot)
+  }
 }
