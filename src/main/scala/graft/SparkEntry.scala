@@ -32,7 +32,7 @@ object SparkEntry {
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
-  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts arrives as epoch-nanos LONG everywhere downstream; the
     // physical parquet type has varied across testdata generations
     // (TIMESTAMP(NANOS) → long via nanosAsLong; TIMESTAMP(MICROS) →
