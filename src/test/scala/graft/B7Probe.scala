@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
 /** Scratch probe: time the 100-query shared pass repeatedly to separate
   * plan cost from run-to-run variance. Test scope only — not driver surface. */
 object B7Probe {
-  private def hundredQueries: Seq[QuerySpec] = (0 until 100).map { i =>
+  private val nQueries: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "100").toInt
+
+  private def hundredQueries: Seq[QuerySpec] = (0 until nQueries).map { i =>
     val filter = Some(Binary(
       Binary(Field("user_id"), Lit(7L), BinOp.MOD), Lit(i.toLong % 7), BinOp.EQUALS))
     val agg: Aggregation = i % 6 match {
@@ -45,7 +48,7 @@ object B7Probe {
       runner.finishAll()
       val done = runner.results.count(_.signal.contains("COMPLETE"))
       val tFin = System.nanoTime()
-      println(f"B7PROBE round=$r done=$done reg=${(tReg - t0) / 1e9}%.2f batch=${(tBatch - tReg) / 1e9}%.2f finish=${(tFin - tBatch) / 1e9}%.2f total=${(tFin - t0) / 1e9}%.2f")
+      println(f"B7PROBE n=$nQueries%d round=$r done=$done reg=${(tReg - t0) / 1e9}%.2f batch=${(tBatch - tReg) / 1e9}%.2f finish=${(tFin - tBatch) / 1e9}%.2f total=${(tFin - t0) / 1e9}%.2f")
     }
     spark.stop()
   }
