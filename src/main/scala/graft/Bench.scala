@@ -229,7 +229,15 @@ object Bench {
       b8 = b8Pass(spark, b8Secs)
     }
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Spark exception messages carry newlines/tabs; a raw control char
+    // inside a JSON string invalidates the whole summary line (the r7
+    // bench emitted errors and the driver recorded parsed:null).
+    def jstr(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }.mkString("\"", "", "\"")
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -248,6 +256,25 @@ object Bench {
     val b11Json = runnerJson("b11_runner_1000q", 1000)
     val b8Json = s"""{"windows":${b8._1},"expected":$b8Secs,"jitter_ms_avg":${b8._2},"dropped":${b8._3}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"sf":"$sfDir"}""")
+    // The harness keeps only the LAST ~2000 chars of stdout; with 160+
+    // entries the full line above scrolls past that window and no round's
+    // summary has ever been machine-parseable from the tail. Emit a second,
+    // compact line LAST — full fidelity lives in the line above, the tail
+    // always carries a complete JSON summary (slowest entries only, 3-dp).
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val slowest = results.sortBy(-_._2)
+    val budget = 1500
+    val sb = new StringBuilder
+    var taken = 0
+    slowest.foreach { case (k, v) =>
+      val frag = s"${jstr(k)}:${r3(v)}"
+      if (sb.length + frag.length < budget) { if (taken > 0) sb.append(','); sb.append(frag); taken += 1 }
+    }
+    val errNames = errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
+      s""""queries":{${sb.toString}},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }
