@@ -263,7 +263,11 @@ object Bench {
     // always carries a complete JSON summary (slowest entries only, 3-dp).
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val slowest = results.sortBy(-_._2)
-    val budget = 1500
+    // The tail window is ~2000 chars and keeps the END of stdout: the
+    // compact line must fit alongside sbt's trailing "[success] ..." line
+    // or its HEAD gets cut and nothing parses. ~420 chars of fixed fields
+    // + this budget + ~100 chars of trailer stays safely inside.
+    val budget = 1200
     val sb = new StringBuilder
     var taken = 0
     slowest.foreach { case (k, v) =>

@@ -2383,6 +2383,47 @@ object SparkEntry {
         .withColumn("delta", col("cnt") - col("prev_cnt"))
         .orderBy("week")
     }),
+
+    // DataComp/FineWeb-style percentile quality blend: per-language
+    // percent-ranks of length and type-token ratio, fixed-weight blend,
+    // top 40 docs per language. Ranks not raw values, so neither
+    // signal's scale dominates; every window order ends in doc_id so the
+    // blend is an exact function of integer ranks (hash-safe). One lang
+    // exchange feeds all three window sorts.
+    "q_quality_blend" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.qualityBlend(
+          rd(s, dir, "documents"), "doc_id", "text", "lang", topK = 40)
+        .orderBy("lang", "doc_id")),
+
+    // Sliding-window token co-occurrence counts (word2vec/GloVe prep):
+    // unordered pairs within 3 positions, corpus multiplicity, support
+    // >= 150. The pair expansion is a narrow ARRAY expression (slice per
+    // position) — no positions self-join, nothing shuffles but the
+    // map-side-combined pair counts. The oracle states the same pairs
+    // via the classic positions-join formulation.
+    "q_cooccur_window" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.cooccurWindow(
+          rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
+        .orderBy("a", "b")),
+
+    // Zone-map skip report: per-month zone maps over ship date (epoch
+    // days) and whether a MAR-MAY 1995 date-range scan could skip each
+    // month on footer stats alone — the parquet row-group-skipping
+    // decision as an auditable table, with most buckets genuinely
+    // skippable (the value correlates with the layout; contrast an
+    // uncorrelated column, where no zone map ever skips — that contrast
+    // is what decides a re-clustering). Metadata-scale output; one
+    // map-side-combined groupBy.
+    "q_prune_stats" -> ((s, dir) => {
+      val epochDay = datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+      graft.operators.ScanPruning.skipReport(
+          rd(s, dir, "lineitem"),
+          date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd"),
+          epochDay,
+          datediff(lit("1995-03-01"), lit("1970-01-01")).cast("long"),
+          datediff(lit("1995-05-31"), lit("1970-01-01")).cast("long"))
+        .orderBy("bucket")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3646,6 +3687,53 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_quality_blend" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) /
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |p AS (
+        |  SELECT *,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_words, doc_id) AS pr_len,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS pr_ttr
+        |  FROM b),
+        |s AS (SELECT lang, doc_id, n_words,
+        |        0.6 * pr_len + 0.4 * pr_ttr AS blend FROM p),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY lang ORDER BY blend DESC, doc_id) AS BIGINT) AS rk
+        |      FROM s)
+        |SELECT lang, doc_id, n_words, blend, rk FROM r
+        |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin.replace("\n", " "),
+    "q_cooccur_window" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''
+        |    AND len(string_split(text, ' ')) >= 2),
+        |pos AS (
+        |  SELECT doc_id, u.w AS w, u.i AS i FROM t,
+        |    unnest(list_transform(ws, (x, i) -> {'w': x, 'i': i})) AS s(u))
+        |SELECT least(x.w, y.w) AS a, greatest(x.w, y.w) AS b,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM pos x JOIN pos y
+        |  ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + 3
+        |GROUP BY 1, 2 HAVING count(*) >= 150
+        |ORDER BY a, b""".stripMargin.replace("\n", " "),
+    "q_prune_stats" ->
+      """WITH z AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS v_min,
+        |    CAST(max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS v_max
+        |  FROM lineitem GROUP BY 1)
+        |SELECT bucket, n_rows, v_min, v_max,
+        |  v_max < date_diff('day', DATE '1970-01-01', DATE '1995-03-01')
+        |    OR v_min > date_diff('day', DATE '1970-01-01', DATE '1995-05-31') AS skippable,
+        |  CASE WHEN v_max < date_diff('day', DATE '1970-01-01', DATE '1995-03-01')
+        |    OR v_min > date_diff('day', DATE '1970-01-01', DATE '1995-05-31')
+        |    THEN 0 ELSE n_rows END AS scanned_rows
+        |FROM z ORDER BY bucket""".stripMargin.replace("\n", " "),
   )
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for

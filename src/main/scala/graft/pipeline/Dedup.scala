@@ -218,6 +218,30 @@ object Dedup {
    * candidates shuffle by bucket; the verify join touches only candidate
    * pairs. This is the 100 TB fuzzy-dedup path.
    */
+  /**
+   * Self-tuning band layout: choose (bands, bandRows) for a family of
+   * `numHashes` MinHashes targeting Jaccard `threshold`. The candidate
+   * S-curve `1-(1-s^r)^b` puts its steep crossover at s* ≈ (1/b)^(1/r);
+   * among exact factorizations b·r = numHashes this picks the one whose
+   * s* lands closest to the target in LOG space (so overshooting 2× and
+   * undershooting 2× miss equally — linear distance would bias every
+   * plan toward low-threshold layouts, where the curve points crowd).
+   * Feed the result straight into [[minhashLshPairs]] /
+   * [[minhashBandIndex]] instead of hand-picking a layout per corpus.
+   */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    val plans = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val (b, r, _) = plans.minBy { case (_, _, s) =>
+      math.abs(math.log(s) - math.log(threshold))
+    }
+    (b, r)
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       numHashes: Int = 32, bandRows: Int = 2): DataFrame = {

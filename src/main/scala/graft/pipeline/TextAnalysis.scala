@@ -617,6 +617,88 @@ object TextAnalysis {
    * pages); a corpus with millions of sources broadcast-joins the kept
    * list all the same at ~8 bytes a row.
    */
+  /**
+   * Percentile-blended quality selection (the DataComp/FineWeb "blend
+   * several weak signals by rank, keep the top slice" recipe): each
+   * signal is converted to a per-language percentile rank — ranks, not
+   * raw values, so a signal's scale never dominates the blend — then
+   * combined with fixed weights and the top `topK` documents per
+   * language survive. Signals here: length (word count, favoring long)
+   * and type-token ratio (lexical diversity, against boilerplate).
+   *
+   * Deterministic by construction: every window order ends in the doc
+   * id, so `percent_rank` sees a total order and the blend is an exact
+   * arithmetic function of integer ranks — it hashes identically across
+   * engines.
+   *
+   * Scale shape: ONE hash exchange on language feeds all three window
+   * passes (same partition key; the sorts differ, the partitioning is
+   * reused), and per-row signal extraction is narrow codegen. The
+   * per-language partition must fit a task's sort spill budget — true
+   * for real corpora only after sharding a dominant language; for a
+   * 90%-English 100 TB corpus, salt the window into
+   * (lang, hash(doc) % k) shards and take per-shard top-(topK/k), or
+   * replace the exact percentile with a broadcast KLL quantile cut
+   * ([[graft.operators.GroupedDistribution]]) — same selection, no
+   * global per-lang sort.
+   */
+  def qualityBlend(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, topK: Int,
+                   wLen: Double = 0.6, wTtr: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be >= 1")
+    val ws = toks(col(textCol))
+    val base = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        size(ws).cast("long").as("n_words"),
+        (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+    val byLen = Window.partitionBy("lang").orderBy(col("n_words"), col("doc_id"))
+    val byTtr = Window.partitionBy("lang").orderBy(col("ttr"), col("doc_id"))
+    val blended = base
+      .withColumn("pr_len", percent_rank().over(byLen))
+      .withColumn("pr_ttr", percent_rank().over(byTtr))
+      .withColumn("blend", lit(wLen) * col("pr_len") + lit(wTtr) * col("pr_ttr"))
+    val sel = Window.partitionBy("lang").orderBy(col("blend").desc, col("doc_id"))
+    blended.withColumn("rk", row_number().over(sel).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("lang", "doc_id", "n_words", "blend", "rk")
+  }
+
+  /**
+   * Sliding-window token co-occurrence counts (word2vec/GloVe/PMI
+   * pre-processing): every unordered token pair within `window`
+   * positions of each other, with corpus-wide multiplicity, thresholded
+   * at `minCount`.
+   *
+   * The pair expansion is a NARROW array expression — for position i the
+   * partners are `slice(ws, i+2, window)`, so a document of n tokens
+   * emits ≤ n·window pairs with no self-join and no shuffle until the
+   * final count. That is the 100 TB shape: the classic
+   * positions-self-join formulation shuffles the corpus once to build
+   * the positions table and again for the join; this shuffles only the
+   * (already tiny) pair aggregation, with map-side partial counts
+   * collapsing the Zipf head before anything moves.
+   */
+  def cooccurWindow(df: DataFrame, textCol: String, window: Int,
+                    minCount: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ws = toks(col(textCol))
+    // (least, greatest) normalization folds the two directions of an
+    // unordered pair into one key at emission time — half the groupBy
+    // traffic vs normalizing after the count.
+    val pairs = flatten(transform(sequence(lit(0), size(ws) - 2), i => {
+      val w0 = element_at(ws, i + 1)
+      transform(slice(ws, i + 2, lit(window)), t =>
+        struct(least(w0, t).as("a"), greatest(w0, t).as("b")))
+    }))
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "" &&
+        size(ws) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+  }
+
   def sourceQualityFilter(df: DataFrame, idCol: String, textCol: String,
                           sourceCol: String): DataFrame = {
     val d = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),

@@ -53,4 +53,68 @@ class RetrievalSpec extends SparkTestBase {
       Seq(1, 2).filterNot(r.isNullAt).map(r.getLong))
     assert(ranks.forall(_ >= 1))
   }
+
+  // 8 docs sharing a ubiquitous token mix plus rare overlaps — the shape
+  // the head/tail decomposition must get exactly right.
+  private def dotCorpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the the the cat sat"),
+      (2L, "the the dog sat sat"),
+      (3L, "the cat cat cat mat"),
+      (4L, "the the the the dog dog"),
+      (5L, "rare pair rare pair the"),
+      (6L, "pair rare pair rare the the"),
+      (7L, "unrelated words entirely"),
+      (8L, "the")).toDF("doc_id", "text")
+  }
+
+  /** Naive reference: all-token inverted-index dot, no decomposition. */
+  private def naiveDots(minDot: Long): Map[(Long, Long), Long] = {
+    val s = spark
+    import s.implicits._
+    val tf = dotCorpus
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .groupBy("doc_id", "tok").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = tf.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(x => x._2 -> x._3).toMap }
+    val ids = byDoc.keys.toSeq.sorted
+    (for {
+      i <- ids; j <- ids if i < j
+      dot = byDoc(i).map { case (t, c) => c * byDoc(j).getOrElse(t, 0L) }.sum
+      if dot >= minDot
+    } yield (i, j) -> dot).toMap
+  }
+
+  test("tfDotPairs head/tail decomposition equals the naive all-token dot") {
+    // denseDf=3 forces 'the' (df=8) and 'sat'? (df=2, stays sparse) —
+    // head/tail split exercised; compare against the naive reference at
+    // several thresholds, including one where tail-only pairs qualify.
+    for (minDot <- Seq(1L, 4L, 8L)) {
+      val got = Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
+          minDot = minDot, denseDf = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === naiveDots(minDot), s"minDot=$minDot")
+    }
+  }
+
+  test("tfDotPairs headless path (denseDf above every df) matches too") {
+    val got = Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
+        minDot = 2L, denseDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === naiveDots(2L))
+  }
+
+  test("tfDotPairs guards trip loudly") {
+    val e1 = intercept[IllegalArgumentException](
+      Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
+        minDot = 1L, denseDf = 1, maxHeadTokens = 2))
+    assert(e1.getMessage.contains("denseDf"))
+    val e2 = intercept[IllegalArgumentException](
+      Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
+        minDot = 1L, denseDf = 3, maxDenseDocs = 4))
+    assert(e2.getMessage.contains("maxDenseDocs"))
+  }
 }

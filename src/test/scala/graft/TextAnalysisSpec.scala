@@ -401,4 +401,50 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "srcA", 2L -> "srcA", 5L -> "srcC"))
   }
+
+  test("qualityBlend ranks by blended per-lang percentiles and keeps topK") {
+    val s = spark
+    import s.implicits._
+    // en: doc 1 long+diverse, doc 2 short+repetitive, doc 3 middling.
+    // With topK=2 doc 2 (lowest on both signals) must be the one cut.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "spam spam", "en"),
+      (3L, "one two three two", "en"),
+      (4L, "solo", "fr")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityBlend(docs, "doc_id", "text", "lang", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSet === Set(("en", 1L, 1L), ("en", 3L, 2L), ("fr", 4L, 1L)))
+  }
+
+  test("qualityBlend single-doc language gets percent_rank 0, never NaN") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((9L, "only document here", "xx")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.qualityBlend(docs, "doc_id", "text", "lang", topK = 5)
+      .collect()
+    assert(r.length === 1 && r(0).getDouble(3) === 0.0)
+  }
+
+  test("cooccurWindow counts window-bounded unordered pairs with multiplicity") {
+    val s = spark
+    import s.implicits._
+    // "a b a c": window=2 pairs per position:
+    //   i=1 (a): (a,b), (a,a)   i=2 (b): (a,b), (b,c)   i=3 (a): (a,c)
+    // → {a,b}:2  {a,a}:1  {b,c}:1  {a,c}:1
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurWindow(docs, "text", window = 2, minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "a") -> 1L,
+      ("b", "c") -> 1L, ("a", "c") -> 1L))
+  }
+
+  test("cooccurWindow ignores sub-2-token docs and honors minCount") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x"), (2L, ""), (3L, "p q"), (4L, "p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurWindow(docs, "text", window = 3, minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("p", "q") -> 2L))
+  }
 }
