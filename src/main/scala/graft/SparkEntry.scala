@@ -2406,6 +2406,21 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // Fuzzy decontamination: training docs (source != src0) whose
+    // word-3-gram Jaccard against ANY eval doc (source = src0) reaches
+    // 0.5 — catches the paraphrased/partially-quoted leakage that exact
+    // and bloom n-gram membership (q_decontaminate*) both miss. Posting
+    // join is strictly cross-side, linear in corpus postings for a
+    // small eval suite.
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.pipeline.Dedup.crossNearDupPairs(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_id", "contam_id")
+    }),
+
     // Zone-map skip report: per-month zone maps over ship date (epoch
     // days) and whether a MAR-MAY 1995 date-range scan could skip each
     // month on footer stats alone — the parquet row-group-skipping
@@ -3687,6 +3702,26 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_decontaminate_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS contam_id, count(*) AS ic
+        |  FROM grams a JOIN grams b ON a.g = b.g
+        |  WHERE a.source <> 'src0' AND b.source = 'src0' GROUP BY 1, 2
+        |)
+        |SELECT doc_id, contam_id, jaccard FROM (
+        |  SELECT inter.doc_id AS doc_id, contam_id,
+        |    CAST(ic AS DOUBLE) / (s1.sz + s2.sz - ic) AS jaccard
+        |  FROM inter JOIN sizes s1 ON inter.doc_id = s1.doc_id
+        |             JOIN sizes s2 ON contam_id = s2.doc_id
+        |) WHERE jaccard >= 0.5 ORDER BY doc_id, contam_id"""
+        .stripMargin.replace("\n", " "),
     "q_quality_blend" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

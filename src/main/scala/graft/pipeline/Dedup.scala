@@ -125,6 +125,62 @@ object Dedup {
         (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /**
+   * One-sided cross-corpus near-duplicate pairs: every (corpus doc,
+   * contamination doc) pair whose n-gram Jaccard reaches `threshold` —
+   * the FUZZY sibling of the exact/bloom decontamination passes
+   * ([[TextAnalysis.benchmarkOverlap]]): an eval question paraphrased or
+   * partially quoted inside a training document survives exact n-gram
+   * membership checks but not a 0.5-Jaccard screen.
+   *
+   * Same 8-byte-hashed posting discipline as the self-join family, but
+   * the join is strictly BETWEEN sides: the corpus never pairs with
+   * itself, so the volume is Σ_g df_corpus(g)·df_contam(g) — linear in
+   * corpus postings when the contamination side (an eval suite) is
+   * small. `maxDocFreq` is the same skew guard, applied to COMBINED
+   * doc-frequency via a semi-join riding the posting shuffle key.
+   */
+  def crossNearDupPairs(corpus: DataFrame, contam: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        threshold: Double,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    def postings(df: DataFrame) = gramSets(df, idCol, textCol, n)
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("g0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("g0")).as("g"))
+    val pa = postings(corpus)
+    val pb = postings(contam)
+    val (fa, fb) = maxDocFreq match {
+      case Some(m) =>
+        val keep = pa.select("g").unionAll(pb.select("g"))
+          .groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= m).select("g")
+        (pa.join(keep, Seq("g"), "left_semi"), pb.join(keep, Seq("g"), "left_semi"))
+      case None => (pa, pb)
+    }
+    fa.as("a").join(fb.as("b"), col("a.g") === col("b.g"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("contam_id"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("ic"))
+      .select(col("doc_id"), col("contam_id"),
+        (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The corpus minus every document [[crossNearDupPairs]] flags — the
+    * drop-in fuzzy decontamination filter. The flagged-id set is
+    * eval-suite-bounded (≤ corpus docs with a match), so the anti-join
+    * broadcasts in practice. */
+  def fuzzyDecontaminate(corpus: DataFrame, contam: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         threshold: Double,
+                         maxDocFreq: Option[Int] = None): DataFrame = {
+    val bad = crossNearDupPairs(corpus, contam, idCol, textCol, n,
+      threshold, maxDocFreq).select(col("doc_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs by n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) — the
     * asymmetric companion to Jaccard: a small document wholly embedded in
     * a much larger one (quoted article, concatenated crawl page) scores

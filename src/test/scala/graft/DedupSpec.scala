@@ -523,4 +523,53 @@ class DedupSpec extends SparkTestBase {
       .toMap
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
+
+  test("crossNearDupPairs is strictly one-sided and Jaccard-exact") {
+    val s = spark
+    import s.implicits._
+    // corpus docs 1,2 are near-dups of EACH OTHER (must NOT be reported);
+    // doc 1 shares all its 3-grams with eval doc 100 (J = 1); doc 3 is
+    // unrelated. Eval docs 100,101 are near-dups of each other too —
+    // also must not be reported.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps higher"),
+      (3L, "completely different text entirely here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (101L, "the quick brown fox jumps high today")).toDF("doc_id", "text")
+    val got = Dedup.crossNearDupPairs(corpus, eval_, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = got.map(t => (t._1, t._2)).toSet
+    assert(ids.contains((1L, 100L)))
+    assert(got.find(t => t._1 == 1L && t._2 == 100L).get._3 === 1.0)
+    assert(!ids.exists(p => p._1 == 3L), "unrelated doc must not pair")
+    assert(ids.forall(p => p._1 <= 3L && p._2 >= 100L), "pairs must cross sides")
+  }
+
+  test("crossNearDupPairs guarded == exact when cutoff exceeds every df") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "a b c d x y")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    def run(m: Option[Int]) = Dedup.crossNearDupPairs(corpus, eval_,
+        "doc_id", "text", n = 3, threshold = 0.3, maxDocFreq = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(None) === run(Some(100)))
+  }
+
+  test("fuzzyDecontaminate drops exactly the flagged corpus docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "what is the capital of france exactly"),
+      (2L, "trains are a popular mode of transport"),
+      (3L, "the capital of france is paris obviously")).toDF("doc_id", "text")
+    val eval_ = Seq((50L, "what is the capital of france exactly")).toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDecontaminate(corpus, eval_, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L)) // doc 1 is a verbatim eval leak
+  }
 }
