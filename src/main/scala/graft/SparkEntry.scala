@@ -2406,6 +2406,16 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // Code-switching detection: 20-word chunks language-ID'd with the
+    // langId marker heuristic; per-doc mixture stats + dominant chunk
+    // language (deterministic tie-break) + switched flag. Chunk
+    // expansion is narrow; everything after moves (doc, lang)-granular
+    // rows (≤ 6 per doc).
+    "q_code_switch" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.codeSwitch(
+          rd(s, dir, "documents"), "doc_id", "text", chunkWords = 20)
+        .orderBy("doc_id")),
+
     // Fuzzy decontamination: training docs (source != src0) whose
     // word-3-gram Jaccard against ANY eval doc (source = src0) reaches
     // 0.5 — catches the paraphrased/partially-quoted leakage that exact
@@ -3702,6 +3712,39 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_code_switch" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''),
+        |ch AS (
+        |  SELECT doc_id, list_slice(ws, i*20 + 1, (i+1)*20) AS ct
+        |  FROM t, UNNEST(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS u(i)),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(ct, w -> w IN ('the','a','and','of','to','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(ct, w -> w IN ('le','la','les','et','un','une','est'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(ct, w -> w IN ('el','los','las','y','uno','una','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(ct, w -> w IN ('der','die','das','und','ein','ist'))) AS BIGINT) AS s_de,
+        |  regexp_matches(array_to_string(ct, ' '), '[\x{4e00}-\x{9fff}]') AS cjk
+        |  FROM ch),
+        |pr AS (SELECT doc_id,
+        |  CASE WHEN cjk THEN 'zh'
+        |       WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+        |       WHEN s_de > 0 THEN 'de'
+        |       ELSE 'und' END AS pred FROM sc),
+        |cnt AS (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS n
+        |        FROM pr GROUP BY 1, 2),
+        |dom AS (SELECT doc_id, pred AS dom_lang, n AS dom_n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, pred) AS rk FROM cnt) WHERE rk = 1),
+        |st AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (pred <> 'und') AS BIGINT) AS n_langs
+        |  FROM cnt GROUP BY 1)
+        |SELECT st.doc_id AS doc_id, n_chunks, n_langs, dom_lang, dom_n,
+        |  n_langs >= 2 AS switched
+        |FROM st JOIN dom USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
     "q_decontaminate_fuzzy" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents

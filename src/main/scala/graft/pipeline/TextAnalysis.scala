@@ -79,6 +79,65 @@ object TextAnalysis {
 
   val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
 
+  /** CJK ⇒ zh; otherwise argmax of the marker scores with first-wins
+    * tie-break in `scores` order; all-zero ⇒ "und". Exactly the oracle's
+    * CASE chain — shared by [[langId]] (whole doc) and [[codeSwitch]]
+    * (per chunk). */
+  private def langPick(scores: Seq[(String, Column)], cjk: Column): Column = {
+    val pick = scores.zipWithIndex.foldRight(lit("und")) { case (((l, c), i), els) =>
+      val beatsLater = scores.drop(i + 1).map { case (_, o) => c >= o }
+        .foldLeft(lit(true))(_ && _)
+      when(c > 0 && beatsLater, lit(l)).otherwise(els)
+    }
+    when(cjk, lit("zh")).otherwise(pick)
+  }
+
+  /**
+   * Code-switching detection: the document is cut into fixed
+   * `chunkWords`-word chunks (narrow array slices — no tokenizer pass
+   * per chunk), each chunk language-ID'd with the same marker heuristic
+   * as [[langId]], and the per-document mixture reported: chunk count,
+   * distinct identified languages, the dominant chunk language
+   * (deterministic tie-break: higher count, then lexicographic), and a
+   * `switched` flag (≥ 2 identified languages). Mixed-language documents
+   * poison monolingual training mixes and deserve routing, not a single
+   * whole-doc label — the whole-doc argmax happily calls a 50/50 en/de
+   * doc "en".
+   *
+   * Scale shape: chunk expansion is per-row narrow; everything after
+   * aggregates at (doc, lang) granularity — ≤ 6 rows per document — so
+   * the two groupBys and the dominant-language window all move
+   * metadata-sized frames.
+   */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 20): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ws = toks(lower(col(textCol)))
+    val nCh = ((size(ws) + chunkWords - 1) / chunkWords).cast("int")
+    val chunked = df
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"), ws.as("ws"),
+        explode(sequence(lit(0), nCh - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        slice(col("ws"), col("ci") * chunkWords + 1, lit(chunkWords)).as("ct"))
+    val scored = chunked.select(col("doc_id"),
+      langPick(LangMarkers.map { case (l, m) =>
+          l -> hitCount(col("ct"), m).cast("long") },
+        array_join(col("ct"), " ").rlike(CjkPattern)).as("pred"))
+    val counts = scored.groupBy("doc_id", "pred").agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("n").desc, col("pred"))
+    val dom = counts.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("pred").as("dom_lang"), col("n").as("dom_n"))
+    val stats = counts.groupBy("doc_id").agg(
+      sum("n").as("n_chunks"),
+      count(when(col("pred") =!= "und", lit(1))).as("n_langs"))
+    stats.join(dom, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("dom_lang"), col("dom_n"), (col("n_langs") >= 2).as("switched"))
+  }
+
   /**
    * Stopword-marker language ID: CJK codepoints ⇒ zh; otherwise the
    * language with the most marker hits, ties broken in [[LangMarkers]]
@@ -91,15 +150,9 @@ object TextAnalysis {
         hitCount(t, ws).cast("long").as(s"s_$l") }) :+
         col(textCol).rlike(CjkPattern).as("cjk"): _*)
     val langs = LangMarkers.map(_._1)
-    // argmax with first-wins tie-break, exactly as the oracle's CASE chain
-    val pick = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), els) =>
-      val beatsLater = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
-        .foldLeft(lit(true))(_ && _)
-      when(col(s"s_$l") > 0 && beatsLater, lit(l)).otherwise(els)
-    }
     scored.select(
       (col(idCol) +: langs.map(l => col(s"s_$l"))) :+
-        when(col("cjk"), lit("zh")).otherwise(pick).as("lang_pred"): _*)
+        langPick(langs.map(l => l -> col(s"s_$l")), col("cjk")).as("lang_pred"): _*)
   }
 
   /** The selected-minima column as composable expressions: ordered

@@ -387,4 +387,43 @@ class PlanSpec extends SparkTestBase {
   test("q_top_paths: top-k journeys via TakeOrdered, not a global sort") {
     assert(plan("q_top_paths").contains("TakeOrderedAndProject"))
   }
+
+  test("q_cooccur_window: narrow array expansion — no join of any kind") {
+    val p = plan("q_cooccur_window")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "pair expansion must be the per-row array slice, not a positions self-join")
+    assert(p.contains("partial_count"), "pair counts must combine map-side")
+  }
+
+  test("q_quality_blend: one hash exchange on lang feeds all three windows") {
+    val p = plan("q_quality_blend")
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1, s"expected 1 lang exchange, got:\n$exchanges")
+    assert(exchanges.head.contains("lang"), exchanges.head)
+  }
+
+  test("q_prune_stats: metadata-scale two-phase aggregation, no shuffle of raw rows beyond it") {
+    val p = plan("q_prune_stats")
+    assert(p.contains("partial_"), "zone map must combine map-side")
+    assert(!p.contains("Join"), "the skip decision is a projection on the zone map")
+  }
+
+  test("q_tf_dot_pairs: dense head block broadcasts — no exchange feeds the pair enumeration") {
+    val p = plan("q_tf_dot_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "head block must enumerate pairs from a broadcast, not a shuffle")
+    assert(p.contains("vec_dot_long"), "head dot must be the codegen'd native expression")
+    // the tail pair table and the rank map ride broadcasts too: the only
+    // hash exchanges allowed are the tf/tail aggregations, never a
+    // pair-keyed one
+    assert(!p.contains("SortMergeJoin"), p.linesIterator
+      .filter(_.contains("SortMergeJoin")).mkString("\n"))
+  }
+
+  test("q_decontaminate_fuzzy: posting join crosses sides with no cartesian") {
+    val p = plan("q_decontaminate_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cross-corpus screen must stay on the posting equi-join")
+  }
 }

@@ -439,6 +439,32 @@ class TextAnalysisSpec extends SparkTestBase {
       ("b", "c") -> 1L, ("a", "c") -> 1L))
   }
 
+  test("codeSwitch flags mixed-language docs, monolingual stays unflagged") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 4-word chunks — first chunk English markers, second French.
+    // doc 2: all-English. doc 3: no markers at all → und, not switched.
+    val docs = Seq(
+      (1L, "the cat is big le chat est grand"),
+      (2L, "the dog is very big and loud too"),
+      (3L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    val out = TextAnalysis.codeSwitch(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((2L, 2L, "en", true)))
+    assert(out(2L) === ((2L, 1L, "en", false)))
+    assert(out(3L) === ((1L, 0L, "und", false)))
+  }
+
+  test("codeSwitch dominant-language tie breaks deterministically (count, then name)") {
+    val s = spark
+    import s.implicits._
+    // one en chunk, one fr chunk → tie on count 1; 'en' < 'fr' wins.
+    val docs = Seq((1L, "the cat is big le chat est grand")).toDF("doc_id", "text")
+    val r = TextAnalysis.codeSwitch(docs, "doc_id", "text", chunkWords = 4).collect()(0)
+    assert(r.getString(3) === "en" && r.getLong(4) === 1L)
+  }
+
   test("cooccurWindow ignores sub-2-token docs and honors minCount") {
     val s = spark
     import s.implicits._
