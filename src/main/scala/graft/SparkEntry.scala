@@ -2406,6 +2406,41 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // Temporal dimension join: each fact row (first lineitem of every
+    // order, at SHIP day) enriched with the customer's order-priority
+    // VERSION valid at that time — Scd2.fromChangeLog builds the
+    // versioned dimension, AsofJoin.asofBackward attaches it as a
+    // union-window pass (never a range join; zero-length versions are
+    // filtered so (key, valid_from) is unique and the carry is
+    // deterministic). The INIT version at t=-1 guarantees every fact
+    // matches.
+    "q_temporal_join" -> ((s, dir) => {
+      val init = rd(s, dir, "customer").select(
+        col("c_custkey").as("k"), lit(-1L).as("t"),
+        lit("INIT").as("a"), lit(-1L).as("tie"))
+      val upd = rd(s, dir, "orders").select(
+        col("o_custkey").as("k"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("t"),
+        col("o_orderpriority").as("a"), col("o_orderkey").as("tie"))
+      val dim = graft.operators.Scd2
+        .fromChangeLog(init.unionByName(upd), "k", "t", "a", "tie")
+        .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+        .select(col("key").as("c_custkey"), col("valid_from"), col("attr"))
+      val facts = rd(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .groupBy(col("l_orderkey"))
+        .agg(min(datediff(col("l_shipdate"), lit("1970-01-01")).cast("long"))
+          .as("ship_day"))
+        .join(rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("c_custkey"), col("l_orderkey"), col("ship_day"))
+      graft.operators.AsofJoin.asofBackward(facts, dim, Seq("c_custkey"),
+          "ship_day", "valid_from", Seq("attr"), prefix = "v_")
+        .select(col("l_orderkey"), col("c_custkey"), col("ship_day"),
+          col("v_valid_from"), col("v_attr"))
+        .orderBy("l_orderkey")
+    }),
+
     // Code-switching detection: 20-word chunks language-ID'd with the
     // langId marker heuristic; per-doc mixture stats + dominant chunk
     // language (deterministic tie-break) + switched flag. Chunk
@@ -3712,6 +3747,38 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_temporal_join" ->
+      """WITH log AS (
+        |  SELECT c_custkey AS key, CAST(-1 AS BIGINT) AS t, 'INIT' AS attr,
+        |         CAST(-1 AS BIGINT) AS tie FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT),
+        |         o_orderpriority, o_orderkey FROM orders),
+        |f AS (
+        |  SELECT key, t, attr, tie FROM (
+        |    SELECT key, t, attr, tie, lag(attr) OVER w AS prev
+        |    FROM log WINDOW w AS (PARTITION BY key ORDER BY t, tie))
+        |  WHERE prev IS NULL OR attr <> prev),
+        |v AS (SELECT key, attr, t AS valid_from, lead(t) OVER w2 AS valid_to
+        |      FROM f WINDOW w2 AS (PARTITION BY key ORDER BY t, tie)),
+        |dim AS (SELECT key, attr, valid_from FROM v
+        |        WHERE valid_to IS NULL OR valid_to > valid_from),
+        |li AS (
+        |  SELECT l_orderkey,
+        |    CAST(min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS ship_day
+        |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1),
+        |facts AS (
+        |  SELECT o_custkey AS c_custkey, l_orderkey, ship_day
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey),
+        |j AS (
+        |  SELECT fa.l_orderkey, fa.c_custkey, fa.ship_day, d.valid_from, d.attr,
+        |    row_number() OVER (PARTITION BY fa.l_orderkey
+        |      ORDER BY d.valid_from DESC) AS rk
+        |  FROM facts fa JOIN dim d
+        |    ON fa.c_custkey = d.key AND d.valid_from <= fa.ship_day)
+        |SELECT l_orderkey, c_custkey, ship_day,
+        |  valid_from AS v_valid_from, attr AS v_attr
+        |FROM j WHERE rk = 1 ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
     "q_code_switch" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
