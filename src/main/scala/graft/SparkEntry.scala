@@ -2406,6 +2406,19 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // Hilbert-curve index over (partkey, suppkey) — the locality upgrade
+    // over q_zorder's Morton interleave: consecutive addresses are
+    // always grid-adjacent, so range-partitioned files hold tighter
+    // rectangles and zone maps prune more. Native codegen'd loop
+    // expression (a composed-Column unroll would be Θ(3^bits) nodes);
+    // the oracle is the same walk as generated lateral-alias SQL.
+    "q_hilbert" -> ((s, dir) =>
+      rd(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.SpatialFunctions.hilbertIndex(
+            col("l_partkey"), col("l_suppkey"), bits = 16).as("h"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Temporal dimension join: each fact row (first lineitem of every
     // order, at SHIP day) enriched with the customer's order-priority
     // VERSION valid at that time — Scd2.fromChangeLog builds the
@@ -3747,6 +3760,11 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_hilbert" -> (graft.functions.SpatialFunctions.hilbertSql(
+      "(SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey " +
+        "FROM lineitem WHERE l_orderkey % 100 = 0)",
+      Seq("l_orderkey", "l_linenumber"), "l_partkey", "l_suppkey",
+      16, "h") + " ORDER BY l_orderkey, l_linenumber"),
     "q_temporal_join" ->
       """WITH log AS (
         |  SELECT c_custkey AS key, CAST(-1 AS BIGINT) AS t, 'INIT' AS attr,

@@ -55,6 +55,47 @@ object TextFunctionHelpers {
     new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Window-bounded co-occurrence pair keys of `text`: for every token
+    * position i and each of the next `window` positions j, the unordered
+    * pair as ONE space-joined key `min(t_i,t_j) + " " + max(t_i,t_j)`
+    * (tokens never contain the separator — they were split on it).
+    * Ordering compares UTF8 bytes (= codepoint order), matching both
+    * Spark's `least`/`greatest` and DuckDB's default collation. One
+    * compiled loop per document — the composable nested
+    * `transform(sequence…, slice…)` form pays interpreted lambdas per
+    * PAIR and measured ~10 µs/pair at sf0.1. */
+  def cooccurPairs(text: UTF8String, window: Int): ArrayData = {
+    if (text == null) return Empty
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return Empty
+    val u = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { u(i) = UTF8String.fromString(toks(i)); i += 1 }
+    var cnt = 0
+    i = 0
+    while (i < n - 1) { cnt += math.min(window, n - 1 - i); i += 1 }
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    i = 0
+    while (i < n - 1) {
+      val jEnd = math.min(i + window, n - 1)
+      var j = i + 1
+      while (j <= jEnd) {
+        val swap = u(i).compareTo(u(j)) > 0
+        sb.setLength(0)
+        sb.append(if (swap) toks(j) else toks(i))
+        sb.append(' ')
+        sb.append(if (swap) toks(i) else toks(j))
+        out(k) = UTF8String.fromString(sb.toString)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint of `text` (Schleimer et al., MOSS): xxhash64
     * (seed 42 — bit-identical to Spark's `xxhash64`) of every ordered word
     * k-gram, minimum of each sliding window of `w` hashes, deduped in
@@ -190,6 +231,43 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     val call = JavaCode.expression(
       s"graft.functions.TextFunctionHelpers.wordShingles(" +
         s"${c.isNull} ? null : ${c.value}, $n)", dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $call;""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native window-bounded co-occurrence pair expansion — see
+  * [[TextFunctionHelpers.cooccurPairs]]; one compiled loop per document
+  * instead of interpreted nested lambdas per pair. */
+case class CooccurPairs(child: Expression, window: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (window >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"cooccur_pairs window must be >= 1, got $window")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"cooccur_pairs needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cooccur_pairs"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextFunctionHelpers.cooccurPairs(child.eval(input).asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val call = JavaCode.expression(
+      s"graft.functions.TextFunctionHelpers.cooccurPairs(" +
+        s"${c.isNull} ? null : ${c.value}, $window)", dataType)
     ev.copy(
       code = code"""
         |${c.code}
@@ -395,6 +473,10 @@ object TextFunctions {
   /** `word_shingles(text, n)` as a Column — session-free native node. */
   def wordShingles(text: Column, n: Int): Column =
     nativeCol(WordShingles(exprOf(text), n))
+
+  /** `cooccur_pairs(text, window)` as a Column — session-free. */
+  def cooccurPairs(text: Column, window: Int): Column =
+    nativeCol(CooccurPairs(exprOf(text), window))
 
   /** `winnow_fingerprint(text, k, w)` as a Column — session-free. */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =

@@ -723,33 +723,32 @@ object TextAnalysis {
    * positions of each other, with corpus-wide multiplicity, thresholded
    * at `minCount`.
    *
-   * The pair expansion is a NARROW array expression — for position i the
-   * partners are `slice(ws, i+2, window)`, so a document of n tokens
-   * emits ≤ n·window pairs with no self-join and no shuffle until the
-   * final count. That is the 100 TB shape: the classic
-   * positions-self-join formulation shuffles the corpus once to build
-   * the positions table and again for the join; this shuffles only the
-   * (already tiny) pair aggregation, with map-side partial counts
+   * The pair expansion is a NARROW per-row expression — no self-join and
+   * no shuffle until the final count. That is the 100 TB shape: the
+   * classic positions-self-join formulation shuffles the corpus once to
+   * build the positions table and again for the join; this shuffles only
+   * the (already tiny) pair aggregation, with map-side partial counts
    * collapsing the Zipf head before anything moves.
+   *
+   * The expansion is the native [[graft.functions.CooccurPairs]]
+   * expression — one compiled loop per document emitting normalized
+   * `min max` pair keys. The composable nested-lambda form
+   * (`transform(sequence…, slice(ws, i+2, w)…)`) computes the same pairs
+   * but pays interpreted lambda dispatch per PAIR: ~10 µs/pair measured
+   * at sf0.1 (7.7 s for 810k pairs) vs ~0.3 s native — same plan shape,
+   * 25× less per-row cost.
    */
   def cooccurWindow(df: DataFrame, textCol: String, window: Int,
                     minCount: Long): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val ws = toks(col(textCol))
-    // (least, greatest) normalization folds the two directions of an
-    // unordered pair into one key at emission time — half the groupBy
-    // traffic vs normalizing after the count.
-    val pairs = flatten(transform(sequence(lit(0), size(ws) - 2), i => {
-      val w0 = element_at(ws, i + 1)
-      transform(slice(ws, i + 2, lit(window)), t =>
-        struct(least(w0, t).as("a"), greatest(w0, t).as("b")))
-    }))
-    df.filter(col(textCol).isNotNull && col(textCol) =!= "" &&
-        size(ws) >= 2)
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(explode(graft.functions.TextFunctions
+        .cooccurPairs(col(textCol), window)).as("p"))
+      .groupBy("p")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
+      .select(split(col("p"), " ").getItem(0).as("a"),
+        split(col("p"), " ").getItem(1).as("b"), col("c"))
   }
 
   def sourceQualityFilter(df: DataFrame, idCol: String, textCol: String,

@@ -50,4 +50,48 @@ class ZOrderSpec extends SparkTestBase {
     assert(e.getMessage.contains("z-order dimension out of") ||
       e.getCause != null && e.getCause.getMessage.contains("z-order dimension out of"))
   }
+
+  test("hilbertIndex is a bijection on the 8x8 grid AND consecutive cells are adjacent") {
+    val s = spark
+    import s.implicits._
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .select($"x", $"y",
+        graft.functions.SpatialFunctions.hilbertIndex($"x", $"y", 3).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 64L), "bijection onto 0..63")
+    // the defining Hilbert property — Z-order fails this at every Z-jump
+    got.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"cells ($x1,$y1)->($x2,$y2) not grid-adjacent")
+    }
+  }
+
+  test("hilbertIndex interpreted eval matches the codegen'd path") {
+    val expr = graft.functions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(5L),
+      org.apache.spark.sql.catalyst.expressions.Literal(9L), 4)
+    val s = spark
+    import s.implicits._
+    val viaDf = Seq((5L, 9L)).toDF("x", "y")
+      .select(graft.functions.SpatialFunctions.hilbertIndex($"x", $"y", 4))
+      .collect()(0).getLong(0)
+    assert(expr.eval(null) === viaDf)
+  }
+
+  test("clusterHilbert range-partitions on the index and guards the domain") {
+    val s = spark
+    import s.implicits._
+    val pts = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toDF("x", "y")
+    val parts = ZOrder.clusterHilbert(pts, "x", "y", numFiles = 4, bits = 4)
+      .rdd.glom().collect()
+    assert(parts.map(_.length).sum === 256)
+    val e = intercept[Exception] {
+      ZOrder.clusterHilbert(Seq((70L, 1L)).toDF("x", "y"), "x", "y",
+        numFiles = 2, bits = 6).collect()
+    }
+    assert(e.getMessage.contains("hilbert dimension out of") ||
+      e.getCause != null && e.getCause.getMessage.contains("hilbert dimension out of"))
+  }
 }
