@@ -2406,6 +2406,15 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // Skew advisor: hottest event_type keys with exact share pair and
+    // the computed salt factor that caps a bucket at 5000 rows — the
+    // `buckets` argument for the salted paths, measured instead of
+    // guessed. One key exchange + 1-row broadcast + TakeOrdered.
+    "q_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.skewReport(rd(s, dir, "events"),
+          Seq("event_type"), targetRowsPerBucket = 5000L, topK = 20)
+        .orderBy(col("n").desc, col("event_type"))),
+
     // Hilbert-curve index over (partkey, suppkey) — the locality upgrade
     // over q_zorder's Morton interleave: consecutive addresses are
     // always grid-adjacent, so range-partitioned files hold tighter
@@ -3760,6 +3769,15 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_skew_report" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT event_type, n, total,
+        |  (n + 4999) // 5000 AS salt_factor,
+        |  (n + 4999) // 5000 > 1 AS skewed
+        |FROM c, t ORDER BY n DESC, event_type LIMIT 20"""
+        .stripMargin.replace("\n", " "),
     "q_hilbert" -> (graft.functions.SpatialFunctions.hilbertSql(
       "(SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey " +
         "FROM lineitem WHERE l_orderkey % 100 = 0)",

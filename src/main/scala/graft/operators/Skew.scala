@@ -38,4 +38,34 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as("sum"))
   }
+
+  /**
+   * Join/aggregation skew ADVISOR: the top-`topK` hottest key tuples
+   * with row count, the (exact, cross-multipliable) n/total share pair,
+   * and the salt factor that would cap any single (key, salt) bucket at
+   * `targetRowsPerBucket` rows — i.e. the `buckets` argument you'd hand
+   * [[salt]]/[[saltedCountSum]], computed instead of guessed. Run it on
+   * the join key of a stage that spills or straggles; `skewed = false`
+   * everywhere means salting would only add a shuffle.
+   *
+   * Scale shape: one map-side-combined groupBy on the key (the same
+   * exchange the skewed operation itself would pay), a 1-row broadcast
+   * total, and a TakeOrdered top-k — never a global sort; output is
+   * `topK` rows. Integer arithmetic throughout (`div`, not `/`) so the
+   * report hashes identically on any engine.
+   */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 targetRowsPerBucket: Long, topK: Int): DataFrame = {
+    require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("salt_factor",
+        expr(s"(n + ${targetRowsPerBucket - 1}) div $targetRowsPerBucket"))
+      .withColumn("skewed", col("salt_factor") > 1)
+      .orderBy(col("n").desc +: keys: _*)
+      .limit(topK)
+  }
 }

@@ -28,4 +28,17 @@ class SkewSpec extends SparkTestBase {
     assert(buckets.length > 1) // the hot key no longer lands on one reducer
     assert(buckets.map(_.getLong(1)).sum === 1000L)
   }
+
+  test("skewReport: exact shares, ceil salt factor, only hot keys flagged") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 250).map(_ => "hot") ++ (1 to 100).map(_ => "warm") ++
+      Seq("cold")).toDF("k")
+    val rows = Skew.skewReport(df, Seq("k"), targetRowsPerBucket = 100L, topK = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(rows.length === 2, "topK honored")
+    assert(rows(0) === ("hot" -> ((250L, 351L, 3L, true))))  // ceil(250/100)=3
+    assert(rows(1) === ("warm" -> ((100L, 351L, 1L, false)))) // exactly fits
+  }
 }
