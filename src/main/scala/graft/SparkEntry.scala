@@ -2406,6 +2406,24 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // Deterministic contrastive negative sampling: 3 partners per
+    // anchor via an affine probe over the dense corpus ranking
+    // (two-phase global rank, broadcast N, one rank-resolution join) —
+    // reproducible across engines, self-pairs bumped one slot.
+    "q_negative_pairs" -> ((s, dir) =>
+      graft.pipeline.Sampling.negativePairs(
+          rd(s, dir, "documents"), "doc_id", k = 3)
+        .orderBy("doc_id", "j")),
+
+    // Tokenizer-vocab OOV coverage: top-500 corpus vocabulary
+    // (deterministic tie-break), per-doc token/OOV counts — the "is the
+    // vocab big enough" audit before a training run. One count
+    // exchange + broadcast vocab join + per-doc count.
+    "q_oov_report" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.oovReport(
+          rd(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
+        .orderBy("doc_id")),
+
     // Skew advisor: hottest event_type keys with exact share pair and
     // the computed salt factor that caps a bucket at 5000 rows — the
     // `buckets` argument for the salted paths, measured instead of
@@ -3769,6 +3787,29 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_negative_pairs" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        |rk AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r FROM ids),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+        |p AS (SELECT doc_id, r, j,
+        |  (r * 2654435761 + j * 40503) % n AS nr0, n
+        |  FROM rk, nn, UNNEST(range(1, 4)) AS u(j)),
+        |q AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |  CASE WHEN nr0 = r THEN (nr0 + 1) % n ELSE nr0 END AS nr FROM p)
+        |SELECT q.doc_id AS doc_id, j, r2.doc_id AS neg_id
+        |FROM q JOIN rk r2 ON q.nr = r2.r
+        |ORDER BY doc_id, j""".stripMargin.replace("\n", " "),
+    "q_oov_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''),
+        |voc AS (
+        |  SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY 1)
+        |  ORDER BY c DESC, t LIMIT 500)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (t NOT IN (SELECT t FROM voc)) AS BIGINT) AS n_oov
+        |FROM tok GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_skew_report" ->
       """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1),

@@ -254,4 +254,47 @@ object Sampling {
       .orderBy(col(scoreCol).desc, col(tieCol)))
     df.withColumn("rank", rk.cast("long")).filter(col("rank") <= k)
   }
+
+  /**
+   * Deterministic negative sampling for contrastive training: each
+   * anchor document draws `k` partner documents by a fixed affine probe
+   * over the dense corpus ranking — `neg_rank = (r·A + j·B) mod N`,
+   * self-hits bumped one slot (the bump can never re-hit the anchor:
+   * `(r−1·B... )`, i.e. `nr0+1 ≡ r` requires `nr0 = r−1 ≠ r`).
+   * Reproducible across runs AND engines — pure integer arithmetic, no
+   * RNG state — so train/eval pipelines can re-derive the exact pair
+   * set. The affine walk is NOT cryptographic mixing; runs needing
+   * better dispersion swap the probe for a salted hash and keep the
+   * plumbing.
+   *
+   * Scale shape: the dense ranking is the two-phase
+   * [[graft.operators.PrefixSum.withGlobalRank]] (range exchange +
+   * per-partition window — never a one-task global sort), N arrives as
+   * a 1-row broadcast, probes are a narrow k-fold expansion, and one
+   * shuffle join resolves rank → partner id. O(k·corpus) output rows by
+   * construction.
+   */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+                    strideA: Long = 2654435761L,
+                    strideB: Long = 40503L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ids = df.select(col(idCol).as("doc_id")).distinct()
+    val ranked = graft.operators.PrefixSum
+      .withGlobalRank(ids, Seq(col("doc_id")), "r")
+      .withColumn("r", col("r") - 1)
+    val probes = ranked
+      .crossJoin(broadcast(ranked.agg((max(col("r")) + 1).as("n"))))
+      .filter(assert_true(col("n") > 1,
+        lit("negativePairs needs >= 2 documents")).isNull)
+      .select(col("doc_id"), col("r"), col("n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("nr0",
+        (col("r") * strideA + col("j") * strideB) % col("n"))
+      .withColumn("nr",
+        when(col("nr0") === col("r"), (col("nr0") + 1) % col("n"))
+          .otherwise(col("nr0")))
+    probes.join(
+        ranked.select(col("r").as("nr"), col("doc_id").as("neg_id")), "nr")
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+  }
 }

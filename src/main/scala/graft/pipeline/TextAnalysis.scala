@@ -751,6 +751,36 @@ object TextAnalysis {
         split(col("p"), " ").getItem(1).as("b"), col("c"))
   }
 
+  /**
+   * Tokenizer-vocabulary coverage report: build the top-`vocabSize`
+   * token vocabulary by corpus frequency (ties broken lexicographically
+   * — the cut is deterministic) and report each document's token count
+   * and out-of-vocabulary token count. The corpus OOV rate decides
+   * whether a tokenizer vocabulary is big enough BEFORE a training run
+   * pays for the answer.
+   *
+   * Scale shape: one token-count exchange + a top-k cut for the vocab
+   * (vocabSize rows — broadcast), then a broadcast join onto the
+   * re-exploded tokens and one per-doc count. The corpus is scanned
+   * twice; against a persisted vocabulary (the usual production shape —
+   * the tokenizer is fixed), skip the first pass and broadcast-join
+   * directly.
+   */
+  def oovReport(df: DataFrame, idCol: String, textCol: String,
+                vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val toksOf = df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("t"))
+    val vocab = toksOf.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("__in"))
+    toksOf.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, lit(1))).as("n_oov"))
+  }
+
   def sourceQualityFilter(df: DataFrame, idCol: String, textCol: String,
                           sourceCol: String): DataFrame = {
     val d = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),

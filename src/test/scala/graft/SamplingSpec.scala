@@ -218,4 +218,28 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  test("negativePairs: k per anchor, never self, deterministic across runs") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    def run() = Sampling.negativePairs(docs, "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val a = run()
+    assert(a.length === 60)
+    assert(a.groupBy(_._1).forall(_._2.length == 3), "exactly k per anchor")
+    assert(a.forall(t => t._1 != t._3), "no self-pairs")
+    assert(a === run(), "deterministic")
+  }
+
+  test("negativePairs refuses a single-document corpus") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "only")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Sampling.negativePairs(one, "doc_id", k = 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negativePairs")), msgs(e).mkString("|"))
+  }
 }

@@ -439,6 +439,16 @@ class TextAnalysisSpec extends SparkTestBase {
       ("b", "c") -> 1L, ("a", "c") -> 1L))
   }
 
+  test("oovReport: deterministic vocab cut, per-doc OOV counts") {
+    val s = spark
+    import s.implicits._
+    // vocab of 2: 'a' (3 hits) and 'b' (2 hits); 'c' and 'd' are OOV.
+    val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovReport(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((4L, 1L)), 2L -> ((3L, 1L))))
+  }
+
   test("codeSwitch flags mixed-language docs, monolingual stays unflagged") {
     val s = spark
     import s.implicits._
