@@ -2406,6 +2406,45 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // ADDITIVE (cumulative, include ALL) window through the streaming
+    // runner, pinned by a batch oracle: 3 deterministic batches
+    // (event_id mod 3), one emission per tick with NO state reset, so a
+    // record in batch r is counted in emissions r..2 — i.e. (3 - r)
+    // times. The oracle restates that weighting in closed form: the
+    // summed emissions equal sum(3 - id%3) over qualifying events.
+    "q_runner_additive" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("aw",
+        filter = Some(Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("user_id"), "su"))),
+        window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.ALL, 0)),
+        durationMs = 100000))
+      val ev = rd(s, dir, "events")
+      (0 until 3).foreach { i =>
+        runner.processBatch(ev.filter(col("event_id") % 3 === i))
+        clock.advance(1000)
+        runner.onTick()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val wins = runner.results.filter(_.meta.contains("window_number"))
+        .flatMap(_.records).map(mapper.readTree)
+      val row = org.apache.spark.sql.Row(
+        wins.map(_.get("cnt").asLong).sum, wins.map(_.get("su").asLong).sum,
+        wins.size.toLong)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cnt_sum",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("su_sum",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_windows",
+          org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(java.util.Collections.singletonList(row), schema)
+    }),
+
     // Deterministic contrastive negative sampling: 3 partners per
     // anchor via an affine probe over the dense corpus ranking
     // (two-phase global rank, broadcast N, one rank-resolution join) —
@@ -3787,6 +3826,10 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_runner_additive" ->
+      ("SELECT CAST(sum(3 - event_id % 3) AS BIGINT) AS cnt_sum, " +
+        "CAST(sum(user_id * (3 - event_id % 3)) AS BIGINT) AS su_sum, " +
+        "CAST(3 AS BIGINT) AS n_windows FROM events WHERE value > 10.0"),
     "q_negative_pairs" ->
       """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
         |rk AS (SELECT doc_id,
