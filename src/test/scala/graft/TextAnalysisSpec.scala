@@ -439,6 +439,36 @@ class TextAnalysisSpec extends SparkTestBase {
       ("b", "c") -> 1L, ("a", "c") -> 1L))
   }
 
+  test("cooccurPairs native expression: randomized differential vs the composable form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Seq("a", "bb", "ccc", "", "Ω", "δδ", "x1", "zz") // incl. empty + unicode
+    val docs = (1L to 120L).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (w <- Seq(1, 2, 5)) {
+      // the original nested-lambda formulation, kept as the reference
+      val ws = split(col("text"), " ")
+      val composable = flatten(transform(sequence(lit(0), size(ws) - 2), i => {
+        val w0 = element_at(ws, i + 1)
+        transform(slice(ws, i + 2, lit(w)), t =>
+          concat_ws(" ", least(w0, t), greatest(w0, t)))
+      }))
+      val ref = docs.filter(col("text") =!= "" && size(ws) >= 2)
+        .select(explode(composable).as("p")).groupBy("p").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val native = docs.filter(col("text") =!= "")
+        .select(explode(graft.functions.TextFunctions
+          .cooccurPairs(col("text"), w)).as("p"))
+        .groupBy("p").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(native === ref, s"window=$w")
+    }
+  }
+
   test("oovReport: deterministic vocab cut, per-doc OOV counts") {
     val s = spark
     import s.implicits._
