@@ -67,7 +67,7 @@ object SparkEntry {
     * (center + 0.05·v). Gives LSH/IVF locality to exploit, so recall vs
     * brute force becomes a meaningful, pinnable gate — on uniform random
     * vectors ANN recall is inherently ~0 and verifies nothing. */
-  private def clusteredEmbeddings(e: DataFrame): DataFrame = {
+  private[graft] def clusteredEmbeddings(e: DataFrame): DataFrame = {
     val centers = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
     e.select((col("vec_id") % 8).as("cid"), col("vec_id"),
@@ -2406,6 +2406,25 @@ object SparkEntry {
           rd(s, dir, "documents"), "text", window = 3, minCount = 150L)
         .orderBy("a", "b")),
 
+    // PQ/ADC approximate top-k with exact rerank (Jégou et al.): 8
+    // subspaces x 16 euclidean codebook centroids = 32x compression;
+    // scan touches codes only, per-query table built once, top-50 ADC
+    // shortlist reranked exactly. Gated on epsilon-recall@10 >= 0.95
+    // (returned neighbors within 1e-3 cosine of the true 10th-best) —
+    // rank-recall is ill-posed on this fixture's near-duplicate
+    // clusters, where the 10th and 60th true neighbor differ by less
+    // than quantization noise; see Similarity.epsilonRecallPerQuery.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+        k = 10, dim = 64, m = 8, ksub = 16, iters = 3, rerank = 50)
+      Similarity.epsilonRecallPerQuery(approx, exact, eps = 1e-3)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.95).as("recall_ok"))
+    }),
+
     // ADDITIVE (cumulative, include ALL) window through the streaming
     // runner, pinned by a batch oracle: 3 deterministic batches
     // (event_id mod 3), one emission per tick with NO state reset, so a
@@ -3826,6 +3845,8 @@ object SparkEntry {
         |SELECT week, cnt, lag(cnt) OVER (ORDER BY week) AS prev_cnt,
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
+    "q_ann_pq" ->
+      "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
     "q_runner_additive" ->
       ("SELECT CAST(sum(3 - event_id % 3) AS BIGINT) AS cnt_sum, " +
         "CAST(sum(user_id * (3 - event_id % 3)) AS BIGINT) AS su_sum, " +

@@ -261,6 +261,175 @@ object Similarity {
   }
 
   /**
+   * ε-recall per query: the fraction of the approximate result whose
+   * EXACT similarity is within `eps` of the true k-th-best similarity.
+   * Rank-recall ([[recallPerQuery]]) is the right gate when neighbors
+   * are separated (IVF prunes cells but scores exactly); it is
+   * ILL-POSED for score-approximating methods like PQ whenever the k-th
+   * and (rerank)-th true neighbors differ by less than quantization
+   * noise — on near-duplicate clusters the "wrong" neighbor can be
+   * 10⁻⁵ cosine from the "right" one. ε-recall is the standard
+   * reformulation (distance-ratio/threshold recall in the ANN
+   * literature): it asks whether returned neighbors are AS GOOD, not
+   * whether they are the same rows.
+   *
+   * `approx` must carry the exact `sim` of each returned neighbor
+   * (pqTopK's rerank stage scores exactly, so its output qualifies).
+   */
+  def epsilonRecallPerQuery(approx: DataFrame, exact: DataFrame,
+                            eps: Double): DataFrame = {
+    val kth = exact.groupBy("query_id").agg(min(col("sim")).as("kth"))
+    approx.join(broadcast(kth), "query_id")
+      .groupBy("query_id")
+      .agg((sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
+        .cast("double") / count(lit(1))).as("recall"))
+  }
+
+  /** Index of the L2-nearest centroid: argmin ‖v−e‖² = argmax (v·e − ‖e‖²/2)
+    * — the ‖v‖² term is constant per row. Ties break to the lower index
+    * (same struct-ordering trick as [[ivfAssign]]). */
+  private def l2Assign(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      val bias = c.map(x => x * x).sum / 2.0
+      struct((dot(vec, typedLit(c.toSeq)) - lit(bias)).as("d"), lit(-i).as("ni"))
+    }: _*)).getField("ni") * lit(-1)
+
+  /** Euclidean Lloyd iterations over `vecCol` (no normalization — PQ
+    * sub-quantizers reconstruct magnitudes, unlike the spherical
+    * [[kmeansCentroids]]). Same deterministic partial fold: one partial
+    * per (cell, dim, partition), driver folds in sorted order —
+    * bit-stable for a fixed input layout. Init = first k rows by id. */
+  def euclideanCentroids(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val vecs = df.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+    var cents = vecs.orderBy(col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val partials = vecs
+        .withColumn("cell", l2Assign(col("v"), cents))
+        .withColumn("pid", spark_partition_id())
+        .select(col("cell"), col("pid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i", "pid")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      partials.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val d = cents(cell).length
+        val sums = new Array[Double](d)
+        val counts = new Array[Long](d)
+        rows.sortBy(r => (r.getAs[Int]("i"), r.getAs[Int]("pid"))).foreach { r =>
+          val i = r.getAs[Int]("i")
+          sums(i) += r.getAs[Double]("sx")
+          counts(i) += r.getAs[Long]("n")
+        }
+        next(cell) = Array.tabulate(d)(i =>
+          if (counts(i) > 0) sums(i) / counts(i) else cents(cell)(i))
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /**
+   * Product-quantization codebooks (Jégou et al., PQ): the `dim` space
+   * splits into `m` subspaces of dim/m; each gets a `ksub`-centroid
+   * EUCLIDEAN codebook trained on the sliced sub-vectors. Returns
+   * books(sub)(code) = centroid. m·log₂(ksub) bits per stored vector —
+   * 32× compression over float32 at m=8, ksub=16, dim=64.
+   */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ksub: Int,
+                  iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      euclideanCentroids(
+        corpus.select(col(idCol).as("id"),
+          slice(asD(col(vecCol)), s * sub + 1, sub).as("v")),
+        "id", "v", ksub, iters)
+    }.toArray
+  }
+
+  /** PQ codes for every vector: per subspace, the L2-nearest codebook
+    * entry — a NARROW per-row expression (no shuffle, no training). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    df.select(col(idCol).as("neighbor_id"),
+      array((0 until m).map(s =>
+        l2Assign(slice(asD(col(vecCol)), s * sub + 1, sub), books(s))): _*)
+        .as("codes"))
+  }
+
+  /**
+   * PQ/ADC approximate top-k with exact rerank — the compressed-corpus
+   * serving path: the scan touches only each vector's m small codes
+   * (memory-bandwidth-bound at 4–8 bytes/vector instead of dim·4), the
+   * per-query distance table is built ONCE (m·ksub sub-dots), and each
+   * candidate costs m table lookups. cos(q,c) is approximated through
+   * the codebook reconstruction: q·c ≈ Σ_s q_s·e(s,code_s) and
+   * ‖c‖² ≈ Σ_s ‖e(s,code_s)‖² — both table lookups. The top `rerank`
+   * ADC candidates per query join back to the raw vectors for an exact
+   * cosine top-k, so quantization error costs recall only past the
+   * rerank horizon.
+   *
+   * Scale shape: codes + query tables broadcast/narrow; the only
+   * shuffles are the per-query top-k (WindowGroupLimit — per-partition
+   * heaps, O(queries·rerank·partitions) rows) and the rerank id-join
+   * (candidate-sized). Compose with [[ivfTopK]]'s cell routing for the
+   * billion-vector layout (IVF-PQ): cells bound the scan, codes bound
+   * the bytes.
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 3,
+             rerank: Int = 50,
+             codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(rerank >= k, "rerank horizon must be >= k")
+    val books = codebooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters))
+    val sub = dim / m
+    val enc = pqEncode(corpus, idCol, vecCol, dim, books)
+    // per-query ADC table: dot(q_s, e) for every (s, code) — one array
+    // literal-indexed by s·ksub + code; plus the (query-independent)
+    // centroid squared norms
+    val norms = books.flatMap(_.map(_.map(x => x * x).sum)).toSeq
+    val q = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("tab", array((0 until m).flatMap(s =>
+        books(s).map(e =>
+          dot(slice(col("qv"), s * sub + 1, sub), typedLit(e.toSeq)))): _*))
+    val adot = (0 until m).map(s =>
+      element_at(col("tab"), lit(s * ksub) +
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val cn2 = (0 until m).map(s =>
+      element_at(typedLit(norms), lit(s * ksub) +
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val cands = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        when(cn2 > 0, adot / (col("qn") * sqrt(cn2))).otherwise(lit(-2.0))
+          .as("approx"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val shortlist = cands.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank).drop("rn", "approx")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asD(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val exact = shortlist.join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rn", row_number().over(wE)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
    * (any of `bands` sub-signatures) become candidates; candidates are
    * verified with exact cosine ≥ threshold. The standard banded-LSH dedup

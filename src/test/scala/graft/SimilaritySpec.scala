@@ -205,4 +205,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(2L) === ((0.0, 0L, 0L, 0L)))
     assert(got(3L) === ((31.75, -127L, -127L, -127L)))
   }
+
+  // 3 well-separated axis clusters in 8 dims, 20 vectors each; queries are
+  // one member per cluster. With separated clusters rank-recall IS
+  // well-posed and PQ must hit it exactly.
+  private def separated = {
+    val s = spark
+    import s.implicits._
+    (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.05 * ((i * 7 + 3) % 5))
+      base(c * 2) += 10.0; base(c * 2 + 1) += 5.0 + 0.01 * i
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pqEncode: codes in [0, ksub), deterministic across runs") {
+    val books = Similarity.pqCodebooks(separated, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, iters = 2)
+    def codes() = Similarity.pqEncode(separated, "vec_id", "embedding", 8, books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c1 = codes()
+    assert(c1.values.forall(_.forall(c => c >= 0 && c < 4)))
+    assert(c1 === codes())
+  }
+
+  test("pqTopK: exact rank-recall 1.0 on well-separated clusters") {
+    val queries = separated.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(queries, separated, "vec_id", "embedding", k = 5)
+    val approx = Similarity.pqTopK(queries, separated, "vec_id", "embedding",
+      k = 5, dim = 8, m = 4, ksub = 8, iters = 3, rerank = 20)
+    val rec = Similarity.recallPerQuery(approx, exact)
+      .collect().map(_.getDouble(1))
+    assert(rec.length === 3 && rec.forall(_ === 1.0), rec.toSeq)
+  }
+
+  test("epsilonRecallPerQuery: neighbors as-good-as count, worse ones don't") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L, 0.99), (1L, 11L, 0.98)).toDF("query_id", "neighbor_id", "sim")
+    // approx returns a different row at 0.9795 (within eps of 0.98) and a
+    // genuinely worse one at 0.90
+    val approx = Seq((1L, 12L, 0.9795), (1L, 13L, 0.90)).toDF("query_id", "neighbor_id", "sim")
+    val r = Similarity.epsilonRecallPerQuery(approx, exact, eps = 1e-3)
+      .collect()(0).getDouble(1)
+    assert(r === 0.5)
+  }
 }
