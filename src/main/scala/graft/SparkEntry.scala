@@ -2425,6 +2425,22 @@ object SparkEntry {
           (avg(col("recall")) >= 0.95).as("recall_ok"))
     }),
 
+    // IVF-PQ composition — the billion-vector layout: coarse cells
+    // bound WHICH vectors a query scans (nprobe/nlist), PQ codes bound
+    // the BYTES per scanned vector, exact rerank bounds what
+    // quantization can cost. Same epsilon-recall gate as q_ann_pq.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 10, dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 16,
+        iters = 3, rerank = 50)
+      Similarity.epsilonRecallPerQuery(approx, exact, eps = 1e-3)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.95).as("recall_ok"))
+    }),
+
     // ADDITIVE (cumulative, include ALL) window through the streaming
     // runner, pinned by a batch oracle: 3 deterministic batches
     // (event_id mod 3), one emission per tick with NO state reset, so a
@@ -3846,6 +3862,8 @@ object SparkEntry {
         |  cnt - lag(cnt) OVER (ORDER BY week) AS delta
         |FROM w ORDER BY week""".stripMargin.replace("\n", " "),
     "q_ann_pq" ->
+      "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    "q_ann_ivfpq" ->
       "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
     "q_runner_additive" ->
       ("SELECT CAST(sum(3 - event_id % 3) AS BIGINT) AS cnt_sum, " +

@@ -430,6 +430,74 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ — the billion-vector serving layout, composed from the two
+   * halves this file already proves separately: IVF cell routing bounds
+   * WHICH vectors a query scans (nprobe/nlist of the corpus), PQ codes
+   * bound the BYTES per scanned vector (m codes instead of dim floats),
+   * and the exact rerank bounds what quantization error can cost. The
+   * corpus is stored as (cell, codes) — at 100 TB that is the entire
+   * per-vector footprint outside the rerank fetch; cluster the storage
+   * by cell so a probe reads contiguous ranges.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int, dim: Int,
+                nlist: Int = 8, nprobe: Int = 3,
+                m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                rerank: Int = 50,
+                centroids: Option[Array[Array[Double]]] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(rerank >= k, "rerank horizon must be >= k")
+    val cents = centroids.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, nlist, iters))
+    val books = codebooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters))
+    val sub = dim / m
+    val enc = pqEncode(corpus, idCol, vecCol, dim, books)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        ivfAssign(asD(col(vecCol)), cents).as("cell")), "neighbor_id")
+    val probeCells = { q: Column =>
+      val scored = array(cents.zipWithIndex.map { case (cent, i) =>
+        struct(dot(q, typedLit(cent.toSeq)).as("d"), lit(i).as("i"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, nprobe)
+    }
+    val norms = books.flatMap(_.map(_.map(x => x * x).sum)).toSeq
+    val q = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("tab", array((0 until m).flatMap(s =>
+        books(s).map(e =>
+          dot(slice(col("qv"), s * sub + 1, sub), typedLit(e.toSeq)))): _*))
+      .withColumn("probe", explode(probeCells(col("qv"))))
+      .select(col("query_id"), col("qv"), col("qn"), col("tab"),
+        col("probe.i").as("cell"))
+    val adot = (0 until m).map(s =>
+      element_at(col("tab"), lit(s * ksub) +
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val cn2 = (0 until m).map(s =>
+      element_at(typedLit(norms), lit(s * ksub) +
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val cands = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        when(cn2 > 0, adot / (col("qn") * sqrt(cn2))).otherwise(lit(-2.0))
+          .as("approx"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val shortlist = cands.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank).drop("rn", "approx")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asD(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val exact = shortlist.join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rn", row_number().over(wE)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
    * (any of `bands` sub-signatures) become candidates; candidates are
    * verified with exact cosine ≥ threshold. The standard banded-LSH dedup

@@ -240,6 +240,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(rec.length === 3 && rec.forall(_ === 1.0), rec.toSeq)
   }
 
+  test("ivfPqTopK: rank-recall 1.0 on separated clusters (cells + codes + rerank)") {
+    val queries = separated.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(queries, separated, "vec_id", "embedding", k = 5)
+    val approx = Similarity.ivfPqTopK(queries, separated, "vec_id", "embedding",
+      k = 5, dim = 8, nlist = 3, nprobe = 2, m = 4, ksub = 8, iters = 3,
+      rerank = 20)
+    val rec = Similarity.recallPerQuery(approx, exact)
+      .collect().map(_.getDouble(1))
+    assert(rec.length === 3 && rec.forall(_ === 1.0), rec.toSeq)
+  }
+
   test("epsilonRecallPerQuery: neighbors as-good-as count, worse ones don't") {
     val s = spark
     import s.implicits._
