@@ -3392,7 +3392,7 @@ object SparkEntry {
         |dt AS (SELECT doc_id, t, count(*) AS cc FROM tok GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n_toks,
         |  round(sum(cc * (ln(CAST(cnt_t + 1 AS DOUBLE) / (n_t + vsz))
-        |                - ln(CAST(cnt_b + 1 AS DOUBLE) / (n_b + vsz)))), 4) AS weight
+        |                - ln(CAST(cnt_b + 1 AS DOUBLE) / (n_b + vsz)))), 4) + 0.0 AS weight
         |FROM dt JOIN v USING (t), c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

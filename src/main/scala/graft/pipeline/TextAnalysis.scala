@@ -651,7 +651,11 @@ object TextAnalysis {
           log((col("cnt_t") + 1).cast("double") / (col("n_t") + col("vsz"))) -
           log((col("cnt_b") + 1).cast("double") / (col("n_b") + col("vsz")))))
           .as("__w"))
-      .select(col("doc_id"), col("n_toks"), round(col("__w"), 4).as("weight"))
+      // + 0.0 collapses IEEE negative zero: a weight that rounds to zero
+      // can carry either sign depending on engine-specific summation
+      // order, and a hash comparison sees "-0" vs "0" (bit at sf0.1).
+      .select(col("doc_id"), col("n_toks"),
+        (round(col("__w"), 4) + lit(0.0)).as("weight"))
   }
 
   /**
