@@ -345,12 +345,59 @@ object Similarity {
                   iters: Int = 3): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { s =>
-      euclideanCentroids(
-        corpus.select(col(idCol).as("id"),
-          slice(asD(col(vecCol)), s * sub + 1, sub).as("v")),
-        "id", "v", ksub, iters)
-    }.toArray
+    // ALL subspaces train in one joint Lloyd loop: the per-subspace
+    // formulation (m separate euclideanCentroids) runs m·iters collect
+    // jobs and the wall time is all job latency at small m·ksub; here
+    // the corpus explodes ONCE into (subspace, sub-vector) rows and each
+    // iteration is a single partial-aggregation job covering every
+    // subspace. Same per-subspace arithmetic and deterministic fold.
+    val sliced = corpus.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * sub + 1, sub).as("sv"))): _*))
+        .as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.sv").as("v"))
+      .localCheckpoint(true)
+    val wInit = Window.partitionBy("s").orderBy(col("id"))
+    var books: Array[Array[Array[Double]]] = {
+      val rows = sliced.withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= ksub)
+        .select(col("s"), col("rn"), col("v")).collect()
+      val b = Array.ofDim[Array[Double]](m, ksub)
+      rows.foreach(r => b(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Double](2).toArray)
+      require(b.forall(_.forall(_ != null)),
+        s"pqCodebooks needs >= $ksub vectors to seed every subspace codebook")
+      b
+    }
+    for (_ <- 1 to iters) {
+      val assign = (0 until m).map(s =>
+        when(col("s") === s, l2Assign(col("v"), books(s)))
+      ).reduce((a, b) => coalesce(a, b))
+      val partials = sliced
+        .withColumn("cell", assign)
+        .withColumn("pid", spark_partition_id())
+        .select(col("s"), col("cell"), col("pid"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("s", "cell", "i", "pid")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      partials.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cell")))
+        .foreach { case ((s, cell), rows) =>
+          val d = books(s)(cell).length
+          val sums = new Array[Double](d)
+          val counts = new Array[Long](d)
+          rows.sortBy(r => (r.getAs[Int]("i"), r.getAs[Int]("pid"))).foreach { r =>
+            val i = r.getAs[Int]("i")
+            sums(i) += r.getAs[Double]("sx")
+            counts(i) += r.getAs[Long]("n")
+          }
+          next(s)(cell) = Array.tabulate(d)(i =>
+            if (counts(i) > 0) sums(i) / counts(i) else books(s)(cell)(i))
+        }
+      books = next
+    }
+    books
   }
 
   /** PQ codes for every vector: per subspace, the L2-nearest codebook
