@@ -80,6 +80,30 @@ class ZOrderSpec extends SparkTestBase {
     assert(expr.eval(null) === viaDf)
   }
 
+  test("hilbert files bound tighter rectangles than Morton at non-power-of-4 file counts") {
+    val s = spark
+    import s.implicits._
+    // On a 32x32 grid with a power-of-4 file count, both curves cut at
+    // quad boundaries and tie. At 10/12 files the range boundaries fall
+    // INSIDE quads: Morton ranges straddle Z-jumps (measured avg
+    // bounding-box area 179/163), Hilbert ranges stay grid-adjacent
+    // (134/123). That area ratio is exactly the zone-map scan-skip
+    // advantage clusterHilbert claims.
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    def avgArea(parts: Array[Array[org.apache.spark.sql.Row]]): Double = {
+      val as = parts.filter(_.nonEmpty).map { rows =>
+        val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+        ((xs.max - xs.min + 1) * (ys.max - ys.min + 1)).toDouble
+      }
+      as.sum / as.length
+    }
+    for (n <- Seq(10, 12)) {
+      val z = avgArea(ZOrder.cluster(pts, Seq("x", "y"), n, bits = 5).rdd.glom().collect())
+      val h = avgArea(ZOrder.clusterHilbert(pts, "x", "y", n, bits = 5).rdd.glom().collect())
+      assert(h < z, s"nFiles=$n: hilbert avg box $h must beat morton $z")
+    }
+  }
+
   test("clusterHilbert range-partitions on the index and guards the domain") {
     val s = spark
     import s.implicits._
