@@ -2425,6 +2425,27 @@ object SparkEntry {
           (avg(col("recall")) >= 0.95).as("recall_ok"))
     }),
 
+    // Distributed k-means as a first-class clustering operator (not just
+    // ANN plumbing): spherical Lloyd over the embeddings, assignments
+    // gated on cluster PURITY against the fixture's known generative
+    // structure (vec_id % 8 seeds the clusters) — purity 1.0 means every
+    // learned cell maps to exactly one true cluster. The centroids
+    // themselves are data-derived floats, so the gate (not the floats)
+    // is the oracle, same discipline as the ANN recall entries.
+    "q_kmeans_purity" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nlist = 8, iters = 3)
+      val assigned = emb.select(col("vec_id"), (col("vec_id") % 8).as("truth"),
+        Similarity.ivfAssign(col("embedding").cast("array<double>"), cents)
+          .as("cell"))
+      val total = assigned.count()
+      assigned.groupBy("cell", "truth").agg(count(lit(1)).as("n"))
+        .groupBy("cell").agg(max(col("n")).as("best_n"))
+        .agg((sum(col("best_n")) >= lit(total)).as("purity_ok"),
+          count(lit(1)).cast("long").as("n_cells"))
+    }),
+
     // IVF-PQ composition — the billion-vector layout: coarse cells
     // bound WHICH vectors a query scans (nprobe/nlist), PQ codes bound
     // the BYTES per scanned vector, exact rerank bounds what
@@ -3865,6 +3886,8 @@ object SparkEntry {
       "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
     "q_ann_ivfpq" ->
       "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    "q_kmeans_purity" ->
+      "SELECT CAST(1 AS BOOLEAN) AS purity_ok, CAST(8 AS BIGINT) AS n_cells",
     "q_runner_additive" ->
       ("SELECT CAST(sum(3 - event_id % 3) AS BIGINT) AS cnt_sum, " +
         "CAST(sum(user_id * (3 - event_id % 3)) AS BIGINT) AS su_sum, " +
