@@ -2425,6 +2425,47 @@ object SparkEntry {
           (avg(col("recall")) >= 0.95).as("recall_ok"))
     }),
 
+    // GROUPED aggregation x tumbling window through the runner: the
+    // per-GROUP state must reset at every emission, so with 3
+    // deterministic batches each event lands in exactly ONE window and
+    // the per-group counts summed across windows equal the plain batch
+    // group-by — which is the oracle. A reset bug (state leaking across
+    // windows) double-counts and breaks the equality.
+    "q_runner_grouped_window" -> ((s, dir) => {
+      import graft.streaming.{ManualClock, QueryRunner}
+      val clock = new ManualClock(0)
+      val runner = new QueryRunner(s, clock)
+      runner.register(QuerySpec("gw",
+        filter = Some(Binary(Field("value"), Lit(10.0), BinOp.GREATER_THAN)),
+        aggregation = GroupBy(Seq("event_type" -> "et"), Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("user_id"), "su")), entries = 64),
+        window = Some(WindowSpec(WindowUnit.TIME, 1000, WindowUnit.TIME, 1000)),
+        durationMs = 100000))
+      val ev = rd(s, dir, "events")
+      (0 until 3).foreach { i =>
+        runner.processBatch(ev.filter(col("event_id") % 3 === i))
+        clock.advance(1000)
+        runner.onTick()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val recs = runner.results.filter(_.meta.contains("window_number"))
+        .flatMap(_.records).map(mapper.readTree)
+      val byEt = recs.groupBy(_.get("et").asText()).toSeq.map { case (et, rs) =>
+        org.apache.spark.sql.Row(et,
+          rs.map(_.get("cnt").asLong).sum, rs.map(_.get("su").asLong).sum)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("et",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("su",
+          org.apache.spark.sql.types.LongType)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(byEt.asJava, schema).orderBy("et")
+    }),
+
     // Distributed k-means as a first-class clustering operator (not just
     // ANN plumbing): spherical Lloyd over the embeddings, assignments
     // gated on cluster PURITY against the fixture's known generative
@@ -3888,6 +3929,10 @@ object SparkEntry {
       "SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
     "q_kmeans_purity" ->
       "SELECT CAST(1 AS BOOLEAN) AS purity_ok, CAST(8 AS BIGINT) AS n_cells",
+    "q_runner_grouped_window" ->
+      ("SELECT event_type AS et, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS su " +
+        "FROM events WHERE value > 10.0 GROUP BY 1 ORDER BY et"),
     "q_runner_additive" ->
       ("SELECT CAST(sum(3 - event_id % 3) AS BIGINT) AS cnt_sum, " +
         "CAST(sum(user_id * (3 - event_id % 3)) AS BIGINT) AS su_sum, " +
