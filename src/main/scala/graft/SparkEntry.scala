@@ -1832,6 +1832,26 @@ object SparkEntry {
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // Skew-safe triangle counting on a deliberately skewed graph: one
+    // hub node (-1) adjacent to EVERY document plus a doc-id path — the
+    // degree-n hub that makes the id-oriented wedge join enumerate n²
+    // wedges on one key. The compact-forward orientation (edges point
+    // lower (degree, id) → higher) bounds the hub's wedge fan-out to
+    // ~0 (all its edges point INTO it); the oracle replays the
+    // id-oriented enumeration, pinning that both orientations count the
+    // same triangles. (The fixture's global lead() window is
+    // construction-only — the operator under test never sorts globally.)
+    "q_triangles_skew" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"))
+      val hub = d.select(lit(-1L).as("a"), col("doc_id").as("b"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val path = d.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("a"), col("nxt").as("b"))
+      graft.pipeline.Graph.triangleCountsByDegree(hub.union(path))
+        .orderBy("node")
+    }),
+
     // Symmetric int8 quantization summary per embedding: scale + integer
     // code-vector stats, truncation toward zero (the cross-engine-exact
     // convention). Narrow per-row work, zero shuffles.
@@ -3515,6 +3535,19 @@ object SparkEntry {
         |e AS (
         |  SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |t AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_triangles_skew" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |p AS (SELECT doc_id AS a, lead(doc_id) OVER (ORDER BY doc_id) AS b FROM d),
+        |e AS (SELECT CAST(-1 AS BIGINT) AS a, doc_id AS b FROM d
+        |      UNION ALL SELECT a, b FROM p WHERE b IS NOT NULL),
         |t AS (
         |  SELECT e1.a, e1.b, e2.b AS c
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
  * [[Graph.cooccurrenceEdges]] and carries the same ENFORCED
  * `maxGroupSize` guard (any group over the bound fails loudly); the
  * support filter applies at the pair-count aggregation (before the
- * stats joins), and the per-item counts frame is items-sized and
- * broadcasts.
+ * stats joins), and the per-item counts frame is items-sized — small
+ * enough to auto-broadcast for any realistic vocabulary, but the join
+ * strategy is deliberately left to AQE's measured size check (no
+ * forced hint): a 10⁹-item vocabulary degrades to a shuffle join
+ * instead of OOMing the driver.
  */
 object Associations {
 
@@ -53,8 +56,8 @@ object Associations {
       .crossJoin(broadcast(nGroups))
       .filter(col("c_ab") * minSupportDen >= col("n") * minSupportNum)
     pairs
-      .join(broadcast(itemCnt.select(col("i").as("a"), col("c").as("c_a"))), "a")
-      .join(broadcast(itemCnt.select(col("i").as("b"), col("c").as("c_b"))), "b")
+      .join(itemCnt.select(col("i").as("a"), col("c").as("c_a")), "a")
+      .join(itemCnt.select(col("i").as("b"), col("c").as("c_b")), "b")
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         (col("c_ab").cast("double") / col("c_a")).as("conf"),
         ((col("n") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")))

@@ -138,19 +138,37 @@ object Retrieval {
    *    [[graft.functions.VecDotLong]] over a broadcast nested-loop
    *    enumeration — O(n²·H) multiply-adds with ZERO shuffle, instead of
    *    O(Σ df²) shuffled rows. H is guarded (≤ `maxHeadTokens`) and the
-   *    quadratic block is guarded (≤ `maxDenseDocs` docs, loudly): past
-   *    that, exact all-token thresholded dot is the wrong primitive —
-   *    reach for [[graft.pipeline.Similarity]]'s ANN/banded paths or
-   *    drop the head tokens explicitly and state the semantics.
+   *    quadratic block is guarded on the WORK it implies, not just the
+   *    row count: `n·(n−1)/2 · H` multiply-adds must stay under
+   *    `maxHeadMadds` (default 10⁹ — seconds of vectorized compute; a
+   *    doc-count-only bound admitted 2×10¹⁰-madd plans). Past that,
+   *    exact all-token thresholded dot is the wrong primitive — reach
+   *    for [[graft.pipeline.Similarity]]'s ANN/banded paths or drop the
+   *    head tokens explicitly and state the semantics.
+   *
+   * The tail pair-dot table normally broadcasts onto the dense
+   * enumeration, but its size is Σ_{df(t)≤denseDf} df(t)² — bounded by
+   * NEITHER head guard — so it is measured from the same doc-frequency
+   * aggregate that picks the head tokens: past
+   * `maxTailBroadcastPairs` the tail merge degrades to a shuffled
+   * equi-join on (id1, id2) instead of blowing the broadcast limit.
    *
    * total = head + tail exactly, so results are IDENTICAL to the naive
    * formulation (same oracle), at ~18× less intermediate volume on the
-   * measured fixture.
+   * measured fixture. `minDot ≥ 1` is REQUIRED (the docstring contract:
+   * a thresholded scorer): at minDot ≤ 0 the dense block would emit
+   * every doc pair — n²/2 rows sharing no token — while the headless
+   * path emits only co-occurring pairs, a path-dependent answer.
    */
   def tfDotPairs(df: DataFrame, idCol: String, textCol: String,
                  minDot: Long, denseDf: Int = 256,
                  maxHeadTokens: Int = 64,
-                 maxDenseDocs: Long = 200000L): DataFrame = {
+                 maxHeadMadds: Long = 1000000000L,
+                 maxTailBroadcastPairs: Long = 20000000L): DataFrame = {
+    require(minDot >= 1,
+      s"tfDotPairs is a THRESHOLDED candidate scorer: minDot=$minDot must " +
+        "be >= 1 — minDot <= 0 asks for every doc pair (n²/2 rows sharing " +
+        "no token), which is not a candidate-scorer plan at any scale")
     val tf = df
       .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol).as("doc_id"),
@@ -165,11 +183,18 @@ object Retrieval {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
 
-    // Head tokens to the driver: bounded by construction (df > denseDf
-    // can hold at most corpus/denseDf tokens) and guarded besides.
-    val headToks = tf.groupBy("t").agg(count(lit(1)).as("d"))
-      .filter(col("d") > denseDf).select("t")
+    // ONE doc-frequency aggregate (materialized: vocab-sized,
+    // distributed) feeds both planning decisions — the head-token list
+    // and the tail join volume. Head tokens to the driver are bounded by
+    // construction (df > denseDf can hold at most corpus/denseDf tokens)
+    // and guarded besides.
+    val dfAgg = tf.groupBy("t").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val headToks = dfAgg.filter(col("d") > denseDf).select("t")
       .collect().map(_.getLong(0)).sorted
+    // Σ df² over tail tokens = the inverted-index join volume AND an
+    // upper bound on the tail pair-dot table the head path broadcasts
+    val tailVol = dfAgg.filter(col("d") <= denseDf)
+      .agg(coalesce(sum(col("d") * col("d")), lit(0L))).head().getLong(0)
     if (headToks.isEmpty) return pairDots(tf).filter(col("dot") >= minDot)
     require(headToks.length <= maxHeadTokens,
       s"tfDotPairs: ${headToks.length} tokens exceed denseDf=$denseDf doc-" +
@@ -183,10 +208,12 @@ object Retrieval {
 
     val docIds = tf.select("doc_id").distinct()
     val nDocs = docIds.count()
-    require(nDocs <= maxDenseDocs,
-      s"tfDotPairs: $nDocs docs exceed maxDenseDocs=$maxDenseDocs — the " +
-        "dense head block is O(n²); use the ANN/banded similarity paths " +
-        "at this scale, or drop head tokens explicitly")
+    val headMadds = BigInt(nDocs) * (nDocs - 1) / 2 * h
+    require(headMadds <= maxHeadMadds,
+      s"tfDotPairs: the dense head block implies $headMadds multiply-adds " +
+        s"($nDocs docs × ${nDocs - 1}/2 pairs × $h head dims) > " +
+        s"maxHeadMadds=$maxHeadMadds — use the ANN/banded similarity " +
+        "paths at this scale, or drop head tokens explicitly")
 
     val dense = tf.join(headRank, "t")
       .groupBy("doc_id")
@@ -197,17 +224,21 @@ object Retrieval {
       .select(col("doc_id"),
         coalesce(col("vec"), array_repeat(lit(0L), h)).as("vec"))
 
-    // Tail pair dots are sparse and tiny relative to the pair universe —
-    // broadcast them onto the dense enumeration.
+    // Tail pair dots are usually sparse and tiny relative to the pair
+    // universe — broadcast them onto the dense enumeration. But their
+    // volume is bounded only by Σ df² (measured above): past the
+    // broadcast budget, merge through a shuffled equi-join instead of
+    // failing at the broadcast limit / driver heap.
     val tail = pairDots(tf.join(headRank, Seq("t"), "left_anti"))
       .withColumnRenamed("dot", "tdot")
+    val tailMerge = if (tailVol <= maxTailBroadcastPairs) broadcast(tail) else tail
 
     val a = docs.select(col("doc_id").as("id1"), col("vec").as("v1"))
     val b = docs.select(col("doc_id").as("id2"), col("vec").as("v2"))
     a.join(broadcast(b), col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         graft.functions.VectorFunctions.vecDotLong(col("v1"), col("v2")).as("hdot"))
-      .join(broadcast(tail), Seq("id1", "id2"), "left")
+      .join(tailMerge, Seq("id1", "id2"), "left")
       .select(col("id1"), col("id2"),
         (col("hdot") + coalesce(col("tdot"), lit(0L))).as("dot"))
       .filter(col("dot") >= minDot)

@@ -273,6 +273,13 @@ object Sampling {
    * a 1-row broadcast, probes are a narrow k-fold expansion, and one
    * shuffle join resolves rank → partner id. O(k·corpus) output rows by
    * construction.
+   *
+   * The probe arithmetic runs in DECIMAL(38,0): `r·A` overflows BIGINT
+   * once the corpus passes ~3.5×10⁹ documents, and Java's wrap-negative
+   * `%` would then yield a rank that matches no row — anchors silently
+   * losing negatives (while a SQL oracle errors instead of wrapping).
+   * Decimal keeps the product exact (max ~10²⁸ ≪ 10³⁸) and `pmod` keeps
+   * the residue in [0, N) for any corpus a BIGINT can rank.
    */
   def negativePairs(df: DataFrame, idCol: String, k: Int,
                     strideA: Long = 2654435761L,
@@ -288,8 +295,8 @@ object Sampling {
         lit("negativePairs needs >= 2 documents")).isNull)
       .select(col("doc_id"), col("r"), col("n"),
         explode(sequence(lit(1), lit(k))).as("j"))
-      .withColumn("nr0",
-        (col("r") * strideA + col("j") * strideB) % col("n"))
+      .withColumn("nr0", negProbeRank(col("r"), col("j"), col("n"),
+        strideA, strideB))
       .withColumn("nr",
         when(col("nr0") === col("r"), (col("nr0") + 1) % col("n"))
           .otherwise(col("nr0")))
@@ -297,4 +304,13 @@ object Sampling {
         ranked.select(col("r").as("nr"), col("doc_id").as("neg_id")), "nr")
       .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
   }
+
+  /** `(r·A + j·B) pmod n` computed in DECIMAL(38,0) so the product never
+    * wraps a BIGINT (corpora past ~3.5e9 ranks would otherwise probe a
+    * NEGATIVE residue that matches no rank). Exposed for the overflow
+    * spec; result always fits a long (< n). */
+  private[graft] def negProbeRank(r: Column, j: Column, n: Column,
+                                  strideA: Long, strideB: Long): Column =
+    pmod(r.cast("decimal(38,0)") * strideA + j.cast("decimal(38,0)") * strideB,
+      n.cast("decimal(38,0)")).cast("long")
 }

@@ -165,10 +165,17 @@ object Similarity {
    *
    * 100 TB recipe: train on a bounded sample (e.g.
    * [[Sampling.hashSample]] at ~10⁻⁴) — the standard IVF build — then
-   * assign the full corpus ONCE with the returned centroids.
+   * assign the full corpus ONCE with the returned centroids. The recipe
+   * is ENFORCED, not advised: the training frame must hold at most
+   * `maxTrainRows` rows or the job fails loudly before the Lloyd loop
+   * (each iteration runs a full-frame assignment job plus a
+   * nlist×dim×partitions collect — silently accepting a 100 TB frame
+   * here is the exact scale hazard every other guard in this codebase
+   * precludes).
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+                      nlist: Int, iters: Int = 5,
+                      maxTrainRows: Long = 2000000L): Array[Array[Double]] = {
     def norm(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -179,6 +186,7 @@ object Similarity {
     val vecs = df.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .localCheckpoint(true)
+    requireTrainBound(vecs, maxTrainRows, "kmeansCentroids")
     var cents = vecs.orderBy(col("id")).limit(nlist)
       .select(col("v")).collect()
       .map(r => norm(r.getSeq[Double](0).toArray))
@@ -214,6 +222,21 @@ object Similarity {
       cents = next
     }
     cents
+  }
+
+  /** The enforced form of the "train on a bounded sample" recipe shared
+    * by every Lloyd loop here: the (already materialized) training frame
+    * must be driver-survivable BEFORE any per-iteration work starts. */
+  private def requireTrainBound(vecs: DataFrame, maxTrainRows: Long,
+                                op: String): Unit = {
+    require(maxTrainRows >= 1, s"$op: maxTrainRows must be >= 1")
+    val n = vecs.count()
+    require(n <= maxTrainRows,
+      s"$op: $n training rows exceed maxTrainRows=$maxTrainRows — every " +
+        "Lloyd iteration scans the full training frame and collects " +
+        "per-(cell, dim, partition) partials; train on a bounded sample " +
+        "(Sampling.hashSample) and assign the full corpus once with the " +
+        "returned centroids")
   }
 
   /** Index of the centroid with the largest dot product (struct-ordering
@@ -278,11 +301,17 @@ object Similarity {
    */
   def epsilonRecallPerQuery(approx: DataFrame, exact: DataFrame,
                             eps: Double): DataFrame = {
+    // start from EXACT's query universe: a query with an empty
+    // approximate result must score 0.0, not vanish from the output (an
+    // inner join here would silently inflate any recall average taken
+    // over the returned rows)
     val kth = exact.groupBy("query_id").agg(min(col("sim")).as("kth"))
-    approx.join(broadcast(kth), "query_id")
+    kth.join(approx.select(col("query_id"), col("sim")), Seq("query_id"), "left")
       .groupBy("query_id")
-      .agg((sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
-        .cast("double") / count(lit(1))).as("recall"))
+      .agg(when(count(col("sim")) > 0,
+        sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
+          .cast("double") / count(col("sim")))
+        .otherwise(lit(0.0)).as("recall"))
   }
 
   /** Index of the L2-nearest centroid: argmin ‖v−e‖² = argmax (v·e − ‖e‖²/2)
@@ -298,12 +327,15 @@ object Similarity {
     * sub-quantizers reconstruct magnitudes, unlike the spherical
     * [[kmeansCentroids]]). Same deterministic partial fold: one partial
     * per (cell, dim, partition), driver folds in sorted order —
-    * bit-stable for a fixed input layout. Init = first k rows by id. */
+    * bit-stable for a fixed input layout. Init = first k rows by id.
+    * Training bound enforced like [[kmeansCentroids]]. */
   def euclideanCentroids(df: DataFrame, idCol: String, vecCol: String,
-                         k: Int, iters: Int = 5): Array[Array[Double]] = {
+                         k: Int, iters: Int = 5,
+                         maxTrainRows: Long = 2000000L): Array[Array[Double]] = {
     val vecs = df.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       .localCheckpoint(true)
+    requireTrainBound(vecs, maxTrainRows, "euclideanCentroids")
     var cents = vecs.orderBy(col("id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -342,7 +374,8 @@ object Similarity {
    */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   dim: Int, m: Int, ksub: Int,
-                  iters: Int = 3): Array[Array[Array[Double]]] = {
+                  iters: Int = 3,
+                  maxTrainRows: Long = 2000000L): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     // ALL subspaces train in one joint Lloyd loop: the per-subspace
@@ -358,6 +391,15 @@ object Similarity {
         .as("e"))
       .select(col("id"), col("e.s").as("s"), col("e.sv").as("v"))
       .localCheckpoint(true)
+    // sliced holds m rows per training vector — bound the VECTOR count
+    require(maxTrainRows >= 1, "pqCodebooks: maxTrainRows must be >= 1")
+    val nTrain = sliced.count() / m
+    require(nTrain <= maxTrainRows,
+      s"pqCodebooks: $nTrain training vectors exceed maxTrainRows=" +
+        s"$maxTrainRows — every Lloyd iteration scans the sliced training " +
+        "frame and collects per-(subspace, cell, dim, partition) " +
+        "partials; train on a bounded sample (Sampling.hashSample) and " +
+        "encode the full corpus once with the returned codebooks")
     val wInit = Window.partitionBy("s").orderBy(col("id"))
     var books: Array[Array[Array[Double]]] = {
       val rows = sliced.withColumn("rn", row_number().over(wInit))

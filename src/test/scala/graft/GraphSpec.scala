@@ -97,4 +97,38 @@ class GraphSpec extends SparkTestBase {
     val p = pr.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("triangleCountsByDegree equals triangleCounts on K4, wedges, and a hub graph") {
+    val s = spark
+    import s.implicits._
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 + pendant + open wedge
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)).toDF("a", "b")
+    assert(counts(Graph.triangleCountsByDegree(k4)) === counts(Graph.triangleCounts(k4)))
+    // one hub (0) adjacent to everything + a path closing fan triangles:
+    // the id-oriented form's worst case, the degree orientation's point
+    val hub = ((1L to 40L).map(i => (0L, i)) ++
+      (1L until 40L).map(i => (i, i + 1))).toDF("a", "b")
+    val byDeg = counts(Graph.triangleCountsByDegree(hub))
+    assert(byDeg === counts(Graph.triangleCounts(hub)))
+    assert(byDeg(0L) === 39L) // hub sits in every fan triangle
+    assert(byDeg(2L) === 2L && byDeg(1L) === 1L)
+  }
+
+  test("triangleCountsByDegree: plan carries the degree join, no nested loop") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val p = Graph.triangleCountsByDegree(e).queryExecution.optimizedPlan.toString
+    // the orientation joins a count-per-node aggregate onto BOTH endpoints
+    // (the optimizer inlines the __deg alias into da/db)
+    assert(p.contains("count(1) AS da") && p.contains("count(1) AS db"),
+      "orientation must join endpoint degrees:\n" + p.take(1500))
+    val phys = Graph.triangleCountsByDegree(e).queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      "wedge closing must stay an equi-join")
+  }
 }

@@ -182,4 +182,46 @@ class GuardTripSpec extends SparkTestBase {
       graft.operators.SnapshotDiff.diff(df, df, "id", Seq.empty)
     }
   }
+
+  test("Lloyd training bounds: an oversized training frame fails naming hashSample") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1L to 50L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat))).toDF("vec_id", "embedding")
+    val eK = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        nlist = 2, maxTrainRows = 10L)
+    }
+    assert(eK.getMessage.contains("maxTrainRows=10") &&
+      eK.getMessage.contains("Sampling.hashSample"), eK.getMessage)
+    val eE = intercept[IllegalArgumentException] {
+      Similarity.euclideanCentroids(vecs, "vec_id", "embedding",
+        k = 2, maxTrainRows = 10L)
+    }
+    assert(eE.getMessage.contains("maxTrainRows=10") &&
+      eE.getMessage.contains("Sampling.hashSample"), eE.getMessage)
+    val eP = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+        dim = 2, m = 2, ksub = 2, maxTrainRows = 10L)
+    }
+    assert(eP.getMessage.contains("maxTrainRows=10") &&
+      eP.getMessage.contains("Sampling.hashSample"), eP.getMessage)
+    // under the bound the same frames train fine
+    assert(Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      nlist = 2, maxTrainRows = 50L).length === 2)
+  }
+
+  test("tfDotPairs head budget: work-based guard trips where a doc-count bound would not") {
+    val s = spark
+    import s.implicits._
+    // 40 docs all sharing one stop token: tiny doc count, but the dense
+    // block still implies 40·39/2·1 = 780 madds > the 500 budget
+    val docs = (1L to 40L).map(i => (i, s"the w$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.tfDotPairs(docs, "doc_id", "text",
+        minDot = 1L, denseDf = 20, maxHeadMadds = 500L)
+    }
+    assert(e.getMessage.contains("maxHeadMadds=500") &&
+      e.getMessage.contains("multiply-adds"), e.getMessage)
+  }
 }

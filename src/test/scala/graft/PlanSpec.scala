@@ -421,6 +421,26 @@ class PlanSpec extends SparkTestBase {
       .filter(_.contains("SortMergeJoin")).mkString("\n"))
   }
 
+  test("Associations.rules: stats joins degrade to shuffle past the broadcast threshold") {
+    // no forced broadcast hint on the per-item count frame: with the
+    // auto-broadcast threshold disabled (standing in for a vocabulary
+    // past it), the c_a/c_b joins must plan as shuffle joins — a forced
+    // hint here would OOM the driver on a 10⁹-item vocabulary instead
+    val s = spark
+    import s.implicits._
+    val m = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("g", "i")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.pipeline.Associations.rules(m, "g", "i", 1L, 2L)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "item-count joins must not force broadcast:\n" + p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected shuffle joins with broadcast disabled:\n" + p.take(2000))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_decontaminate_fuzzy: posting join crosses sides with no cartesian") {
     val p = plan("q_decontaminate_fuzzy")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

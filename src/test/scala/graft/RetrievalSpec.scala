@@ -112,9 +112,25 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
         minDot = 1L, denseDf = 1, maxHeadTokens = 2))
     assert(e1.getMessage.contains("denseDf"))
+    // the head guard bounds WORK (n·(n−1)/2·H madds), not just docs:
+    // 8 docs × 1 head dim ('the', df=8) = 28 madds > 20 trips
     val e2 = intercept[IllegalArgumentException](
       Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
-        minDot = 1L, denseDf = 3, maxDenseDocs = 4))
-    assert(e2.getMessage.contains("maxDenseDocs"))
+        minDot = 1L, denseDf = 3, maxHeadMadds = 20L))
+    assert(e2.getMessage.contains("maxHeadMadds"))
+    // thresholded-scorer contract: minDot <= 0 is rejected up front
+    // (the dense and headless paths would disagree on zero-dot pairs)
+    val e3 = intercept[IllegalArgumentException](
+      Retrieval.tfDotPairs(dotCorpus, "doc_id", "text", minDot = 0L))
+    assert(e3.getMessage.contains("minDot"))
+  }
+
+  test("tfDotPairs shuffled tail merge (broadcast budget 0) matches the naive dot") {
+    // forcing the tail past the broadcast budget switches the merge to a
+    // shuffled equi-join — same answer, different physical join
+    val got = Retrieval.tfDotPairs(dotCorpus, "doc_id", "text",
+        minDot = 1L, denseDf = 3, maxTailBroadcastPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === naiveDots(1L))
   }
 }

@@ -242,4 +242,24 @@ class SamplingSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("negativePairs")), msgs(e).mkString("|"))
   }
+
+  test("negProbeRank survives rank·stride past Long.MaxValue (4e9-doc corpus)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val strideA = 2654435761L
+    // r=4e9: r·A ≈ 1.06e19 > Long.MaxValue — the old BIGINT % wrapped
+    // negative here and matched no rank; decimal pmod stays in [0, n)
+    val rows = Seq((4000000000L, 1L, 4100000000L), (7L, 2L, 11L))
+      .toDF("r", "j", "n")
+    val got = rows.select(Sampling.negProbeRank(
+        col("r"), col("j"), col("n"), strideA, 40503L).as("nr"))
+      .collect().map(_.getLong(0))
+    val want = rows.collect().map { row =>
+      val (r, j, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      ((BigInt(r) * strideA + BigInt(j) * 40503L) mod BigInt(n)).toLong
+    }
+    assert(got.toSeq === want.toSeq)
+    assert(got.forall(v => v >= 0), "probe rank must be a valid non-negative rank")
+  }
 }

@@ -262,4 +262,37 @@ class SimilaritySpec extends SparkTestBase {
       .collect()(0).getDouble(1)
     assert(r === 0.5)
   }
+
+  test("epsilonRecallPerQuery: a query with NO approximate rows scores 0.0, not absent") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L, 0.99), (2L, 20L, 0.95))
+      .toDF("query_id", "neighbor_id", "sim")
+    // query 2 returned nothing approximate — an inner join would drop it
+    // and overstate any recall average over the returned rows
+    val approx = Seq((1L, 10L, 0.99)).toDF("query_id", "neighbor_id", "sim")
+    val r = Similarity.epsilonRecallPerQuery(approx, exact, eps = 1e-3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r === Map(1L -> 1.0, 2L -> 0.0))
+  }
+
+  test("euclideanCentroids pinned: identical to pqCodebooks' joint loop at m=1") {
+    val s = spark
+    import s.implicits._
+    // same init (first-k by id), same assignment arithmetic, same
+    // deterministic partial fold — the m=1 joint loop IS the
+    // single-space euclidean Lloyd loop, so the outputs must match
+    // exactly (this pins the otherwise standalone euclideanCentroids)
+    val vecs = (1L to 60L).map { i =>
+      val c = (i % 3).toDouble
+      (i, Array((10 * c + i % 5).toFloat, (i % 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val eu = Similarity.euclideanCentroids(vecs, "vec_id", "embedding", k = 3, iters = 4)
+    val pq = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      dim = 2, m = 1, ksub = 3, iters = 4)(0)
+    assert(eu.length === 3)
+    assert(eu.map(_.toSeq).toSeq === pq.map(_.toSeq).toSeq)
+    // and the centroids separate the three planted value bands
+    assert(eu.map(_.head).distinct.length === 3)
+  }
 }
