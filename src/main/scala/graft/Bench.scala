@@ -229,6 +229,39 @@ object Bench {
       b8 = b8Pass(spark, b8Secs)
     }
 
+    // BASELINE B7 metrics need the event count BEFORE b12 swaps sessions
+    val eventRows =
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case _: Throwable => 0L } // summary must not lose the JSON line
+
+    // b12: constricted-parallelism probe. local[32] can hide a serial
+    // stage — a plan spending half its wall in one task still looks
+    // "fast" with 31 idle cores soaking the parallel half. Re-time the 5
+    // slowest per-entry queries on a FRESH local[8] session (the 4×
+    // core cut): a healthy plan scales ~linearly in its parallel
+    // portion, so anything beyond ~4× its local[32] time indicates a
+    // serial bottleneck the wide session masked.
+    val b12Cpus = sys.env.getOrElse("SPARK_GRAFT_B12_CPUS", "8").toInt
+    var lastSession = spark
+    val b12: Seq[(String, Double)] = if (only.isDefined) Seq.empty else {
+      val slowest5 = perQuery
+        .filter { case (n, t) => t > 0 && !errors.contains(n) }
+        .sortBy(-_._2).take(5).map(_._1)
+      spark.stop()
+      val s8 = SparkSession.builder()
+        .master(s"local[$b12Cpus]")
+        .config("spark.sql.shuffle.partitions", b12Cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s8.sparkContext.setLogLevel("WARN")
+      lastSession = s8
+      slowest5.map { name =>
+        val fn = entries(name)
+        try fn(s8, sfDir).count() catch { case _: Throwable => () } // warm
+        timed(s"b12:$name")(fn(s8, sfDir).count())
+      }
+    }
+
     // Spark exception messages carry newlines/tabs; a raw control char
     // inside a JSON string invalidates the whole summary line (the r7
     // bench emitted errors and the driver recorded parsed:null).
@@ -241,11 +274,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // BASELINE B7 metrics: aggregate input records/sec through the shared
-    // pass and amortized per-query overhead
-    val eventRows =
-      try spark.read.parquet(s"$sfDir/events.parquet").count()
-      catch { case _: Throwable => 0L } // summary must not lose the JSON line
     def runnerJson(name: String, nq: Int): String = {
       val sec = results.collectFirst { case (`name`, t) => t }.getOrElse(0.0)
       s"""{"queries":$nq,"input_records":$eventRows,""" +
@@ -255,7 +283,18 @@ object Bench {
     val b7Json = runnerJson("b7_runner_100q", 100)
     val b11Json = runnerJson("b11_runner_1000q", 1000)
     val b8Json = s"""{"windows":${b8._1},"expected":$b8Secs,"jitter_ms_avg":${b8._2},"dropped":${b8._3}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"sf":"$sfDir"}""")
+    // b12 rows pair the constricted re-time with its local[32] original
+    // so the scaling ratio reads straight off the bench file
+    val b12Json = {
+      def r3b(v: Double) = math.rint(v * 1000) / 1000
+      val rows = b12.map { case (k, v) =>
+        val orig = k.stripPrefix("b12:")
+        val wide = perQuery.collectFirst { case (`orig`, t) => t }.getOrElse(0.0)
+        s"${jstr(orig)}:{\"wide\":${r3b(wide)},\"constricted\":${r3b(v)}}"
+      }.mkString(",")
+      s"""{"cpus":$b12Cpus,"queries":{$rows}}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"sf":"$sfDir"}""")
     // The harness keeps only the LAST ~2000 chars of stdout; with 160+
     // entries the full line above scrolls past that window and no round's
     // summary has ever been machine-parseable from the tail. Emit a second,
@@ -266,8 +305,9 @@ object Bench {
     // The tail window is ~2000 chars and keeps the END of stdout: the
     // compact line must fit alongside sbt's trailing "[success] ..." line
     // or its HEAD gets cut and nothing parses. ~420 chars of fixed fields
-    // + this budget + ~100 chars of trailer stays safely inside.
-    val budget = 1200
+    // + ~400 of b12 rows + this budget + ~100 chars of trailer stays
+    // safely inside.
+    val budget = 800
     val sb = new StringBuilder
     var taken = 0
     slowest.foreach { case (k, v) =>
@@ -277,8 +317,8 @@ object Bench {
     val errNames = errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
-      s""""queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s""""b12":$b12Json,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     println(compact)
-    spark.stop()
+    lastSession.stop()
   }
 }

@@ -2306,16 +2306,18 @@ object SparkEntry {
 
     // Deflate compression-ratio quality signal (CCNet-family):
     // boilerplate compresses far better than prose, junk barely at
-    // all. Deterministic DEFLATE per partition (one Deflater,
-    // amortized); exact integer numerator/denominator ride along so
-    // thresholds can cross-multiply. No SQL twin exists (DuckDB has no
-    // deflate) — rows-only driver check; invariants pinned in
-    // HierarchySpec (ordering, determinism, ratio-field consistency).
+    // all. No SQL twin exists (DuckDB has no deflate), so the entry is
+    // SELF-GATED: each doc plants a boiler (40-char seed × 30) and a
+    // junk (xxhash64 hex chain) twin, and the class ordering
+    // boiler < natural < junk — exact BIGINT cross-multiplied, no
+    // float thresholds — rides the plan as assert_true. If DEFLATE
+    // ever stops discriminating the planted classes the entry FAILS
+    // loudly instead of emitting unvalidated ratios; the emitted rows
+    // are the exact per-class integer sums (deterministic).
     "q_compression" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      graft.pipeline.Compression.deflateRatio(
-          rd(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id")
+      graft.pipeline.Compression.classRatioReport(
+        rd(s, dir, "documents"), "doc_id", "text")
     }),
 
     // Sparse similarity self-join on raw-tf vectors: integer dot

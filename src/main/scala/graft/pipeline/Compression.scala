@@ -50,4 +50,65 @@ object Compression {
       .withColumn("ratio",
         col("deflated_bytes").cast("double") / col("raw_bytes"))
   }
+
+  /**
+   * Self-gated compression report over PLANTED determinism classes —
+   * the checkable form of the quality signal (no SQL engine ships
+   * deflate, so the oracle-less entry carries its own invariant). Each
+   * document contributes three rows:
+   *
+   *  - `natural`: the text as-is;
+   *  - `boiler`:  its first 40 chars repeated 30× — the template-spam
+   *    shape the heuristic exists to catch (ratio ≪ natural);
+   *  - `junk`:    a 64-block xxhash64 hex chain keyed on the id — the
+   *    ~4 bits/char incompressible end (ratio > natural prose).
+   *
+   * The class ordering `boiler < natural < junk` (by aggregate
+   * deflated/raw, compared with exact BIGINT cross-multiplication — no
+   * float thresholds) rides the plan as `assert_true`: if DEFLATE ever
+   * stops discriminating the planted classes, the entry FAILS instead
+   * of emitting unvalidated ratios. Output: one row per class with the
+   * exact integer sums. Same single narrow mapPartitions pass as
+   * [[deflateRatio]]; the gate is a 1-row conditional aggregate.
+   */
+  def classRatioReport(df: DataFrame, idCol: String, textCol: String)
+                      (implicit spark: SparkSession): DataFrame = {
+    val d = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("did"), col(textCol).as("t"))
+    // composite id = doc_id·4 + class index (recovered as id % 4)
+    val planted = d.select((col("did") * 4).as("cid"), col("t").as("ct"))
+      .union(d.select((col("did") * 4 + 1).as("cid"),
+        repeat(substring(col("t"), 1, 40), 30).as("ct")))
+      .union(d.select((col("did") * 4 + 2).as("cid"),
+        array_join(transform(sequence(lit(1L), lit(64L)),
+          i => hex(xxhash64(col("did"), i))), "").as("ct")))
+    val byClass = deflateRatio(planted, "cid", "ct")
+      .groupBy(pmod(col("id"), lit(4L)).as("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_bytes")).as("raw_bytes"),
+        sum(col("deflated_bytes")).as("deflated_bytes"))
+    val gate = byClass.agg(
+      sum(when(col("cls") === 0, col("deflated_bytes"))).as("d_n"),
+      sum(when(col("cls") === 0, col("raw_bytes"))).as("r_n"),
+      sum(when(col("cls") === 1, col("deflated_bytes"))).as("d_b"),
+      sum(when(col("cls") === 1, col("raw_bytes"))).as("r_b"),
+      sum(when(col("cls") === 2, col("deflated_bytes"))).as("d_j"),
+      sum(when(col("cls") === 2, col("raw_bytes"))).as("r_j"))
+    byClass
+      .crossJoin(broadcast(gate))
+      .filter(assert_true(
+        col("d_b") * col("r_n") < col("d_n") * col("r_b") &&
+          col("d_n") * col("r_j") < col("d_j") * col("r_n"),
+        concat(lit("compression class ordering violated (boiler < natural "),
+          lit("< junk by deflated/raw): d_b="), col("d_b"), lit("/"), col("r_b"),
+          lit(" d_n="), col("d_n"), lit("/"), col("r_n"),
+          lit(" d_j="), col("d_j"), lit("/"), col("r_j")))
+        .isNull)
+      .select(
+        element_at(typedLit(Seq("natural", "boiler", "junk")),
+          col("cls").cast("int") + 1).as("class"),
+        col("n_docs"), col("raw_bytes"), col("deflated_bytes"))
+      .orderBy("class")
+  }
 }

@@ -49,4 +49,34 @@ class HierarchySpec extends SparkTestBase {
     a.foreach { case (_, raw, defl, ratio) =>
       assert(math.abs(ratio - defl.toDouble / raw) < 1e-15) }
   }
+
+  test("classRatioReport: planted boiler < natural < junk passes the in-plan gate") {
+    implicit val sp = s
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 120).map(j => s"tok${i * 131 + j} mix ${j * 37 % 91}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Compression.classRatioReport(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("boiler", "junk", "natural"))
+    assert(rows.forall(_._2 === 20L))
+    // the gate already enforced ordering in-plan; re-derive it here so a
+    // silently-weakened gate can't pass
+    val m = rows.map(r => r._1 -> (r._3, r._4)).toMap
+    def ratioLt(a: (Long, Long), b: (Long, Long)) = a._2 * b._1 < b._2 * a._1
+    assert(ratioLt(m("boiler"), m("natural")) && ratioLt(m("natural"), m("junk")))
+  }
+
+  test("classRatioReport gate TRIPS when classes stop discriminating") {
+    implicit val sp = s
+    // an all-constant corpus makes the natural text exactly as
+    // compressible as its planted boiler twin — the strict ordering
+    // fails and the assert_true must surface, not pass silently
+    val degenerate = (1L to 5L).map(i => (i, "z" * 1200)).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Compression.classRatioReport(degenerate, "doc_id", "text").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("compression class ordering violated")),
+      msgs(e).mkString("|"))
+  }
 }

@@ -1,0 +1,215 @@
+package graft
+
+import graft.operators.{CdcMerge, TimeSeries}
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+import scala.collection.mutable
+
+/**
+ * Checkpoint-restart parity for the STATEFUL pipeline operators — the
+ * same discipline the runner's Kafka-shape e2e enforces
+ * (QueryRunnerSpec): kill the query mid-stream, land new data while it
+ * is down, restart the rebuilt pipeline on the SAME checkpoint, and
+ * prove the operator's state survived by an output only the carried
+ * state can produce (a flag scored against pre-crash moments, a stale
+ * CDC record staying silent, a duplicate suppressed across the crash).
+ * Each test's phase-2 assertion FAILS if the state store restarted
+ * empty, so a regression in how these operators interact with
+ * checkpoint recovery cannot pass silently.
+ */
+class StreamingRestartSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val tmpPath = java.nio.file.Paths.get(dir, s".$name.tmp")
+    java.nio.file.Files.write(tmpPath, lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmpPath, java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Await the source commit log catching up to the offset log so a stop
+    * here cannot replay the last batch on restart (at-least-once edge —
+    * same guard as the runner's Kafka-shape e2e). */
+  private def awaitCommitted(ckpt: String): Unit = {
+    def logMax(sub: String): Long = {
+      val files = Option(new java.io.File(s"$ckpt/$sub").list()).getOrElse(Array.empty)
+      files.filter(_.forall(_.isDigit)).map(_.toLong).foldLeft(-1L)(math.max)
+    }
+    val deadline = System.currentTimeMillis() + 30000
+    while (logMax("commits") < logMax("offsets") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(logMax("commits") >= logMax("offsets"),
+      s"commit log never caught up: offsets=${logMax("offsets")} commits=${logMax("commits")}")
+  }
+
+  test("anomaliesStream: restart carries per-key moments across the crash") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-anom-in"); val ckpt = tmp("graft-anom-ckpt")
+    val flags = mutable.ArrayBuffer.empty[TimeSeries.AnomalyFlag]
+    def start() = TimeSeries.anomaliesStream(
+        s.readStream.schema("key LONG, bucket LONG, cnt LONG").json(inDir)
+          .as[TimeSeries.BucketObs], z = 3, minBuckets = 12)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TimeSeries.AnomalyFlag], _: Long) =>
+        flags.synchronized { flags ++= b.collect() }; ()
+      }.start()
+
+    // phase 1: 20 quiet buckets (cnt 1..3 cycling) build the moments
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", (0 until 20).map(b =>
+        s"""{"key": 1, "bucket": $b, "cnt": ${1 + b % 3}}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+    assert(flags.isEmpty, "quiet phase must not flag")
+
+    // spike lands while the query is DOWN
+    writeFile(inDir, "f2.json",
+      Seq("""{"key": 1, "bucket": 20, "cnt": 1000}"""))
+
+    // phase 2: rebuilt pipeline, same checkpoint — the spike must score
+    // against the PRE-CRASH moments (n=20), which only restored state
+    // can produce (a fresh state would sit below minBuckets and stay
+    // silent — and silence here means state was lost)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = flags.synchronized(flags.toList)
+    assert(got.map(f => (f.key, f.bucket, f.cnt, f.n, f.s)) ===
+      List((1L, 20L, 1000L, 20L, (0 until 20).map(b => 1L + b % 3).sum)),
+      s"expected one flag against restored n=20 moments, got $got")
+  }
+
+  test("applyStream: restart keeps the (seq, tie) winner — stale records stay silent") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-cdc-in"); val ckpt = tmp("graft-cdc-ckpt")
+    val images = mutable.ArrayBuffer.empty[CdcMerge.CdcImage]
+    def start() = CdcMerge.applyStream(
+        s.readStream
+          .schema("key LONG, seq LONG, tie LONG, op STRING, payload STRING")
+          .json(inDir).as[CdcMerge.CdcRecord], deleteOp = "D")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CdcMerge.CdcImage], _: Long) =>
+        images.synchronized { images ++= b.collect() }; ()
+      }.start()
+
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(
+        """{"key": 1, "seq": 5, "tie": 1, "op": "U", "payload": "v5"}""",
+        """{"key": 2, "seq": 2, "tie": 1, "op": "U", "payload": "w2"}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+    assert(images.synchronized(images.map(i => i.key -> i.seq).toSet) ===
+      Set(1L -> 5L, 2L -> 2L))
+    images.synchronized(images.clear())
+
+    // while down: a STALE record for key 1 and a fresh one for key 2
+    writeFile(inDir, "f2.json", Seq(
+      """{"key": 1, "seq": 3, "tie": 9, "op": "U", "payload": "stale"}""",
+      """{"key": 2, "seq": 7, "tie": 1, "op": "U", "payload": "w7"}"""))
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = images.synchronized(images.toList)
+    // restored state (key 1 at seq 5) absorbs the stale record silently;
+    // an empty restart would have emitted key 1 at seq 3
+    assert(got.map(i => (i.key, i.seq, i.payload)) === List((2L, 7L, "w7")),
+      s"stale record must lose against RESTORED state, got $got")
+  }
+
+  test("exactDedupStream: a duplicate arriving after the crash is still suppressed") {
+    val s = spark
+    val inDir = tmp("graft-dedup-in"); val ckpt = tmp("graft-dedup-ckpt")
+    val kept = mutable.ArrayBuffer.empty[(Long, String)]
+    def start() = Dedup.exactDedupStream(
+        s.readStream.schema("id LONG, content STRING").json(inDir), "content")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select(col("id"), col("content")).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        kept.synchronized { kept ++= rows }; ()
+      }.start()
+
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(
+        """{"id": 1, "content": "x"}""", """{"id": 2, "content": "y"}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+    assert(kept.synchronized(kept.map(_._1).toSet) === Set(1L, 2L))
+    kept.synchronized(kept.clear())
+
+    // while down: a duplicate of pre-crash content and one novel doc
+    writeFile(inDir, "f2.json", Seq(
+      """{"id": 3, "content": "x"}""", """{"id": 4, "content": "z"}"""))
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // only the novel doc survives — the duplicate was suppressed by
+    // dedup state RESTORED from the checkpoint (an empty restart would
+    // have passed id 3 through)
+    assert(kept.synchronized(kept.toList) === List((4L, "z")),
+      s"duplicate must stay suppressed across restart, got ${kept.toList}")
+  }
+
+  test("simhashDedupStream: near-dup band ownership survives restart; watermark flushes") {
+    val s = spark
+    val inDir = tmp("graft-sim-in"); val ckpt = tmp("graft-sim-ckpt")
+    val kept = mutable.ArrayBuffer.empty[Long]
+    def start() = Dedup.simhashDedupStream(
+        s.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP").json(inDir),
+        "doc_id", "text", n = 3, eventTimeCol = Some("ts"), delay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select(col("doc_id")).collect().map(_.getLong(0))
+        kept.synchronized { kept ++= rows }; ()
+      }.start()
+
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // phase 1: the original doc claims all its bands, then CRASH before
+    // any window flushes (watermark still at epoch)
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(
+        s"""{"doc_id": 1, "text": "$text", "ts": "2026-01-01T00:00:05.000Z"}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+    assert(kept.isEmpty, "nothing flushes before the watermark moves")
+
+    // while down: an IDENTICAL near-dup in the same window
+    writeFile(inDir, "f2.json", Seq(
+      s"""{"doc_id": 2, "text": "$text", "ts": "2026-01-01T00:00:06.000Z"}"""))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // far-future doc pushes the watermark past the first window's end
+      // so it flushes (separate batch — the watermark only advances
+      // after the batch carrying the late timestamp completes)
+      writeFile(inDir, "f3.json", Seq(
+        """{"doc_id": 9, "text": "completely different words entirely novel content here", "ts": "2026-01-01T00:05:00.000Z"}"""))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = kept.synchronized(kept.toList)
+    // doc 1 flushes with ALL its bands (restored dropDuplicates state
+    // still owns them); doc 2's bands all lost to the restored state so
+    // it never reaches the band-count bar — had the state restarted
+    // empty, doc 2 would have claimed the bands and been emitted
+    assert(got.contains(1L), s"original must flush after restart, got $got")
+    assert(!got.contains(2L), s"near-dup must stay suppressed across restart, got $got")
+  }
+}
