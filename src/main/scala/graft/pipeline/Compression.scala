@@ -83,11 +83,14 @@ object Compression {
       .union(d.select((col("did") * 4 + 2).as("cid"),
         array_join(transform(sequence(lit(1L), lit(64L)),
           i => hex(xxhash64(col("did"), i))), "").as("ct")))
+    // 3 rows, materialized ONCE — both the gate aggregate and the output
+    // read it, and recomputing would run the whole deflate pass twice
     val byClass = deflateRatio(planted, "cid", "ct")
       .groupBy(pmod(col("id"), lit(4L)).as("cls"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("raw_bytes")).as("raw_bytes"),
         sum(col("deflated_bytes")).as("deflated_bytes"))
+      .localCheckpoint(true)
     val gate = byClass.agg(
       sum(when(col("cls") === 0, col("deflated_bytes"))).as("d_n"),
       sum(when(col("cls") === 0, col("raw_bytes"))).as("r_n"),

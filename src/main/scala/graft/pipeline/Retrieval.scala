@@ -191,11 +191,12 @@ object Retrieval {
     val dfAgg = tf.groupBy("t").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val headToks = dfAgg.filter(col("d") > denseDf).select("t")
       .collect().map(_.getLong(0)).sorted
+    if (headToks.isEmpty) return pairDots(tf).filter(col("dot") >= minDot)
     // Σ df² over tail tokens = the inverted-index join volume AND an
     // upper bound on the tail pair-dot table the head path broadcasts
+    // (only the head path broadcasts the tail, so only it pays this job)
     val tailVol = dfAgg.filter(col("d") <= denseDf)
       .agg(coalesce(sum(col("d") * col("d")), lit(0L))).head().getLong(0)
-    if (headToks.isEmpty) return pairDots(tf).filter(col("dot") >= minDot)
     require(headToks.length <= maxHeadTokens,
       s"tfDotPairs: ${headToks.length} tokens exceed denseDf=$denseDf doc-" +
         s"frequency (max $maxHeadTokens dense dims) — raise denseDf (more " +

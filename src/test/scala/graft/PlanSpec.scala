@@ -421,6 +421,14 @@ class PlanSpec extends SparkTestBase {
       .filter(_.contains("SortMergeJoin")).mkString("\n"))
   }
 
+  test("q_triangles_skew: degree orientation stays on equi-joins — no nested loop on the hub") {
+    val p = plan("q_triangles_skew")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the canonicalized closing-edge lookup must plan as an equi-join:\n" +
+        p.linesIterator.filter(l =>
+          l.contains("CartesianProduct") || l.contains("NestedLoop")).mkString("\n"))
+  }
+
   test("Associations.rules: stats joins degrade to shuffle past the broadcast threshold") {
     // no forced broadcast hint on the per-item count frame: with the
     // auto-broadcast threshold disabled (standing in for a vocabulary
