@@ -2085,6 +2085,18 @@ object SparkEntry {
         .select(col("doc_id"), col("cum"), col("shard"))
         .orderBy("doc_id")),
 
+    // STABLE shard routing via rendezvous (highest-random-weight)
+    // hashing: shard = argmax over 8 candidates of md5("<id>:<s>") —
+    // corpus growth never reassigns an existing doc, and resizing to 9
+    // shards moves ONLY the ~1/9 of docs whose new candidate wins
+    // (every mover goes TO the new shard; ShardingSpec pins the
+    // property). Narrow per-row work, zero shuffles; md5 scoring keeps
+    // the assignment engine-portable so the oracle replays it exactly.
+    "q_shard_rendezvous" -> ((s, dir) =>
+      graft.operators.Sharding.rendezvousShard(
+          rd(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+        .orderBy("doc_id")),
+
     // Curriculum interleave: rank docs by length (difficulty proxy),
     // cut into 4 contiguous tiers, emit the round-robin training
     // position so every output prefix mixes all tiers. Global rank is
@@ -3746,6 +3758,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(cum AS BIGINT) AS cum,
         |  (CAST(cum AS BIGINT) - n_chars) // 100000 AS shard
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_shard_rendezvous" ->
+      """WITH c AS (
+        |  SELECT doc_id, t.s AS s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)) AS h
+        |  FROM documents, range(8) t(s)),
+        |w AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        |  FROM c)
+        |SELECT doc_id, CAST(s AS BIGINT) AS shard
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_curriculum" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -32,4 +32,42 @@ object Sharding {
     PrefixSum.withRunningSum(df, Seq(col(idCol).asc), costCol, "cum")
       .withColumn("shard", expr(s"(cum - $costCol) div ${capacity}L"))
   }
+
+  /**
+   * STABLE shard assignment via rendezvous (highest-random-weight)
+   * hashing: `shard(id) = argmax_s hash(id, s)` over the `nShards`
+   * candidate shards. The property [[assignShards]] cannot give:
+   * growing the corpus never reassigns an existing document, and
+   * RESIZING nShards → nShards+1 moves only the ~1/(nShards+1) of
+   * documents whose new candidate wins the argmax — every other row
+   * keeps its shard, so an incremental pipeline re-materializes one
+   * shard's worth of output instead of reshuffling the corpus
+   * (mod-N hashing moves ~all rows on resize). Documents spread
+   * uniformly, balanced by COUNT, not cost — pair with
+   * [[assignShards]] when sizes are heavy-tailed and stability is not
+   * needed.
+   *
+   * Purely narrow per-row work: the argmax is an unrolled struct
+   * comparison over nShards hash calls — no shuffle, no state, no
+   * lookup table to keep consistent across runs. The score is the
+   * md5 hex of `"<id>:<shard>"` compared lexicographically — the same
+   * md5-portability convention as [[graft.pipeline.Sampling]]'s hash
+   * sampling, so a SQL oracle replays the identical assignment (ties
+   * break to the lower shard id; swap in `xxhash64(id, s)` for raw
+   * throughput when cross-engine replay is not required).
+   */
+  def rendezvousShard(df: DataFrame, idCol: String, nShards: Int,
+                      shardName: String = "shard"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    require(nShards <= 1024,
+      s"nShards=$nShards unrolls one hash per shard per row — past ~1k " +
+        "candidates use two-level routing (rendezvous over shard GROUPS, " +
+        "then within the group)")
+    val scored = array((0 until nShards).map { sIdx =>
+      struct(md5(concat(col(idCol).cast("string"), lit(s":$sIdx"))).as("h"),
+        lit(-sIdx).as("ns"))
+    }: _*)
+    df.withColumn(shardName,
+      (array_max(scored).getField("ns") * -1).cast("long"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Sharding
+import org.apache.spark.sql.functions._
+
+/** Rendezvous-hash shard routing: the STABILITY contract is the whole
+  * point (mod-N hashing reshuffles ~everything on resize), so it is
+  * pinned directly — growing the shard count moves only winners of the
+  * NEW candidate, everyone else stays put. */
+class ShardingSpec extends SparkTestBase {
+  private def s = spark
+
+  private lazy val ids = {
+    val sp = s
+    import sp.implicits._
+    (1L to 2000L).toDF("doc_id")
+  }
+
+  test("rendezvousShard: deterministic, all shards in range and populated, roughly balanced") {
+    val a = Sharding.rendezvousShard(ids, "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sharding.rendezvousShard(ids, "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "pure function of (id, nShards)")
+    assert(a.values.forall(v => v >= 0 && v < 8))
+    val counts = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size === 8, s"every shard populated: $counts")
+    // 2000 ids over 8 shards: uniform md5 keeps every shard within a
+    // loose 2x band of the 250 mean
+    assert(counts.values.forall(c => c > 125 && c < 500), counts.toMap)
+  }
+
+  test("rendezvousShard: resize 8 -> 9 moves ONLY rows won by the new shard (~1/9)") {
+    val at8 = Sharding.rendezvousShard(ids, "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at9 = Sharding.rendezvousShard(ids, "doc_id", nShards = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = at8.keys.filter(k => at8(k) != at9(k)).toSeq
+    // every mover lands on the NEW shard — the rendezvous guarantee: an
+    // added candidate can win a row, but existing candidates' relative
+    // order never changes
+    assert(moved.forall(k => at9(k) === 8L),
+      s"movers must all go to shard 8, got ${moved.take(5).map(k => at8(k) -> at9(k))}")
+    // moved fraction ~ 1/9 of 2000 = 222; accept a generous band
+    assert(moved.size > 120 && moved.size < 350,
+      s"expected ~222 movers (1/9 of corpus), got ${moved.size}")
+  }
+
+  test("rendezvousShard: corpus growth never reassigns existing docs; plan is narrow") {
+    val sp = s
+    import sp.implicits._
+    val grown = (1L to 3000L).toDF("doc_id")
+    val base = Sharding.rendezvousShard(ids, "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Sharding.rendezvousShard(grown, "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.foreach { case (k, v) => assert(after(k) === v) }
+    val plan = Sharding.rendezvousShard(ids, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "routing must be per-row narrow work:\n" + plan.take(800))
+    intercept[IllegalArgumentException](Sharding.rendezvousShard(ids, "doc_id", 0))
+    intercept[IllegalArgumentException](Sharding.rendezvousShard(ids, "doc_id", 5000))
+  }
+}
