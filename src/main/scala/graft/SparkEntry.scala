@@ -2097,6 +2097,17 @@ object SparkEntry {
           rd(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
         .orderBy("doc_id")),
 
+    // Two-level rendezvous routing (4 groups × 4 members = 16 shards at
+    // 8 hashes/row instead of 16) — the large-shard-count recipe: route
+    // to a shard GROUP, then rendezvous within it (member score salted
+    // by the group). Same narrow zero-shuffle shape; oracle replays
+    // both argmax hops.
+    "q_shard_rendezvous2" -> ((s, dir) =>
+      graft.operators.Sharding.rendezvousShard2(
+          rd(s, dir, "documents").select(col("doc_id")), "doc_id",
+          nGroups = 4, shardsPerGroup = 4)
+        .orderBy("doc_id")),
+
     // Curriculum interleave: rank docs by length (difficulty proxy),
     // cut into 4 contiguous tiers, emit the round-robin training
     // position so every output prefix mixes all tiers. Global rank is
@@ -3769,6 +3780,27 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, CAST(s AS BIGINT) AS shard
         |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q_shard_rendezvous2" ->
+      """WITH g AS (
+        |  SELECT doc_id, t.g AS g,
+        |    md5(CAST(doc_id AS VARCHAR) || ':g' || CAST(t.g AS VARCHAR)) AS h
+        |  FROM documents, range(4) t(g)),
+        |gw AS (
+        |  SELECT doc_id, g,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, g ASC) AS rn
+        |  FROM g),
+        |gg AS (SELECT doc_id, g FROM gw WHERE rn = 1),
+        |m AS (
+        |  SELECT gg.doc_id, gg.g, t.m AS m,
+        |    md5(CAST(gg.doc_id AS VARCHAR) || ':' || CAST(gg.g AS VARCHAR)
+        |        || ':m' || CAST(t.m AS VARCHAR)) AS h
+        |  FROM gg, range(4) t(m)),
+        |mw AS (
+        |  SELECT doc_id, g, m,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, m ASC) AS rn
+        |  FROM m)
+        |SELECT doc_id, CAST(g * 4 + m AS BIGINT) AS shard
+        |FROM mw WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_curriculum" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -69,5 +69,47 @@ object Sharding {
     }: _*)
     df.withColumn(shardName,
       (array_max(scored).getField("ns") * -1).cast("long"))
+  }
+
+  /**
+   * Two-level rendezvous routing for LARGE shard counts — the recipe
+   * [[rendezvousShard]]'s guard names: a flat argmax over 100k shards
+   * would unroll 100k hashes per row, so route in two hops instead —
+   * rendezvous over `nGroups` shard GROUPS, then rendezvous within the
+   * winning group over its `shardsPerGroup` members (the within-group
+   * score salts the id with the GROUP, so a row moving between groups
+   * re-draws its member uniformly). `shard = group · shardsPerGroup +
+   * member`: nGroups·shardsPerGroup total shards at nGroups +
+   * shardsPerGroup hashes per row.
+   *
+   * Stability composes per level: growing `nGroups` by one moves only
+   * the ~1/(nGroups+1) of rows the new GROUP wins (each re-draws its
+   * member inside the new group); growing `shardsPerGroup` by one
+   * relocates only within-group winners — every unmoved row keeps its
+   * exact shard id ONLY if existing ids are computed against the same
+   * shardsPerGroup multiplier, so treat (nGroups, shardsPerGroup) as
+   * the layout version and resize by preference through nGroups.
+   */
+  def rendezvousShard2(df: DataFrame, idCol: String,
+                       nGroups: Int, shardsPerGroup: Int,
+                       shardName: String = "shard"): DataFrame = {
+    require(nGroups >= 1 && shardsPerGroup >= 1,
+      "nGroups and shardsPerGroup must be >= 1")
+    require(nGroups <= 1024 && shardsPerGroup <= 1024,
+      "each level unrolls one hash per candidate per row — split further")
+    val idStr = col(idCol).cast("string")
+    val gScored = array((0 until nGroups).map { g =>
+      struct(md5(concat(idStr, lit(s":g$g"))).as("h"), lit(-g).as("ns"))
+    }: _*)
+    val group = array_max(gScored).getField("ns") * -1
+    val mScored = (gCol: Column) => array((0 until shardsPerGroup).map { m =>
+      struct(md5(concat(idStr, lit(":"), gCol.cast("string"), lit(s":m$m"))).as("h"),
+        lit(-m).as("ns"))
+    }: _*)
+    df.withColumn("__g", group)
+      .withColumn(shardName,
+        (col("__g") * shardsPerGroup +
+          array_max(mScored(col("__g"))).getField("ns") * -1).cast("long"))
+      .drop("__g")
   }
 }

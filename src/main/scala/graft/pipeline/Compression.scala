@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -98,11 +98,16 @@ object Compression {
       sum(when(col("cls") === 1, col("raw_bytes"))).as("r_b"),
       sum(when(col("cls") === 2, col("deflated_bytes"))).as("d_j"),
       sum(when(col("cls") === 2, col("raw_bytes"))).as("r_j"))
+    // cross-multiplication in DECIMAL(38,0): byte sums at corpus scale
+    // (10¹² docs × KBs) push the products past BIGINT, and the gate
+    // should keep working — not ANSI-error — exactly when the corpus is
+    // large enough to matter
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
     byClass
       .crossJoin(broadcast(gate))
       .filter(assert_true(
-        col("d_b") * col("r_n") < col("d_n") * col("r_b") &&
-          col("d_n") * col("r_j") < col("d_j") * col("r_n"),
+        d38(col("d_b")) * d38(col("r_n")) < d38(col("d_n")) * d38(col("r_b")) &&
+          d38(col("d_n")) * d38(col("r_j")) < d38(col("d_j")) * d38(col("r_n")),
         concat(lit("compression class ordering violated (boiler < natural "),
           lit("< junk by deflated/raw): d_b="), col("d_b"), lit("/"), col("r_b"),
           lit(" d_n="), col("d_n"), lit("/"), col("r_n"),

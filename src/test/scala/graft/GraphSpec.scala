@@ -117,6 +117,24 @@ class GraphSpec extends SparkTestBase {
     assert(byDeg(2L) === 2L && byDeg(1L) === 1L)
   }
 
+  test("triangleCountsByDegree differential: random graphs across densities match id-oriented") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val n = 15 + trial * 10
+      val p = 0.08 * trial
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < p
+      } yield (a, b)).toDF("a", "b")
+      val byDeg = Graph.triangleCountsByDegree(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byId = Graph.triangleCounts(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byDeg === byId, s"trial $trial (n=$n, p=$p) diverged")
+    }
+  }
+
   test("triangleCountsByDegree: plan carries the degree join, no nested loop") {
     val s = spark
     import s.implicits._

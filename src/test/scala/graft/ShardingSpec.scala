@@ -61,4 +61,24 @@ class ShardingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Sharding.rendezvousShard(ids, "doc_id", 0))
     intercept[IllegalArgumentException](Sharding.rendezvousShard(ids, "doc_id", 5000))
   }
+
+  test("rendezvousShard2: all 16 shards populated; group resize moves only new-group winners") {
+    val at4 = Sharding.rendezvousShard2(ids, "doc_id", nGroups = 4, shardsPerGroup = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at4.values.forall(v => v >= 0 && v < 16))
+    assert(at4.values.toSet.size === 16, "all group×member shards populated")
+    val at5 = Sharding.rendezvousShard2(ids, "doc_id", nGroups = 5, shardsPerGroup = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = at4.keys.filter(k => at4(k) != at5(k)).toSeq
+    // a mover must have been won by the NEW group (ids 16..19); everyone
+    // else keeps their exact (group, member) shard
+    assert(moved.forall(k => at5(k) / 4 === 4L),
+      s"movers must land in the new group, got ${moved.take(5).map(k => at4(k) -> at5(k))}")
+    assert(moved.size > 200 && moved.size < 600,
+      s"expected ~400 movers (1/5 of corpus), got ${moved.size}")
+    // plan stays narrow — two chained argmaxes, zero exchanges
+    val plan = Sharding.rendezvousShard2(ids, "doc_id", 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
 }
