@@ -212,4 +212,52 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got.contains(1L), s"original must flush after restart, got $got")
     assert(!got.contains(2L), s"near-dup must stay suppressed across restart, got $got")
   }
+
+  test("statefulSessions: an open session spans the crash and closes with pre-crash events") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-sess-in"); val ckpt = tmp("graft-sess-ckpt")
+    val closed = mutable.ArrayBuffer.empty[graft.operators.ClosedSession]
+    def start() = graft.operators.Sessionize.statefulSessions(
+        s.readStream.schema("user STRING, ts TIMESTAMP, etype STRING").json(inDir),
+        "user", "ts", "etype", gapMs = 60000L, watermarkDelay = "30 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.operators.ClosedSession], _: Long) =>
+        closed.synchronized { closed ++= b.collect() }; ()
+      }.start()
+
+    // phase 1: two events open u1's session, then CRASH with it open
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(
+        """{"user": "u1", "ts": "2026-01-01T10:00:00.000Z", "etype": "view"}""",
+        """{"user": "u1", "ts": "2026-01-01T10:00:10.000Z", "etype": "click"}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+    assert(closed.isEmpty, "session must still be open at the crash")
+
+    // while down: a third event INSIDE the same session's gap, plus a
+    // far-future event from another user that will push the watermark
+    // past u1's last + gap and time the session out
+    writeFile(inDir, "f2.json", Seq(
+      """{"user": "u1", "ts": "2026-01-01T10:00:20.000Z", "etype": "buy"}"""))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeFile(inDir, "f3.json", Seq(
+        """{"user": "w", "ts": "2026-01-01T10:10:00.000Z", "etype": "view"}"""))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = closed.synchronized(closed.toList).filter(_.entity == "u1")
+    // n=3 with the 10:00:00 start and view->buy endpoints is derivable
+    // ONLY from restored state — a fresh store would open at 10:00:20
+    // with n=1 and firstType "buy"
+    assert(got.map(c => (c.n_events, c.first_type, c.last_type, c.type_switches)) ===
+      List((3L, "view", "buy", 2L)),
+      s"expected the pre-crash session to absorb the post-restart event, got $got")
+    assert(got.head.start_ms === java.time.Instant.parse("2026-01-01T10:00:00Z").toEpochMilli)
+  }
 }
