@@ -241,9 +241,15 @@ object Bench {
     // core cut): a healthy plan scales ~linearly in its parallel
     // portion, so anything beyond ~4× its local[32] time indicates a
     // serial bottleneck the wide session masked.
-    val b12Cpus = sys.env.getOrElse("SPARK_GRAFT_B12_CPUS", "8").toInt
+    // The whole b12 block — env parse, session swap, re-times — is
+    // fenced: every timing above is already banked, and a b12 failure
+    // (bad env value, session creation) must degrade to an errors entry,
+    // never lose the summary JSON lines.
+    val b12Cpus =
+      try sys.env.getOrElse("SPARK_GRAFT_B12_CPUS", "8").trim.toInt
+      catch { case _: Throwable => 8 }
     var lastSession = spark
-    val b12: Seq[(String, Double)] = if (only.isDefined) Seq.empty else {
+    val b12: Seq[(String, Double)] = if (only.isDefined) Seq.empty else try {
       val slowest5 = perQuery
         .filter { case (n, t) => t > 0 && !errors.contains(n) }
         .sortBy(-_._2).take(5).map(_._1)
@@ -260,6 +266,10 @@ object Bench {
         try fn(s8, sfDir).count() catch { case _: Throwable => () } // warm
         timed(s"b12:$name")(fn(s8, sfDir).count())
       }
+    } catch {
+      case e: Throwable =>
+        errors("b12") = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        Seq.empty
     }
 
     // Spark exception messages carry newlines/tabs; a raw control char

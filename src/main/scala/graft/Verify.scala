@@ -41,9 +41,16 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // the artifact replaces any stale parquet from a prior dump —
-        // a half-written directory must not pass as a fresh result
+        // a half-written directory must not pass as a fresh result.
+        // RECURSIVE delete: an action-time failure can leave a non-empty
+        // _temporary/ tree, which File.delete silently no-ops on.
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+          f.delete(); ()
+        }
         val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+        if (dir.exists()) Option(dir.listFiles()).foreach(_.foreach(wipe))
+        else dir.mkdirs()
         val msg = s"""{"entry":${q(name)},"error_class":${q(e.getClass.getName)},""" +
           s""""message":${q(Option(e.getMessage).getOrElse("").take(2000))}}"""
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.json"), msg)

@@ -192,11 +192,8 @@ object Retrieval {
     val headToks = dfAgg.filter(col("d") > denseDf).select("t")
       .collect().map(_.getLong(0)).sorted
     if (headToks.isEmpty) return pairDots(tf).filter(col("dot") >= minDot)
-    // Σ df² over tail tokens = the inverted-index join volume AND an
-    // upper bound on the tail pair-dot table the head path broadcasts
-    // (only the head path broadcasts the tail, so only it pays this job)
-    val tailVol = dfAgg.filter(col("d") <= denseDf)
-      .agg(coalesce(sum(col("d") * col("d")), lit(0L))).head().getLong(0)
+    // guards BEFORE any further planning jobs — a corpus about to trip
+    // them must not pay the tail-volume aggregate first
     require(headToks.length <= maxHeadTokens,
       s"tfDotPairs: ${headToks.length} tokens exceed denseDf=$denseDf doc-" +
         s"frequency (max $maxHeadTokens dense dims) — raise denseDf (more " +
@@ -215,6 +212,11 @@ object Retrieval {
         s"($nDocs docs × ${nDocs - 1}/2 pairs × $h head dims) > " +
         s"maxHeadMadds=$maxHeadMadds — use the ANN/banded similarity " +
         "paths at this scale, or drop head tokens explicitly")
+    // Σ df² over tail tokens = the inverted-index join volume AND an
+    // upper bound on the tail pair-dot table the head path broadcasts
+    // (only the head path broadcasts the tail, so only it pays this job)
+    val tailVol = dfAgg.filter(col("d") <= denseDf)
+      .agg(coalesce(sum(col("d") * col("d")), lit(0L))).head().getLong(0)
 
     val dense = tf.join(headRank, "t")
       .groupBy("doc_id")

@@ -301,17 +301,22 @@ object Similarity {
    */
   def epsilonRecallPerQuery(approx: DataFrame, exact: DataFrame,
                             eps: Double): DataFrame = {
-    // start from EXACT's query universe: a query with an empty
+    // cover EXACT's full query universe: a query with an empty
     // approximate result must score 0.0, not vanish from the output (an
-    // inner join here would silently inflate any recall average taken
-    // over the returned rows)
+    // inner join alone would silently inflate any recall average taken
+    // over the returned rows). The hot path keeps the broadcast shape —
+    // approx (big) probes the per-query kth table (small, broadcast);
+    // only query IDS (never approx rows) shuffle for the missing-query
+    // anti-join.
     val kth = exact.groupBy("query_id").agg(min(col("sim")).as("kth"))
-    kth.join(approx.select(col("query_id"), col("sim")), Seq("query_id"), "left")
+    val matched = approx.join(broadcast(kth), "query_id")
       .groupBy("query_id")
-      .agg(when(count(col("sim")) > 0,
-        sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
-          .cast("double") / count(col("sim")))
-        .otherwise(lit(0.0)).as("recall"))
+      .agg((sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
+        .cast("double") / count(lit(1))).as("recall"))
+    val missing = kth.select("query_id")
+      .join(approx.select("query_id").distinct(), Seq("query_id"), "left_anti")
+      .withColumn("recall", lit(0.0))
+    matched.unionByName(missing)
   }
 
   /** Index of the L2-nearest centroid: argmin ‖v−e‖² = argmax (v·e − ‖e‖²/2)

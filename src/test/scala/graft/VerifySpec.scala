@@ -48,11 +48,19 @@ class VerifySpec extends SparkTestBase {
       "flip" -> ((s, _) => { import s.implicits._; Seq(1L).toDF("id") }))
     assert(Verify.run(spark, "/unused", out, good).isEmpty)
     assert(spark.read.parquet(s"$out/flip").count() === 1)
+    // plant a NESTED leftover (the shape an interrupted Spark write
+    // leaves: _temporary/0/part-...) — the wipe must be recursive, a
+    // flat File.delete silently no-ops on non-empty directories
+    val tmpTree = java.nio.file.Paths.get(out, "flip", "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmpTree)
+    java.nio.file.Files.writeString(tmpTree.resolve("part-stale.parquet"), "junk")
     val bad: Map[String, (SparkSession, String) => DataFrame] = Map(
       "flip" -> ((_, _) => throw new IllegalStateException("now broken")))
     assert(Verify.run(spark, "/unused", out, bad) === Seq("flip"))
-    // stale success is gone; only the error artifact remains
+    // stale success AND the nested tree are gone; only the artifact remains
     assert(new java.io.File(s"$out/flip/_ERROR.json").exists())
+    assert(!java.nio.file.Files.exists(tmpTree.getParent), "_temporary tree must be wiped")
+    assert(new java.io.File(s"$out/flip").listFiles().map(_.getName).toSeq === Seq("_ERROR.json"))
     intercept[Throwable](spark.read.parquet(s"$out/flip").collect())
   }
 }
