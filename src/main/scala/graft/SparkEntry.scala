@@ -1307,6 +1307,31 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // KLL quantile-sketch persistence round-trip — the DISTRIBUTION
+    // family's incremental read path, mirroring q_sketch_persist: half
+    // the corpus's per-lang doc-length sketches are WRITTEN to parquet
+    // (binary column), read back, merged with the other half's fresh
+    // partials, and finished to p25/p50/p75/p90 — nightly percentiles
+    // over a growing corpus without re-scanning history. Exact regime
+    // (probed: per-lang rows ≤ k=8192, percentile_disc parity via
+    // INCLUSIVE rank search); the oracle is exact percentile_disc over
+    // the full corpus.
+    "q_sketch_quantile_persist" -> ((s, dir) => {
+      import graft.operators.SketchSetOps
+      val d = rd(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("n_chars"))
+      val tmp = scratch("sketch_qpersist")
+      SketchSetOps.kllPartials(d.filter(col("doc_id") % 2 === 0),
+          "lang", "n_chars", k = 8192)
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val fresh = SketchSetOps.kllPartials(d.filter(col("doc_id") % 2 =!= 0),
+        "lang", "n_chars", k = 8192)
+      SketchSetOps.mergedQuantiles(stored.unionByName(fresh),
+          Seq(0.25, 0.5, 0.75, 0.9), k = 8192)
+        .orderBy("seg", "quantile")
+    }),
+
     // Leakage-aware train/test split: deterministic hash split, then every
     // TEST doc is probed against the TRAIN MinHash band index — the
     // "no near-dup crosses the split" audit an eval pipeline must run.
@@ -3254,6 +3279,24 @@ object SparkEntry {
     "q_sketch_persist" ->
       ("SELECT event_type AS seg, count(DISTINCT user_id) AS n_distinct " +
         "FROM events GROUP BY 1 ORDER BY seg"),
+    "q_sketch_quantile_persist" ->
+      """WITH q AS (
+        |  SELECT lang AS seg, CAST(0.25 AS DOUBLE) AS quantile,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS value
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, CAST(0.5 AS DOUBLE),
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, CAST(0.75 AS DOUBLE),
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, CAST(0.9 AS DOUBLE),
+        |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
+        |  FROM documents GROUP BY lang)
+        |SELECT seg, quantile, value FROM q ORDER BY seg, quantile""".stripMargin.replace("\n", " "),
     "q_clean_split" ->
       """WITH s AS (SELECT doc_id, text,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
@@ -4394,6 +4437,12 @@ object SparkEntry {
           .groupBy("c_mktsegment").count().agg(max(col("count")))
           .head.getLong(0), 8192L, "max per-segment c_acctbal rows (k=8192)")),
       "q_quality_topp" -> ((s, dir) =>
+        check(rd(s, dir, "documents").groupBy("lang").count()
+          .agg(max(col("count"))).head.getLong(0), 8192L,
+          "max per-lang document rows (k=8192)")),
+      // Persisted-KLL merge: exact while each segment's TOTAL row count
+      // across all merged snapshots stays ≤ k
+      "q_sketch_quantile_persist" -> ((s, dir) =>
         check(rd(s, dir, "documents").groupBy("lang").count()
           .agg(max(col("count"))).head.getLong(0), 8192L,
           "max per-lang document rows (k=8192)")),

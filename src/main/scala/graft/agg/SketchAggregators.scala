@@ -90,6 +90,31 @@ final class KllPartialAgg(k: Int = 2048)
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Re-merge PERSISTED KLL partials (the bytes [[KllPartialAgg]] emits)
+  * and finish to the quantile values at `points` — the distribution
+  * family's half of the save/restore contract, mirroring
+  * [[ThetaMergeEstimateAgg]]: snapshots written to a parquet binary
+  * column in one run merge with fresh partials in the next, quantiles
+  * read from KBs of sketch bytes, history never re-scanned. INCLUSIVE
+  * search (smallest value whose rank ≥ p) — percentile_disc parity,
+  * same criterion as [[KllDistributionAgg]]'s QUANTILE. Empty merge
+  * result emits no values (null row downstream, not a crash). */
+final class KllMergeQuantilesAgg(points: Array[Double], k: Int = 2048)
+    extends Aggregator[Array[Byte], KllBuf, Seq[Double]] {
+  def zero: KllBuf = new KllBuf(k)
+  def reduce(b: KllBuf, in: Array[Byte]): KllBuf =
+    if (in == null) b else b.merge(BufSerde.de[KllBuf](in))
+  def merge(b1: KllBuf, b2: KllBuf): KllBuf = b1.merge(b2)
+  def finish(b: KllBuf): Seq[Double] = {
+    val s = b.result
+    if (s.isEmpty) Seq.empty
+    else points.toSeq.map(p => s.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+  }
+  def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
+  def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 final class FreqItemsPartialAgg(maxMapSize: Int = 1024)
     extends Aggregator[String, FreqItemsBuf, Array[Byte]] {
   def zero: FreqItemsBuf = new FreqItemsBuf(maxMapSize)

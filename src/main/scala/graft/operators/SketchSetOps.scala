@@ -80,4 +80,37 @@ object SketchSetOps {
     val agg = udaf(new ThetaMergeEstimateAgg(lgK), Encoders.BINARY)
     parts.groupBy("seg").agg(agg(col("sk")).as("n_distinct"))
   }
+
+  /** Per-segment KLL quantile-sketch partials as a (seg, sk) frame —
+    * the DISTRIBUTION family's persistable form, mirroring
+    * [[thetaPartials]]: `sk` is the serialized sketch buffer, a parquet
+    * BINARY column of O(k) bytes per segment per snapshot. One scan +
+    * one shuffle. */
+  def kllPartials(df: DataFrame, segCol: String, valCol: String,
+                  k: Int = 2048): DataFrame = {
+    val agg = udaf(new graft.agg.KllPartialAgg(k), Encoders.DOUBLE)
+    df.groupBy(col(segCol).as("seg"))
+      .agg(agg(col(valCol).cast("double")).as("sk"))
+  }
+
+  /** Merge any union of [[kllPartials]] tables (several snapshots of the
+    * same segments) into per-segment quantiles at `points` — incremental
+    * percentiles over a growing corpus: each nightly run sketches only
+    * its delta, the read path merges KBs of sketch bytes. Output one row
+    * per (seg, quantile): (seg, quantile, value). Exact (percentile_disc
+    * parity, INCLUSIVE rank search) while each segment's TOTAL row count
+    * across merged snapshots stays ≤ k — the same probed exact-regime
+    * contract as every sketch entry. */
+  def mergedQuantiles(parts: DataFrame, points: Seq[Double],
+                      k: Int = 2048): DataFrame = {
+    require(points.nonEmpty && points.forall(p => p >= 0.0 && p <= 1.0),
+      "quantile points must be in [0, 1]")
+    val agg = udaf(new graft.agg.KllMergeQuantilesAgg(points.toArray, k),
+      Encoders.BINARY)
+    val ptsLit = typedLit(points)
+    parts.groupBy("seg").agg(agg(col("sk")).as("vals"))
+      .select(col("seg"), posexplode(col("vals")).as(Seq("i", "value")))
+      .select(col("seg"), element_at(ptsLit, col("i") + 1).as("quantile"),
+        col("value"))
+  }
 }

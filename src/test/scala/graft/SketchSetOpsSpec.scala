@@ -51,4 +51,25 @@ class SketchSetOpsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 100L, "b" -> 10L))
   }
+
+  test("kllPartials persist to parquet and re-merge to exact percentile_disc quantiles") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    // seg a: values 1..100 split across two snapshots; seg b: one snapshot
+    val h1 = (1 to 60).map(i => ("a", i.toLong)) ++ (1 to 10).map(i => ("b", i * 10L))
+    val h2 = (61 to 100).map(i => ("a", i.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_test").toString
+    SketchSetOps.kllPartials(h1.toDF("seg0", "v"), "seg0", "v", k = 1024)
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val fresh = SketchSetOps.kllPartials(h2.toDF("seg0", "v"), "seg0", "v", k = 1024)
+    val got = SketchSetOps.mergedQuantiles(stored.unionByName(fresh),
+        Seq(0.25, 0.5, 0.9), k = 1024)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // percentile_disc (INCLUSIVE): smallest value whose rank >= p
+    assert(got === Map(
+      ("a", 0.25) -> 25.0, ("a", 0.5) -> 50.0, ("a", 0.9) -> 90.0,
+      ("b", 0.25) -> 30.0, ("b", 0.5) -> 50.0, ("b", 0.9) -> 90.0))
+  }
 }
