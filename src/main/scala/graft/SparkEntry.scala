@@ -1332,6 +1332,31 @@ object SparkEntry {
         .orderBy("seg", "quantile")
     }),
 
+    // FrequentItems persistence round-trip — the TOP_K family's
+    // incremental read path, completing the persistable-sketch trio
+    // (theta = count-distinct, KLL = distribution, FI = heavy hitters):
+    // half the stream's per-event-type user-bucket sketches persist to
+    // parquet, merge with the other half's fresh partials, finish to
+    // the top-5 buckets per type. Exact regime (probed: 100 distinct
+    // buckets ≪ 0.75·maxMapSize purge load); deterministic
+    // (-count, key) tie-break mirrored in the oracle.
+    "q_sketch_topk_persist" -> ((s, dir) => {
+      import graft.operators.SketchSetOps
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 100).cast("string").as("bucket"))
+      val tmp = scratch("sketch_fpersist")
+      SketchSetOps.freqPartials(ev.filter(col("event_id") % 2 === 0),
+          "event_type", "bucket", maxMapSize = 1024)
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val fresh = SketchSetOps.freqPartials(ev.filter(col("event_id") % 2 =!= 0),
+        "event_type", "bucket", maxMapSize = 1024)
+      SketchSetOps.mergedTopK(stored.unionByName(fresh), k = 5,
+          maxMapSize = 1024)
+        .orderBy(col("seg"), col("count").desc, col("key"))
+    }),
+
     // Leakage-aware train/test split: deterministic hash split, then every
     // TEST doc is probed against the TRAIN MinHash band index — the
     // "no near-dup crosses the split" audit an eval pipeline must run.
@@ -3297,6 +3322,17 @@ object SparkEntry {
         |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
         |  FROM documents GROUP BY lang)
         |SELECT seg, quantile, value FROM q ORDER BY seg, quantile""".stripMargin.replace("\n", " "),
+    "q_sketch_topk_persist" ->
+      """WITH c AS (
+        |  SELECT event_type AS seg, CAST(user_id % 100 AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS count
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, key, count,
+        |    row_number() OVER (PARTITION BY seg ORDER BY count DESC, key) AS rn
+        |  FROM c)
+        |SELECT seg, key, count FROM r WHERE rn <= 5
+        |ORDER BY seg, count DESC, key""".stripMargin.replace("\n", " "),
     "q_clean_split" ->
       """WITH s AS (SELECT doc_id, text,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
@@ -4446,6 +4482,13 @@ object SparkEntry {
         check(rd(s, dir, "documents").groupBy("lang").count()
           .agg(max(col("count"))).head.getLong(0), 8192L,
           "max per-lang document rows (k=8192)")),
+      // Persisted-FI merge: zero-error while distinct items per segment
+      // (across all merged snapshots) stay under the purge load
+      "q_sketch_topk_persist" -> ((s, dir) =>
+        check(rd(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct((col("user_id") % 100)).as("d"))
+          .agg(max(col("d"))).head.getLong(0), (1024L * 3) / 4,
+          "max per-event_type distinct user buckets (maxMapSize=1024)")),
       // Dedup doc-frequency guard: the guarded entries (q_dedup_clusters,
       // q_dedup_best, q_dedup_ngram_guarded, q_dedup_containment_guarded)
       // are exact vs their UNGUARDED oracles only while no shingle's

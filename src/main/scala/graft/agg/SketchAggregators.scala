@@ -127,6 +127,34 @@ final class FreqItemsPartialAgg(maxMapSize: Int = 1024)
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Re-merge PERSISTED FrequentItems partials (the bytes
+  * [[FreqItemsPartialAgg]] emits) and finish to the top-k rows — the
+  * TOP_K family's half of the save/restore contract, completing the
+  * trio with [[ThetaMergeEstimateAgg]] (count-distinct) and
+  * [[KllMergeQuantilesAgg]] (distribution). Same finish semantics as
+  * [[FreqItemsTopKAgg]]: NO_FALSE_NEGATIVES, optional threshold,
+  * deterministic (-count, key) ordering. Zero-error while distinct keys
+  * stay under the sketch purge load (~0.75 · maxMapSize) across ALL
+  * merged snapshots. */
+final class FreqItemsMergeTopKAgg(k: Int, threshold: Long = 0L,
+                                  maxMapSize: Int = 1024)
+    extends Aggregator[Array[Byte], FreqItemsBuf, Seq[TopKRow]] {
+  def zero: FreqItemsBuf = new FreqItemsBuf(maxMapSize)
+  def reduce(b: FreqItemsBuf, in: Array[Byte]): FreqItemsBuf =
+    if (in == null) b else b.merge(BufSerde.de[FreqItemsBuf](in))
+  def merge(b1: FreqItemsBuf, b2: FreqItemsBuf): FreqItemsBuf = b1.merge(b2)
+  def finish(b: FreqItemsBuf): Seq[TopKRow] = {
+    val rows = b.result.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+    rows.toSeq
+      .map(r => TopKRow(r.getItem, r.getEstimate))
+      .sortBy(r => (-r.count, r.key))
+      .take(k)
+  }
+  def bufferEncoder: Encoder[FreqItemsBuf] = Encoders.javaSerialization[FreqItemsBuf]
+  def outputEncoder: Encoder[Seq[TopKRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKRow]]()
+}
+
 // ---------------------------------------------------------------------------
 // COUNT_DISTINCT — Theta sketch (exact ≤ 2^lgK entries, ~2% RSE beyond)
 // Reference: ThetaSketchingStrategy, FilterBoltTest.java:680-710.

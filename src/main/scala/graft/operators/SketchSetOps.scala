@@ -113,4 +113,30 @@ object SketchSetOps {
       .select(col("seg"), element_at(ptsLit, col("i") + 1).as("quantile"),
         col("value"))
   }
+
+  /** Per-segment FrequentItems partials as a (seg, sk) frame — the
+    * TOP_K family's persistable form, completing the trio with
+    * [[thetaPartials]] and [[kllPartials]]. */
+  def freqPartials(df: DataFrame, segCol: String, itemCol: String,
+                   maxMapSize: Int = 1024): DataFrame = {
+    val agg = udaf(new graft.agg.FreqItemsPartialAgg(maxMapSize), Encoders.STRING)
+    df.groupBy(col(segCol).as("seg"))
+      .agg(agg(col(itemCol).cast("string")).as("sk"))
+  }
+
+  /** Merge any union of [[freqPartials]] tables into per-segment top-k
+    * item counts — incremental heavy hitters over a growing corpus.
+    * Output one row per (seg, key): (seg, key, count), ordered
+    * (-count, key) within each segment by construction. Zero-error
+    * while distinct keys per segment stay under the purge load
+    * (~0.75 · maxMapSize) across ALL merged snapshots — the same probed
+    * exact-regime contract as every sketch entry. */
+  def mergedTopK(parts: DataFrame, k: Int, threshold: Long = 0L,
+                 maxMapSize: Int = 1024): DataFrame = {
+    val agg = udaf(new graft.agg.FreqItemsMergeTopKAgg(k, threshold, maxMapSize),
+      Encoders.BINARY)
+    parts.groupBy("seg").agg(agg(col("sk")).as("rows"))
+      .select(col("seg"), explode(col("rows")).as("r"))
+      .select(col("seg"), col("r.key").as("key"), col("r.count").as("count"))
+  }
 }

@@ -72,4 +72,22 @@ class SketchSetOpsSpec extends SparkTestBase {
       ("a", 0.25) -> 25.0, ("a", 0.5) -> 50.0, ("a", 0.9) -> 90.0,
       ("b", 0.25) -> 30.0, ("b", 0.5) -> 50.0, ("b", 0.9) -> 90.0))
   }
+
+  test("freqPartials persist to parquet and re-merge to exact top-k counts") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    // counts split across snapshots: x appears 5+3, y 4+0, z 1+2, w 0+1
+    val h1 = Seq.fill(5)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++ Seq(("a", "z"))
+    val h2 = Seq.fill(3)(("a", "x")) ++ Seq.fill(2)(("a", "z")) ++ Seq(("a", "w"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fi_test").toString
+    SketchSetOps.freqPartials(h1.toDF("seg0", "item"), "seg0", "item", maxMapSize = 64)
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val fresh = SketchSetOps.freqPartials(h2.toDF("seg0", "item"), "seg0", "item", maxMapSize = 64)
+    val got = SketchSetOps.mergedTopK(stored.unionByName(fresh), k = 3, maxMapSize = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exact regime: counts merge additively, top-3 by (-count, key)
+    assert(got.toSeq === Seq(("a", "x", 8L), ("a", "y", 4L), ("a", "z", 3L)))
+  }
 }
