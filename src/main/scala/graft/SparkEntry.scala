@@ -2403,6 +2403,27 @@ object SparkEntry {
           rd(s, dir, "documents"), "doc_id", "text", minDot = 300L)
         .orderBy("id1", "id2")),
 
+    // Round-9 curation pipeline, end to end: canonical dedup keeps one
+    // doc per normalized text, the survivors route to 8 STABLE shards
+    // via rendezvous hashing (corpus growth never moves a doc — the
+    // incremental re-materialization story), and per-shard audit stats
+    // come back as one aggregate. dedup -> stable routing -> audit as
+    // ONE composed plan; the oracle restates the chain (dedup CTE,
+    // md5 argmax, group-by) in SQL.
+    "q_pipeline_curation3" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
+      val keep = docs.withColumn("canon", trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
+      val survivors = keep
+        .join(docs.select(col("doc_id"), col("n_chars"), col("lang")), "doc_id")
+      graft.operators.Sharding.rendezvousShard(survivors, "doc_id", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("shard")
+    }),
+
     // Round-8 curation pipeline, end to end: canonical dedup keeps one
     // doc per normalized text, curriculum-interleaves the survivors by
     // length into 4 tiers, then cuts size-balanced ~50 kB shards in
@@ -4024,6 +4045,27 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, dot FROM p WHERE dot >= 300
         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_pipeline_curation3" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))),
+        |j AS (
+        |  SELECT d.doc_id, d.n_chars, d.lang
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |c AS (
+        |  SELECT doc_id, n_chars, lang, t.s AS s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)) AS h
+        |  FROM j, range(8) t(s)),
+        |w AS (
+        |  SELECT doc_id, n_chars, lang, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        |  FROM c)
+        |SELECT CAST(s AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM w WHERE rn = 1 GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "),
     "q_pipeline_curation2" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,
