@@ -1332,6 +1332,26 @@ object SparkEntry {
         .orderBy("seg", "quantile")
     }),
 
+    // Set algebra between PERSISTED theta snapshots — "users present in
+    // both halves of the stream, per event type" computed entirely from
+    // stored sketch bytes: one snapshot's partials round-trip through
+    // parquet, full-outer-join the other's on segment, and ONE narrow
+    // typed map runs union/intersection/A-not-B per row — neither
+    // snapshot is re-scanned, nothing collects to the driver. Exact
+    // regime (probed); oracle is the exact distinct-set algebra.
+    "q_sketch_overlap_persist" -> ((s, dir) => {
+      import graft.operators.SketchSetOps
+      val ev = rd(s, dir, "events")
+      val tmp = scratch("sketch_opersist")
+      SketchSetOps.thetaPartials(ev.filter(col("event_id") % 2 === 0),
+          "event_type", Seq("user_id"), lgK = 18)
+        .write.mode("overwrite").parquet(tmp)
+      val snapA = s.read.parquet(tmp)
+      val snapB = SketchSetOps.thetaPartials(ev.filter(col("event_id") % 2 =!= 0),
+        "event_type", Seq("user_id"), lgK = 18)
+      SketchSetOps.overlapFromPartials(snapA, snapB, lgK = 18).orderBy("seg")
+    }),
+
     // FrequentItems persistence round-trip — the TOP_K family's
     // incremental read path, completing the persistable-sketch trio
     // (theta = count-distinct, KLL = distribution, FI = heavy hitters):
@@ -3343,6 +3363,25 @@ object SparkEntry {
         |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
         |  FROM documents GROUP BY lang)
         |SELECT seg, quantile, value FROM q ORDER BY seg, quantile""".stripMargin.replace("\n", " "),
+    "q_sketch_overlap_persist" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_type AS seg, user_id
+        |  FROM events WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT DISTINCT event_type AS seg, user_id
+        |  FROM events WHERE event_id % 2 <> 0),
+        |u AS (
+        |  SELECT coalesce(a.seg, b.seg) AS seg,
+        |    CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM a FULL OUTER JOIN b ON a.seg = b.seg AND a.user_id = b.user_id)
+        |SELECT seg,
+        |  CAST(sum(in_a) AS BIGINT) AS n_a, CAST(sum(in_b) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_intersect,
+        |  CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_a_not_b,
+        |  CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_b_not_a
+        |FROM u GROUP BY 1 ORDER BY seg""".stripMargin.replace("\n", " "),
     "q_sketch_topk_persist" ->
       """WITH c AS (
         |  SELECT event_type AS seg, CAST(user_id % 100 AS VARCHAR) AS key,
@@ -4524,6 +4563,13 @@ object SparkEntry {
         check(rd(s, dir, "documents").groupBy("lang").count()
           .agg(max(col("count"))).head.getLong(0), 8192L,
           "max per-lang document rows (k=8192)")),
+      // Persisted-overlap set algebra: exact while BOTH snapshots'
+      // per-segment sketches are exact-mode
+      "q_sketch_overlap_persist" -> ((s, dir) =>
+        check(rd(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("du"))
+          .agg(max(col("du"))).head.getLong(0), 1L << 18,
+          "max per-event_type distinct user_id (lgK=18)")),
       // Persisted-FI merge: zero-error while distinct items per segment
       // (across all merged snapshots) stay under the purge load
       "q_sketch_topk_persist" -> ((s, dir) =>

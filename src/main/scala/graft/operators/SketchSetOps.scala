@@ -114,6 +114,43 @@ object SketchSetOps {
         col("value"))
   }
 
+  /** Per-segment set algebra between TWO persisted [[thetaPartials]]
+    * tables — "users present in both January and February, per event
+    * type" computed from stored sketch bytes, with neither month
+    * re-scanned. For every segment in either table:
+    * (seg, n_a, n_b, n_union, n_intersect, n_a_not_b, n_b_not_a).
+    *
+    * Distributed, collect-free: the two partial tables (one row per
+    * segment each) full-outer-join on seg, then ONE narrow typed map
+    * runs the theta set algebra per row — an absent side is the empty
+    * sketch. Exact while both sides' segments stay in the exact regime
+    * (≤ 2^lgK retained entries, probed per SF); beyond it theta's
+    * documented set-operation error bounds apply. */
+  def overlapFromPartials(a: DataFrame, b: DataFrame,
+                          lgK: Int = 18): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val joined = a.select(col("seg"), col("sk").as("sk_a"))
+      .join(b.select(col("seg"), col("sk").as("sk_b")), Seq("seg"), "full_outer")
+      .as[(String, Array[Byte], Array[Byte])]
+    joined.map { case (seg, ba, bb) =>
+      def sk(bytes: Array[Byte]): CompactSketch =
+        if (bytes == null)
+          SetOperation.builder().setNominalEntries(1 << lgK).buildUnion().getResult
+        else BufSerde.de[ThetaBuf](bytes).result
+      val (sa, sb) = (sk(ba), sk(bb))
+      val union = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+      union.union(sa); union.union(sb)
+      val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
+      inter.intersect(sa); inter.intersect(sb)
+      def est(s: CompactSketch): Long = Math.round(s.getEstimate)
+      (seg, est(sa), est(sb), est(union.getResult), est(inter.getResult),
+        est(SetOperation.builder().buildANotB().aNotB(sa, sb)),
+        est(SetOperation.builder().buildANotB().aNotB(sb, sa)))
+    }.toDF("seg", "n_a", "n_b", "n_union", "n_intersect",
+      "n_a_not_b", "n_b_not_a")
+  }
+
   /** Per-segment FrequentItems partials as a (seg, sk) frame — the
     * TOP_K family's persistable form, completing the trio with
     * [[thetaPartials]] and [[kllPartials]]. */

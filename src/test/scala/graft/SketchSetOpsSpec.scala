@@ -90,4 +90,26 @@ class SketchSetOpsSpec extends SparkTestBase {
     // exact regime: counts merge additively, top-3 by (-count, key)
     assert(got.toSeq === Seq(("a", "x", 8L), ("a", "y", 4L), ("a", "z", 3L)))
   }
+
+  test("overlapFromPartials: set algebra between persisted snapshots, absent side = empty") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    // seg a: {0..59} vs {40..99} → |A|=60 |B|=60 |∪|=100 |∩|=20
+    // seg b: present only in snapshot A → B side empty
+    val h1 = (0 until 60).map(i => ("a", i.toString)) ++
+      (0 until 10).map(i => ("b", i.toString))
+    val h2 = (40 until 100).map(i => ("a", i.toString))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ov_test").toString
+    SketchSetOps.thetaPartials(h1.toDF("seg0", "id"), "seg0", Seq("id"), lgK = 12)
+      .write.mode("overwrite").parquet(tmp)
+    val snapA = spark.read.parquet(tmp)
+    val snapB = SketchSetOps.thetaPartials(h2.toDF("seg0", "id"), "seg0", Seq("id"), lgK = 12)
+    val got = SketchSetOps.overlapFromPartials(snapA, snapB, lgK = 12)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got("a") === ((60L, 60L, 100L, 20L, 40L, 40L)))
+    assert(got("b") === ((10L, 0L, 10L, 0L, 10L, 0L)))
+  }
 }
