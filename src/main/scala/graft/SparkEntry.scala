@@ -1332,6 +1332,18 @@ object SparkEntry {
         .orderBy("seg", "quantile")
     }),
 
+    // Pre-join cardinality advisor: rows + theta key NDVs per side in
+    // ONE bounded aggregate each, measured key-domain intersection, and
+    // the System-R containment estimate (avg multiplicity product ×
+    // matching keys) — the "how big will this join be" number a
+    // pipeline reads BEFORE committing the shuffle. Fixed left-assoc
+    // IEEE order makes the double estimate oracle-replayable; exact
+    // regime probed on both key domains.
+    "q_join_advisor" -> ((s, dir) =>
+      graft.operators.JoinAdvisor.report(
+        rd(s, dir, "orders"), "o_orderkey",
+        rd(s, dir, "lineitem"), "l_orderkey", lgK = 18)),
+
     // Set algebra between PERSISTED theta snapshots — "users present in
     // both halves of the stream, per event type" computed entirely from
     // stored sketch bytes: one snapshot's partials round-trip through
@@ -3363,6 +3375,20 @@ object SparkEntry {
         |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
         |  FROM documents GROUP BY lang)
         |SELECT seg, quantile, value FROM q ORDER BY seg, quantile""".stripMargin.replace("\n", " "),
+    "q_join_advisor" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_a,
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS rows_b,
+        |    CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS ndv_a,
+        |    CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT) AS ndv_b,
+        |    CAST((SELECT count(*) FROM (
+        |      SELECT DISTINCT o_orderkey FROM orders
+        |      INTERSECT
+        |      SELECT DISTINCT l_orderkey FROM lineitem)) AS BIGINT) AS ndv_intersect)
+        |SELECT rows_a, rows_b, ndv_a, ndv_b, ndv_intersect,
+        |  CAST(rows_a AS DOUBLE) * rows_b / ndv_a / ndv_b * ndv_intersect AS est_join_rows
+        |FROM s""".stripMargin.replace("\n", " "),
     "q_sketch_overlap_persist" ->
       """WITH a AS (
         |  SELECT DISTINCT event_type AS seg, user_id
@@ -4563,6 +4589,15 @@ object SparkEntry {
         check(rd(s, dir, "documents").groupBy("lang").count()
           .agg(max(col("count"))).head.getLong(0), 8192L,
           "max per-lang document rows (k=8192)")),
+      // Join advisor: estimate exact while BOTH key domains are
+      // exact-mode
+      "q_join_advisor" -> ((s, dir) =>
+        check(math.max(
+          rd(s, dir, "orders").select(countDistinct(col("o_orderkey")))
+            .head.getLong(0),
+          rd(s, dir, "lineitem").select(countDistinct(col("l_orderkey")))
+            .head.getLong(0)), 1L << 18,
+          "max join-side key NDV (lgK=18)")),
       // Persisted-overlap set algebra: exact while BOTH snapshots'
       // per-segment sketches are exact-mode
       "q_sketch_overlap_persist" -> ((s, dir) =>
