@@ -1332,6 +1332,18 @@ object SparkEntry {
         .orderBy("seg", "quantile")
     }),
 
+    // Shard delivery manifest: stable rendezvous routing + one
+    // integrity row per shard (count, chars, order-insensitive md5-sum
+    // checksum mod 2^61) — the record shipped NEXT TO the shards so a
+    // consumer verifies counts/sizes/content without trusting the
+    // transport. Any dropped/duplicated/altered doc changes the
+    // checksum; reordering rows does not. All integer/md5 arithmetic.
+    "q_shard_manifest" -> ((s, dir) =>
+      graft.operators.Sharding.manifest(
+          rd(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", nShards = 8)
+        .orderBy("shard")),
+
     // Pre-join cardinality advisor: rows + theta key NDVs per side in
     // ONE bounded aggregate each, measured key-domain intersection, and
     // the System-R containment estimate (avg multiplicity product ×
@@ -3375,6 +3387,21 @@ object SparkEntry {
         |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE)
         |  FROM documents GROUP BY lang)
         |SELECT seg, quantile, value FROM q ORDER BY seg, quantile""".stripMargin.replace("\n", " "),
+    "q_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, text, t.s AS s,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s AS VARCHAR)) AS h
+        |  FROM d, range(8) t(s)),
+        |w AS (
+        |  SELECT doc_id, text, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        |  FROM c)
+        |SELECT CAST(s AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |       % 2305843009213693952 AS BIGINT) AS checksum
+        |FROM w WHERE rn = 1 GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "),
     "q_join_advisor" ->
       """WITH s AS (
         |  SELECT

@@ -112,4 +112,31 @@ object Sharding {
           array_max(mScored(col("__g"))).getField("ns") * -1).cast("long"))
       .drop("__g")
   }
+
+  /**
+   * Shard delivery manifest: route every document to a stable
+   * [[rendezvousShard]] shard and emit one integrity row per shard —
+   * (shard, n_docs, n_chars, checksum). The record a training-data
+   * handoff ships NEXT TO the shards so the consumer can verify counts,
+   * sizes, and CONTENT without trusting the transport: the checksum is
+   * the order-insensitive sum of each document's 60-bit md5 prefix
+   * (mod 2⁶¹), so any dropped, duplicated, or altered document changes
+   * it, while re-partitioning or re-ordering rows does not. All
+   * integer/md5 arithmetic — engine-portable like the routing itself
+   * (the sum accumulates in DECIMAL(38,0): n·2⁶⁰ overflows BIGINT long
+   * before any real shard is full).
+   *
+   * One narrow routing pass + one shuffle to `nShards` rows.
+   */
+  def manifest(df: DataFrame, idCol: String, textCol: String,
+               nShards: Int): DataFrame = {
+    val docHash = expr(
+      s"CAST(conv(substring(md5($textCol), 1, 15), 16, 10) AS DECIMAL(38,0))")
+    rendezvousShard(df, idCol, nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        pmod(sum(docHash), lit(BigDecimal(2305843009213693952L)).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
 }

@@ -81,4 +81,36 @@ class ShardingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(600))
   }
+
+  test("manifest: order-insensitive, tamper-sensitive per-shard checksums") {
+    val sp = s
+    import sp.implicits._
+    val docs = (1L to 200L).map(i => (i, s"document body number $i with words"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Sharding.manifest(df, "doc_id", "text", nShards = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = rows(docs)
+    assert(base.keySet === Set(0L, 1L, 2L, 3L))
+    assert(base.values.map(_._1).sum === 200L)
+    // row order / partitioning must not matter (the consumer re-derives
+    // the checksum from whatever layout it received)
+    assert(rows(docs.orderBy(org.apache.spark.sql.functions.desc("doc_id"))
+      .repartition(7)) === base)
+    // a single altered document flips exactly its shard's checksum
+    val tampered = docs.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") === 42L,
+        org.apache.spark.sql.functions.lit("tampered body")).otherwise(col("text")))
+    val after = rows(tampered)
+    val shard42 = Sharding.rendezvousShard(docs.filter(col("doc_id") === 42L),
+      "doc_id", 4).select("shard").head.getLong(0)
+    assert(after(shard42)._3 !== base(shard42)._3, "altered doc must change its shard checksum")
+    assert(after.filter(_._1 != shard42) === base.filter(_._1 != shard42),
+      "other shards' checksums must be untouched")
+    // a dropped document changes count AND checksum
+    val dropped = rows(docs.filter(col("doc_id") =!= 42L))
+    assert(dropped(shard42)._1 === base(shard42)._1 - 1)
+    assert(dropped(shard42)._3 !== base(shard42)._3)
+  }
 }
