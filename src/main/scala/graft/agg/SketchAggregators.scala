@@ -29,6 +29,16 @@ object SketchAggregators {
   /** Reference convention: missing/null grouped field stringifies to "null"
     * (FilterBoltTest.java:827-828). */
   val NullString = "null"
+
+  /** Shared TOP_K finish: NO_FALSE_NEGATIVES rows, deterministic
+    * (-count, key) order, truncated to k — one definition so the live
+    * aggregator and the persisted-merge aggregator can never drift. */
+  private[agg] def topKRows(b: FreqItemsBuf, k: Int, threshold: Long): Seq[TopKRow] =
+    b.result.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+      .toSeq
+      .map(r => TopKRow(r.getItem, r.getEstimate))
+      .sortBy(r => (-r.count, r.key))
+      .take(k)
 }
 
 /** Serialize/deserialize sketch buffers — the `byte[]` intermediate form the
@@ -143,13 +153,8 @@ final class FreqItemsMergeTopKAgg(k: Int, threshold: Long = 0L,
   def reduce(b: FreqItemsBuf, in: Array[Byte]): FreqItemsBuf =
     if (in == null) b else b.merge(BufSerde.de[FreqItemsBuf](in))
   def merge(b1: FreqItemsBuf, b2: FreqItemsBuf): FreqItemsBuf = b1.merge(b2)
-  def finish(b: FreqItemsBuf): Seq[TopKRow] = {
-    val rows = b.result.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
-    rows.toSeq
-      .map(r => TopKRow(r.getItem, r.getEstimate))
-      .sortBy(r => (-r.count, r.key))
-      .take(k)
-  }
+  def finish(b: FreqItemsBuf): Seq[TopKRow] =
+    SketchAggregators.topKRows(b, k, threshold)
   def bufferEncoder: Encoder[FreqItemsBuf] = Encoders.javaSerialization[FreqItemsBuf]
   def outputEncoder: Encoder[Seq[TopKRow]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKRow]]()
@@ -380,13 +385,8 @@ final class FreqItemsTopKAgg(k: Int, threshold: Long = 0L, maxMapSize: Int = 102
     if (in != null) b.update(in); b
   }
   def merge(b1: FreqItemsBuf, b2: FreqItemsBuf): FreqItemsBuf = b1.merge(b2)
-  def finish(b: FreqItemsBuf): Seq[TopKRow] = {
-    val rows = b.result.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
-    rows.toSeq
-      .map(r => TopKRow(r.getItem, r.getEstimate))
-      .sortBy(r => (-r.count, r.key))
-      .take(k)
-  }
+  def finish(b: FreqItemsBuf): Seq[TopKRow] =
+    SketchAggregators.topKRows(b, k, threshold)
   def bufferEncoder: Encoder[FreqItemsBuf] = Encoders.javaSerialization[FreqItemsBuf]
   def outputEncoder: Encoder[Seq[TopKRow]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKRow]]()

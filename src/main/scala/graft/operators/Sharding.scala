@@ -63,13 +63,19 @@ object Sharding {
       s"nShards=$nShards unrolls one hash per shard per row — past ~1k " +
         "candidates use two-level routing (rendezvous over shard GROUPS, " +
         "then within the group)")
-    val scored = array((0 until nShards).map { sIdx =>
-      struct(md5(concat(col(idCol).cast("string"), lit(s":$sIdx"))).as("h"),
-        lit(-sIdx).as("ns"))
-    }: _*)
     df.withColumn(shardName,
-      (array_max(scored).getField("ns") * -1).cast("long"))
+      hrwArgmax(col(idCol).cast("string"), nShards, i => lit(s":$i"))
+        .cast("long"))
   }
+
+  /** md5-scored highest-random-weight argmax over `n` candidates, each
+    * salted by `salt(i)` appended to the id string — the shared scoring
+    * core of [[rendezvousShard]] and [[rendezvousShard2]]. Ties (hash
+    * collisions across salts) break to the lower index; result ∈ [0, n). */
+  private def hrwArgmax(idStr: Column, n: Int, salt: Int => Column): Column =
+    array_max(array((0 until n).map { i =>
+      struct(md5(concat(idStr, salt(i))).as("h"), lit(-i).as("ns"))
+    }: _*)).getField("ns") * -1
 
   /**
    * Two-level rendezvous routing for LARGE shard counts — the recipe
@@ -98,18 +104,12 @@ object Sharding {
     require(nGroups <= 1024 && shardsPerGroup <= 1024,
       "each level unrolls one hash per candidate per row — split further")
     val idStr = col(idCol).cast("string")
-    val gScored = array((0 until nGroups).map { g =>
-      struct(md5(concat(idStr, lit(s":g$g"))).as("h"), lit(-g).as("ns"))
-    }: _*)
-    val group = array_max(gScored).getField("ns") * -1
-    val mScored = (gCol: Column) => array((0 until shardsPerGroup).map { m =>
-      struct(md5(concat(idStr, lit(":"), gCol.cast("string"), lit(s":m$m"))).as("h"),
-        lit(-m).as("ns"))
-    }: _*)
+    val group = hrwArgmax(idStr, nGroups, g => lit(s":g$g"))
+    val member = (gCol: Column) => hrwArgmax(idStr, shardsPerGroup,
+      m => concat(lit(":"), gCol.cast("string"), lit(s":m$m")))
     df.withColumn("__g", group)
       .withColumn(shardName,
-        (col("__g") * shardsPerGroup +
-          array_max(mScored(col("__g"))).getField("ns") * -1).cast("long"))
+        (col("__g") * shardsPerGroup + member(col("__g"))).cast("long"))
       .drop("__g")
   }
 
