@@ -2325,8 +2325,7 @@ object SparkEntry {
     "q_dedup_canonical" -> ((s, dir) =>
       rd(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .withColumn("canon", trim(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        .withColumn("canon", graft.pipeline.Dedup.canonText(col("text")))
         .groupBy("canon")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
@@ -2456,8 +2455,7 @@ object SparkEntry {
     // md5 argmax, group-by) in SQL.
     "q_pipeline_curation3" -> ((s, dir) => {
       val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
-      val keep = docs.withColumn("canon", trim(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      val keep = docs.withColumn("canon", graft.pipeline.Dedup.canonText(col("text")))
         .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
       val survivors = keep
         .join(docs.select(col("doc_id"), col("n_chars"), col("lang")), "doc_id")
@@ -2479,8 +2477,7 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
         .filter(col("text").isNotNull && col("text") =!= "")
       val keep = docs
-        .withColumn("canon", trim(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+        .withColumn("canon", graft.pipeline.Dedup.canonText(col("text")))
         .groupBy("canon").agg(min(col("doc_id")).as("keep_id"))
       val surv = docs.join(keep, docs("doc_id") === keep("keep_id"))
         .select(col("doc_id"), col("n_chars"))
@@ -3437,7 +3434,8 @@ object SparkEntry {
         |FROM u GROUP BY 1 ORDER BY seg""".stripMargin.replace("\n", " "),
     "q_sketch_topk_persist" ->
       """WITH c AS (
-        |  SELECT event_type AS seg, CAST(user_id % 100 AS VARCHAR) AS key,
+        |  SELECT event_type AS seg,
+        |    COALESCE(CAST(user_id % 100 AS VARCHAR), 'null') AS key,
         |    CAST(count(*) AS BIGINT) AS count
         |  FROM events GROUP BY 1, 2),
         |r AS (

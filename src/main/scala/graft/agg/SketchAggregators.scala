@@ -107,22 +107,30 @@ final class KllPartialAgg(k: Int = 2048)
   * column in one run merge with fresh partials in the next, quantiles
   * read from KBs of sketch bytes, history never re-scanned. INCLUSIVE
   * search (smallest value whose rank ≥ p) — percentile_disc parity,
-  * same criterion as [[KllDistributionAgg]]'s QUANTILE. Empty merge
-  * result emits no values (null row downstream, not a crash). */
+  * same criterion as [[KllDistributionAgg]]'s QUANTILE. An empty merge
+  * result finishes to an EMPTY pair list — the mergedQuantiles wrapper
+  * turns it into one (seg, NULL, NULL) marker row via explode_outer
+  * so a dead segment stays visible. */
 final class KllMergeQuantilesAgg(points: Array[Double], k: Int = 2048)
-    extends Aggregator[Array[Byte], KllBuf, Seq[Double]] {
+    extends Aggregator[Array[Byte], KllBuf, Seq[(Double, Double)]] {
   def zero: KllBuf = new KllBuf(k)
   def reduce(b: KllBuf, in: Array[Byte]): KllBuf =
     if (in == null) b else b.merge(BufSerde.de[KllBuf](in))
   def merge(b1: KllBuf, b2: KllBuf): KllBuf = b1.merge(b2)
-  def finish(b: KllBuf): Seq[Double] = {
+  // (quantile, value) PAIRS, not bare values: the wrapper explodes this
+  // array, and recovering the rank from the row position via element_at
+  // is unsafe — posexplode_outer's pos attribute is (wrongly, for the
+  // outer variant) non-nullable, and Catalyst folds the lookup under
+  // that assumption, resurrecting a rank for the empty-marker row
+  def finish(b: KllBuf): Seq[(Double, Double)] = {
     val s = b.result
     if (s.isEmpty) Seq.empty
-    else points.toSeq.map(p => s.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+    else points.toSeq.map(p =>
+      (p, s.getQuantile(p, QuantileSearchCriteria.INCLUSIVE)))
   }
   def bufferEncoder: Encoder[KllBuf] = Encoders.javaSerialization[KllBuf]
-  def outputEncoder: Encoder[Seq[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  def outputEncoder: Encoder[Seq[(Double, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Double)]]()
 }
 
 final class FreqItemsPartialAgg(maxMapSize: Int = 1024)

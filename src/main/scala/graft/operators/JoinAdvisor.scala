@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.agg.{BufSerde, ThetaBuf, ThetaPartialAgg}
-import org.apache.datasketches.theta.SetOperation
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -45,12 +44,19 @@ object JoinAdvisor {
         agg(col(key).cast("string")).as("sk")).head() // bounded: ONE row
       (r.getLong(0), BufSerde.de[ThetaBuf](r.getAs[Array[Byte]](1)).result)
     }
-    val (rowsA, skA) = side(a, keyA)
-    val (rowsB, skB) = side(b, keyB)
-    val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
-    inter.intersect(skA); inter.intersect(skB)
-    val (ndvA, ndvB) = (Math.round(skA.getEstimate), Math.round(skB.getEstimate))
-    val nInt = Math.round(inter.getResult.getEstimate)
+    // the two side scans are independent actions — submit them
+    // CONCURRENTLY so advisor latency is max(scanA, scanB), not the sum
+    // (Spark schedules concurrent jobs from separate threads fine)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fA = Future(side(a, keyA))
+    val fB = Future(side(b, keyB))
+    val (rowsA, skA) = Await.result(fA, Duration.Inf)
+    val (rowsB, skB) = Await.result(fB, Duration.Inf)
+    // same set-algebra core as every overlap surface (one definition)
+    val (ndvA, ndvB, _, nInt, _, _) =
+      SketchSetOps.thetaAlgebra(skA, skB, lgK)
     // fixed left-assoc IEEE order — replayable cross-engine
     val est =
       if (ndvA == 0 || ndvB == 0) 0.0

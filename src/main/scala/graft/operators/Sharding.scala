@@ -130,8 +130,8 @@ object Sharding {
    */
   def manifest(df: DataFrame, idCol: String, textCol: String,
                nShards: Int): DataFrame = {
-    val docHash = expr(
-      s"CAST(conv(substring(md5($textCol), 1, 15), 16, 10) AS DECIMAL(38,0))")
+    val docHash = conv(substring(md5(col(textCol)), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
     rendezvousShard(df, idCol, nShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),

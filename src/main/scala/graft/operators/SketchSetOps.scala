@@ -25,6 +25,26 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  */
 object SketchSetOps {
 
+  /** The ONE definition of the theta set algebra every overlap surface
+    * shares (the audited-for-drift core): cardinalities
+    * (n_a, n_b, n_union, n_intersect, n_a_not_b, n_b_not_a) of two
+    * compact sketches at the given nominal entries. */
+  private[operators] def thetaAlgebra(a: CompactSketch, b: CompactSketch,
+                                      lgK: Int): (Long, Long, Long, Long, Long, Long) = {
+    val union = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    union.union(a); union.union(b)
+    val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
+    inter.intersect(a); inter.intersect(b)
+    def est(s: CompactSketch): Long = Math.round(s.getEstimate)
+    (est(a), est(b), est(union.getResult), est(inter.getResult),
+      est(SetOperation.builder().buildANotB().aNotB(a, b)),
+      est(SetOperation.builder().buildANotB().aNotB(b, a)))
+  }
+
+  /** The empty sketch at the given nominal entries. */
+  private[operators] def emptySketch(lgK: Int): CompactSketch =
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion().getResult
+
   /** One row of audience-overlap cardinalities between `segA` and `segB`:
     * `n_a, n_b, n_union, n_intersect, n_a_not_b, n_b_not_a`. `fields` is
     * the identity tuple (composite-keyed like every grouped sketch). */
@@ -40,18 +60,10 @@ object SketchSetOps {
       .map(r => r.getString(0) -> BufSerde.de[ThetaBuf](r.getAs[Array[Byte]](1)).result)
       .toMap
     def sketchOf(seg: String): CompactSketch =
-      partials.getOrElse(seg,
-        SetOperation.builder().setNominalEntries(1 << lgK).buildUnion().getResult)
-    val (a, b) = (sketchOf(segA), sketchOf(segB))
-    val union = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-    union.union(a); union.union(b)
-    val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
-    inter.intersect(a); inter.intersect(b)
-    def est(s: CompactSketch): Long = Math.round(s.getEstimate)
-    val row = Row(segA, segB, est(a), est(b), est(union.getResult),
-      est(inter.getResult),
-      est(SetOperation.builder().buildANotB().aNotB(a, b)),
-      est(SetOperation.builder().buildANotB().aNotB(b, a)))
+      partials.getOrElse(seg, emptySketch(lgK))
+    val (nA, nB, nU, nI, nAB, nBA) =
+      thetaAlgebra(sketchOf(segA), sketchOf(segB), lgK)
+    val row = Row(segA, segB, nA, nB, nU, nI, nAB, nBA)
     val schema = StructType(Seq(
       StructField("seg_a", StringType), StructField("seg_b", StringType),
       StructField("n_a", LongType), StructField("n_b", LongType),
@@ -97,21 +109,26 @@ object SketchSetOps {
     * same segments) into per-segment quantiles at `points` — incremental
     * percentiles over a growing corpus: each nightly run sketches only
     * its delta, the read path merges KBs of sketch bytes. Output one row
-    * per (seg, quantile): (seg, quantile, value). Exact (percentile_disc
-    * parity, INCLUSIVE rank search) while each segment's TOTAL row count
-    * across merged snapshots stays ≤ k — the same probed exact-regime
-    * contract as every sketch entry. */
+    * per (seg, quantile): (seg, quantile, value). A segment whose merged
+    * sketch saw no (non-null) values keeps ONE marker row
+    * (seg, NULL, NULL) — posexplode_outer, so a dead segment never
+    * silently vanishes from the report. Exact (percentile_disc parity,
+    * INCLUSIVE rank search) while each segment's TOTAL row count across
+    * merged snapshots stays ≤ k — the same probed exact-regime contract
+    * as every sketch entry. */
   def mergedQuantiles(parts: DataFrame, points: Seq[Double],
                       k: Int = 2048): DataFrame = {
     require(points.nonEmpty && points.forall(p => p >= 0.0 && p <= 1.0),
       "quantile points must be in [0, 1]")
     val agg = udaf(new graft.agg.KllMergeQuantilesAgg(points.toArray, k),
       Encoders.BINARY)
-    val ptsLit = typedLit(points)
+    // the agg emits (quantile, value) PAIRS so the explode carries its
+    // own rank — see the aggregator's note on posexplode_outer's
+    // non-nullable pos attribute
     parts.groupBy("seg").agg(agg(col("sk")).as("vals"))
-      .select(col("seg"), posexplode(col("vals")).as(Seq("i", "value")))
-      .select(col("seg"), element_at(ptsLit, col("i") + 1).as("quantile"),
-        col("value"))
+      .select(col("seg"), explode_outer(col("vals")).as("qv"))
+      .select(col("seg"), col("qv._1").as("quantile"),
+        col("qv._2").as("value"))
   }
 
   /** Per-segment set algebra between TWO persisted [[thetaPartials]]
@@ -123,42 +140,49 @@ object SketchSetOps {
     * Distributed, collect-free: the two partial tables (one row per
     * segment each) full-outer-join on seg, then ONE narrow typed map
     * runs the theta set algebra per row — an absent side is the empty
-    * sketch. Exact while both sides' segments stay in the exact regime
-    * (≤ 2^lgK retained entries, probed per SF); beyond it theta's
-    * documented set-operation error bounds apply. */
+    * sketch. `seg` is emitted as STRING (non-string segment keys are
+    * cast — the same stringify convention the sketches themselves use),
+    * and a NULL segment merges into ONE row like every groupBy-based
+    * sibling (a raw full-outer join would leave the two null rows
+    * unmatched). Exact while both sides' segments stay in the exact
+    * regime (≤ 2^lgK retained entries, probed per SF); beyond it
+    * theta's documented set-operation error bounds apply. */
   def overlapFromPartials(a: DataFrame, b: DataFrame,
                           lgK: Int = 18): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
-    val joined = a.select(col("seg"), col("sk").as("sk_a"))
-      .join(b.select(col("seg"), col("sk").as("sk_b")), Seq("seg"), "full_outer")
+    // join-side sentinel: SQL join keys never match on NULL, but a null
+    // segment is ONE segment (every merged* sibling groups it as one)
+    val sentinel = " __null_seg__"
+    def keyed(df: DataFrame, skName: String) = df.select(
+      coalesce(col("seg").cast("string"), lit(sentinel)).as("seg"),
+      col("sk").as(skName))
+    val joined = keyed(a, "sk_a")
+      .join(keyed(b, "sk_b"), Seq("seg"), "full_outer")
       .as[(String, Array[Byte], Array[Byte])]
     joined.map { case (seg, ba, bb) =>
       def sk(bytes: Array[Byte]): CompactSketch =
-        if (bytes == null)
-          SetOperation.builder().setNominalEntries(1 << lgK).buildUnion().getResult
+        if (bytes == null) emptySketch(lgK)
         else BufSerde.de[ThetaBuf](bytes).result
-      val (sa, sb) = (sk(ba), sk(bb))
-      val union = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-      union.union(sa); union.union(sb)
-      val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
-      inter.intersect(sa); inter.intersect(sb)
-      def est(s: CompactSketch): Long = Math.round(s.getEstimate)
-      (seg, est(sa), est(sb), est(union.getResult), est(inter.getResult),
-        est(SetOperation.builder().buildANotB().aNotB(sa, sb)),
-        est(SetOperation.builder().buildANotB().aNotB(sb, sa)))
+      val (nA, nB, nU, nI, nAB, nBA) = thetaAlgebra(sk(ba), sk(bb), lgK)
+      (if (seg == sentinel) null else seg, nA, nB, nU, nI, nAB, nBA)
     }.toDF("seg", "n_a", "n_b", "n_union", "n_intersect",
       "n_a_not_b", "n_b_not_a")
   }
 
   /** Per-segment FrequentItems partials as a (seg, sk) frame — the
     * TOP_K family's persistable form, completing the trio with
-    * [[thetaPartials]] and [[kllPartials]]. */
+    * [[thetaPartials]] and [[kllPartials]]. A NULL item counts under
+    * the reference's `"null"` key ([[graft.agg.SketchAggregators.NullString]])
+    * instead of silently vanishing — null items are data, and dropping
+    * them would diverge from any GROUP BY twin that keeps the NULL
+    * group. */
   def freqPartials(df: DataFrame, segCol: String, itemCol: String,
                    maxMapSize: Int = 1024): DataFrame = {
     val agg = udaf(new graft.agg.FreqItemsPartialAgg(maxMapSize), Encoders.STRING)
     df.groupBy(col(segCol).as("seg"))
-      .agg(agg(col(itemCol).cast("string")).as("sk"))
+      .agg(agg(coalesce(col(itemCol).cast("string"),
+        lit(graft.agg.SketchAggregators.NullString))).as("sk"))
   }
 
   /** Merge any union of [[freqPartials]] tables into per-segment top-k

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** THE canonical-text normalization for exact dedup: lowercase, strip
+    * everything but [a-z0-9 ], collapse runs of spaces, trim. One
+    * definition — the canonical-dedup entry and both curation pipelines
+    * ride it, and their SQL oracles restate exactly this recipe
+    * (regexp_replace 'g' twice + trim). Change it here and in those
+    * oracles together or the hash compare will say so. */
+  def canonText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Distinct word n-grams ("shingles") of whitespace-tokenized `text`,
     * space-joined, as a composable expression: n shifted `slice`s folded
     * with `zip_with(concat)` — n array copies per document total, instead

@@ -112,4 +112,60 @@ class SketchSetOpsSpec extends SparkTestBase {
     assert(got("a") === ((60L, 60L, 100L, 20L, 40L, 40L)))
     assert(got("b") === ((10L, 0L, 10L, 0L, 10L, 0L)))
   }
+
+  test("overlapFromPartials: NULL segments merge into ONE row; int segs cast, not crash") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    // null seg on BOTH sides — a raw full-outer join would leave two
+    // unmatched null rows; the operator must emit one merged row
+    val h1 = Seq((Option.empty[String], "x"), (Option.empty[String], "y"),
+      (Some("a"), "p")).toDF("seg0", "id")
+    val h2 = Seq((Option.empty[String], "y"), (Option.empty[String], "z"))
+      .toDF("seg0", "id")
+    val pa = SketchSetOps.thetaPartials(h1, "seg0", Seq("id"), lgK = 12)
+    val pb = SketchSetOps.thetaPartials(h2, "seg0", Seq("id"), lgK = 12)
+    val rows = SketchSetOps.overlapFromPartials(pa, pb, lgK = 12)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size === 2)
+    assert(rows(None) === ((2L, 2L, 3L, 1L)), s"null segs must merge: $rows")
+    assert(rows(Some("a")) === ((1L, 0L, 1L, 0L)))
+    // integer segment keys: the shared (seg, sk) contract must accept
+    // them (cast to string), matching mergedDistinct
+    val ia = SketchSetOps.thetaPartials(
+      Seq((7, "x"), (7, "y")).toDF("seg0", "id"), "seg0", Seq("id"), lgK = 12)
+    val ib = SketchSetOps.thetaPartials(
+      Seq((7, "y")).toDF("seg0", "id"), "seg0", Seq("id"), lgK = 12)
+    val irow = SketchSetOps.overlapFromPartials(ia, ib, lgK = 12).collect()(0)
+    assert(irow.getString(0) === "7" && irow.getLong(4) === 1L)
+  }
+
+  test("mergedQuantiles: a dead segment (all-null values) keeps a marker row") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    val vals = Seq(("live", Some(10L)), ("live", Some(20L)),
+      ("dead", Option.empty[Long])).toDF("seg0", "v")
+    val parts = SketchSetOps.kllPartials(vals, "seg0", "v", k = 256)
+    val got = SketchSetOps.mergedQuantiles(parts, Seq(0.5), k = 256)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got("live") === ((Some(0.5), Some(10.0))))
+    // the dead segment stays VISIBLE as (seg, NULL, NULL), never dropped
+    assert(got("dead") === ((None, None)), got.toString)
+  }
+
+  test("freqPartials: null items count under the reference 'null' key") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SketchSetOps
+    val items = Seq(("a", Some("x")), ("a", Option.empty[String]),
+      ("a", Option.empty[String])).toDF("seg0", "item")
+    val got = SketchSetOps.mergedTopK(
+        SketchSetOps.freqPartials(items, "seg0", "item", maxMapSize = 64),
+        k = 2, maxMapSize = 64)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("null", 2L), ("x", 1L)))
+  }
 }
