@@ -1401,6 +1401,41 @@ object SparkEntry {
         .orderBy(col("seg"), col("count").desc, col("key"))
     }),
 
+    // Incremental distinct counts from PERSISTED HLL sketches — the
+    // fourth persistable family (theta/KLL/FreqItems/HLL), this one
+    // riding Spark's NATIVE hll_sketch_agg/hll_union_agg (codegen'd,
+    // no udaf round-trip). Even orders sketch to parquet BINARY, odd
+    // orders sketch fresh, the read path merges bytes — history is
+    // never re-scanned. HLL has no exact regime (unlike theta), so the
+    // entry is GATED: the merged estimate must land within 2% of the
+    // exact per-segment NDV (lgK=16 ⇒ RSE≈0.4%; deterministic — the
+    // DataSketches hash is unseeded) or the plan FAILS via
+    // assert_true. The emitted rows are the exact counts.
+    "q_sketch_hll_persist" -> ((s, dir) => {
+      import graft.operators.SketchSetOps
+      val o = rd(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_custkey"))
+      val tmp = scratch("sketch_hpersist")
+      SketchSetOps.hllPartials(o.filter(col("o_orderkey") % 2 === 0),
+          "o_orderpriority", Seq("o_custkey"), lgK = 16)
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val fresh = SketchSetOps.hllPartials(o.filter(col("o_orderkey") % 2 =!= 0),
+        "o_orderpriority", Seq("o_custkey"), lgK = 16)
+      val est = SketchSetOps.mergedHllDistinct(stored.unionByName(fresh))
+      val exact = o.groupBy(col("o_orderpriority").as("seg"))
+        .agg(countDistinct(col("o_custkey")).as("n_distinct"))
+      exact.join(est, Seq("seg"))
+        .filter(assert_true(
+          abs(col("n_est") - col("n_distinct")) <=
+            greatest(lit(1L), col("n_distinct") * 2 / 100),
+          concat(lit("HLL estimate "), col("n_est"), lit(" off exact "),
+            col("n_distinct"), lit(" by >2% for segment "),
+            col("seg"))).isNull)
+        .select(col("seg"), col("n_distinct"))
+        .orderBy("seg")
+    }),
+
     // Leakage-aware train/test split: deterministic hash split, then every
     // TEST doc is probed against the TRAIN MinHash band index — the
     // "no near-dup crosses the split" audit an eval pipeline must run.
@@ -1952,6 +1987,27 @@ object SparkEntry {
     "q_embed_quant" -> ((s, dir) =>
       Similarity.quantizeInt8(rd(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")),
+
+    // Per-DIMENSION min-max feature scaling, fit + transform: the fit
+    // is one dim-bounded aggregate; the transform is narrow per-row
+    // work against LITERAL fit arrays (no join, no shuffle — the
+    // collect-then-literal shape a 100 TB normalize pass wants, bounded
+    // by dimensionality). Emitted as the per-dim fit row plus a corpus
+    // checksum of every scaled coordinate — trunc(sx·1e9) summed as
+    // BIGINT (order-independent, cross-engine-exact) — so the oracle
+    // pins the full transform without exploding dims into output rows.
+    "q_embed_scale" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val fit = Similarity.dimMinMax(emb, "vec_id", "embedding")
+      val sums = Similarity.minMaxScale(emb, "vec_id", "embedding", fit)
+        .select(posexplode(col("scaled")).as(Seq("pos", "sx")))
+        .groupBy("pos")
+        .agg(sum((col("sx") * lit(1e9)).cast("long")).as("ssum"))
+      fit.join(sums, Seq("pos"))
+        .select(col("pos").cast("long").as("pos"), col("vmin"),
+          col("vmax"), col("n"), col("ssum"))
+        .orderBy("pos")
+    }),
 
     // Referential-integrity audit across the docs <-> embeddings link:
     // orphan counts both directions plus the matched count — two
@@ -3444,6 +3500,10 @@ object SparkEntry {
         |  FROM c)
         |SELECT seg, key, count FROM r WHERE rn <= 5
         |ORDER BY seg, count DESC, key""".stripMargin.replace("\n", " "),
+    "q_sketch_hll_persist" ->
+      """SELECT o_orderpriority AS seg,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_clean_split" ->
       """WITH s AS (SELECT doc_id, text,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' THEN 'val'
@@ -3781,6 +3841,20 @@ object SparkEntry {
         |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS qsum,
         |  CAST(list_min(qv) AS BIGINT) AS qmin, CAST(list_max(qv) AS BIGINT) AS qmax
         |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "),
+    "q_embed_scale" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |e AS (SELECT vec_id, i - 1 AS pos, ev[i] AS x
+        |  FROM v, UNNEST(range(1, len(ev) + 1)) AS t(i)),
+        |f AS (SELECT pos, min(x) AS vmin, max(x) AS vmax,
+        |  CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |sx AS (SELECT e.pos,
+        |  CASE WHEN f.vmax = f.vmin THEN CAST(0 AS DOUBLE)
+        |       ELSE (e.x - f.vmin) / (f.vmax - f.vmin) END AS s
+        |  FROM e JOIN f USING (pos))
+        |SELECT CAST(f.pos AS BIGINT) AS pos, f.vmin, f.vmax, f.n,
+        |  CAST(sum(CAST(trunc(s * 1e9) AS BIGINT)) AS BIGINT) AS ssum
+        |FROM sx JOIN f USING (pos)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_integrity" ->
       """SELECT
         |  (SELECT count(*) FROM documents) AS n_docs,

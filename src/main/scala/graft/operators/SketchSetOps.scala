@@ -200,4 +200,34 @@ object SketchSetOps {
       .select(col("seg"), explode(col("rows")).as("r"))
       .select(col("seg"), col("r.key").as("key"), col("r.count").as("count"))
   }
+
+  /** Per-segment HLL partials as a (seg, sk) frame — the fourth
+    * persistable sketch family, this one riding Spark's NATIVE
+    * `hll_sketch_agg` (DataSketches HLL_4 under the hood, fully
+    * codegen'd — no udaf round-trip like the theta/KLL/FreqItems
+    * siblings need). HLL unions losslessly but supports no
+    * intersection/A-not-B — when set algebra is needed, use
+    * [[thetaPartials]]; when only incremental distinct counts are, HLL
+    * is ~4× smaller per segment at the same accuracy. One scan + one
+    * shuffle; each row is O(2^lgK · 4 bits). */
+  def hllPartials(df: DataFrame, segCol: String, fields: Seq[String],
+                  lgK: Int = 16): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"hll lgK must be in [4, 21], got $lgK")
+    df.groupBy(col(segCol).as("seg"))
+      .agg(hll_sketch_agg(QueryCompiler.compositeKey(df, fields), lit(lgK))
+        .as("sk"))
+  }
+
+  /** Merge any union of [[hllPartials]] tables (several snapshots of
+    * the same segments) into per-segment distinct estimates — the HLL
+    * twin of [[mergedDistinct]]: history merges as KBs of sketch bytes,
+    * never re-scanned. Distributed: one shuffle on `seg`, map-side
+    * partial unions. Estimates are HLL-approximate at EVERY cardinality
+    * (unlike theta there is no exact regime), so callers that need a
+    * hash-stable answer must gate the estimate against an exact twin —
+    * see the `q_sketch_hll_persist` entry. */
+  def mergedHllDistinct(parts: DataFrame): DataFrame =
+    parts.groupBy("seg")
+      .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
+        .cast("long").as("n_est"))
 }

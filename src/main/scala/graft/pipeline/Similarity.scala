@@ -752,4 +752,57 @@ object Similarity {
       aggregate(q, lit(0L), _ + _).as("qsum"),
       array_min(q).as("qmin"), array_max(q).as("qmax"))
   }
+
+  /**
+   * Per-DIMENSION min-max fit over the whole corpus: (pos, vmin, vmax,
+   * n) for each embedding coordinate — the fit half of the classic
+   * fit/transform feature-scaling pair (per-vector scaling is
+   * [[quantizeInt8]]; this is per-coordinate across ALL vectors, the
+   * shape a normalization layer or tree model expects). One posexplode
+   * + one agg keyed on at most `dim` groups — a single map-side-combined
+   * shuffle whose reduce side is bounded by dimensionality, not corpus
+   * size. Ragged corpora are visible in `n` rather than masked.
+   */
+  def dimMinMax(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(posexplode(asD(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"),
+        count(lit(1)).as("n"))
+
+  /**
+   * The transform half: scale every coordinate to [0, 1] by the fitted
+   * per-dimension (vmin, vmax). The fit is collected to LITERAL arrays
+   * (bounded by `maxDim` rows — dimensionality, never corpus size) so
+   * the transform is pure narrow per-row work: no join, no shuffle, no
+   * broadcast table — the 100 TB read path scans once and writes. A
+   * constant dimension (vmax = vmin) maps to 0.0 rather than dividing
+   * by zero; a coordinate beyond the fitted dims (ragged row) maps to
+   * NULL loudly rather than a silent 0. Output: (idCol, scaled).
+   */
+  def minMaxScale(df: DataFrame, idCol: String, vecCol: String,
+                  fit: DataFrame, maxDim: Int = 4096): DataFrame = {
+    val rows = fit.select(col("pos").cast("int"), col("vmin").cast("double"),
+        col("vmax").cast("double"))
+      .collect() // bounded: one row per embedding dimension (<= maxDim)
+    require(rows.length <= maxDim,
+      s"minMaxScale fit has ${rows.length} dims > maxDim=$maxDim — " +
+        "this collect is bounded by dimensionality; a frame this wide " +
+        "is not an embedding fit")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = Array.fill(dim)(Double.NaN)
+    val ranges = Array.fill(dim)(Double.NaN)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      ranges(r.getInt(0)) = r.getDouble(2) - r.getDouble(1)
+    }
+    val minL = lit(mins)
+    val rngL = lit(ranges)
+    val scaled = transform(asD(col(vecCol)), (x, i) => {
+      val m = element_at(minL, i + 1)
+      val r = element_at(rngL, i + 1)
+      when(i >= dim, lit(null).cast("double"))
+        .otherwise(when(r === 0.0, 0.0).otherwise((x - m) / r))
+    })
+    df.select(col(idCol), scaled.as("scaled"))
+  }
 }

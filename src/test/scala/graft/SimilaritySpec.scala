@@ -295,4 +295,51 @@ class SimilaritySpec extends SparkTestBase {
     // and the centroids separate the three planted value bands
     assert(eu.map(_.head).distinct.length === 3)
   }
+
+  test("dimMinMax + minMaxScale: corpus scaled to [0,1], constant dim to 0.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f, 7.0f)),
+      (2L, Seq(10.0f, 5.0f, 3.0f)),
+      (3L, Seq(5.0f, 5.0f, 11.0f))).toDF("vec_id", "embedding")
+    val fit = Similarity.dimMinMax(df, "vec_id", "embedding")
+    val f = fit.collect().map(r => r.getInt(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(f(0) === ((0.0, 10.0, 3L)))
+    assert(f(1) === ((5.0, 5.0, 3L))) // constant dimension
+    assert(f(2) === ((3.0, 11.0, 3L)))
+    val got = Similarity.minMaxScale(df, "vec_id", "embedding", fit)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toSeq).toMap
+    assert(got(1L) === Seq(0.0, 0.0, 0.5))
+    assert(got(2L) === Seq(1.0, 0.0, 0.0))
+    assert(got(3L) === Seq(0.5, 0.0, 1.0))
+  }
+
+  test("minMaxScale: a ragged coordinate beyond the fit maps to NULL, not 0") {
+    val s = spark
+    import s.implicits._
+    val fitDf = Seq((1L, Seq(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val fit = Similarity.dimMinMax(
+      Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(4.0f, 2.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val ragged = Seq((9L, Seq(2.0f, 1.0f, 99.0f))).toDF("vec_id", "embedding")
+    val row = Similarity.minMaxScale(ragged, "vec_id", "embedding", fit)
+      .collect()(0)
+    val xs = row.getSeq[Any](1)
+    assert(xs(0) === 0.5 && xs(1) === 0.5)
+    assert(xs(2) === null, "coordinate beyond fitted dims must be NULL")
+  }
+
+  test("minMaxScale: a fit wider than maxDim is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val wide = (0 until 10).map(i => (i, 0.0, 1.0)).toDF("pos", "vmin", "vmax")
+    val df = Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.minMaxScale(df, "vec_id", "embedding", wide, maxDim = 4)
+    }
+    assert(e.getMessage.contains("maxDim"))
+  }
 }

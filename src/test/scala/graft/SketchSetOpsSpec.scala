@@ -168,4 +168,29 @@ class SketchSetOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(1), r.getLong(2)))
     assert(got.toSeq === Seq(("null", 2L), ("x", 1L)))
   }
+
+  test("hllPartials persist to parquet and re-merge within 2% of exact") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 3000).map(i => ("seg", i.toLong)).toDF("seg0", "k")
+    val b = (1500 until 5000).map(i => ("seg", i.toLong)).toDF("seg0", "k")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_test").toString
+    SketchSetOps.hllPartials(a, "seg0", Seq("k"), lgK = 14)
+      .write.mode("overwrite").parquet(tmp)
+    val merged = SketchSetOps.mergedHllDistinct(
+      s.read.parquet(tmp).unionByName(
+        SketchSetOps.hllPartials(b, "seg0", Seq("k"), lgK = 14)))
+    val est = merged.collect()(0).getLong(1)
+    assert(math.abs(est - 5000L) <= 100L, s"estimate $est vs exact 5000")
+  }
+
+  test("hllPartials: lgK outside [4, 21] is rejected loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L)).toDF("seg0", "k")
+    val e = intercept[IllegalArgumentException] {
+      SketchSetOps.hllPartials(df, "seg0", Seq("k"), lgK = 25)
+    }
+    assert(e.getMessage.contains("lgK"))
+  }
 }
