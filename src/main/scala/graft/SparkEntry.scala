@@ -1732,6 +1732,31 @@ object SparkEntry {
         bucketWidth = 0.1).orderBy("l_orderkey", "p_partkey", "unit")
     }),
 
+    // Interval×interval OVERLAP join: shipping windows (shipdate +
+    // quantity days) × order fulfillment windows (orderdate + 30d) as a
+    // bucket equi-join with exactly-once pair emission (only the bucket
+    // holding the later start emits) — never a nested-loop join, no
+    // distinct pass. Day arithmetic is integer-exact on both engines.
+    "q_interval_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val a = rd(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("line"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+            .as("a_lo"),
+          (datediff(col("l_shipdate").cast("date"), epoch).cast("long") +
+            col("l_quantity").cast("long")).as("a_hi"))
+      val b = rd(s, dir, "orders").filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").as("order2"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long")
+            .as("b_lo"),
+          (datediff(col("o_orderdate").cast("date"), epoch).cast("long") +
+            lit(30L)).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", bucketWidth = 32)
+        .orderBy("l_orderkey", "line", "order2")
+    }),
+
     // Stopword-marker language ID with CJK detection.
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
@@ -3710,6 +3735,21 @@ object SparkEntry {
         |  AND l_extendedprice / l_quantity >= p_retailprice - 0.05
         |  AND l_extendedprice / l_quantity <= p_retailprice + 0.05
         |ORDER BY l_orderkey, p_partkey, unit""".stripMargin.replace("\n", " "),
+    "q_interval_join" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_lo,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      + CAST(trunc(l_quantity) AS BIGINT) AS BIGINT) AS a_hi
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS order2,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b_lo,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 30 AS BIGINT) AS b_hi
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT a.l_orderkey, a.line, a.a_lo, a.a_hi, b.order2, b.b_lo, b.b_hi
+        |FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+        |ORDER BY a.l_orderkey, a.line, b.order2""".stripMargin.replace("\n", " "),
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL AND text <> ''),

@@ -68,4 +68,45 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /**
+   * Interval×interval OVERLAP join: every (a, b) pair whose closed
+   * intervals `[aLo, aHi]` and `[bLo, bHi]` intersect, as an equi-join
+   * on the same domain buckets — never a nested-loop join. Both sides
+   * explode to the buckets they cover; overlapping intervals are
+   * guaranteed to share the bucket containing `max(aLo, bLo)` (the
+   * later start lies inside both intervals), and the pair is emitted
+   * ONLY from that bucket — exactly-once by construction, no distinct
+   * pass. Output: every `a` column + every `b` column (names must not
+   * collide). Degenerate intervals (`hi < lo`) and null endpoints
+   * match nothing. Each side carries the same explode-factor guard as
+   * [[pointInInterval]], in double arithmetic so sentinel endpoints
+   * (±Infinity, 1e300) fail loudly instead of wrapping a long index.
+   */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+                      b: DataFrame, bLo: String, bHi: String,
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    def binned(df: DataFrame, loCol: String, hiCol: String): DataFrame =
+      df.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+          col(hiCol) >= col(loCol))
+        .withColumn("__len", (col(hiCol) - col(loCol)) / bucketWidth)
+        .filter(assert_true(col("__len") < maxBucketsPerInterval,
+          concat(lit("interval spans ~"), col("__len"),
+            lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval: " +
+              "raise bucketWidth (or the cap) — a domain-spanning interval " +
+              "explodes the bucket join"))).isNull)
+        .withColumn("__bucket", explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
+        .drop("__len")
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), "__bucket")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      // exactly-once: only the bucket holding the later start emits
+      .filter(col("__bucket") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

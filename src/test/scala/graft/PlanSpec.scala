@@ -48,6 +48,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Broadcast"), p.take(800))
   }
 
+  test("q_interval_join: bucket equi-join, never a nested-loop join") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("no cartesian products anywhere in the fuzzy-dedup plans") {
     Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
         "q_dedup_incremental").foreach { q =>

@@ -81,4 +81,65 @@ class RangeJoinSpec extends SparkTestBase {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")), msgs(ex).mkString("; "))
   }
+
+  test("intervalOverlap agrees with the naive non-equi join, multiplicity included") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val as = (1 to 120).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (i.toLong, lo, lo + rnd.nextDouble() * 8)
+    }.toDF("aid", "a_lo", "a_hi")
+    val bs = (1 to 90).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (i.toLong, lo, lo + rnd.nextDouble() * 8)
+    }.toDF("bid", "b_lo", "b_hi")
+    val fast = RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+        bucketWidth = 4.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = as.join(bs, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: compare as SORTED SEQS, not sets — a duplicate emission
+    // from two shared buckets would survive a set comparison
+    assert(fast.sorted.toSeq === naive.sorted.toSeq)
+    assert(fast.nonEmpty)
+  }
+
+  test("intervalOverlap: wide overlap spanning many shared buckets emits exactly once") {
+    val s = spark
+    import s.implicits._
+    val as = Seq((1L, 0.0, 50.0)).toDF("aid", "a_lo", "a_hi")
+    val bs = Seq((2L, 10.0, 60.0)).toDF("bid", "b_lo", "b_hi")
+    val rows = RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+      bucketWidth = 1.0).collect()
+    assert(rows.length === 1)
+  }
+
+  test("intervalOverlap: touching endpoints match (closed), disjoint and degenerate do not") {
+    val s = spark
+    import s.implicits._
+    val as = Seq((1L, 0.0, 10.0), (2L, 20.0, 19.0)).toDF("aid", "a_lo", "a_hi")
+    val bs = Seq((3L, 10.0, 15.0), (4L, 10.1, 15.0),
+      (5L, 19.0, 21.0)).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+        bucketWidth = 5.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a1 touches b3 at 10.0 exactly; a2 is degenerate (hi < lo) and
+    // matches nothing even though b5 covers its range
+    assert(got === Set((1L, 3L)))
+  }
+
+  test("intervalOverlap: the bucket-span guard trips on either side") {
+    val s = spark
+    import s.implicits._
+    val as = Seq((1L, 0.0, 5.0)).toDF("aid", "a_lo", "a_hi")
+    val bs = Seq((2L, 0.0, 1e9)).toDF("bid", "b_lo", "b_hi")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+        bucketWidth = 1.0, maxBucketsPerInterval = 100).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")), msgs(ex).mkString("; "))
+  }
 }
