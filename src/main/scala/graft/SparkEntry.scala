@@ -2527,6 +2527,18 @@ object SparkEntry {
           rd(s, dir, "documents"), "doc_id", "text", minDot = 300L)
         .orderBy("id1", "id2")),
 
+    // Positional phrase search from the inverted index: postings are
+    // FILTERED to the phrase words before anything joins, then
+    // |phrase|-1 skew-free equi-joins on (doc, anchor-adjusted
+    // position). Overlapping and repeated-word phrases count once per
+    // start on both engines by construction (RetrievalSpec pins those);
+    // the entry phrase occurs at every SF.
+    "q_phrase_search" -> ((s, dir) =>
+      graft.pipeline.Retrieval.phraseSearch(rd(s, dir, "documents"),
+          "doc_id", "text", Seq("query", "big", "part"))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
+        .orderBy("doc_id", "wpos")),
+
     // Round-9 curation pipeline, end to end: canonical dedup keeps one
     // doc per normalized text, the survivors route to 8 STABLE shards
     // via rendezvous hashing (corpus growth never moves a doc — the
@@ -2897,6 +2909,31 @@ object SparkEntry {
           datediff(lit("1995-03-01"), lit("1970-01-01")).cast("long"),
           datediff(lit("1995-05-31"), lit("1970-01-01")).cast("long"))
         .orderBy("bucket")
+    }),
+
+    // Small-files compaction, measured end to end: documents scattered
+    // into a 64-file mess, the planner decides ceil(totalBytes/target)
+    // output files from MEASURED bytes, the rewrite range-clusters on
+    // doc_id (compaction is where clustering is cheapest — the data is
+    // being rewritten anyway). GATED in two directions: the compacted
+    // layout must hit exactly the planned file count (require), and the
+    // oracle pins per-lang count + chars + id-sum over the compacted
+    // copy — a dropped or duplicated row during the rewrite breaks it.
+    "q_compaction" -> ((s, dir) => {
+      import graft.operators.Compaction
+      val tmpIn = scratch("compact_in")
+      val tmpOut = scratch("compact_out")
+      rd(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(tmpIn)
+      val planned = Compaction.compact(s, tmpIn, tmpOut, "doc_id",
+        targetBytes = 256L * 1024)
+      val (nf, _, _, _, nSmallIn) = Compaction.layoutStats(s, tmpOut, 1L)
+      require(nf == planned, s"compacted to $nf files, planned $planned")
+      require(nSmallIn == 0, "zero-byte output file")
+      s.read.parquet(tmpOut).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
     }),
   )
 
@@ -4249,6 +4286,15 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, dot FROM p WHERE dot >= 300
         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS wpos
+        |  FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i)
+        |  WHERE ws[CAST(i AS INT)] = 'query'
+        |    AND ws[CAST(i + 1 AS INT)] = 'big'
+        |    AND ws[CAST(i + 2 AS INT)] = 'part')
+        |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
     "q_pipeline_curation3" ->
       """WITH surv AS (
         |  SELECT min(doc_id) AS doc_id
@@ -4521,6 +4567,11 @@ object SparkEntry {
         |    OR v_min > date_diff('day', DATE '1970-01-01', DATE '1995-05-31')
         |    THEN 0 ELSE n_rows END AS scanned_rows
         |FROM z ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "q_compaction" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
   )
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for

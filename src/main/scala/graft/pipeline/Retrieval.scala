@@ -246,4 +246,36 @@ object Retrieval {
         (col("hdot") + coalesce(col("tdot"), lit(0L))).as("dot"))
       .filter(col("dot") >= minDot)
   }
+
+  /**
+   * Positional phrase search over the inverted index: every occurrence
+   * of the exact word sequence `phrase` as (doc_id, pos) with `pos` the
+   * 0-based word index of the phrase start. The postings frame is
+   * FILTERED to the phrase's words before anything joins — the scan
+   * volume is the phrase words' document frequency, never the corpus's
+   * token count — and each chained join is an equi-join on
+   * (doc, anchor-adjusted position), whose keys are unique per
+   * document position: no skew, no pair explosion, |phrase|−1 shuffles
+   * of filtered postings. Repeated words in the phrase ("batch batch
+   * batch") and overlapping occurrences both fall out of the position
+   * arithmetic naturally.
+   */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    require(phrase.forall(w => w.nonEmpty && !w.contains(" ")),
+      "phrase words must be non-empty single tokens")
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase: _*))
+    val base = toks.filter(col("w") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
+      val t = toks.filter(col("w") === w)
+        .select(col("doc_id").as("__d"), (col("pos") - i).as("__p"))
+      acc.join(t, col("doc_id") === col("__d") && col("pos") === col("__p"))
+        .select(col("doc_id"), col("pos"))
+    }
+  }
 }

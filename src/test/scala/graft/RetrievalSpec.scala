@@ -133,4 +133,34 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === naiveDots(1L))
   }
+
+  test("phraseSearch: exact sequence, overlapping repeats, filtered postings") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),          // "a b c" at word 0 and 3
+      (2L, "x x x x"),              // "x x x" overlaps at 0 and 1
+      (3L, "a b b c"),              // no "a b c"
+      (4L, "c b a")).toDF("doc_id", "text")
+    val abc = graft.pipeline.Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(abc === Set((1L, 0), (1L, 3)))
+    val xxx = graft.pipeline.Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("x", "x", "x"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(xxx === Set((2L, 0), (2L, 1)))
+    // single-word phrase degenerates to the postings of that word
+    val b1 = graft.pipeline.Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(b1 === Set((1L, 1), (1L, 4), (3L, 1), (3L, 2), (4L, 1)))
+    // malformed phrases are rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a b"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.phraseSearch(docs, "doc_id", "text", Nil)
+    }
+  }
 }
