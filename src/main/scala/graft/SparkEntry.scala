@@ -1757,6 +1757,24 @@ object SparkEntry {
         .orderBy("l_orderkey", "line", "order2")
     }),
 
+    // Unicode canonicalization at ingest: the ASCII fixture is seeded
+    // with DECOMPOSED graphemes (every 'a' gains a combining acute,
+    // U+0301), then the native unicode_normalize('NFC') recomposes
+    // them — the prerequisite for every exact-dedup hash and join key
+    // on mixed-form text. Emits code-point lengths before/after plus
+    // the normalized text; DuckDB's nfc_normalize is the oracle.
+    "q_unicode_norm" -> ((s, dir) => {
+      val deco = regexp_replace(col("text"), "a", "a\u0301")
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          length(deco).cast("long").as("len_decomposed"),
+          graft.functions.TextFunctions.unicodeNormalize(deco, "NFC")
+            .as("norm"))
+        .select(col("doc_id"), col("len_decomposed"),
+          length(col("norm")).cast("long").as("len_norm"), col("norm"))
+        .orderBy("doc_id")
+    }),
+
     // Stopword-marker language ID with CJK detection.
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(rd(s, dir, "documents"), "doc_id", "text")
@@ -4286,6 +4304,13 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, dot FROM p WHERE dot >= 300
         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_unicode_norm" ->
+      """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS deco
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(deco) AS BIGINT) AS len_decomposed,
+        |  CAST(length(nfc_normalize(deco)) AS BIGINT) AS len_norm,
+        |  nfc_normalize(deco) AS norm
+        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_phrase_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |p AS (

@@ -189,7 +189,19 @@ object TextFunctionHelpers {
     }
     new GenericArrayData(mins)
   }
+
+  /** Unicode normalization of `text` to the given form (NFC/NFD/NFKC/
+    * NFKD) — java.text.Normalizer, the same Unicode data tables DuckDB's
+    * `nfc_normalize` uses. NULL in → NULL out (string-function
+    * convention, unlike the empty-collection conventions above). */
+  def unicodeNormalize(text: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    if (text == null) return null
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, form)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
 }
+
 
 /**
  * Native Catalyst word-shingling: distinct space-joined word n-grams of a
@@ -409,6 +421,39 @@ case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+
+/**
+ * Native Unicode normalization: `unicode_normalize(text, 'NFC')`. Text
+ * arriving at a 100 TB corpus mixes composed and decomposed forms of
+ * the same grapheme ("e\u0301" vs "\u00e9"); every downstream exact-dedup
+ * hash, shingle, and join key silently splits on the difference unless
+ * ingestion canonicalizes. One JVM call per row inside whole-stage
+ * codegen, with a fast path (isNormalized check, no allocation) for the
+ * overwhelmingly-common already-normalized input. NULL → NULL.
+ */
+case class NormalizeUnicode(child: Expression, form: java.text.Normalizer.Form)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextFunctionHelpers.unicodeNormalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextFunctionHelpers.unicodeNormalize(" +
+        s"$c, java.text.Normalizer.Form.${form.name})")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   private[functions] val ident = FunctionIdentifier("word_shingles")
   private[functions] val info = new ExpressionInfo(classOf[WordShingles].getName, "word_shingles")
@@ -442,6 +487,16 @@ object TextFunctions {
       exprs(2).eval().asInstanceOf[Number].intValue())
   }
 
+  private[functions] val normIdent = FunctionIdentifier("unicode_normalize")
+  private[functions] val normInfo =
+    new ExpressionInfo(classOf[NormalizeUnicode].getName, "unicode_normalize")
+  private[functions] val normBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "unicode_normalize takes exactly 2 arguments")
+    require(exprs(1).foldable, "unicode_normalize form must be a literal")
+    NormalizeUnicode(exprs.head, java.text.Normalizer.Form.valueOf(
+      exprs(1).eval().asInstanceOf[UTF8String].toString))
+  }
+
   private[functions] val simhashIdent = FunctionIdentifier("simhash64")
   private[functions] val simhashInfo =
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
@@ -461,6 +516,8 @@ object TextFunctions {
       registry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
     if (!registry.functionExists(minhashIdent))
       registry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
+    if (!registry.functionExists(normIdent))
+      registry.registerFunction(normIdent, normInfo, normBuilder)
   }
 
   // The Column builders construct the native expression nodes DIRECTLY
@@ -489,4 +546,9 @@ object TextFunctions {
   /** `minhash_signature(text, n, numHashes)` as a Column — session-free. */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     nativeCol(MinHashSignature(exprOf(text), n, numHashes))
+
+  /** `unicode_normalize(text, form)` as a Column — session-free. */
+  def unicodeNormalize(text: Column, form: String): Column =
+    nativeCol(NormalizeUnicode(exprOf(text),
+      java.text.Normalizer.Form.valueOf(form)))
 }

@@ -513,4 +513,33 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(got === Map(("p", "q") -> 2L))
   }
+
+  test("unicode_normalize: NFC recomposes, NFD decomposes, null and fast paths hold") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions.unicodeNormalize
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq(
+      (1L, "a\u0301 plain"),        // decomposed a-acute
+      (2L, "\u00e1 plain"),          // already composed (fast path)
+      (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"),
+        unicodeNormalize(col("t"), "NFC").as("nfc"),
+        unicodeNormalize(col("t"), "NFD").as("nfd"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._1 === "\u00e1 plain")
+    assert(got(2L)._1 === "\u00e1 plain")
+    assert(got(1L)._2 === "a\u0301 plain")
+    assert(got(2L)._2 === "a\u0301 plain")
+    assert(got(3L) === ((null, null)))
+    // SQL-name access through the registry
+    graft.functions.TextFunctions.ensure(s)
+    val viaSql = df.selectExpr("unicode_normalize(t, 'NFC') AS n")
+      .collect().map(_.getString(0)).toSet
+    assert(viaSql === Set("\u00e1 plain", null))
+    // NFC canonicalization unifies the exact-dedup key
+    assert(df.filter(col("t").isNotNull)
+      .select(unicodeNormalize(col("t"), "NFC").as("k"))
+      .distinct().count() === 1L)
+  }
 }
