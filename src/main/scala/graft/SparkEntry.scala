@@ -2953,6 +2953,39 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")
     }),
+
+    // Write-Audit-Publish, exercised through its failure path: v1
+    // publishes clean (audits run on the PERSISTED bytes), then a
+    // corrupted second publish (planted duplicate ids) FAILS its audit
+    // — v1 must stay serving, the bad staging must be listed stale and
+    // reclaimed by gc, and the emitted rows come from the PUBLISHED
+    // pointer path, which the oracle pins against the source table.
+    "q_publish" -> ((s, dir) => {
+      import graft.operators.PublishGate
+      val tgt = scratch("publish_tbl")
+      val p = new org.apache.hadoop.fs.Path(tgt)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val good = rd(s, dir, "documents").filter(col("n_chars") > 0)
+      val audits = Seq[(String, DataFrame => Boolean)](
+        "rows_present" -> (d => d.count() > 0),
+        "unique_ids" -> (d =>
+          d.select("doc_id").distinct().count() == d.count()))
+      PublishGate.publish(s, good, tgt, audits)
+      val bad = good.unionByName(good.limit(5))
+      val failed =
+        try { PublishGate.publish(s, bad, tgt, audits); false }
+        catch { case _: IllegalStateException => true }
+      require(failed, "the corrupt publish must fail its audit")
+      require(PublishGate.currentVersion(s, tgt).contains("v1"),
+        "v1 must stay serving after the failed publish")
+      require(PublishGate.staleStaging(s, tgt) == Seq("_staging_v2"),
+        "the failed staging must be visible as stale")
+      require(PublishGate.gcStaging(s, tgt) == Seq("_staging_v2"),
+        "gc must reclaim exactly the failed staging")
+      PublishGate.current(s, tgt).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4597,6 +4630,11 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_publish" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
   )
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for
