@@ -314,6 +314,32 @@ object SparkEntry {
         n = 3, threshold = 0.5).orderBy("new_id", "corpus_id")
     }),
 
+    // Fully SCAN-FREE incremental near-dup: the corpus participates only
+    // as persisted artifacts — the MinHash band index plus the shingle
+    // sets, both written once when each doc first arrived — so the
+    // nightly probe reads two compact parquet tables and never touches
+    // corpus text. Same fixture and same answer as q_dedup_incremental;
+    // what's under test is the artifact round-trip data flow.
+    "q_dedup_index_persist" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val newBatch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val tmpIdx = scratch("dedup_idx")
+      val tmpGrams = scratch("dedup_grams")
+      Dedup.minhashBandIndex(corpus, "doc_id", "text", n = 3)
+        .write.mode("overwrite").parquet(tmpIdx)
+      Dedup.gramSetsFor(corpus, "doc_id", "text", n = 3)
+        .write.mode("overwrite").parquet(tmpGrams)
+      Dedup.lshPairsAgainstStored(newBatch, "doc_id", "text",
+          s.read.parquet(tmpGrams), s.read.parquet(tmpIdx),
+          n = 3, threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // Incremental EXACT dedup (the "don't re-ingest" nightly op): a new
     // batch (docs 300-499 + 50 planted re-ingests of corpus docs)
     // self-dedups by content hash, then anti-joins the corpus hash
@@ -3062,29 +3088,8 @@ object SparkEntry {
         |SELECT keep_id, n_copies FROM sk
         |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id < 300 AND c.text = sk.text)
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
-    "q_dedup_incremental" ->
-      """WITH ctoks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 250
-        |), ntoks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id >= 250
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, string_split(text, ' ') FROM documents WHERE doc_id < 100
-        |), cgrams AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-        |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
-        |), ngrams AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-        |  FROM ntoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
-        |), csz AS (SELECT doc_id, count(*) AS sz FROM cgrams GROUP BY 1
-        |), nsz AS (SELECT doc_id, count(*) AS sz FROM ngrams GROUP BY 1
-        |), inter AS (
-        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS ic
-        |  FROM ngrams n JOIN cgrams c ON n.g = c.g GROUP BY 1, 2
-        |)
-        |SELECT new_id, corpus_id, jaccard FROM (
-        |  SELECT new_id, corpus_id, CAST(ic AS DOUBLE) / (ns.sz + cs.sz - ic) AS jaccard
-        |  FROM inter JOIN nsz ns ON new_id = ns.doc_id JOIN csz cs ON corpus_id = cs.doc_id
-        |) WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
+    "q_dedup_incremental" -> incrLshOracle,
+    "q_dedup_index_persist" -> incrLshOracle,
     "q_dedup_clusters" -> dupClustersOracle,
     "q_dedup_containment" -> containmentOracle,
     "q_dedup_containment_guarded" -> containmentOracle,
@@ -4636,6 +4641,33 @@ object SparkEntry {
         |FROM documents WHERE n_chars > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
   )
+
+  /** Incremental LSH near-dup oracle (exact cross-set Jaccard) — shared
+    * by the fresh-index and persisted-artifact entries, which must agree
+    * exactly. */
+  private val incrLshOracle: String =
+      """WITH ctoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 250
+        |), ntoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, string_split(text, ' ') FROM documents WHERE doc_id < 100
+        |), cgrams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), ngrams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM ntoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)
+        |), csz AS (SELECT doc_id, count(*) AS sz FROM cgrams GROUP BY 1
+        |), nsz AS (SELECT doc_id, count(*) AS sz FROM ngrams GROUP BY 1
+        |), inter AS (
+        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS ic
+        |  FROM ngrams n JOIN cgrams c ON n.g = c.g GROUP BY 1, 2
+        |)
+        |SELECT new_id, corpus_id, jaccard FROM (
+        |  SELECT new_id, corpus_id, CAST(ic AS DOUBLE) / (ns.sz + cs.sz - ic) AS jaccard
+        |  FROM inter JOIN nsz ns ON new_id = ns.doc_id JOIN csz cs ON corpus_id = cs.doc_id
+        |) WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " ")
 
   /** Quartile ranks {0, .25, .5, .75, 1} via percentile_disc — oracle for
     * both the MANUAL (q_dist_quantile) and LINEAR (q_dist_linear) forms. */

@@ -115,6 +115,14 @@ object Dedup {
   private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))
 
+  /** The persistable verify-side artifact for [[lshPairsAgainstStored]]:
+    * (doc_id, grams) shingle sets as a parquet-writable frame. Stored
+    * NEXT TO the band index, it makes incremental near-dup fully
+    * corpus-scan-free — the nightly probe reads two small artifact
+    * tables instead of re-shingling history. */
+  def gramSetsFor(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = gramSets(df, idCol, textCol, n)
+
   /**
    * Exact n-gram Jaccard near-duplicate pairs via an inverted index:
    * explode shingles → self-join on the shingle (co-occurrence counts) →
@@ -385,7 +393,25 @@ object Dedup {
   def lshPairsAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
                            corpus: DataFrame, index: DataFrame,
                            n: Int, threshold: Double,
-                           numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+                           numHashes: Int = 32, bandRows: Int = 2): DataFrame =
+    lshPairsAgainstStored(newDocs, idCol, textCol,
+      gramSets(corpus, idCol, textCol, n), index, n, threshold,
+      numHashes, bandRows)
+
+  /**
+   * As [[lshPairsAgainstIndex]], but the corpus side arrives entirely as
+   * PERSISTED artifacts — the band index and the [[gramSetsFor]] shingle
+   * sets — so the nightly probe never touches corpus text at all: the
+   * only full-text scan is the (small) new batch. This is the fully
+   * incremental production shape at 100 TB — history participates as two
+   * compact parquet tables (4·numHashes/bandRows bytes of bucket rows
+   * and one shingle array per doc), both written once when each doc
+   * first arrived.
+   */
+  def lshPairsAgainstStored(newDocs: DataFrame, idCol: String, textCol: String,
+                            corpusGrams: DataFrame, index: DataFrame,
+                            n: Int, threshold: Double,
+                            numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
     val newBuckets = minhashBandIndex(newDocs, idCol, textCol, n, numHashes, bandRows)
     val cands = newBuckets.as("a")
       .join(index.select(col("doc_id").as("corpus_id"),
@@ -394,7 +420,7 @@ object Dedup {
       .distinct()
     val ng = gramSets(newDocs, idCol, textCol, n)
       .select(col("doc_id").as("new_id"), col("grams").as("g1"))
-    val cg = gramSets(corpus, idCol, textCol, n)
+    val cg = corpusGrams
       .select(col("doc_id").as("corpus_id"), col("grams").as("g2"))
     cands.join(ng, "new_id").join(cg, "corpus_id")
       .select(col("new_id"), col("corpus_id"),

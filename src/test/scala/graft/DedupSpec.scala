@@ -572,4 +572,30 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 3L)) // doc 1 is a verbatim eval leak
   }
+
+  test("lshPairsAgainstStored: persisted artifacts give the identical answer to the fresh index") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val newB = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),  // exact copy of 1
+      (11L, "totally different words here now")).toDF("doc_id", "text")
+    val fresh = Dedup.lshPairsAgainstIndex(newB, "doc_id", "text", corpus,
+        Dedup.minhashBandIndex(corpus, "doc_id", "text", n = 3),
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    Dedup.minhashBandIndex(corpus, "doc_id", "text", n = 3)
+      .write.parquet(s"$dir/idx")
+    Dedup.gramSetsFor(corpus, "doc_id", "text", n = 3)
+      .write.parquet(s"$dir/grams")
+    val stored = Dedup.lshPairsAgainstStored(newB, "doc_id", "text",
+        s.read.parquet(s"$dir/grams"), s.read.parquet(s"$dir/idx"),
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === fresh)
+    assert(stored === Set((10L, 1L)))
+  }
 }
