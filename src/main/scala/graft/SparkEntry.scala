@@ -340,6 +340,28 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // Mergeable fixed-size sample (KMV / bottom-k): the 5 docs per lang
+    // whose md5(id) sorts smallest — deterministic, engine-portable,
+    // and MERGEABLE (bottom-k of a union = bottom-k of the snapshots'
+    // bottom-k's), so each snapshot persists k rows per segment and the
+    // read path re-ranks stored rows without touching history. The
+    // even-doc partial round-trips parquet; the merged answer must
+    // equal the one-shot bottom-k over the full table (the oracle).
+    "q_sample_bottomk_persist" -> ((s, dir) => {
+      import graft.pipeline.Sampling
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val tmp = scratch("bottomk_persist")
+      Sampling.bottomKSample(d.filter(col("doc_id") % 2 === 0),
+          "lang", "doc_id", k = 5)
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val fresh = Sampling.bottomKSample(d.filter(col("doc_id") % 2 =!= 0),
+        "lang", "doc_id", k = 5)
+      Sampling.bottomKSample(stored.unionByName(fresh), "lang", "doc_id",
+          k = 5)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Incremental EXACT dedup (the "don't re-ingest" nightly op): a new
     // batch (docs 300-499 + 50 planted re-ingests of corpus docs)
     // self-dedups by content hash, then anti-joins the corpus hash
@@ -3090,6 +3112,14 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" -> incrLshOracle,
     "q_dedup_index_persist" -> incrLshOracle,
+    "q_sample_bottomk_persist" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin.replace("\n", " "),
     "q_dedup_clusters" -> dupClustersOracle,
     "q_dedup_containment" -> containmentOracle,
     "q_dedup_containment_guarded" -> containmentOracle,

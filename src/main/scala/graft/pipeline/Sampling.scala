@@ -313,4 +313,33 @@ object Sampling {
                                   strideA: Long, strideB: Long): Column =
     pmod(r.cast("decimal(38,0)") * strideA + j.cast("decimal(38,0)") * strideB,
       n.cast("decimal(38,0)")).cast("long")
+
+  /**
+   * Fixed-size deterministic uniform sample per segment — KMV/bottom-k:
+   * the `k` rows whose md5(key) sorts smallest within each segment
+   * (ties broken by key). Two properties make this the SAMPLING member
+   * of the persistable-sketch family:
+   *  - deterministic and engine-portable (md5 order — same convention
+   *    as [[hashSample]]), so the sample is reproducible anywhere;
+   *  - MERGEABLE: the bottom-k of a union is the bottom-k of the
+   *    per-snapshot bottom-k's, so each snapshot persists only its own
+   *    k rows per segment and the read path re-ranks the stored
+   *    union — history is never re-scanned, O(k · segments) rows per
+   *    snapshot.
+   * Unlike [[hashSample]] (a FRACTION whose yield varies with corpus
+   * size) this holds the sample size exactly — the per-segment
+   * eyeball / debugging sample at 100 TB. The rank filter compiles to
+   * WindowGroupLimit (Spark ≥ 3.5): a per-partition bottom-k heap runs
+   * before the per-segment exchange, so shuffled volume is
+   * O(k · partitions) per segment, never the corpus.
+   */
+  def bottomKSample(df: DataFrame, segCol: String, keyCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"bottomKSample k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(segCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

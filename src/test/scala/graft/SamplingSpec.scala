@@ -262,4 +262,31 @@ class SamplingSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
     assert(got.forall(v => v >= 0), "probe rank must be a valid non-negative rank")
   }
+
+  test("bottomKSample: exact size, deterministic, and merge = one-shot") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "seg")
+    val one = Sampling.bottomKSample(df, "seg", "id", k = 7)
+    val sz = one.groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sz === Map("even" -> 7L, "odd" -> 7L))
+    // deterministic across runs
+    val again = Sampling.bottomKSample(df, "seg", "id", k = 7)
+    assert(one.collect().map(_.getLong(0)).sorted.toSeq ===
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    // mergeable: bottom-k of per-half bottom-k's == one-shot bottom-k
+    val a = Sampling.bottomKSample(df.filter(col("id") <= 100), "seg", "id", 7)
+    val b = Sampling.bottomKSample(df.filter(col("id") > 100), "seg", "id", 7)
+    val merged = Sampling.bottomKSample(a.unionByName(b), "seg", "id", 7)
+    assert(merged.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      one.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // a segment smaller than k yields all of it, not a crash
+    val tiny = Sampling.bottomKSample(
+      Seq((1L, "x")).toDF("id", "seg"), "seg", "id", 7)
+    assert(tiny.count() === 1L)
+    intercept[IllegalArgumentException](
+      Sampling.bottomKSample(df, "seg", "id", 0))
+  }
 }
