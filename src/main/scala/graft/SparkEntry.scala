@@ -340,6 +340,28 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // Noisy-label aggregation, the majority half: modal label per item
+    // with deterministic tie-break, vote counts, per-item agreement.
+    // Votes dedupe on (item, annotator, label); the argmax is a
+    // WindowGroupLimit rank.
+    "q_label_vote" -> ((s, dir) =>
+      graft.pipeline.Annotations.majorityVote(
+          rd(s, dir, "events").select((col("event_id") % 200).as("item_id"),
+            col("user_id"), col("event_type")),
+          "item_id", "user_id", "event_type")
+        .orderBy("item")),
+
+    // The trust gate for the label set: chance-corrected agreement in
+    // the PAIRWISE form — every tally an exact BIGINT (agreeing pairs /
+    // total pairs / squared marginals), floats only in three final
+    // divisions on one row, so the statistic is bit-identical across
+    // engines and partitionings.
+    "q_label_kappa" -> ((s, dir) =>
+      graft.pipeline.Annotations.pairwiseKappa(
+          rd(s, dir, "events").select((col("event_id") % 200).as("item_id"),
+            col("user_id"), col("event_type")),
+          "item_id", "user_id", "event_type")),
+
     // Mergeable fixed-size sample (KMV / bottom-k): the 5 docs per lang
     // whose md5(id) sorts smallest — deterministic, engine-portable,
     // and MERGEABLE (bottom-k of a union = bottom-k of the snapshots'
@@ -3112,6 +3134,39 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" -> incrLshOracle,
     "q_dedup_index_persist" -> incrLshOracle,
+    "q_label_vote" ->
+      """WITH v AS (SELECT DISTINCT event_id % 200 AS item, user_id AS annotator,
+        |    event_type AS label FROM events),
+        |c AS (SELECT item, label, count(*) AS n_votes FROM v GROUP BY 1, 2),
+        |t AS (SELECT item, label, n_votes,
+        |    sum(n_votes) OVER (PARTITION BY item) AS n_total,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY n_votes DESC, label) AS rn
+        |  FROM c)
+        |SELECT item, label, CAST(n_votes AS BIGINT) AS n_votes,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(n_votes AS DOUBLE) / n_total AS agreement
+        |FROM t WHERE rn = 1 ORDER BY item""".stripMargin.replace("\n", " "),
+    "q_label_kappa" ->
+      """WITH v AS (SELECT DISTINCT event_id % 200 AS item, user_id AS annotator,
+        |    event_type AS label FROM events),
+        |il AS (SELECT item, label, count(*) AS nil FROM v GROUP BY 1, 2),
+        |pi AS (SELECT item, sum(nil) AS ni, sum(nil * (nil - 1)) AS agree2
+        |  FROM il GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(ni) AS BIGINT) AS n_votes,
+        |    CAST(sum(agree2) / 2 AS BIGINT) AS agree_pairs,
+        |    CAST(sum(ni * (ni - 1)) / 2 AS BIGINT) AS total_pairs FROM pi),
+        |m AS (SELECT CAST(sum(nl * nl) AS BIGINT) AS sq_sum
+        |  FROM (SELECT sum(nil) AS nl FROM il GROUP BY label)),
+        |j AS (SELECT n_items, n_votes, agree_pairs, total_pairs,
+        |    CAST(agree_pairs AS DOUBLE) / total_pairs AS po,
+        |    CAST(sq_sum AS DOUBLE) /
+        |      (CAST(n_votes AS DOUBLE) * CAST(n_votes AS DOUBLE)) AS pe
+        |  FROM t, m)
+        |SELECT n_items, n_votes, agree_pairs, total_pairs, po, pe,
+        |  CASE WHEN pe = 1 THEN NULL ELSE (po - pe) / (1 - pe) END AS kappa
+        |FROM j""".stripMargin.replace("\n", " "),
     "q_sample_bottomk_persist" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

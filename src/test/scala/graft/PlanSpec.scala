@@ -48,6 +48,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Broadcast"), p.take(800))
   }
 
+  test("bottomKSample: rank filter compiles to a pre-shuffle WindowGroupLimit heap") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("id", "seg")
+    val p = graft.pipeline.Sampling.bottomKSample(df, "seg", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("q_interval_join: bucket equi-join, never a nested-loop join") {
     val p = plan("q_interval_join")
     assert(!p.contains("CartesianProduct"), p.take(800))
