@@ -340,6 +340,15 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // k-anonymity audit before a data release: equivalence-class sizes
+    // over the quasi-identifier tuple (nation x market segment), the
+    // headline min-class-size (the dataset's ACTUAL k), rows at risk,
+    // and what survives baseline suppression — one dim-bounded groupBy,
+    // folded to a single row.
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymitySummary(
+        rd(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5)),
+
     // Noisy-label aggregation, the majority half: modal label per item
     // with deterministic tie-break, vote counts, per-item agreement.
     // Votes dedupe on (item, annotator, label); the argmax is a
@@ -3134,6 +3143,16 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" -> incrLshOracle,
     "q_dedup_index_persist" -> incrLshOracle,
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN n < 5 THEN 0 ELSE n END) AS BIGINT) AS rows_after_suppress
+        |FROM c""".stripMargin.replace("\n", " "),
     "q_label_vote" ->
       """WITH v AS (SELECT DISTINCT event_id % 200 AS item, user_id AS annotator,
         |    event_type AS label FROM events),

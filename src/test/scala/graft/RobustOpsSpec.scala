@@ -59,4 +59,35 @@ class RobustOpsSpec extends SparkTestBase {
     // Assert it explicitly so the behavior is pinned, not accidental.
     assert(out.exists(r => r._3 == 10.5 && r._4))
   }
+
+  test("Privacy: audit counts, summary, and suppression agree on a planted fixture") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Privacy
+    // classes: (1,a)x5 safe, (1,b)x2 at risk, (2,a)x1 at risk, null class x3
+    val df = (Seq.fill(5)((Some(1), "a")) ++ Seq.fill(2)((Some(1), "b")) ++
+      Seq((Some(2), "a")) ++ Seq.fill(3)((Option.empty[Int], "a")))
+      .zipWithIndex.map { case ((n, sgm), i) => (i.toLong, n, sgm) }
+      .toDF("id", "nat", "seg")
+    val classes = Privacy.kAnonymityClasses(df, Seq("nat", "seg"), k = 3)
+      .collect().map(r => (Option(r.get(0)), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(classes((Some(1), "a")) === ((5L, false)))
+    assert(classes((Some(1), "b")) === ((2L, true)))
+    assert(classes((Some(2), "a")) === ((1L, true)))
+    // NULL quasi values form ONE class of their own (still linkable)
+    assert(classes((None, "a")) === ((3L, false)))
+    val sRow = Privacy.kAnonymitySummary(df, Seq("nat", "seg"), k = 3).collect()(0)
+    assert(sRow.getLong(0) === 11L, "n_rows")
+    assert(sRow.getLong(1) === 4L, "n_classes")
+    assert(sRow.getLong(2) === 2L, "n_small_classes")
+    assert(sRow.getLong(3) === 3L, "rows_at_risk")
+    assert(sRow.getLong(4) === 1L, "min_class_size")
+    assert(sRow.getLong(5) === 8L, "rows_after_suppress")
+    val kept = Privacy.suppress(df, Seq("nat", "seg"), k = 3)
+    assert(kept.count() === 8L)
+    assert(kept.filter(col("nat") === 2).count() === 0L)
+    intercept[IllegalArgumentException](Privacy.suppress(df, Nil, 3))
+    intercept[IllegalArgumentException](Privacy.suppress(df, Seq("nat"), 1))
+  }
 }
