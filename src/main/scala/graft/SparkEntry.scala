@@ -340,6 +340,19 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // Recency-weighted scoring with EXACT fixed-point decay: per event
+    // type, sum(cents · 2^(20−k)) where k = whole 30-day half-lives
+    // back from the newest event — no float pow, no libm/summation
+    // drift, so a decayed leaderboard is hash-checkable. One global
+    // max-ts row broadcast back, one groupBy.
+    "q_decayed_score" -> ((s, dir) => {
+      val ev = rd(s, dir, "events").select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.TimeSeries.decayedSum(ev, "event_type", "ts", "cents",
+          halfLifeNanos = 30L * 86400L * 1000000000L)
+        .orderBy("event_type")
+    }),
+
     // k-anonymity audit before a data release: equivalence-class sizes
     // over the quasi-identifier tuple (nation x market segment), the
     // headline min-class-size (the dataset's ACTUAL k), rows at risk,
@@ -3143,6 +3156,16 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" -> incrLshOracle,
     "q_dedup_index_persist" -> incrLshOracle,
+    "q_decayed_score" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) * 1000 AS tsn,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT max(tsn) AS tmax FROM e),
+        |k AS (SELECT event_type, cents,
+        |    least((tmax - tsn) // 2592000000000000, 20) AS kk FROM e, m)
+        |SELECT event_type,
+        |  CAST(sum(cents * (1 << CAST(20 - kk AS INT))) AS BIGINT) AS decayed_fp,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(-20 AS INT) AS fp_unit_log2
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_k_anonymity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |  FROM customer GROUP BY 1, 2)

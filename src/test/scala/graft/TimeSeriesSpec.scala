@@ -115,4 +115,36 @@ class TimeSeriesSpec extends SparkTestBase {
       assert(flagged.toSeq === Seq((1L, 12L, 10L, 12L, 12L)))
     } finally q.stop()
   }
+
+  test("decayedSum: hand-computed fixed-point weights, cap, and guards") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TimeSeries
+    val hl = 100L // half-life in "nanos" for the toy clock
+    // key a: ages 0, 1, 2 half-lives with value 10 each
+    //   -> 10*2^20 + 10*2^19 + 10*2^18 = 10 * (2^20 + 2^19 + 2^18)
+    // key b: age far beyond maxK -> weight exactly 1
+    val df = Seq(
+      ("a", 1000L, 10L), ("a", 900L, 10L), ("a", 800L, 10L),
+      ("b", 1000L - 100L * 50, 7L)).toDF("k", "ts", "v")
+    val got = TimeSeries.decayedSum(df, "k", "ts", "v", hl, maxK = 20)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p20 = 1L << 20
+    assert(got("a") === ((10L * (p20 + p20 / 2 + p20 / 4), 3L)))
+    assert(got("b") === ((7L, 1L)), "beyond maxK half-lives the weight is 1")
+    // non-integral value column rejected loudly
+    val bad = Seq(("a", 1000L, 1.5)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.decayedSum(bad, "k", "ts", "v", hl)
+    }
+    assert(e.getMessage.contains("INTEGRAL"))
+    // overflow guard trips in-plan on an oversized value
+    val big = Seq(("a", 1000L, 2000000L)).toDF("k", "ts", "v")
+    val e2 = intercept[Exception] {
+      TimeSeries.decayedSum(big, "k", "ts", "v", hl).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e2).exists(_.contains("maxAbsValue")), msgs(e2).mkString(";"))
+  }
 }
