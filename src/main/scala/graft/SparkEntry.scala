@@ -340,6 +340,15 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // Cross-source score calibration: per-source percentile rank of the
+    // quality proxy, so no source's scorer dominates a global threshold.
+    // (rank−1)/(n−1) — two integers, one division, engine-exact; ties
+    // share a rank.
+    "q_score_calibrate" -> ((s, dir) =>
+      TextAnalysis.calibrateScores(
+          rd(s, dir, "documents"), "doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Recency-weighted scoring with EXACT fixed-point decay: per event
     // type, sum(cents · 2^(20−k)) where k = whole 30-day half-lives
     // back from the newest event — no float pow, no libm/summation
@@ -3156,6 +3165,10 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" -> incrLshOracle,
     "q_dedup_index_persist" -> incrLshOracle,
+    "q_score_calibrate" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS calibrated
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_decayed_score" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) * 1000 AS tsn,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

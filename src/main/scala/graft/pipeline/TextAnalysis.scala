@@ -798,4 +798,23 @@ object TextAnalysis {
     d.join(broadcast(kept), Seq("source"), "left_semi")
       .select(col("doc_id"), col("source"))
   }
+
+  /**
+   * Cross-source score calibration: replace each document's raw quality
+   * score with its PERCENTILE RANK within its source, so a source whose
+   * scorer runs hot (or cold) stops dominating a mixed-corpus threshold
+   * — the step between per-source scoring and any global quality cut.
+   * `percent_rank = (rank − 1) / (n − 1)` is a rational of two integers
+   * with one final division (engine-exact); ties share a rank (same
+   * score ⇒ same calibrated value — deterministic regardless of row
+   * order), and a single-doc source calibrates to 0.0 by convention.
+   * One window shuffle on the source key.
+   */
+  def calibrateScores(df: DataFrame, idCol: String, sourceCol: String,
+                      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(scoreCol))
+    df.select(col(idCol), col(sourceCol), col(scoreCol))
+      .withColumn("calibrated", percent_rank().over(w))
+  }
 }

@@ -542,4 +542,19 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(unicodeNormalize(col("t"), "NFC").as("k"))
       .distinct().count() === 1L)
   }
+
+  test("calibrateScores: per-source percent rank, ties share, singleton is 0.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L), (4L, "s1", 40L),
+      (5L, "s2", 999L)).toDF("doc_id", "source", "score")
+    val got = TextAnalysis.calibrateScores(df, "doc_id", "source", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === got(3L), "ties share a calibrated value")
+    assert(got(2L) === 1.0 / 3.0)
+    assert(got(4L) === 1.0)
+    assert(got(5L) === 0.0, "a single-doc source calibrates to 0.0")
+  }
 }
