@@ -340,6 +340,31 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // Incremental view maintenance for a JOIN: the orders x lineitem
+    // view updates as old-view ∪ delta, where the delta is the 3-term
+    // algebra ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the base⋈base join is never
+    // recomputed. The emitted aggregate over (old view ∪ delta) must
+    // equal the oracle's direct join of the full tables: any missing or
+    // double-counted delta term breaks the hash.
+    "q_incr_join" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      val l = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val (oOld, oDelta) = (o.filter(col("okey") % 4 =!= 0),
+        o.filter(col("okey") % 4 === 0))
+      val (lOld, lDelta) = (l.filter(col("cents") % 3 =!= 0),
+        l.filter(col("cents") % 3 === 0))
+      val oldView = oOld.join(lOld, Seq("okey"))
+      val updated = oldView.unionByName(
+        IncrementalAgg.joinDelta(oOld, oDelta, lOld, lDelta, Seq("okey")))
+      updated.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Cross-source score calibration: per-source percentile rank of the
     // quality proxy, so no source's scorer dominates a global threshold.
     // (rank−1)/(n−1) — two integers, one division, engine-exact; ties
@@ -3165,6 +3190,11 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin.replace("\n", " "),
     "q_dedup_incremental" -> incrLshOracle,
     "q_dedup_index_persist" -> incrLshOracle,
+    "q_incr_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_score_calibrate" ->
       """SELECT doc_id, source, n_chars,
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS calibrated

@@ -45,4 +45,28 @@ object IncrementalAgg {
       min("min").cast("long").as("min"),
       max("max").cast("long").as("max"))
   }
+
+  /**
+   * Incremental view maintenance for an INNER equi-join under
+   * insert-only deltas: Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB.
+   * The maintained view updates as `view_old ∪ joinDelta(...)` — the
+   * base ⋈ base term is NEVER recomputed, which is the whole point: at
+   * 100 TB the bases dwarf the deltas, so all three terms are
+   * delta-sized joins (a delta probing a base co-partitioned/bucketed
+   * on the key, and one delta × delta). Insert-only by contract —
+   * deletions/updates need keyed multiplicity counts (the classic
+   * counting algorithm); this operator `require`s nothing about them
+   * because it cannot see retractions at all, so the contract lives in
+   * the name and the caller's ingest path (append-only logs, CDC
+   * inserts). Duplicate rows are data: every term is a plain multiset
+   * join, so multiplicities compose exactly like the full recompute.
+   */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+                bOld: DataFrame, bDelta: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one join key")
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }

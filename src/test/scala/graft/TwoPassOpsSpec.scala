@@ -48,4 +48,29 @@ class TwoPassOpsSpec extends SparkTestBase {
       graft.functions.BloomFunctions.mightContain(bloom, col("fk"))).count()
     assert(survivors >= 20L && survivors < 100L) // exact 20 + rare FPs
   }
+
+  test("joinDelta: 3-term algebra equals full-join-minus-old on random multisets") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.IncrementalAgg
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, tag: String, vcol: String) = (1 to n)
+      .map(i => (rnd.nextInt(12).toLong, s"$tag$i")).toDF("k", vcol)
+    val (aOld, aDelta) = (mk(40, "ao", "va"), mk(15, "ad", "va"))
+    val (bOld, bDelta) = (mk(35, "bo", "vb"), mk(10, "bd", "vb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val incremental = rows(
+      aOld.join(bOld, Seq("k")).unionByName(
+        IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, Seq("k"))))
+    val recompute = rows(
+      aOld.unionByName(aDelta).join(bOld.unionByName(bDelta), Seq("k")))
+    // MULTISET equality (sorted seqs): a dropped or double-counted
+    // delta term changes multiplicities even when the set survives
+    assert(incremental === recompute)
+    assert(incremental.nonEmpty)
+    intercept[IllegalArgumentException](
+      IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, Nil))
+  }
 }
