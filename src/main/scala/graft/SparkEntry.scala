@@ -2683,6 +2683,32 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Curation pipeline #4, end to end: per-source score CALIBRATION →
+    // equal-rate cut (top half of EVERY source, so no hot scorer
+    // dominates) → canonical dedup → GLOBAL token-budget fill walked in
+    // calibrated order (two-phase prefix sum) → per-lang audit. The
+    // oracle restates the whole chain (percent_rank, cut, dedup CTE,
+    // running-sum budget line, group-by) in SQL.
+    "q_pipeline_curation4" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("text") =!= "")
+      val cal = TextAnalysis.calibrateScores(docs, "doc_id", "source",
+        "n_chars")
+      val cut = docs.join(cal.filter(col("calibrated") >= 0.5)
+        .select(col("doc_id"), col("calibrated")), "doc_id")
+      val keep = cut
+        .withColumn("canon", Dedup.canonText(col("text")))
+        .groupBy("canon").agg(min(col("doc_id")).as("doc_id"))
+        .join(cut.select(col("doc_id"), col("calibrated"), col("lang"),
+          size(TextAnalysis.toks(col("text"))).cast("long").as("tk")),
+          "doc_id")
+      graft.operators.BudgetSelect.selectByBudget(keep, "doc_id", "tk",
+          "calibrated", budget = 6000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("sum_tk"))
+        .orderBy("lang")
+    }),
+
     // Round-9 curation pipeline, end to end: canonical dedup keeps one
     // doc per normalized text, the survivors route to 8 STABLE shards
     // via rendezvous hashing (corpus growth never moves a doc — the
@@ -4528,6 +4554,32 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_pipeline_curation4" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang, source, n_chars, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |cal AS (
+        |  SELECT doc_id, percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars) AS calibrated FROM d),
+        |cut AS (
+        |  SELECT d.doc_id, d.text, d.lang, CAST(len(d.ws) AS BIGINT) AS tk,
+        |    c.calibrated
+        |  FROM d JOIN cal c ON d.doc_id = c.doc_id WHERE c.calibrated >= 0.5),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon FROM cut)
+        |  GROUP BY canon),
+        |keep AS (
+        |  SELECT c.doc_id, k.lang, k.tk, k.calibrated
+        |  FROM canon c JOIN cut k ON c.doc_id = k.doc_id),
+        |r AS (
+        |  SELECT doc_id, lang, tk,
+        |    CAST(sum(tk) OVER (ORDER BY calibrated DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM keep)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk) AS BIGINT) AS sum_tk
+        |FROM r WHERE cum - tk < 6000 GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_pipeline_curation3" ->
       """WITH surv AS (
         |  SELECT min(doc_id) AS doc_id
