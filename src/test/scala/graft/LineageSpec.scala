@@ -1,0 +1,70 @@
+package graft
+
+import graft.plans.Lineage
+import org.apache.spark.sql.functions._
+
+class LineageSpec extends SparkTestBase {
+
+  // a REAL scan leaf (toDF over a local Seq leaves _1/_2 leaf names
+  // behind a rename Project — correct lineage, useless test names)
+  private lazy val baseDir = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    Seq((1L, "a", 10.0, "x@y.z")).toDF("id", "cat", "amount", "email")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+  private def base = spark.read.parquet(baseDir)
+
+  test("project/aggregate/join lineage resolves to leaf columns") {
+    val s = spark
+    import s.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_lin_dim").toString
+    Seq(("a", "alpha")).toDF("cat", "cat_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = s.read.parquet(dimDir)
+    val df = base
+      .withColumn("double_amount", col("amount") * 2)
+      .join(dim, Seq("cat"))
+      .groupBy("cat_name")
+      .agg(sum(col("double_amount") + col("id")).as("score"),
+        count(lit(1)).as("n"))
+    val lin = Lineage.columnLineage(df)
+    assert(lin("cat_name") === Set("cat_name"))
+    assert(lin("score") === Set("amount", "id"))
+    assert(lin("n") === Set.empty[String], "count(1) reads no column")
+    assert(Lineage.inputColumns(df) === Set("cat_name", "amount", "id"))
+  }
+
+  test("filter columns do not enter value lineage; explode and union do") {
+    val s = spark
+    import s.implicits._
+    val df = base.filter(col("email").contains("@"))
+      .select(col("id"), explode(split(col("cat"), ",")).as("tag"))
+    val lin = Lineage.columnLineage(df)
+    assert(lin("tag") === Set("cat"))
+    assert(lin("id") === Set("id"))
+    assert(!Lineage.inputColumns(df).contains("email"),
+      "predicate-only columns are not value lineage")
+
+    val u = base.select(col("id").as("k"))
+      .unionByName(base.select(col("amount").cast("long").as("k")))
+    assert(Lineage.columnLineage(u)("k") === Set("id", "amount"))
+  }
+
+  test("scalar subquery lineage flows through; derivesFrom gates PII") {
+    val s = spark
+    import s.implicits._
+    val stats = base.agg(max("amount").as("mx"))
+    val df = base.select(col("id"),
+      (col("amount") / stats.collect()(0).getDouble(0)).as("norm"))
+    assert(Lineage.columnLineage(df)("norm") === Set("amount"))
+
+    val export = base.select(col("id"),
+      sha2(col("email"), 256).as("contact_hash"))
+    assert(Lineage.derivesFrom(export, Set("email")),
+      "a hashed PII column still DERIVES from PII")
+    assert(!Lineage.derivesFrom(export.select("id"), Set("email")))
+  }
+}
