@@ -2683,6 +2683,18 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Padding-waste audit: the token bill of fixed-size batches under
+    // the naive arrival order vs length-sorted bucketing, per batch —
+    // (n · batch_max − Σ len) in pure integer arithmetic, row-numbered
+    // by the two-phase distributed global rank (never a single-task
+    // window). The sorted strategy's total waste is provably ≤ arrival.
+    "q_padding_waste" -> ((s, dir) =>
+      graft.pipeline.Packing.paddingWaste(
+          rd(s, dir, "documents").select(col("doc_id"),
+            size(TextAnalysis.toks(col("text"))).cast("long").as("tk")),
+          "doc_id", "tk", batchSize = 32)
+        .orderBy("strategy", "batch_id")),
+
     // Curation pipeline #4, end to end: per-source score CALIBRATION →
     // equal-rate cut (top half of EVERY source, so no hot scorer
     // dominates) → canonical dedup → GLOBAL token-budget fill walked in
@@ -4554,6 +4566,23 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_padding_waste" ->
+      """WITH d AS (SELECT doc_id,
+        |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS tk
+        |  FROM documents),
+        |a AS (SELECT tk, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id FROM d),
+        |s AS (SELECT tk, (row_number() OVER (ORDER BY tk, doc_id) - 1) // 32 AS batch_id FROM d),
+        |ab AS (SELECT 'arrival' AS strategy, batch_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(tk) AS BIGINT) AS max_len, CAST(sum(tk) AS BIGINT) AS real_tokens
+        |  FROM a GROUP BY 2),
+        |sb AS (SELECT 'sorted' AS strategy, batch_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(tk) AS BIGINT) AS max_len, CAST(sum(tk) AS BIGINT) AS real_tokens
+        |  FROM s GROUP BY 2),
+        |u AS (SELECT * FROM ab UNION ALL SELECT * FROM sb)
+        |SELECT strategy, batch_id, n, max_len, real_tokens,
+        |  n * max_len AS padded_tokens,
+        |  n * max_len - real_tokens AS waste_tokens
+        |FROM u ORDER BY strategy, batch_id""".stripMargin.replace("\n", " "),
     "q_pipeline_curation4" ->
       """WITH d AS (
         |  SELECT doc_id, text, lang, source, n_chars, string_split(text, ' ') AS ws

@@ -77,4 +77,42 @@ object Packing {
           expr(s"(__before + n_tokens - 1) div $budget") - col("chunk_id") + 1))
       .drop("__before")
   }
+
+  /**
+   * Padding-waste audit for fixed-size training batches: group
+   * sequences into consecutive batches of `batchSize` under a given
+   * order, pad every sequence to its batch's max length, and report the
+   * waste — for BOTH canonical loader orders in one frame: `arrival`
+   * (by id — the naive loader) and `sorted` (length-bucketed — the
+   * standard fix). The delta between the two strategies' waste is the
+   * token bill the sort saves; per-batch rows expose stragglers (one
+   * long doc maxing out an arrival batch). Output per (strategy,
+   * batch_id): (n, max_len, real_tokens, padded_tokens, waste_tokens),
+   * all integer arithmetic. Scale: rides [[graft.operators.PrefixSum
+   * .withGlobalRank]] — the row numbering is range-partition + offsets,
+   * never a single-task global window — and touches only (id, len),
+   * never the text. Null/negative lengths clamp to 0 (they pad like
+   * empty rows rather than corrupting a batch max).
+   */
+  def paddingWaste(df: DataFrame, idCol: String, lenCol: String,
+                   batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(col(idCol).as("__id"),
+      greatest(coalesce(col(lenCol).cast("long"), lit(0L)), lit(0L))
+        .as("__len"))
+    def batched(orderCols: Seq[org.apache.spark.sql.Column],
+                strategy: String) =
+      graft.operators.PrefixSum.withGlobalRank(base, orderCols, "__rn")
+        .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"), max(col("__len")).as("max_len"),
+          sum(col("__len")).as("real_tokens"))
+        .select(lit(strategy).as("strategy"), col("batch_id"), col("n"),
+          col("max_len"), col("real_tokens"),
+          (col("n") * col("max_len")).as("padded_tokens"),
+          (col("n") * col("max_len") - col("real_tokens"))
+            .as("waste_tokens"))
+    batched(Seq(col("__id")), "arrival")
+      .unionByName(batched(Seq(col("__len"), col("__id")), "sorted"))
+  }
 }

@@ -92,4 +92,31 @@ class PackingSpec extends SparkTestBase {
     assert(out(2L) === (0L, 0L))   // b's stream starts fresh
     assert(out(3L) === (1L, 36L))  // a's cursor after 100 tokens
   }
+
+  test("paddingWaste: hand-computed batches; sorting never loses") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Packing
+    // arrival batches of 2: [10, 100] -> waste 90; [20, 1] -> waste 19
+    // sorted  batches of 2: [1, 10]   -> waste  9; [20, 100] -> waste 80
+    val df = Seq((1L, 10L), (2L, 100L), (3L, 20L), (4L, 1L)).toDF("id", "len")
+    val got = Packing.paddingWaste(df, "id", "len", batchSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(("arrival", 0L)) === ((2L, 100L, 110L, 200L, 90L)))
+    assert(got(("arrival", 1L)) === ((2L, 20L, 21L, 40L, 19L)))
+    assert(got(("sorted", 0L)) === ((2L, 10L, 11L, 20L, 9L)))
+    assert(got(("sorted", 1L)) === ((2L, 100L, 120L, 200L, 80L)))
+    // the invariant the audit exists to demonstrate
+    def waste(strategy: String) = got.collect {
+      case ((s0, _), (_, _, _, _, w)) if s0 == strategy => w }.sum
+    assert(waste("sorted") <= waste("arrival"))
+    // null/negative lengths clamp to zero-space rows, not batch poison
+    val messy = Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(-7L)),
+      (4L, Some(5L))).toDF("id", "len")
+    val m = Packing.paddingWaste(messy, "id", "len", batchSize = 4)
+      .filter(col("strategy") === "arrival").collect()(0)
+    assert(m.getLong(3) === 5L && m.getLong(4) === 10L)
+  }
 }
