@@ -2683,6 +2683,28 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // In-flight audit metrics via the Observation API: the ingest
+    // tallies (arrived rows, high-quantity rows, a cents checksum) are
+    // computed INSIDE the consuming job — no second scan — and emitted
+    // as the entry's one-row result next to the downstream-survivor
+    // count. GATED internally: the observed high-quantity tally must
+    // equal what the downstream filter actually kept.
+    "q_observe_metrics" -> ((s, dir) => {
+      import graft.operators.Observed
+      val (df, obs) = Observed.audit(rd(s, dir, "lineitem"), "ingest",
+        count(lit(1)).as("n_arrived"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val survived = df.filter(col("l_quantity") > 25)
+        .agg(count(lit(1))).head.getLong(0)
+      val m = Observed.metricsRow(s, obs, Seq("n_arrived", "n_big", "cents"))
+      m.filter(assert_true(col("n_big") === survived,
+          concat(lit("observed n_big "), col("n_big"),
+            lit(s" != downstream survivors $survived — the in-flight " +
+              "audit and the job disagree"))).isNull)
+        .withColumn("n_survived", lit(survived))
+    }),
+
     // Padding-waste audit: the token bill of fixed-size batches under
     // the naive arrival order vs length-sorted bucketing, per batch —
     // (n · batch_max − Σ len) in pure integer arithmetic, row-numbered
@@ -4566,6 +4588,12 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_arrived,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_survived
+        |FROM lineitem""".stripMargin.replace("\n", " "),
     "q_padding_waste" ->
       """WITH d AS (SELECT doc_id,
         |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS tk

@@ -73,4 +73,31 @@ class TwoPassOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       IncrementalAgg.joinDelta(aOld, aDelta, bOld, bDelta, Nil))
   }
+
+  test("Observed: in-flight metrics match, pre-filter vantage, loud failures") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Observed
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 50L)).toDF("id", "v")
+    val (observed, obs) = Observed.audit(df, "t1",
+      count(lit(1)).as("n"), sum(when(col("v") > 20, 1L).otherwise(0L)).as("big"))
+    // the observation sees rows BEFORE the downstream filter
+    assert(observed.filter(col("v") > 20).count() === 2L)
+    val row = Observed.metricsRow(s, obs, Seq("n", "big")).collect()(0)
+    assert(row.getLong(0) === 3L && row.getLong(1) === 2L)
+    // a metric name that was never attached fails loudly
+    val (o2, obs2) = Observed.audit(df, "t2", count(lit(1)).as("n"))
+    o2.count()
+    val e = intercept[IllegalStateException] {
+      Observed.metricsRow(s, obs2, Seq("nope"))
+    }
+    assert(e.getMessage.contains("missing"))
+    // a non-integral metric is rejected rather than silently coerced
+    val (o3, obs3) = Observed.audit(df, "t3", avg(col("v")).as("m"))
+    o3.count()
+    val e2 = intercept[IllegalStateException] {
+      Observed.metricsRow(s, obs3, Seq("m"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }
