@@ -2683,6 +2683,30 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Semi-structured ingest on Spark 4's native VARIANT type: parse
+    // once (try_parse_json — malformed rows become NULL variants, the
+    // rejects channel, instead of killing the batch), extract typed
+    // paths with variant_get. VARIANT's binary encoding makes repeated
+    // path access cheap vs re-parsing JSON text per extraction — the
+    // modern ingest shape for a props/metadata column at 100 TB. A
+    // planted corruption (every 97th event) must land in n_bad exactly.
+    "q_variant_ingest" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      // prefix corruption: Jackson-style parsers stop at the first
+      // COMPLETE value, so a trailing "}" still parses — a leading one
+      // genuinely fails
+      val corrupted = when(col("event_id") % 97 === 0,
+        concat(lit("{"), col("props"))).otherwise(col("props"))
+      ev.select(col("event_type").as("etype"),
+          try_parse_json(corrupted).as("v"))
+        .groupBy("etype")
+        .agg(count(when(col("v").isNull, 1)).as("n_bad"),
+          sum(variant_get(col("v"), "$.k", "long")).as("ksum"),
+          min(variant_get(col("v"), "$.k", "long")).as("kmin"),
+          max(variant_get(col("v"), "$.k", "long")).as("kmax"))
+        .orderBy("etype")
+    }),
+
     // In-flight audit metrics via the Observation API: the ingest
     // tallies (arrived rows, high-quantity rows, a cents checksum) are
     // computed INSIDE the consuming job — no second scan — and emitted
@@ -4588,6 +4612,16 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_variant_ingest" ->
+      """SELECT event_type AS etype,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN NULL
+        |    ELSE CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT) AS ksum,
+        |  min(CASE WHEN event_id % 97 = 0 THEN NULL
+        |    ELSE CAST(json_extract(props, '$.k') AS BIGINT) END) AS kmin,
+        |  max(CASE WHEN event_id % 97 = 0 THEN NULL
+        |    ELSE CAST(json_extract(props, '$.k') AS BIGINT) END) AS kmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_observe_metrics" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_arrived,
         |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
