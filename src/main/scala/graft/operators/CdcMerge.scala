@@ -73,20 +73,75 @@ object CdcMerge {
       .flatMapGroupsWithState[CdcState, CdcImage](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, recs: Iterator[CdcRecord], state: GroupState[CdcState]) =>
-          var cur = state.getOption.orNull
-          var changed = false
-          recs.toSeq.sortBy(r => (r.seq, r.tie)).foreach { r =>
-            if (cur == null || r.seq > cur.seq ||
-                (r.seq == cur.seq && r.tie > cur.tie)) {
-              cur = CdcState(r.seq, r.tie, r.op, r.payload)
-              changed = true
-            }
+          applyRecords(state.getOption.orNull, recs) match {
+            case Some(next) =>
+              state.update(next)
+              Iterator.single(CdcImage(key, next.seq, next.op, next.payload,
+                next.op == deleteOp))
+            case None => Iterator.empty
           }
-          if (changed) {
-            state.update(cur)
-            Iterator.single(CdcImage(key, cur.seq, cur.op, cur.payload,
-              cur.op == deleteOp))
-          } else Iterator.empty
       }
+  }
+
+  /** The same latest-wins logic as a Spark 4 [[StatefulProcessor]] —
+    * shared verbatim by both streaming forms so they cannot drift. */
+  private def applyRecords(cur0: CdcState,
+                           recs: Iterator[CdcRecord]): Option[CdcState] = {
+    var cur = cur0
+    var changed = false
+    recs.toSeq.sortBy(r => (r.seq, r.tie)).foreach { r =>
+      if (cur == null || r.seq > cur.seq ||
+          (r.seq == cur.seq && r.tie > cur.tie)) {
+        cur = CdcState(r.seq, r.tie, r.op, r.payload)
+        changed = true
+      }
+    }
+    if (changed) Some(cur) else None
+  }
+
+  /** The latest-wins processor on the transformWithState API. */
+  class CdcProcessor(deleteOp: String)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, CdcRecord, CdcImage] {
+    @transient private var cur:
+      org.apache.spark.sql.streaming.ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cur = getHandle.getValueState[CdcState]("cur",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcRecord],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[CdcImage] =
+      applyRecords(if (cur.exists()) cur.get() else null, rows) match {
+        case Some(next) =>
+          cur.update(next)
+          Iterator.single(CdcImage(key, next.seq, next.op, next.payload,
+            next.op == deleteOp))
+        case None => Iterator.empty
+      }
+  }
+
+  /**
+   * [[applyStream]] on Spark 4's `transformWithState`
+   * ([[StatefulProcessor]] + typed `ValueState`): identical semantics —
+   * the fold is literally the same private function — on the newer
+   * arbitrary-state API, whose state store is queryable offline
+   * (state reader), supports per-state TTL, and composes multiple
+   * typed state variables per key. Requires the RocksDB state store
+   * provider (`spark.sql.streaming.stateStore.providerClass` =
+   * `...RocksDBStateStoreProvider`) — set it on the session before
+   * starting the query; the HDFS-backed default store does not
+   * implement transformWithState.
+   */
+  def applyStreamTws(log: Dataset[CdcRecord],
+                     deleteOp: String): Dataset[CdcImage] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.groupByKey(_.key)
+      .transformWithState(new CdcProcessor(deleteOp),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 }

@@ -184,4 +184,42 @@ class SequenceOpsSpec extends SparkTestBase {
     assert(out((1L, 500L, 9L))._4 === 1L)
     assert(out((2L, 100L, 1L))._4 === 1L)
   }
+
+  test("cdc transformWithState twin: identical emissions to flatMapGroupsWithState") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CdcMerge.CdcRecord]
+      val q = CdcMerge.applyStreamTws(in.toDS(), deleteOp = "D")
+        .writeStream.format("memory").queryName("cdc_tws")
+        .outputMode(OutputMode.Append).start()
+      def images() = s.table("cdc_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getBoolean(4))).toSeq
+      try {
+        in.addData(
+          CdcMerge.CdcRecord(1L, 10L, 1L, "U", "a"),
+          CdcMerge.CdcRecord(1L, 20L, 2L, "U", "b"),
+          CdcMerge.CdcRecord(2L, 10L, 3L, "U", "x"))
+        q.processAllAvailable()
+        assert(images().toSet === Set((1L, 20L, "U", "b", false),
+          (2L, 10L, "U", "x", false)))
+        in.addData(
+          CdcMerge.CdcRecord(1L, 15L, 4L, "U", "stale"),  // loses to state
+          CdcMerge.CdcRecord(2L, 30L, 5L, "D", ""))
+        q.processAllAvailable()
+        assert(images().toSet === Set((1L, 20L, "U", "b", false),
+          (2L, 10L, "U", "x", false), (2L, 30L, "D", "", true)))
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
