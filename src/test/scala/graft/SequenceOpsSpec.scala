@@ -222,4 +222,64 @@ class SequenceOpsSpec extends SparkTestBase {
         s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("state store reader: offline CDC state matches the stream's emissions") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_rd").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcMerge.CdcRecord]
+    val q = CdcMerge.applyStream(in.toDS(), deleteOp = "D")
+      .writeStream.format("memory").queryName("cdc_inspect")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        CdcMerge.CdcRecord(1L, 10L, 1L, "U", "a"),
+        CdcMerge.CdcRecord(1L, 20L, 2L, "U", "b"),
+        CdcMerge.CdcRecord(2L, 30L, 3L, "D", ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    // read the checkpoint OFFLINE: per-key winners, no replay
+    val state = graft.streaming.StateInspect
+      .flatKeyValue(s, ckpt)
+      .select(col("state_key"), col("state_value.seq"),
+        col("state_value.op"), col("state_value.payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(state === Set((1L, 20L, "U", "b"), (2L, 30L, "D", "")),
+      state.toString)
+  }
+
+  test("state store reader: transformWithState typed variable reads by name") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_tws").toString
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CdcMerge.CdcRecord]
+      val q = CdcMerge.applyStreamTws(in.toDS(), deleteOp = "D")
+        .writeStream.format("memory").queryName("cdc_tws_inspect")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(CdcMerge.CdcRecord(7L, 10L, 1L, "U", "z"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val state = graft.streaming.StateInspect
+        .flatKeyValue(s, ckpt, stateVarName = Some("cur"))
+        .select(col("state_key"), col("state_value.seq"),
+          col("state_value.payload"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(state === Set((7L, 10L, "z")), state.toString)
+    } finally prior match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
