@@ -2683,6 +2683,25 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Partition-level backfill planner: classify every month partition
+    // of the derived table as ok / missing / stale / orphan from per-
+    // partition (count, order-insensitive checksum) summaries — the
+    // work list of an incremental re-materialization, without the two
+    // tables ever meeting row-to-row. The fixture plants one of each:
+    // a dropped month (missing), a month missing its l_linenumber=1
+    // rows (stale), and a fabricated month (orphan).
+    "q_backfill_plan" -> ((s, dir) => {
+      val month = date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+      val base = rd(s, dir, "lineitem").select(month.as("mon"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+      val dst = base.filter(col("mon") =!= "1995-03")
+        .filter(!(col("mon") === "1994-06" && col("ln") === 1))
+        .unionByName(base.filter(col("mon") === "1992-03")
+          .select(lit("1990-01").as("mon"), col("l_orderkey"), col("ln")))
+      graft.operators.Backfill.plan(base, dst, "mon", Seq("l_orderkey", "ln"))
+        .orderBy("part")
+    }),
+
     // Semi-structured ingest on Spark 4's native VARIANT type: parse
     // once (try_parse_json — malformed rows become NULL variants, the
     // rejects channel, instead of killing the batch), extract typed
@@ -4612,6 +4631,29 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_backfill_plan" ->
+      """WITH b AS (SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+        |    l_orderkey, CAST(l_linenumber AS BIGINT) AS ln FROM lineitem),
+        |d AS (SELECT * FROM b WHERE mon <> '1995-03' AND NOT (mon = '1994-06' AND ln = 1)
+        |  UNION ALL SELECT '1990-01', l_orderkey, ln FROM b WHERE mon = '1992-03'),
+        |ssum AS (SELECT mon AS part, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)
+        |      || '|' || CAST(ln AS VARCHAR)), 1, 15)) AS BIGINT))
+        |      % 2305843009213693952 AS BIGINT) AS chk
+        |  FROM b GROUP BY 1),
+        |dsum AS (SELECT mon AS part, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)
+        |      || '|' || CAST(ln AS VARCHAR)), 1, 15)) AS BIGINT))
+        |      % 2305843009213693952 AS BIGINT) AS chk
+        |  FROM d GROUP BY 1)
+        |SELECT part,
+        |  CASE WHEN d.n IS NULL THEN 'missing'
+        |       WHEN s.n IS NULL THEN 'orphan'
+        |       WHEN s.n = d.n AND s.chk = d.chk THEN 'ok'
+        |       ELSE 'stale' END AS status,
+        |  coalesce(s.n, 0) AS n_src, coalesce(d.n, 0) AS n_dst
+        |FROM ssum s FULL JOIN dsum d USING (part)
+        |ORDER BY part""".stripMargin.replace("\n", " "),
     "q_variant_ingest" ->
       """SELECT event_type AS etype,
         |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
