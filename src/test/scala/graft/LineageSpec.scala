@@ -67,4 +67,22 @@ class LineageSpec extends SparkTestBase {
       "a hashed PII column still DERIVES from PII")
     assert(!Lineage.derivesFrom(export.select("id"), Set("email")))
   }
+
+  test("CostGate: admission passes the sane plan, blocks the cartesian, runs nothing") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.CostGate
+    val a = base
+    val sane = a.select(col("id"), col("amount"))
+    assert(CostGate.requireUnder(sane, BigInt(10) * 1024 * 1024) eq sane)
+    // a cartesian's estimate multiplies — gate it without running it
+    val boom = a.crossJoin(a.select(col("id").as("id2")))
+      .crossJoin(a.select(col("id").as("id3")))
+    val e = intercept[IllegalStateException] {
+      CostGate.requireUnder(boom, BigInt(1024))
+    }
+    assert(e.getMessage.contains("cost gate"))
+    assert(CostGate.estimatedBytes(boom) > CostGate.estimatedBytes(sane))
+    intercept[IllegalArgumentException](CostGate.requireUnder(sane, 0))
+  }
 }

@@ -260,4 +260,37 @@ class StreamingRestartSpec extends SparkTestBase {
       s"expected the pre-crash session to absorb the post-restart event, got $got")
     assert(got.head.start_ms === java.time.Instant.parse("2026-01-01T10:00:00Z").toEpochMilli)
   }
+
+  test("ProgressLog: per-batch engine metrics captured, ring-bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val log = graft.streaming.ProgressLog.attach(s, capacity = 2)
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = in.toDS().groupBy().count()
+        .writeStream.format("memory").queryName("plog_q")
+        .outputMode("complete").start()
+      try {
+        in.addData(1L, 2L, 3L); q.processAllAvailable()
+        in.addData(4L);         q.processAllAvailable()
+        in.addData(5L, 6L);     q.processAllAvailable()
+      } finally q.stop()
+      // listener events are delivered asynchronously
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      val deadline = System.currentTimeMillis() + 30000
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        rows = log.toDF(s).filter(col("query") === "plog_q")
+          .filter(col("input_rows") > 0).collect()
+      }
+      // ring capacity 2: at most the LAST two batches are retained
+      assert(rows.length === 2, rows.mkString(";"))
+      val byBatch = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(byBatch.values.toSeq.sorted === Seq(1L, 2L),
+        s"expected the last two batches (1 and 2 rows), got $byBatch")
+      assert(rows.forall(_.getLong(5) >= 1L), "state rows visible")
+    } finally s.streams.removeListener(log)
+  }
 }
