@@ -2627,6 +2627,40 @@ object SparkEntry {
         .orderBy("node", "level")
     }),
 
+    // The SAME bounded closure on Spark's native WITH RECURSIVE
+    // (SQL recursion landed in Spark 4.x) — the declarative twin of the
+    // frontier-loop operator above; both must equal the DuckDB
+    // recursive oracle, making this a three-way closure differential
+    // (operator vs Spark recursion vs DuckDB recursion).
+    "q_hierarchy_sql" -> ((s, dir) => {
+      rd(s, dir, "documents").filter(col("doc_id") >= 1)
+        .select(col("doc_id").as("c"), expr("doc_id div 10").as("p"))
+        .createOrReplaceTempView("h_edges")
+      s.sql("""WITH RECURSIVE a AS (
+        SELECT c AS node, p AS ancestor, CAST(1 AS BIGINT) AS level
+        FROM h_edges
+        UNION ALL
+        SELECT a.node, e.p, a.level + 1
+        FROM a JOIN h_edges e ON a.ancestor = e.c
+        WHERE a.level < 5)
+        SELECT node, ancestor, level FROM a ORDER BY node, level""")
+    }),
+
+    // GROUPING SETS with grouping() flags: the explicit multi-level
+    // aggregate (detail / per-flag / grand total in ONE pass — Spark
+    // plans it as a single Expand + aggregate, not three scans).
+    "q_grouping_sets" -> ((s, dir) => {
+      rd(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql("""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+        CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, rflag, lstatus""")
+    }),
+
     // Hierarchical rollup THROUGH the closure: document counts at every
     // ancestor node of the synthetic tree — the query a flattened
     // hierarchy exists to serve ("docs under each category, any
@@ -4601,6 +4635,25 @@ object SparkEntry {
         |  WHERE a.level < 5)
         |SELECT node, ancestor, level FROM a
         |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_hierarchy_sql" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS c, doc_id // 10 AS p FROM documents WHERE doc_id >= 1),
+        |a AS (
+        |  SELECT c AS node, p AS ancestor, CAST(1 AS BIGINT) AS level FROM e
+        |  UNION ALL
+        |  SELECT a.node, e.p, a.level + 1 FROM a JOIN e ON a.ancestor = e.c
+        |  WHERE a.level < 5)
+        |SELECT node, ancestor, level FROM a
+        |ORDER BY node, level""".stripMargin.replace("\n", " "),
+    "q_grouping_sets" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, rflag, lstatus""".stripMargin.replace("\n", " "),
     "q_tf_dot_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -57,6 +57,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q_grouping_sets: one Expand + aggregate, not three scans") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), p.take(800))
+    assert(p.split("Scan parquet").length - 1 <= 1, "multiple scans for grouping sets")
+  }
+
   test("q_interval_join: bucket equi-join, never a nested-loop join") {
     val p = plan("q_interval_join")
     assert(!p.contains("CartesianProduct"), p.take(800))
