@@ -85,4 +85,24 @@ class LineageSpec extends SparkTestBase {
     assert(CostGate.estimatedBytes(boom) > CostGate.estimatedBytes(sane))
     intercept[IllegalArgumentException](CostGate.requireUnder(sane, 0))
   }
+
+  test("PlanFingerprint: phrasing-invariant, literal-sensitive") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.PlanFingerprint
+    val a = base.filter(col("amount") > 5.0)
+      .select(col("id").as("x"), (col("amount") * 2).as("y"))
+    val b = base.where(col("amount") > 5.0)
+      .select(col("id").as("renamed"), (col("amount") * 2).as("also"))
+    // same computation, different alias names / phrasing
+    assert(PlanFingerprint.sameComputation(a, b))
+    // a different literal is a different computation
+    val c = base.filter(col("amount") > 6.0)
+      .select(col("id").as("x"), (col("amount") * 2).as("y"))
+    assert(!PlanFingerprint.sameComputation(a, c))
+    // and a different projection is too
+    val d = base.filter(col("amount") > 5.0).select(col("id").as("x"))
+    assert(!PlanFingerprint.sameComputation(a, d))
+    assert(PlanFingerprint.of(a).matches("[0-9a-f]{32}"))
+  }
 }
