@@ -79,4 +79,25 @@ class HierarchySpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("compression class ordering violated")),
       msgs(e).mkString("|"))
   }
+
+  test("closure parity: frontier operator == Spark WITH RECURSIVE, row for row") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).map(i => Tuple1(i)).toDF("doc_id")
+    import org.apache.spark.sql.functions.{col, expr}
+    val edges = docs.select(col("doc_id").as("c"),
+      expr("doc_id div 10").as("p"))
+    val op = graft.operators.Hierarchy.ancestors(edges, "c", "p", maxLevels = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    edges.createOrReplaceTempView("hp_edges")
+    val sql = s.sql("""WITH RECURSIVE a AS (
+      SELECT c AS node, p AS ancestor, CAST(1 AS BIGINT) AS level FROM hp_edges
+      UNION ALL
+      SELECT a.node, e.p, a.level + 1 FROM a JOIN hp_edges e ON a.ancestor = e.c
+      WHERE a.level < 5)
+      SELECT node, ancestor, level FROM a""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(op === sql)
+    assert(op.nonEmpty)
+  }
 }
