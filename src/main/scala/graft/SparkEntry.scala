@@ -2717,6 +2717,18 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Two-proportion A/B readout: conversion tallies, rates, lift, and
+    // the pooled z² for variant 0 vs 1 — cross-multiplied so every
+    // product is an exact DECIMAL of raw counts and only the FINAL
+    // division is floating point (the spike detector's discipline):
+    // hash-stable across engines, partitionings, and row orders.
+    "q_ab_test" -> ((s, dir) =>
+      graft.operators.AbTest.twoProportion(
+        rd(s, dir, "events").select(
+          pmod(col("user_id"), lit(2)).cast("string").as("variant"),
+          (col("event_type") === "purchase").as("conv")),
+        "variant", "conv", "0", "1")),
+
     // Partition-level backfill planner: classify every month partition
     // of the derived table as ok / missing / stale / orphan from per-
     // partition (count, order-insensitive checksum) summaries — the
@@ -4684,6 +4696,27 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_ab_test" ->
+      """WITH t AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+        |    (event_type = 'purchase') AS conv FROM events),
+        |s AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM t GROUP BY 1),
+        |j AS (SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+        |  FROM s a, s b WHERE a.variant = '0' AND b.variant = '1'),
+        |x AS (SELECT *,
+        |    CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS diff,
+        |    CAST(conv_a + conv_b AS HUGEINT)
+        |      * (n_a + n_b - conv_a - conv_b) * n_a * n_b AS den
+        |  FROM j)
+        |SELECT '0' AS variant_a, '1' AS variant_b, n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+        |  CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b AS lift,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(diff * diff * (n_a + n_b) AS DOUBLE) / CAST(den AS DOUBLE)
+        |  END AS z2
+        |FROM x""".stripMargin.replace("\n", " "),
     "q_backfill_plan" ->
       """WITH b AS (SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
         |    l_orderkey, CAST(l_linenumber AS BIGINT) AS ln FROM lineitem),

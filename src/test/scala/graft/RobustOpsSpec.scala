@@ -90,4 +90,29 @@ class RobustOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Privacy.suppress(df, Nil, 3))
     intercept[IllegalArgumentException](Privacy.suppress(df, Seq("nat"), 1))
   }
+
+  test("AbTest.twoProportion: hand-computed z2, degenerate pool yields NULL") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.AbTest
+    // A: 3/6 convert, B: 1/4 convert
+    // diff = 3*4 - 1*6 = 6; num = 36 * 10 = 360
+    // den  = 4 * 6 * 6 * 4 = 576; z2 = 0.625
+    val df = (Seq.fill(3)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq.fill(1)(("B", true)) ++ Seq.fill(3)(("B", false)))
+      .toDF("variant", "conv")
+    val r = AbTest.twoProportion(df, "variant", "conv", "A", "B").collect()(0)
+    assert(r.getLong(2) === 6L && r.getLong(3) === 3L)
+    assert(r.getLong(4) === 4L && r.getLong(5) === 1L)
+    assert(r.getDouble(6) === 0.5 && r.getDouble(7) === 0.25)
+    assert(r.getDouble(8) === 0.25)
+    assert(math.abs(r.getDouble(9) - 0.625) < 1e-15, r.getDouble(9).toString)
+    // nobody converts anywhere: pooled variance 0, z2 undefined -> NULL
+    val none = (Seq.fill(2)(("A", false)) ++ Seq.fill(2)(("B", false)))
+      .toDF("variant", "conv")
+    val r2 = AbTest.twoProportion(none, "variant", "conv", "A", "B").collect()(0)
+    assert(r2.isNullAt(9), "z2 must be NULL, not Infinity/NaN")
+    intercept[IllegalArgumentException](
+      AbTest.twoProportion(df, "variant", "conv", "A", "A"))
+  }
 }
