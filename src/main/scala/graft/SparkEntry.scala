@@ -2717,6 +2717,21 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Inclusion-dependency (FK) discovery across candidate key columns:
+    // every column reduces to a tagged distinct value set, ONE
+    // self-join by value computes all pairwise intersections at once
+    // (n² pair counts from a single value shuffle, never n² joins),
+    // and containment = |A∩B|/|A| flags the FK signature (1.0 with
+    // |A| < |B|). The 100 TB form swaps exact sets for theta sketches;
+    // this exact form is the oracle-checkable reference.
+    "q_fk_discovery" -> ((s, dir) =>
+      graft.operators.KeyDiscovery.containmentReport(Seq(
+          ("customer.c_custkey", rd(s, dir, "customer"), "c_custkey"),
+          ("orders.o_custkey", rd(s, dir, "orders"), "o_custkey"),
+          ("orders.o_orderkey", rd(s, dir, "orders"), "o_orderkey"),
+          ("lineitem.l_orderkey", rd(s, dir, "lineitem"), "l_orderkey")))
+        .orderBy("col_a", "col_b")),
+
     // Two-proportion A/B readout: conversion tallies, rates, lift, and
     // the pooled z² for variant 0 vs 1 — cross-multiplied so every
     // product is an exact DECIMAL of raw counts and only the FINAL
@@ -4696,6 +4711,23 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_fk_discovery" ->
+      """WITH vs AS (
+        |  SELECT DISTINCT 'customer.c_custkey' AS cid, CAST(c_custkey AS VARCHAR) AS v
+        |    FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
+        |    FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_orderkey', CAST(o_orderkey AS VARCHAR)
+        |    FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM vs GROUP BY 1),
+        |p AS (SELECT a.cid AS col_a, b.cid AS col_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM vs a JOIN vs b ON a.v = b.v AND a.cid <> b.cid GROUP BY 1, 2)
+        |SELECT col_a, col_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common AS DOUBLE) / sa.n AS containment
+        |FROM p JOIN sz sa ON col_a = sa.cid JOIN sz sb ON col_b = sb.cid
+        |ORDER BY col_a, col_b""".stripMargin.replace("\n", " "),
     "q_ab_test" ->
       """WITH t AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
         |    (event_type = 'purchase') AS conv FROM events),

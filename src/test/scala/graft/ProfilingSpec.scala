@@ -26,4 +26,30 @@ class ProfilingSpec extends SparkTestBase {
     assert(plan.contains("Expand"), plan.take(800))
     assert(!plan.contains("Join"), plan.take(800))
   }
+
+  test("KeyDiscovery: the FK signature is containment 1.0 into the larger domain") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.KeyDiscovery
+    val dim = (1L to 10L).map(Tuple1(_)).toDF("pk")
+    val fact = Seq(1L, 1L, 2L, 3L, 3L, 3L).map(Tuple1(_)).toDF("fk")
+    val noise = Seq(2L, 3L, 99L).map(Tuple1(_)).toDF("x")
+    val got = KeyDiscovery.containmentReport(Seq(
+        ("dim.pk", dim, "pk"), ("fact.fk", fact, "fk"),
+        ("noise.x", noise, "x")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // fact.fk ⊆ dim.pk: the FK signature
+    assert(got(("fact.fk", "dim.pk")) === ((3L, 10L, 3L, 1.0)))
+    // the reverse direction is weak containment, not a FK
+    assert(got(("dim.pk", "fact.fk")) === ((10L, 3L, 3L, 0.3)))
+    // partial overlap shows as fractional containment
+    assert(got(("noise.x", "dim.pk")) === ((3L, 10L, 2L, 2.0 / 3.0)))
+    // zero-overlap pairs are absent, not zero rows
+    assert(!got.contains(("noise.x", "noise.x")))
+    intercept[IllegalArgumentException](
+      KeyDiscovery.containmentReport(Seq(("a", dim, "pk"))))
+    intercept[IllegalArgumentException](
+      KeyDiscovery.containmentReport(Seq(("a", dim, "pk"), ("a", fact, "fk"))))
+  }
 }
