@@ -113,4 +113,50 @@ object PublishGate {
     stale.foreach(name => fs.delete(new Path(root, name), true))
     stale
   }
+
+  private val BatchMarker = "_LAST_BATCH"
+
+  /** The last streaming batch id published into `dir`, if any. */
+  def lastPublishedBatch(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new Path(root, BatchMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val k = in.read(buf)
+        Some(new String(buf, 0, k, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /**
+   * Exactly-once streaming materialization: the `foreachBatch` body
+   * that turns any streaming frame into an atomically-versioned table.
+   * Structured Streaming guarantees a replayed micro-batch carries the
+   * SAME batchId with the SAME data — so idempotence IS exactly-once
+   * here: a batch id at or below the last published one is skipped
+   * (returns None), otherwise the batch publishes through the full
+   * write-audit-promote path and the batch marker advances only AFTER
+   * the pointer flip (a crash between the two re-publishes a new
+   * version with identical content — duplicate VERSION, never
+   * duplicate DATA in any version a reader sees).
+   *
+   * Wire as: `ds.writeStream.foreachBatch { (b, id) =>
+   *   PublishGate.publishBatch(spark, b, dir, id, audits); () }`.
+   */
+  def publishBatch(spark: SparkSession, batch: DataFrame, dir: String,
+                   batchId: Long,
+                   audits: Seq[(String, DataFrame => Boolean)] = Nil)
+    : Option[String] = {
+    if (lastPublishedBatch(spark, dir).exists(batchId <= _)) None
+    else {
+      val v = publish(spark, batch, dir, audits)
+      val (fs, root) = fsOf(spark, dir)
+      val out = fs.create(new Path(root, BatchMarker), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      Some(v)
+    }
+  }
 }

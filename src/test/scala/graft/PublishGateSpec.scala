@@ -73,4 +73,32 @@ class PublishGateSpec extends SparkTestBase {
       === "v2")
     assert(PublishGate.staleStaging(s, dir) === Seq("_staging_v1"))
   }
+
+  test("publishBatch: replayed batch ids are skipped - exactly-once materialization") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = tmp()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = in.toDS().groupBy().count()
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        PublishGate.publishBatch(s, b.toDF(), dir, id); ()
+      }.start()
+    try {
+      in.addData(1L, 2L); q.processAllAvailable()
+      in.addData(3L);     q.processAllAvailable()
+    } finally q.stop()
+    assert(PublishGate.lastPublishedBatch(s, dir) === Some(1L))
+    assert(PublishGate.current(s, dir).collect()(0).getLong(0) === 3L)
+    // a REPLAY of batch 1 (same id) must be a no-op...
+    val replay = Seq(Tuple1(3L)).toDF("count")
+    assert(PublishGate.publishBatch(s, replay, dir, 1L) === None)
+    assert(PublishGate.currentVersion(s, dir) === Some("v2"))
+    // ...and the next real batch publishes
+    assert(PublishGate.publishBatch(s, Seq(Tuple1(4L)).toDF("count"), dir, 2L)
+      === Some("v3"))
+    assert(PublishGate.current(s, dir).collect()(0).getLong(0) === 4L)
+  }
 }
