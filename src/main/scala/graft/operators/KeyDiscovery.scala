@@ -51,4 +51,62 @@ object KeyDiscovery {
         col("n_common"),
         (col("n_common").cast("double") / col("n_a")).as("containment"))
   }
+
+  /**
+   * The 100 TB form: identical report from per-column THETA sketches —
+   * each candidate column folds to one O(2^lgK)-byte sketch (one
+   * map-side-combined aggregate per column, a bounded collect of
+   * |cols| rows), and every pairwise intersection runs sketch-side on
+   * the driver. No value shuffle at all; the data is read once per
+   * column and never co-shuffled. Exact while every column's distinct
+   * count stays inside the sketch exact regime (≤ 2^lgK retained
+   * entries — the same probed contract as every sketch operator);
+   * beyond it theta's documented intersection error bounds apply.
+   * Same output shape and same zero-overlap suppression as
+   * [[containmentReport]] — the exact form is its oracle.
+   */
+  def containmentReportSketched(cols: Seq[(String, DataFrame, String)],
+                                lgK: Int = 16): DataFrame = {
+    require(cols.size >= 2, "need at least two candidate columns")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "candidate labels must be unique")
+    val spark = cols.head._2.sparkSession
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.agg.ThetaPartialAgg(lgK),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketches = cols.map { case (label, df, c) =>
+      val bytes = df.filter(col(c).isNotNull)
+        .select(agg(col(c).cast("string")).as("sk"))
+        .head.getAs[Array[Byte]](0) // bounded: ONE row per column
+      label -> graft.agg.BufSerde.de[graft.agg.ThetaBuf](bytes).result
+    }
+    val rows = for {
+      (la, sa) <- sketches
+      (lb, sb) <- sketches if la != lb
+      inter = {
+        val i = org.apache.datasketches.theta.SetOperation.builder()
+          .setNominalEntries(1 << lgK).buildIntersection()
+        i.intersect(sa); i.intersect(sb)
+        Math.round(i.getResult.getEstimate)
+      } if inter > 0
+    } yield org.apache.spark.sql.Row(la, lb,
+      Math.round(sa.getEstimate), Math.round(sb.getEstimate), inter,
+      inter.toDouble / Math.round(sa.getEstimate))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_a",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("col_b",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_common",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("containment",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 }

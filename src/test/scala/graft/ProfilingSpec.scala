@@ -52,4 +52,21 @@ class ProfilingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       KeyDiscovery.containmentReport(Seq(("a", dim, "pk"), ("a", fact, "fk"))))
   }
+
+  test("KeyDiscovery sketched form: identical to exact in the exact regime") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.KeyDiscovery
+    val dim = (1L to 200L).map(Tuple1(_)).toDF("pk")
+    val fact = (1L to 120L).map(i => Tuple1(i % 40 + 1)).toDF("fk")
+    val cols = Seq(("dim.pk", dim, "pk"), ("fact.fk", fact, "fk"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    val exact = rows(KeyDiscovery.containmentReport(cols))
+    val sk = rows(KeyDiscovery.containmentReportSketched(cols, lgK = 12))
+    assert(sk === exact)
+    assert(exact.exists { case (a, b, _, _, _, c) =>
+      a == "fact.fk" && b == "dim.pk" && c == 1.0 })
+  }
 }
