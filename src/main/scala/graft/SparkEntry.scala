@@ -2732,6 +2732,21 @@ object SparkEntry {
           ("lineitem.l_orderkey", rd(s, dir, "lineitem"), "l_orderkey")))
         .orderBy("col_a", "col_b")),
 
+    // The sketch-side FK discovery at scale: same four candidates, zero
+    // value shuffles — each column folds to ONE theta sketch and every
+    // pairwise intersection runs sketch-side. lgK=18 keeps all four
+    // domains in the exact regime at every probed SF (regime-checked
+    // like every sketch entry), so the answer hash-matches the exact
+    // oracle; beyond the regime theta's intersection bounds apply.
+    "q_fk_sketched" -> ((s, dir) =>
+      graft.operators.KeyDiscovery.containmentReportSketched(Seq(
+          ("customer.c_custkey", rd(s, dir, "customer"), "c_custkey"),
+          ("orders.o_custkey", rd(s, dir, "orders"), "o_custkey"),
+          ("orders.o_orderkey", rd(s, dir, "orders"), "o_orderkey"),
+          ("lineitem.l_orderkey", rd(s, dir, "lineitem"), "l_orderkey")),
+          lgK = 18)
+        .orderBy("col_a", "col_b")),
+
     // Two-proportion A/B readout: conversion tallies, rates, lift, and
     // the pooled z² for variant 0 vs 1 — cross-multiplied so every
     // product is an exact DECIMAL of raw counts and only the FINAL
@@ -4728,6 +4743,23 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / sa.n AS containment
         |FROM p JOIN sz sa ON col_a = sa.cid JOIN sz sb ON col_b = sb.cid
         |ORDER BY col_a, col_b""".stripMargin.replace("\n", " "),
+    "q_fk_sketched" ->
+      """WITH vs AS (
+        |  SELECT DISTINCT 'customer.c_custkey' AS cid, CAST(c_custkey AS VARCHAR) AS v
+        |    FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
+        |    FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_orderkey', CAST(o_orderkey AS VARCHAR)
+        |    FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM vs GROUP BY 1),
+        |p AS (SELECT a.cid AS col_a, b.cid AS col_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM vs a JOIN vs b ON a.v = b.v AND a.cid <> b.cid GROUP BY 1, 2)
+        |SELECT col_a, col_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common AS DOUBLE) / sa.n AS containment
+        |FROM p JOIN sz sa ON col_a = sa.cid JOIN sz sb ON col_b = sb.cid
+        |ORDER BY col_a, col_b""".stripMargin.replace("\n", " "),
     "q_ab_test" ->
       """WITH t AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
         |    (event_type = 'purchase') AS conv FROM events),
@@ -5356,6 +5388,16 @@ object SparkEntry {
           rd(s, dir, "lineitem").select(countDistinct(col("l_orderkey")))
             .head.getLong(0)), 1L << 18,
           "max join-side key NDV (lgK=18)")),
+      // Sketch-side FK discovery: exact while EVERY candidate column's
+      // distinct count fits the sketch
+      "q_fk_sketched" -> ((s, dir) =>
+        check(Seq(
+          rd(s, dir, "customer").select(countDistinct(col("c_custkey"))),
+          rd(s, dir, "orders").select(countDistinct(col("o_custkey"))),
+          rd(s, dir, "orders").select(countDistinct(col("o_orderkey"))),
+          rd(s, dir, "lineitem").select(countDistinct(col("l_orderkey"))))
+          .map(_.head.getLong(0)).max, 1L << 18,
+          "max candidate-column NDV (lgK=18)")),
       // Persisted-overlap set algebra: exact while BOTH snapshots'
       // per-segment sketches are exact-mode
       "q_sketch_overlap_persist" -> ((s, dir) =>
