@@ -2167,7 +2167,7 @@ object SparkEntry {
     // pins the full transform without exploding dims into output rows.
     "q_embed_scale" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val fit = Similarity.dimMinMax(emb, "vec_id", "embedding")
+      val fit = Similarity.dimMinMax(emb, "embedding")
       val sums = Similarity.minMaxScale(emb, "vec_id", "embedding", fit)
         .select(posexplode(col("scaled")).as(Seq("pos", "sx")))
         .groupBy("pos")
@@ -3251,7 +3251,10 @@ object SparkEntry {
       val planned = Compaction.compact(s, tmpIn, tmpOut, "doc_id",
         targetBytes = 256L * 1024)
       val (nf, _, _, _, nSmallIn) = Compaction.layoutStats(s, tmpOut, 1L)
-      require(nf == planned, s"compacted to $nf files, planned $planned")
+      // at-most contract: empty range partitions write no file; on this
+      // fixture (dense unique doc_ids >> partitions) equality holds
+      require(nf == planned && nf >= 1,
+        s"compacted to $nf files, planned $planned")
       require(nSmallIn == 0, "zero-byte output file")
       s.read.parquet(tmpOut).groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
@@ -4769,16 +4772,15 @@ object SparkEntry {
         |j AS (SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
         |  FROM s a, s b WHERE a.variant = '0' AND b.variant = '1'),
         |x AS (SELECT *,
-        |    CAST(conv_a AS HUGEINT) * n_b - CAST(conv_b AS HUGEINT) * n_a AS diff,
-        |    CAST(conv_a + conv_b AS HUGEINT)
-        |      * (n_a + n_b - conv_a - conv_b) * n_a * n_b AS den
+        |    CAST(conv_a AS DOUBLE) / n_a AS ra,
+        |    CAST(conv_b AS DOUBLE) / n_b AS rb,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
         |  FROM j)
         |SELECT '0' AS variant_a, '1' AS variant_b, n_a, conv_a, n_b, conv_b,
-        |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
-        |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
-        |  CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b AS lift,
-        |  CASE WHEN den = 0 THEN NULL
-        |    ELSE CAST(diff * diff * (n_a + n_b) AS DOUBLE) / CAST(den AS DOUBLE)
+        |  ra AS rate_a, rb AS rate_b, ra - rb AS lift,
+        |  CASE WHEN p = 0 OR p = 1 THEN NULL
+        |    ELSE (ra - rb) * (ra - rb) /
+        |      (p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
         |  END AS z2
         |FROM x""".stripMargin.replace("\n", " "),
     "q_backfill_plan" ->

@@ -9,18 +9,20 @@ import org.apache.spark.sql.functions._
  * two-proportion z² statistic — the "did the treatment move the
  * metric" readout an experimentation pipeline serves.
  *
- * The statistic follows this repo's integer-exact discipline (the
- * spike detector's): z² = (pa − pb)² / (p(1−p)(1/na + 1/nb)) is
- * algebraically rearranged so every product is an exact BIGINT/DECIMAL
- * of raw counts — z²·D·N = (ca·nb − cb·na)²·n... — and only the FINAL
- * division runs in floating point, once, on one row per pair. No
- * per-row floats, no accumulation order, hash-stable across engines:
- *   num = (ca·nb − cb·na)² · (na + nb)
- *   den = c·(n − c)·na·nb   with n = na+nb, c = ca+cb
- *   z²  = num / den   (NULL when den = 0: a 0% or 100% pooled rate
- *         carries no variance — the test is undefined, not infinite).
- * One groupBy on the variant key, then a driver-light pair join of the
- * two requested variants' single summary rows.
+ * Determinism discipline: every INPUT is an exact BIGINT tally (one
+ * groupBy on the variant key — counts, never per-row floats), and the
+ * statistic is computed from those four integers in ONE fixed sequence
+ * of IEEE double operations that the SQL oracle restates verbatim —
+ * identical inputs + identical op order = identical bits on any
+ * engine, partitioning, or row order. A fully cross-multiplied integer
+ * form was rejected deliberately: diff²·n products overflow
+ * DECIMAL(38,0) near 10¹⁰-row variants, exactly the scale this exists
+ * for; the double form is overflow-free to 2^63 tallies.
+ *   pa = ca/na,  pb = cb/nb,  p = (ca+cb)/(na+nb)
+ *   z² = (pa − pb)² / (p·(1−p)·(1/na + 1/nb))
+ * NULL when the pooled rate is 0 or 1 (no variance — the test is
+ * undefined, not infinite). The pair join is of two single summary
+ * rows.
  */
 object AbTest {
 
@@ -39,24 +41,20 @@ object AbTest {
     val b = tallies.filter(col("variant") === variantB)
       .select(col("n").as("n_b"), col("conv").as("conv_b"))
     // both sides are ONE summary row; the cross join is 1×1
-    val d = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val ra = col("conv_a").cast("double") / col("n_a")
+    val rb = col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
     a.crossJoin(b)
-      .withColumn("__diff",
-        d(col("conv_a")) * d(col("n_b")) - d(col("conv_b")) * d(col("n_a")))
-      .withColumn("__num",
-        col("__diff") * col("__diff") * d(col("n_a") + col("n_b")))
-      .withColumn("__den",
-        d(col("conv_a") + col("conv_b")) *
-          d(col("n_a") + col("n_b") - col("conv_a") - col("conv_b")) *
-          d(col("n_a")) * d(col("n_b")))
+      .withColumn("__p", pooled)
       .select(lit(variantA).as("variant_a"), lit(variantB).as("variant_b"),
         col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        (col("conv_a").cast("double") / col("n_a")).as("rate_a"),
-        (col("conv_b").cast("double") / col("n_b")).as("rate_b"),
-        (col("conv_a").cast("double") / col("n_a") -
-          col("conv_b").cast("double") / col("n_b")).as("lift"),
-        when(col("__den") === 0, lit(null).cast("double"))
-          .otherwise(col("__num").cast("double") / col("__den").cast("double"))
+        ra.as("rate_a"), rb.as("rate_b"), (ra - rb).as("lift"),
+        when(col("__p") === 0.0 || col("__p") === 1.0,
+          lit(null).cast("double"))
+          .otherwise((ra - rb) * (ra - rb) /
+            (col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
           .as("z2"))
   }
 }

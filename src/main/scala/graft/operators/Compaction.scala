@@ -45,11 +45,14 @@ object Compaction {
     math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
   }
 
-  /** Compact `inDir` (parquet) into `outDir` with
-    * [[planFileCount]]-many files, range-clustered on `keyCol`.
-    * Returns the planned file count. The write is one range shuffle;
-    * rows are preserved exactly (the caller's oracle should pin that —
-    * see `q_compaction`). */
+  /** Compact `inDir` (parquet) into `outDir` with AT MOST
+    * [[planFileCount]]-many files, range-clustered on `keyCol` —
+    * `repartitionByRange` writes no file for an empty range partition,
+    * so a key domain narrower than the plan (or range-sampling skew)
+    * yields fewer files, never more. Returns the planned count; read
+    * the actual layout back with [[layoutStats]]. The write is one
+    * range shuffle; rows are preserved exactly (the caller's oracle
+    * should pin that — see `q_compaction`). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               keyCol: String, targetBytes: Long): Int = {
     val (_, totalBytes, _, _, _) = layoutStats(spark, inDir, smallBytes = 1L)

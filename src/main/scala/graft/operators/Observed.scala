@@ -42,6 +42,10 @@ object Observed {
           s"not attached (have: ${got.keys.mkString(", ")})")) match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
+        case null => throw new IllegalStateException(
+          s"observation '$n' collected NULL — an aggregate over zero " +
+            "observed rows; wrap the metric in coalesce(..., 0) if an " +
+            "empty stage is a legal state")
         case other => throw new IllegalStateException(
           s"observation '$n' is ${other.getClass.getSimpleName}, expected " +
             "an integral metric (cast the aggregate to BIGINT)")

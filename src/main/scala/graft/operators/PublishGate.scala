@@ -66,24 +66,47 @@ object PublishGate {
     val finalPath = new Path(root, s"v$n")
     if (!fs.rename(stage, finalPath))
       throw new IllegalStateException(s"rename $stage -> $finalPath failed")
-    val out = fs.create(new Path(root, Pointer), true)
-    try out.write(s"v$n".getBytes("UTF-8")) finally out.close()
+    writeMarker(fs, root, Pointer, s"v$n")
     s"v$n"
+  }
+
+  /** Pointer/marker writes go through a temp file + rename so a reader
+    * can never observe a truncated marker (create-with-overwrite
+    * truncates before the new bytes land). The rename leaves at most a
+    * brief marker-absent window, which reads as "nothing published
+    * yet" — a clean state, never a torn one. */
+  private def writeMarker(fs: FileSystem, root: Path, name: String,
+                          value: String): Unit = {
+    val tmp = new Path(root, s"_tmp_$name")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(root, name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"marker rename $tmp -> $dst failed")
+  }
+
+  private def readMarker(fs: FileSystem, root: Path,
+                         name: String): Option[String] = {
+    val p = new Path(root, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val k = in.read(buf)
+        if (k <= 0) throw new IllegalStateException(
+          s"marker $p is empty — torn write? markers are written via " +
+            "temp+rename, so this indicates outside interference")
+        Some(new String(buf, 0, k, "UTF-8").trim)
+      } finally in.close()
+    }
   }
 
   /** The currently-published version name, if any. */
   def currentVersion(spark: SparkSession, dir: String): Option[String] = {
     val (fs, root) = fsOf(spark, dir)
-    val ptr = new Path(root, Pointer)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](64)
-        val k = in.read(buf)
-        Some(new String(buf, 0, k, "UTF-8").trim)
-      } finally in.close()
-    }
+    readMarker(fs, root, Pointer)
   }
 
   /** Read the currently-published version. Throws if nothing has ever
@@ -119,16 +142,7 @@ object PublishGate {
   /** The last streaming batch id published into `dir`, if any. */
   def lastPublishedBatch(spark: SparkSession, dir: String): Option[Long] = {
     val (fs, root) = fsOf(spark, dir)
-    val p = new Path(root, BatchMarker)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val k = in.read(buf)
-        Some(new String(buf, 0, k, "UTF-8").trim.toLong)
-      } finally in.close()
-    }
+    readMarker(fs, root, BatchMarker).map(_.toLong)
   }
 
   /**
@@ -154,8 +168,7 @@ object PublishGate {
     else {
       val v = publish(spark, batch, dir, audits)
       val (fs, root) = fsOf(spark, dir)
-      val out = fs.create(new Path(root, BatchMarker), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      writeMarker(fs, root, BatchMarker, batchId.toString)
       Some(v)
     }
   }

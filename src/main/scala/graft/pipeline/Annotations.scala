@@ -69,11 +69,16 @@ object Annotations {
     val perItem = il.groupBy("item").agg(
       sum(col("nil")).as("ni"),
       sum(col("nil") * (col("nil") - 1)).as("agree2"))
+    // `div`, not Column./ — double division would round pair counts
+    // past 2^53; the sums are always even so integer halving is exact
     val tallies = perItem.agg(
-      count(lit(1)).as("n_items"),
-      sum(col("ni")).as("n_votes"),
-      (sum(col("agree2")) / 2).as("agree_pairs"),
-      (sum(col("ni") * (col("ni") - 1)) / 2).as("total_pairs"))
+        count(lit(1)).as("n_items"),
+        sum(col("ni")).as("n_votes"),
+        sum(col("agree2")).as("__ag2"),
+        sum(col("ni") * (col("ni") - 1)).as("__tp2"))
+      .select(col("n_items"), col("n_votes"),
+        expr("__ag2 div 2").as("agree_pairs"),
+        expr("__tp2 div 2").as("total_pairs"))
     val marg = il.groupBy("label").agg(sum(col("nil")).as("nl"))
       .agg(sum(col("nl") * col("nl")).as("sq_sum"))
     val joined = tallies.crossJoin(marg)

@@ -328,7 +328,11 @@ object Sampling {
    *    snapshot.
    * Unlike [[hashSample]] (a FRACTION whose yield varies with corpus
    * size) this holds the sample size exactly — the per-segment
-   * eyeball / debugging sample at 100 TB. The rank filter compiles to
+   * eyeball / debugging sample at 100 TB. CONTRACT: `keyCol` must be
+   * unique per row (an id). Rows sharing a key tie on the entire sort
+   * key, and which physical row crosses the k boundary then depends on
+   * partition order — both the determinism and the merge property
+   * hold only over unique keys. The rank filter compiles to
    * WindowGroupLimit (Spark ≥ 3.5): a per-partition bottom-k heap runs
    * before the per-segment exchange, so shuffled volume is
    * O(k · partitions) per segment, never the corpus.

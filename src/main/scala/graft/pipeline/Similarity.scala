@@ -763,7 +763,7 @@ object Similarity {
    * shuffle whose reduce side is bounded by dimensionality, not corpus
    * size. Ragged corpora are visible in `n` rather than masked.
    */
-  def dimMinMax(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def dimMinMax(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(asD(col(vecCol))).as(Seq("pos", "x")))
       .groupBy("pos")
       .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"),
@@ -784,6 +784,9 @@ object Similarity {
     val rows = fit.select(col("pos").cast("int"), col("vmin").cast("double"),
         col("vmax").cast("double"))
       .collect() // bounded: one row per embedding dimension (<= maxDim)
+    require(rows.nonEmpty,
+      "minMaxScale fit is EMPTY — dimMinMax over an empty corpus fits " +
+        "nothing; scaling against it would be a silent no-op")
     require(rows.length <= maxDim,
       s"minMaxScale fit has ${rows.length} dims > maxDim=$maxDim — " +
         "this collect is bounded by dimensionality; a frame this wide " +

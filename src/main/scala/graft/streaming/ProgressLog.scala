@@ -26,7 +26,11 @@ final class ProgressLog(capacity: Int = 1024) extends StreamingQueryListener {
   private case class Entry(query: String, batchId: Long, inputRows: Long,
                            processedPerSec: Double, triggerMs: Long,
                            stateRows: Long)
-  private val buf = new java.util.ArrayDeque[Entry]()
+  // one ring PER STREAM: a chatty query must not evict the quiet one's
+  // history (the quiet-but-stateful stream is the one an operator
+  // cares about)
+  private val bufs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[Entry]]()
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -41,6 +45,8 @@ final class ProgressLog(capacity: Int = 1024) extends StreamingQueryListener {
       .getOrElse(0L)
     val trigger = Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue()).getOrElse(0L)
+    val buf = bufs.computeIfAbsent(name,
+      _ => new java.util.ArrayDeque[Entry]())
     buf.synchronized {
       buf.addLast(Entry(name, p.batchId, p.numInputRows,
         p.processedRowsPerSecond, trigger, stateRows))
@@ -57,15 +63,19 @@ final class ProgressLog(capacity: Int = 1024) extends StreamingQueryListener {
     StructField("state_rows", LongType, nullable = false)))
 
   /** The captured batches as a DataFrame (driver-bounded: ≤ capacity
-    * rows) — joinable, filterable, chartable like any frame. */
+    * rows PER STREAM) — joinable, filterable, chartable like any
+    * frame. */
   def toDF(spark: SparkSession): DataFrame = {
-    val rows = buf.synchronized {
-      val it = buf.iterator(); val out = Vector.newBuilder[Row]
-      while (it.hasNext) { val x = it.next()
-        out += Row(x.query, x.batchId, x.inputRows, x.processedPerSec,
-          x.triggerMs, x.stateRows) }
-      out.result()
+    val out = Vector.newBuilder[Row]
+    bufs.forEach { (_, buf) =>
+      buf.synchronized {
+        val it = buf.iterator()
+        while (it.hasNext) { val x = it.next()
+          out += Row(x.query, x.batchId, x.inputRows, x.processedPerSec,
+            x.triggerMs, x.stateRows) }
+      }
     }
+    val rows = out.result()
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)

@@ -303,7 +303,7 @@ class SimilaritySpec extends SparkTestBase {
       (1L, Seq(0.0f, 5.0f, 7.0f)),
       (2L, Seq(10.0f, 5.0f, 3.0f)),
       (3L, Seq(5.0f, 5.0f, 11.0f))).toDF("vec_id", "embedding")
-    val fit = Similarity.dimMinMax(df, "vec_id", "embedding")
+    val fit = Similarity.dimMinMax(df, "embedding")
     val f = fit.collect().map(r => r.getInt(0) ->
       (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
     assert(f(0) === ((0.0, 10.0, 3L)))
@@ -323,7 +323,7 @@ class SimilaritySpec extends SparkTestBase {
     val fitDf = Seq((1L, Seq(0.0f, 2.0f))).toDF("vec_id", "embedding")
     val fit = Similarity.dimMinMax(
       Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(4.0f, 2.0f)))
-        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+        .toDF("vec_id", "embedding"), "embedding")
     val ragged = Seq((9L, Seq(2.0f, 1.0f, 99.0f))).toDF("vec_id", "embedding")
     val row = Similarity.minMaxScale(ragged, "vec_id", "embedding", fit)
       .collect()(0)
