@@ -105,4 +105,26 @@ class LineageSpec extends SparkTestBase {
     assert(!PlanFingerprint.sameComputation(a, d))
     assert(PlanFingerprint.of(a).matches("[0-9a-f]{32}"))
   }
+
+  test("ResultCache: miss fills, identical computation hits, different plan misses") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.ResultCache
+    val root = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    val q1 = base.filter(col("amount") > 5.0).select(col("id"), col("amount"))
+    val (r1, hit1) = ResultCache.getOrCompute(q1, root)
+    assert(!hit1 && r1.count() === 1L)
+    // the SAME computation, re-phrased, is served from the cache
+    val q1b = base.where(col("amount") > 5.0)
+      .select(col("id").as("id"), col("amount").as("amount"))
+    val (r2, hit2) = ResultCache.getOrCompute(q1b, root)
+    assert(hit2 && r2.count() === 1L)
+    // a different literal is a different slot
+    val (_, hit3) = ResultCache.getOrCompute(
+      base.filter(col("amount") > 999.0).select(col("id"), col("amount")), root)
+    assert(!hit3)
+    // eviction frees the slot; next call recomputes
+    assert(ResultCache.evict(q1, root))
+    assert(!ResultCache.getOrCompute(q1, root)._2)
+  }
 }
