@@ -2717,6 +2717,22 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("wpos"))
         .orderBy("doc_id", "wpos")),
 
+    // Computation-keyed result cache, end to end: the frame fills its
+    // fingerprint slot cold, then the SAME computation must be served
+    // from the cache (gated) — and the served rows must still match
+    // the SQL oracle: a cache that returns anything but the exact
+    // answer fails the hash, not just the hit-rate.
+    "q_result_cache" -> ((s, dir) => {
+      import graft.plans.ResultCache
+      val q = rd(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      val root = scratch("result_cache")
+      ResultCache.getOrCompute(q, root)
+      val (warm, hit) = ResultCache.getOrCompute(q, root)
+      require(hit, "identical computation must be served from the cache")
+      warm.orderBy("lang")
+    }),
+
     // Inclusion-dependency (FK) discovery across candidate key columns:
     // every column reduces to a tagged distinct value set, ONE
     // self-join by value computes all pairwise intersections at once
@@ -4729,6 +4745,10 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_result_cache" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "q_fk_discovery" ->
       """WITH vs AS (
         |  SELECT DISTINCT 'customer.c_custkey' AS cid, CAST(c_custkey AS VARCHAR) AS v

@@ -104,6 +104,20 @@ class LineageSpec extends SparkTestBase {
     val d = base.filter(col("amount") > 5.0).select(col("id").as("x"))
     assert(!PlanFingerprint.sameComputation(a, d))
     assert(PlanFingerprint.of(a).matches("[0-9a-f]{32}"))
+    // the same query over a DIFFERENT input directory is a different
+    // computation — canonicalization alone drops the scan path; the
+    // fingerprint must not (this once served one scale factor's cached
+    // answer to another)
+    val otherDir = java.nio.file.Files.createTempDirectory("graft_lineage2").toString
+    base.write.mode("overwrite").parquet(otherDir)
+    val sameQueryOtherData = s.read.parquet(otherDir)
+      .filter(col("amount") > 5.0)
+      .select(col("id").as("x"), (col("amount") * 2).as("y"))
+    assert(!PlanFingerprint.sameComputation(a, sameQueryOtherData))
+    // local (in-memory) leaves key on their CONTENT, not just schema
+    val l1 = Seq((1L, "a")).toDF("k", "v").filter(col("k") > 0)
+    val l2 = Seq((2L, "b")).toDF("k", "v").filter(col("k") > 0)
+    assert(!PlanFingerprint.sameComputation(l1, l2))
   }
 
   test("ResultCache: miss fills, identical computation hits, different plan misses") {
