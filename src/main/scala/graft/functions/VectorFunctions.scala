@@ -169,5 +169,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (TextFunctions.minhashIdent, TextFunctions.minhashInfo, TextFunctions.minhashBuilder))
     ext.injectFunction(
       (VectorFunctions.longIdent, VectorFunctions.longInfo, VectorFunctions.longBuilder))
+    ext.injectFunction(
+      (TextFunctions.normIdent, TextFunctions.normInfo, TextFunctions.normBuilder))
   }
 }
