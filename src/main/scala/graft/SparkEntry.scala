@@ -2733,6 +2733,29 @@ object SparkEntry {
       warm.orderBy("lang")
     }),
 
+    // Benford leading-digit audit of order totals: digit from the
+    // DECIMAL STRING of the integer cents (log10-and-floor misassigns
+    // exact powers of ten and libm ulps differ across engines), all
+    // nine digits always present, ratio = one exact division. The χ²
+    // gate lives driver-side (Benford.chiSquare) — kept out of the
+    // hash-compared frame.
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Benford.leadingDigitAudit(
+        rd(s, dir, "orders").select(
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "cents").orderBy("digit")),
+
+    // The segmented A/B readout — where effects hide (Simpson's trap):
+    // the same z² per event-type segment, two variant summary rows
+    // joining per segment, never the event data.
+    "q_ab_segmented" -> ((s, dir) =>
+      graft.operators.AbTest.twoProportionBySegment(
+        rd(s, dir, "events").select(col("event_type").as("seg0"),
+          pmod(col("user_id"), lit(2)).cast("string").as("variant"),
+          (col("value") > 50.0).as("conv")),
+        "seg0", "variant", "conv", "0", "1")
+        .orderBy("seg")),
+
     // Inclusion-dependency (FK) discovery across candidate key columns:
     // every column reduces to a tagged distinct value set, ONE
     // self-join by value computes all pairwise intersections at once
@@ -4745,6 +4768,39 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM v WHERE cents > 0 GROUP BY 1),
+        |d AS (SELECT CAST(x AS BIGINT) AS digit FROM range(1, 10) t(x)),
+        |j AS (SELECT d.digit, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs
+        |  FROM d LEFT JOIN o USING (digit))
+        |SELECT digit, obs, CAST(sum(obs) OVER () AS BIGINT) AS n,
+        |  CAST(obs AS DOUBLE) / (sum(obs) OVER ()) AS ratio
+        |FROM j ORDER BY digit""".stripMargin.replace("\n", " "),
+    "q_ab_segmented" ->
+      """WITH t AS (SELECT event_type AS seg, CAST(user_id % 2 AS VARCHAR) AS variant,
+        |    (value > 50.0) AS conv FROM events),
+        |s AS (SELECT seg, variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |j AS (SELECT a.seg, a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+        |  FROM s a JOIN s b ON a.seg = b.seg
+        |  WHERE a.variant = '0' AND b.variant = '1'),
+        |x AS (SELECT *,
+        |    CAST(conv_a AS DOUBLE) / n_a AS ra,
+        |    CAST(conv_b AS DOUBLE) / n_b AS rb,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+        |  FROM j)
+        |SELECT seg, n_a, conv_a, n_b, conv_b,
+        |  ra AS rate_a, rb AS rate_b, ra - rb AS lift,
+        |  CASE WHEN p = 0 OR p = 1 THEN NULL
+        |    ELSE (ra - rb) * (ra - rb) /
+        |      (p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+        |  END AS z2
+        |FROM x ORDER BY seg""".stripMargin.replace("\n", " "),
     "q_result_cache" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars

@@ -57,4 +57,46 @@ object AbTest {
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
           .as("z2"))
   }
+
+  /**
+   * Segmented readout: the same statistic PER SEGMENT (per language,
+   * per platform, per cohort) — where experiment effects actually
+   * hide; a flat winner that loses a key segment is the classic
+   * Simpson's-trap, and this is the table that exposes it. One
+   * (segment, variant) groupBy, then the two variants meet through a
+   * segment equi-join of summary rows (one row per segment per side —
+   * never the event data). Segments missing either variant are absent
+   * (no comparison exists), and the z² algebra is [[twoProportion]]'s
+   * verbatim.
+   */
+  def twoProportionBySegment(df: DataFrame, segCol: String,
+                             variantCol: String, convCol: String,
+                             variantA: String, variantB: String): DataFrame = {
+    require(variantA != variantB, "compare two DIFFERENT variants")
+    val tallies = df
+      .filter(col(variantCol).isin(variantA, variantB))
+      .groupBy(col(segCol).cast("string").as("seg"),
+        col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convCol), 1L).otherwise(0L)).as("conv"))
+    val a = tallies.filter(col("variant") === variantA)
+      .select(col("seg"), col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = tallies.filter(col("variant") === variantB)
+      .select(col("seg"), col("n").as("n_b"), col("conv").as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a")
+    val rb = col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    a.join(b, Seq("seg"))
+      .withColumn("__p", pooled)
+      .select(col("seg"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"), ra.as("rate_a"), rb.as("rate_b"),
+        (ra - rb).as("lift"),
+        when(col("__p") === 0.0 || col("__p") === 1.0,
+          lit(null).cast("double"))
+          .otherwise((ra - rb) * (ra - rb) /
+            (col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .as("z2"))
+  }
 }

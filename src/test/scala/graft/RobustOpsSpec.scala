@@ -115,4 +115,44 @@ class RobustOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       AbTest.twoProportion(df, "variant", "conv", "A", "A"))
   }
+
+  test("AbTest segmented: per-segment z2, absent-variant segments dropped") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.AbTest
+    val df = (Seq.fill(3)(("s1", "A", true)) ++ Seq.fill(3)(("s1", "A", false)) ++
+      Seq.fill(1)(("s1", "B", true)) ++ Seq.fill(3)(("s1", "B", false)) ++
+      Seq.fill(2)(("s2", "A", true))).toDF("seg0", "variant", "conv")
+    val got = AbTest.twoProportionBySegment(df, "seg0", "variant", "conv",
+      "A", "B").collect()
+    assert(got.length === 1, "s2 has no B side - no comparison exists")
+    val r = got(0)
+    assert(r.getString(0) === "s1")
+    assert(math.abs(r.getDouble(8) - 0.625) < 1e-12)
+  }
+
+  test("Benford: string-extracted digits, absent digits visible, chi-square sane") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Benford
+    // powers of ten land on digit 1 EXACTLY (the log10-floor trap)
+    val vals = Seq(1L, 10L, 100L, 1000L, 2L, 25L, 3L, 900L, -5L, 0L)
+      .map(Tuple1(_)).toDF("v")
+    val audit = Benford.leadingDigitAudit(vals, "v")
+    val byDigit = audit.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(byDigit(1L)._1 === 4L, "1, 10, 100, 1000 all lead with 1")
+    assert(byDigit(2L)._1 === 2L && byDigit(3L)._1 === 1L && byDigit(9L)._1 === 1L)
+    assert(byDigit(4L)._1 === 0L, "absent digits stay visible as zero")
+    assert(byDigit.values.forall(_._2 === 8L), "n excludes <= 0 measures")
+    assert(math.abs(byDigit.values.map(_._3).sum - 1.0) < 1e-12)
+    val chi = Benford.chiSquare(audit)
+    assert(chi > 0.0 && chi.isFinite)
+    // a float measure is rejected with the rescale recipe
+    val e = intercept[IllegalArgumentException] {
+      Benford.leadingDigitAudit(Seq(Tuple1(1.5)).toDF("v"), "v")
+    }
+    assert(e.getMessage.contains("INTEGRAL"))
+  }
 }
