@@ -63,6 +63,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.split("Scan parquet").length - 1 <= 1, "multiple scans for grouping sets")
   }
 
+  test("q_fk_discovery / q_incr_join / q_label_vote: equi-joins and heap ranks only") {
+    Seq("q_fk_discovery", "q_incr_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ")
+    }
+    assert(plan("q_label_vote").contains("WindowGroupLimit"),
+      "majority argmax should compile to a pre-shuffle heap")
+  }
+
   test("q_interval_join: bucket equi-join, never a nested-loop join") {
     val p = plan("q_interval_join")
     assert(!p.contains("CartesianProduct"), p.take(800))

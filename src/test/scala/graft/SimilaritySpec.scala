@@ -332,6 +332,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(xs(2) === null, "coordinate beyond fitted dims must be NULL")
   }
 
+  test("minMaxScale: an EMPTY fit is rejected loudly, not a silent no-op") {
+    val s = spark
+    import s.implicits._
+    val emptyFit = Similarity.dimMinMax(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), "embedding")
+    val df = Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.minMaxScale(df, "vec_id", "embedding", emptyFit)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+  }
+
   test("minMaxScale: a fit wider than maxDim is rejected loudly") {
     val s = spark
     import s.implicits._
