@@ -2733,6 +2733,20 @@ object SparkEntry {
       warm.orderBy("lang")
     }),
 
+    // Near-dup EXPLANATIONS on the planted-copy fixture: each merged
+    // pair carries its first 3 shared shingles (lexicographic) next to
+    // the Jaccard — the appeals/debug evidence a dedup pipeline owes
+    // its users. Candidates from the inverted index, evidence joined
+    // only for surviving pairs.
+    "q_dedup_explain" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withCopies = docs.unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.explainPairs(withCopies, "doc_id", "text", n = 3,
+          threshold = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
     // Benford leading-digit audit of order totals: digit from the
     // DECIMAL STRING of the integer cents (log10-and-floor misassigns
     // exact powers of ten and libm ulps differ across engines), all
@@ -4768,6 +4782,22 @@ object SparkEntry {
         |    AND ws[CAST(i + 1 AS INT)] = 'big'
         |    AND ws[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, wpos FROM p ORDER BY doc_id, wpos""".stripMargin.replace("\n", " "),
+    "q_dedup_explain" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE i + 2 <= len(ws)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ic,
+        |    list(a.g ORDER BY a.g) AS shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id1, id2,
+        |    CAST(ic AS DOUBLE) / (s1.sz + s2.sz - ic) AS jaccard, shared
+        |  FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id)
+        |SELECT id1, id2, jaccard,
+        |  array_to_string(shared[1:3], ' | ') AS evidence FROM p
+        |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_benford" ->
       """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),

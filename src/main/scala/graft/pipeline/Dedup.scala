@@ -143,6 +143,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
 
   /**
+   * EXPLAIN a near-dup verdict: for each pair above `threshold`, the
+   * Jaccard plus the first `k` shared shingles (lexicographic — a
+   * deterministic sample of the overlap), " | "-joined into one
+   * evidence string (portable to any result channel). This is the appeals/debug
+   * surface a dedup pipeline owes its users: "these two were merged
+   * BECAUSE they share …" — evidence, not just a score. Candidates
+   * come from the same inverted-index pair counts as
+   * [[ngramJaccardPairs]] (no all-pairs); the evidence join touches
+   * only the surviving pairs' two gram sets.
+   */
+  def explainPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, k: Int = 3,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    require(k >= 1, "need at least one evidence shingle")
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+    val g = gramSets(df, idCol, textCol, n)
+    pairs
+      .join(g.select(col("doc_id").as("id1"), col("grams").as("__g1")), "id1")
+      .join(g.select(col("doc_id").as("id2"), col("grams").as("__g2")), "id2")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        array_join(
+          slice(array_sort(array_intersect(col("__g1"), col("__g2"))), 1, k),
+          " | ").as("evidence"))
+  }
+
+
+  /**
    * One-sided cross-corpus near-duplicate pairs: every (corpus doc,
    * contamination doc) pair whose n-gram Jaccard reaches `threshold` —
    * the FUZZY sibling of the exact/bloom decontamination passes

@@ -598,4 +598,22 @@ class DedupSpec extends SparkTestBase {
     assert(stored === fresh)
     assert(stored === Set((10L, 1L)))
   }
+
+  test("explainPairs: deterministic lexicographic evidence for merged pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val got = Dedup.explainPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    // shared trigrams: "alpha beta gamma", "beta gamma delta" — the 2
+    // lexicographically-first shared shingles, pipe-joined
+    assert(got((1L, 2L)) === "alpha beta gamma | beta gamma delta")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    intercept[IllegalArgumentException](
+      Dedup.explainPairs(docs, "doc_id", "text", 3, 0.3, k = 0))
+  }
 }
