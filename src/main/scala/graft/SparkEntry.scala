@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.compile.QueryCompiler
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Features, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
@@ -3347,6 +3347,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")
     }),
+
+    // --- Feature engineering (fit + deterministic transform) ---
+
+    // Exact equal-frequency binning over the two-phase global rank —
+    // never a single-task ORDER BY window. Emitted as the per-bin
+    // profile (count + boundaries); equal frequency is visible in the
+    // n_rows column (sizes differ by at most 1).
+    "q_feature_bin" -> ((s, dir) => {
+      Features.quantileBin(rd(s, dir, "orders"),
+          col("o_totalprice"), col("o_orderkey"), 8)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("bin")
+    }),
+
+    // Grouped z-score standardization from integer-exact moments; the
+    // oracle pins the fit (n, S1, S2 exactly) AND the full per-row
+    // transform via the truncated-checksum trick (sum of trunc(z·1e6)
+    // — order-independent, cross-engine-exact because z is one double
+    // division of exact integers).
+    "q_feature_zscore" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val x = col("l_quantity").cast("long")
+      Features.standardize(li, Seq("l_returnflag"), "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+          sum((col("zscore") * lit(1e6)).cast("long")).as("zsum"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Smoothed target-mean encoding: the fit mapping with the
+    // all-integer-cross-product encoding value (m = 100 pseudo-counts
+    // toward the global F-rate).
+    "q_feature_target_enc" -> ((s, dir) => {
+      Features.targetEncode(rd(s, dir, "orders"), "o_orderpriority",
+          col("o_orderstatus") === lit("F"), 100L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // Hashing-trick bag-of-words into 64 signed buckets via the
+    // oracle-replayable native poly_hash16 — vocabulary-free encoding,
+    // one (doc, bucket) exchange.
+    "q_feature_hashed" -> ((s, dir) => {
+      Features.hashedFeatures(rd(s, dir, "documents"), "doc_id", "text", 64)
+        .orderBy("doc_id", "bucket")
+    }),
+
+    // Hash-cross of (nation × market segment) into 256 buckets — the
+    // wide-and-deep cross feature; emitted as the bucket histogram with
+    // the distinct-level count exposing collisions.
+    "q_feature_cross" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      c.select(
+          Features.crossBucket(
+            Seq(col("c_nationkey"), col("c_mktsegment")), 256).as("bucket"),
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("__cs"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("__cs")).as("n_levels"))
+        .orderBy("bucket")
+    }),
+
+    // Frequency-rank vocabulary index with rare-category collapse
+    // (cnt < 72 → the shared OTHER id 0); deterministic tie-break.
+    "q_feature_index" -> ((s, dir) => {
+      Features.indexEncode(rd(s, dir, "documents"), "lang", 72L)
+        .orderBy(col("idx"), col("lang"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5253,7 +5322,79 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents WHERE n_chars > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_feature_bin" ->
+      """WITH r AS (SELECT o_totalprice, o_orderkey,
+        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+        |  count(*) OVER () AS n FROM orders)
+        |SELECT CAST(((rk - 1) * 8) // n AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_feature_zscore" ->
+      """WITH x AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |s AS (SELECT flag, count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+        |  CAST(sum(x*x) AS BIGINT) AS s2 FROM x GROUP BY 1),
+        |z AS (SELECT x.flag, CASE WHEN s.n*s.s2 - s.s1*s.s1 > 0
+        |  THEN CAST(s.n*x.x - s.s1 AS DOUBLE) / sqrt(CAST(s.n*s.s2 - s.s1*s.s1 AS DOUBLE))
+        |  ELSE 0 END AS zv
+        |  FROM x JOIN s USING (flag))
+        |SELECT s.flag AS l_returnflag, s.n, s.s1, s.s2,
+        |  CAST(sum(CAST(trunc(zv * 1e6) AS BIGINT)) AS BIGINT) AS zsum
+        |FROM z JOIN s ON z.flag = s.flag
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_feature_target_enc" ->
+      """WITH t AS (SELECT o_orderpriority AS cat,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |g AS (SELECT count(*) AS nt, CAST(sum(y) AS BIGINT) AS st FROM t),
+        |c AS (SELECT cat, count(*) AS n_cat, CAST(sum(y) AS BIGINT) AS s_cat
+        |  FROM t GROUP BY 1)
+        |SELECT c.cat AS o_orderpriority, c.n_cat, c.s_cat,
+        |  CAST(c.s_cat * g.nt + 100 * g.st AS DOUBLE)
+        |    / CAST(g.nt * (c.n_cat + 100) AS DOUBLE) AS enc
+        |FROM c, g ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_feature_hashed" ->
+      s"""WITH w(wi, wt) AS (VALUES $polyHashWeightsSql),
+        |tok AS (SELECT doc_id, t FROM documents,
+        |  unnest(string_split(text, ' ')) AS u(t) WHERE length(t) > 0),
+        |tcnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |dt AS (SELECT DISTINCT t FROM tok),
+        |ch AS (SELECT t, sum(ascii(substr(t, i, 1)) * wt) AS h
+        |  FROM dt, unnest(range(1, least(length(t), 16) + 1)) AS r(i), w
+        |  WHERE w.wi = r.i GROUP BY t),
+        |f AS (SELECT tc.doc_id, h % 64 AS bucket,
+        |  CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sign, tc.c
+        |  FROM tcnt tc JOIN ch USING (t))
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(sign * c) AS BIGINT) AS fsum, CAST(sum(c) AS BIGINT) AS n_tok
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_feature_cross" ->
+      s"""WITH w(wi, wt) AS (VALUES $polyHashWeightsSql),
+        |s AS (SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS cs
+        |  FROM customer),
+        |dt AS (SELECT cs, count(*) AS c FROM s GROUP BY 1),
+        |ch AS (SELECT cs, c, sum(ascii(substr(cs, i, 1)) * wt) AS h
+        |  FROM dt, unnest(range(1, least(length(cs), 16) + 1)) AS r(i), w
+        |  WHERE w.wi = r.i GROUP BY cs, c)
+        |SELECT CAST(h % 256 AS BIGINT) AS bucket, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_levels
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+    "q_feature_index" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |k AS (SELECT lang, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, lang) AS idx FROM c WHERE cnt >= 72)
+        |SELECT lang, CAST(cnt AS BIGINT) AS cnt, CAST(idx AS BIGINT) AS idx FROM k
+        |UNION ALL
+        |SELECT lang, CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS idx
+        |FROM c WHERE cnt < 72
+        |ORDER BY idx, lang""".stripMargin.replace("\n", " "),
   )
+
+  /** The poly_hash16 weight table as a SQL VALUES list — the oracle
+    * replays the native hash ([[graft.functions.FeatureFunctionHelpers]])
+    * as plain arithmetic over character codes. */
+  private def polyHashWeightsSql: String =
+    graft.functions.FeatureFunctionHelpers.Weights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1},CAST($w AS BIGINT))" }.mkString(",")
 
   /** Incremental LSH near-dup oracle (exact cross-set Jaccard) — shared
     * by the fresh-index and persisted-artifact entries, which must agree

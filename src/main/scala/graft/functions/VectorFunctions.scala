@@ -171,5 +171,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (VectorFunctions.longIdent, VectorFunctions.longInfo, VectorFunctions.longBuilder))
     ext.injectFunction(
       (TextFunctions.normIdent, TextFunctions.normInfo, TextFunctions.normBuilder))
+    ext.injectFunction(
+      (FeatureFunctions.ident, FeatureFunctions.info, FeatureFunctions.builder))
   }
 }
