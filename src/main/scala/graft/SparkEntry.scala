@@ -2,7 +2,7 @@ package graft
 
 import graft.model._
 import graft.compile.QueryCompiler
-import graft.pipeline.{Dedup, Features, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Features, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
@@ -3416,6 +3416,39 @@ object SparkEntry {
       Features.indexEncode(rd(s, dir, "documents"), "lang", 72L)
         .orderBy(col("idx"), col("lang"))
     }),
+
+    // Distributed BPE tokenizer training: the corpus is read once (the
+    // word-count collapse); six merge rounds then run over the
+    // VOCABULARY frame only. The oracle replays ALL of training —
+    // every winning pair, its corpus-weighted count, and the exact
+    // corpus token total after each merge — via the same
+    // delimiter-wrapped string-replace semantics, unrolled as six SQL
+    // stages.
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.trainDf(s, rd(s, dir, "documents"), "text", 6)),
+
+    // Token-budget fill measured in TRAINED-BPE tokens — the composed
+    // form a real mix cut uses (the budget counts what the trainer
+    // will actually see, not whitespace words): train 6 merges on the
+    // full corpus, count per-doc tokens with the narrow serve-time
+    // merge fold, then cut at 12k tokens in quality order via the
+    // two-phase prefix sum.
+    "q_budget_bpe" -> ((s, dir) => {
+      val all = rd(s, dir, "documents")
+      val merges = Bpe.train(all, "text", 6)
+      val docs = all.filter(col("text").isNotNull && col("text") =!= "")
+      val t = TextAnalysis.toks(col("text"))
+      val d = docs.select(col("doc_id"),
+          Bpe.tokenCount(col("text"), merges).as("tk"),
+          (TextAnalysis.hitCount(t, TextAnalysis.ruleStopwords).cast("long")
+            * 10000L).as("__h"),
+          size(t).cast("long").as("__w"))
+        .filter(col("__w") > 0)
+        .withColumn("q", expr("__h div __w")).drop("__h", "__w")
+      graft.operators.BudgetSelect
+        .selectByBudget(d, "doc_id", "tk", "q", budget = 12000L)
+        .select("doc_id", "tk", "q", "cum").orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5387,7 +5420,67 @@ object SparkEntry {
         |SELECT lang, CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS idx
         |FROM c WHERE cnt < 72
         |ORDER BY idx, lang""".stripMargin.replace("\n", " "),
+    "q_bpe_train" -> bpeOracleSql(6),
+    "q_budget_bpe" -> bpeBudgetOracleSql(6),
   )
+
+  /** Shared BPE-training CTE chain: k merge rounds unrolled as SQL
+    * stages, each replaying [[graft.pipeline.Bpe]]'s delimiter-wrapped
+    * string-replace merge exactly (chr(31) = the U+001F separator).
+    * Exposes `t$i` (winning pair per step), `s$i` (corpus token total
+    * after step i), and `w$k` (word → final tokenization). */
+  private def bpeCtes(k: Int): String = {
+    def stage(i: Int): String =
+      s"""p$i AS (SELECT l[j] AS a, l[j+1] AS b, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |  FROM (SELECT wcnt, string_split(trim(rep, chr(31)), chr(31)||chr(31)) AS l
+         |        FROM w${i - 1}),
+         |  unnest(range(1, len(l))) AS r(j) GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT word, wcnt, replace(rep,
+         |  chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31),
+         |  chr(31)||t.a||t.b||chr(31)) AS rep FROM w${i - 1}, t$i t),
+         |s$i AS (SELECT CAST(sum(wcnt *
+         |  len(string_split(trim(rep, chr(31)), chr(31)||chr(31)))) AS BIGINT)
+         |  AS toks FROM w$i)""".stripMargin
+    s"""words AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS wcnt
+       |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+       |  WHERE length(t) > 0 GROUP BY 1),
+       |w0 AS (SELECT word, wcnt,
+       |  list_aggregate(list_transform(string_split(word, ''),
+       |  c -> chr(31)||c||chr(31)), 'string_agg', '') AS rep FROM words),
+       |""".stripMargin + (1 to k).map(stage).mkString(",\n")
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a, b, cnt, " +
+        s"(SELECT toks FROM s$i) AS toks_after FROM t$i").mkString(" UNION ALL ")
+    (s"WITH ${bpeCtes(k)}\nSELECT * FROM ($sel) ORDER BY step").replace("\n", " ")
+  }
+
+  /** Token-budget fill measured in TRAINED-BPE tokens: per-doc counts
+    * come from joining the doc's words to the final `w$k` tokenization
+    * (the oracle's equivalent of the narrow per-row merge fold). */
+  private def bpeBudgetOracleSql(k: Int): String =
+    (s"""WITH ${bpeCtes(k)},
+        |dtok AS (SELECT doc_id, t AS word
+        |  FROM (SELECT doc_id, text FROM documents
+        |        WHERE text IS NOT NULL AND text <> ''),
+        |  unnest(string_split(text, ' ')) AS u(t) WHERE length(t) > 0),
+        |dl AS (SELECT doc_id, CAST(sum(
+        |    len(string_split(trim(w.rep, chr(31)), chr(31)||chr(31)))) AS BIGINT) AS tk
+        |  FROM dtok JOIN w$k w USING (word) GROUP BY 1),
+        |dq AS (SELECT doc_id,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','a','an','and','of','to','is','in','it','that'))) * 10000 AS BIGINT) // len(ws) AS q
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE text IS NOT NULL AND text <> '')
+        |  WHERE len(ws) > 0),
+        |d AS (SELECT dl.doc_id, dl.tk, dq.q FROM dl JOIN dq USING (doc_id)),
+        |r AS (SELECT doc_id, tk, q,
+        |    CAST(sum(tk) OVER (ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+        |SELECT doc_id, tk, q, cum FROM r WHERE cum - tk < 12000
+        |ORDER BY doc_id""".stripMargin).replace("\n", " ")
 
   /** The poly_hash16 weight table as a SQL VALUES list — the oracle
     * replays the native hash ([[graft.functions.FeatureFunctionHelpers]])

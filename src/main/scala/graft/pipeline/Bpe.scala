@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE (byte-pair-encoding) tokenizer training — the
+ * missing piece between corpus curation and the trainer's vocabulary
+ * (Sennrich et al., ACL 2016). Reference analog: none (the reference
+ * engine has no tokenizer surface); this extends the LLM-pipeline
+ * family alongside [[TextAnalysis]] vocabulary/token-count reports.
+ *
+ * Scale shape (the part that matters at 100 TB): the corpus is touched
+ * EXACTLY ONCE — by the word-count aggregation (one shuffle, map-side
+ * combined). Every merge iteration after that runs over the
+ * VOCABULARY frame (|distinct words| rows, with multiplicities carried
+ * as counts), which is how production tokenizer trainers scale: pair
+ * statistics are Σ wordCount over adjacent token pairs, so collapsing
+ * duplicate words first is lossless. Per iteration: one pair-count
+ * aggregation + a top-1 `orderBy.limit(1)` (TakeOrdered — a heap, not
+ * a global sort) + two 1-row bounded collects; the re-tokenization is
+ * a narrow per-row `replace`.
+ *
+ * Token-merge representation: a word's tokenization is the
+ * concatenation of `SEP + token + SEP` (SEP = U+001F, the ASCII unit
+ * separator — absent from any text this operator admits). Merging pair
+ * (a, b) is then the literal string replace of `SEP a SEP SEP b SEP`
+ * with `SEP ab SEP` — left-to-right non-overlapping, which is EXACTLY
+ * the classic left-greedy BPE merge fold (each token carries its own
+ * delimiters, so consecutive matches never share characters and
+ * replace() consumes them all). This keeps the whole loop inside
+ * codegen'd string expressions — no UDF, no per-row JVM fold — and
+ * makes every step replayable by an external SQL engine, which is how
+ * the DuckDB oracle pins all of training.
+ *
+ * No end-of-word marker is appended (documented deviation from
+ * Sennrich's `</w>`): merges never cross word boundaries either way,
+ * and the marker-free form keeps the oracle exact.
+ */
+object Bpe {
+
+  val Sep = "\u001f"
+
+  /** One trained merge: `step` is 1-based, (a, b) → a+b, `cnt` the
+    * corpus-weighted pair count that won the step, `toksAfter` the
+    * total corpus token count after applying the merge (monotone
+    * decreasing — each merge saves exactly `cnt` tokens). */
+  final case class Merge(step: Int, a: String, b: String, cnt: Long, toksAfter: Long)
+
+  /** Distinct words with multiplicities — the only corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+
+  /** Train `numMerges` BPE merges over the corpus; returns them in
+    * order. Deterministic: ties on pair count break by (a, b). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"Bpe.train needs numMerges >= 1, got $numMerges")
+    val words = wordCounts(docs, textCol)
+    // initial representation: every character is a token
+    var rep = words.select(col("wcnt"),
+      array_join(transform(split(col("word"), ""),
+        c => concat(lit(Sep), c, lit(Sep))), "").as("rep"))
+      .cache()
+    val merges = Seq.newBuilder[Merge]
+    try {
+      var step = 1
+      var continue = true
+      while (step <= numMerges && continue) {
+        val toks = split(trim(col("rep"), Sep), Sep + Sep)
+        val n1 = greatest(size(toks) - 1, lit(0))
+        val top = rep.select(col("wcnt"),
+            explode(arrays_zip(slice(toks, lit(1), n1), slice(toks, lit(2), n1))).as("p"))
+          .groupBy(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+          .agg(sum("wcnt").as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect() // bounded: exactly one row
+        if (top.isEmpty) continue = false
+        else {
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          val next = rep.withColumn("rep",
+            replace(col("rep"), lit(Sep + a + Sep + Sep + b + Sep),
+              lit(Sep + a + b + Sep))).cache()
+          val toksAfter = next.agg(sum(col("wcnt") *
+            size(split(trim(col("rep"), Sep), Sep + Sep))).as("t"))
+            .collect()(0).getLong(0) // bounded: one row
+          rep.unpersist()
+          rep = next
+          merges += Merge(step, a, b, cnt, toksAfter)
+          step += 1
+        }
+      }
+    } finally rep.unpersist()
+    merges.result()
+  }
+
+  /** The trained merges as a DataFrame (k rows, driver-built). */
+  def trainDf(spark: SparkSession, docs: DataFrame, textCol: String,
+              numMerges: Int): DataFrame = {
+    import spark.implicits._
+    train(docs, textCol, numMerges)
+      .toDF("step", "a", "b", "cnt", "toks_after")
+      .select(col("step").cast("long"), col("a"), col("b"),
+        col("cnt"), col("toks_after"))
+  }
+
+  /** Apply trained merges to a text column: per-word greedy merge fold
+    * — the serve-time tokenizer. Returns the per-row token count (the
+    * narrow transform a token-budget pass needs); extend with the
+    * token array via the same `rep` column if needed. */
+  def tokenCount(textCol: org.apache.spark.sql.Column,
+                 merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val word = filter(split(textCol, " "), w => length(w) > 0)
+    val rep0 = transform(word, w =>
+      array_join(transform(split(w, ""), c => concat(lit(Sep), c, lit(Sep))), ""))
+    val repK = merges.foldLeft(rep0) { (r, m) =>
+      transform(r, s => replace(s,
+        lit(Sep + m.a + Sep + Sep + m.b + Sep), lit(Sep + m.a + m.b + Sep)))
+    }
+    aggregate(repK, lit(0L),
+      (acc, s) => acc + size(split(trim(s, Sep), Sep + Sep)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Bpe
+
+class BpeSpec extends SparkTestBase {
+
+  test("train learns the hand-computable merges on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // "low lower lowest low low": pair counts round 1 —
+    // (l,o) 5, (o,w) 5, (w,e) 2, (e,r) 1, (e,s) 1, (s,t) 1
+    val docs = Seq("low lower lowest low low", "low lower").toDF("text")
+    val merges = Bpe.train(docs, "text", 3)
+    assert(merges.map(m => (m.step, m.a, m.b, m.cnt)) == Seq(
+      (1, "l", "o", 7L),    // lo   (tie with (o,w) broken by a asc)
+      (2, "lo", "w", 7L),   // low
+      (3, "low", "e", 3L))) // lowe — beats (e,r) at 2
+  }
+
+  test("merge fold semantics: consecutive and overlapping pairs") {
+    val s = spark
+    import s.implicits._
+    // aaaa -> (a,a) appears 3 times (overlapping count), merge is
+    // left-greedy: [aa, aa]; then (aa,aa) merges to [aaaa]
+    val docs = Seq("aaaa").toDF("text")
+    val merges = Bpe.train(docs, "text", 2)
+    assert(merges.map(m => (m.a, m.b, m.cnt, m.toksAfter)) == Seq(
+      ("a", "a", 3L, 2L), ("aa", "aa", 1L, 1L)))
+  }
+
+  test("toks_after decreases by cnt each step; tokenCount replays training") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("spark scala spark", "spark row scan", "scala scan scan")
+      .toDF("text")
+    val merges = Bpe.train(docs, "text", 4)
+    val init = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).as[Long].head()
+    var prev = init
+    merges.foreach { m =>
+      assert(m.toksAfter == prev - m.cnt,
+        s"step ${m.step}: ${m.toksAfter} != $prev - ${m.cnt}")
+      prev = m.toksAfter
+    }
+    // serve-time tokenizer agrees with the training loop's count
+    val served = docs.select(Bpe.tokenCount(col("text"), merges).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(served == merges.last.toksAfter)
+    // and with no merges, it counts characters
+    val chars = docs.select(Bpe.tokenCount(col("text"), Nil).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(chars == init)
+  }
+}
