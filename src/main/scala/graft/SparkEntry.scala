@@ -3449,6 +3449,25 @@ object SparkEntry {
         .selectByBudget(d, "doc_id", "tk", "q", budget = 12000L)
         .select("doc_id", "tk", "q", "cum").orderBy("doc_id")
     }),
+
+    // The tokenizer's vocabulary artifact after 6 trained merges:
+    // token type, corpus frequency, dense id. Output is bounded by
+    // |alphabet| + 6 rows (each merge mints exactly one token type);
+    // the oracle rebuilds it from the unrolled training CTEs' final
+    // word tokenization.
+    "q_bpe_vocab" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Bpe.vocab(docs, "text", Bpe.train(docs, "text", 6)).orderBy(col("id"))
+    }),
+
+    // ε-DP language histogram (ε = ln 2, truncated geometric mechanism
+    // at b=8): integer-exact inverse-CDF noise seeded by the
+    // oracle-replayable poly_hash16, clamped at zero — the released
+    // frame carries ONLY the noisy counts.
+    "q_dp_lang_counts" -> ((s, dir) =>
+      graft.operators.Privacy
+        .dpCounts(rd(s, dir, "documents"), Seq("lang"), seed = "g7")
+        .orderBy(col("lang"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5422,6 +5441,8 @@ object SparkEntry {
         |ORDER BY idx, lang""".stripMargin.replace("\n", " "),
     "q_bpe_train" -> bpeOracleSql(6),
     "q_budget_bpe" -> bpeBudgetOracleSql(6),
+    "q_bpe_vocab" -> bpeVocabOracleSql(6),
+    "q_dp_lang_counts" -> dpLangCountsOracleSql,
   )
 
   /** Shared BPE-training CTE chain: k merge rounds unrolled as SQL
@@ -5481,6 +5502,41 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
         |SELECT doc_id, tk, q, cum FROM r WHERE cum - tk < 12000
         |ORDER BY doc_id""".stripMargin).replace("\n", " ")
+
+  /** Vocabulary artifact from the final training tokenization `w$k`:
+    * unnest every word's tokens, weight by word count, rank. */
+  private def bpeVocabOracleSql(k: Int): String =
+    (s"""WITH ${bpeCtes(k)},
+        |v AS (SELECT t AS token, CAST(sum(wcnt) AS BIGINT) AS cnt
+        |  FROM (SELECT wcnt, string_split(trim(rep, chr(31)), chr(31)||chr(31)) AS l
+        |        FROM w$k), unnest(l) AS u(t) GROUP BY 1)
+        |SELECT token, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
+        |FROM v ORDER BY id""".stripMargin).replace("\n", " ")
+
+  /** ε-DP language histogram oracle: replays [[graft.operators.Privacy
+    * .dpCounts]] exactly — poly_hash16 over 'g7|lang' via the weight
+    * table, mod the threshold total, integer inverse-CDF CASE chain,
+    * clamp at zero. The CASE thresholds come from the SAME
+    * [[graft.operators.Privacy.geometricThresholds]] call the operator
+    * uses, so mechanism and oracle cannot drift apart. */
+  private def dpLangCountsOracleSql: String = {
+    val (th, total) = graft.operators.Privacy.geometricThresholds(8, 1L, 2L)
+    val cases = th.init
+      .map { case (m, c) => s"WHEN u < $c THEN CAST($m AS BIGINT)" }.mkString(" ")
+    (s"""WITH w(wi, wt) AS (VALUES $polyHashWeightsSql),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |ks AS (SELECT lang, n,
+        |  CASE WHEN lang IS NULL THEN 'g7' ELSE 'g7|' || lang END AS kstr FROM c),
+        |ch AS (SELECT lang, n, sum(ascii(substr(kstr, i, 1)) * wt) AS h
+        |  FROM ks, unnest(range(1, least(length(kstr), 16) + 1)) AS r(i), w
+        |  WHERE w.wi = r.i GROUP BY lang, n),
+        |nz AS (SELECT lang, n, h % $total AS u FROM ch)
+        |SELECT lang, CAST(greatest(n +
+        |  (CASE $cases ELSE CAST(${th.last._1} AS BIGINT) END), 0) AS BIGINT)
+        |  AS noisy_n
+        |FROM nz ORDER BY lang""".stripMargin).replace("\n", " ")
+  }
 
   /** The poly_hash16 weight table as a SQL VALUES list — the oracle
     * replays the native hash ([[graft.functions.FeatureFunctionHelpers]])

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.FeatureFunctions
 
 /**
  * k-anonymity governance for a release candidate: rows whose
@@ -54,5 +56,62 @@ object Privacy {
     df.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") >= k)
       .drop("__n")
+  }
+
+  /**
+   * Inverse-CDF thresholds for the truncated geometric mechanism
+   * (Ghosh–Roughgarden–Sundararajan, STOC 2009): noise m ∈ [-b, b] with
+   * P(m) ∝ p^|m| for p = pNum/pDen. Weights are kept EXACT as integers
+   * (w_m = pNum^|m| · pDen^(b−|m|)), so a uniform draw u ∈ [0, total)
+   * maps to its noise value by a pure-integer cumulative walk — the
+   * entire mechanism is replayable bit-for-bit by any SQL engine.
+   * Returns ((m, cumulativeUpperBound)*, total).
+   */
+  def geometricThresholds(b: Int, pNum: Long, pDen: Long): (Seq[(Int, Long)], Long) = {
+    require(b >= 1 && b <= 32, s"truncation bound b must be in [1, 32], got $b")
+    require(pNum >= 1 && pDen > pNum,
+      s"need 0 < p = pNum/pDen < 1, got $pNum/$pDen")
+    val weights = (-b to b).map { m =>
+      val w = BigInt(pNum).pow(math.abs(m)) * BigInt(pDen).pow(b - math.abs(m))
+      require(w.isValidLong, s"weight overflow at m=$m for b=$b, p=$pNum/$pDen")
+      w.toLong
+    }
+    require(weights.map(BigInt(_)).sum.isValidLong,
+      s"threshold total overflows Long for b=$b, p=$pNum/$pDen")
+    var cum = 0L
+    ((-b to b).zip(weights).map { case (m, w) => cum += w; (m, cum) }, cum)
+  }
+
+  /**
+   * ε-differentially-private group counts via the truncated geometric
+   * mechanism: count per key tuple, add two-sided-geometric noise with
+   * P(m) ∝ p^|m| (ε = ln(pDen/pNum) for sensitivity-1 counts; the
+   * truncation at ±b adds a δ of the tail mass ≈ 2·p^b/(1+p)), clamp at
+   * zero, and release ONLY the noisy count.
+   *
+   * The noise draw is pseudo-random: u = poly_hash16(seed|key) mod
+   * total — [[graft.functions.FeatureFunctions]]'s oracle-replayable
+   * polynomial hash — so every run (and the DuckDB oracle) reproduces
+   * the same release. A production release would swap the public seed
+   * for a secret one drawn per release; the mechanism, thresholds, and
+   * post-processing are unchanged. Seed goes FIRST in the hash input so
+   * short keys stay inside poly_hash16's 16-char window.
+   *
+   * Scale shape: one map-side-combined groupBy (reduce side bounded by
+   * the key domain); the noise map is a narrow codegen'd CASE chain of
+   * 2b+1 integer compares. No joins, no second scan, no floats.
+   */
+  def dpCounts(df: DataFrame, keys: Seq[String], seed: String,
+               b: Int = 8, pNum: Long = 1L, pDen: Long = 2L): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val (thresholds, total) = geometricThresholds(b, pNum, pDen)
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val keyStr = concat_ws("|", lit(seed) +: keys.map(c => col(c).cast("string")): _*)
+    val u = pmod(FeatureFunctions.polyHash16(keyStr), lit(total))
+    val noise: Column = thresholds.init.foldRight(lit(thresholds.last._1.toLong)) {
+      case ((m, upper), rest) => when(u < upper, lit(m.toLong)).otherwise(rest)
+    }
+    counts.select(keys.map(col) :+
+      greatest(col("__n") + noise, lit(0L)).as("noisy_n"): _*)
   }
 }

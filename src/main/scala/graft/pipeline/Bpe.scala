@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -103,6 +104,33 @@ object Bpe {
       .toDF("step", "a", "b", "cnt", "toks_after")
       .select(col("step").cast("long"), col("a"), col("b"),
         col("cnt"), col("toks_after"))
+  }
+
+  /** All trained merges applied to a char-wrapped rep in ONE chained
+    * narrow projection (the k replaces fuse inside codegen) — for
+    * artifact builds where the merge list is already known, vs the
+    * training loop's one-replace-per-iteration. */
+  private def applyMerges(rep: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(rep) { (r, m) =>
+      replace(r, lit(Sep + m.a + Sep + Sep + m.b + Sep), lit(Sep + m.a + m.b + Sep))
+    }
+
+  /** The tokenizer's vocabulary artifact: every surviving token type
+    * with its corpus frequency and a dense 1-based id (count desc,
+    * token asc — most frequent token gets id 1). Output is bounded by
+    * |alphabet| + merges.size rows — each merge mints exactly one new
+    * token type and can only shrink existing types' counts — so the
+    * global rank window is a documented bounded single-partition sort
+    * (same shape as feature index encoding). */
+  def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val words = wordCounts(docs, textCol)
+    val rep0 = array_join(transform(split(col("word"), ""),
+      c => concat(lit(Sep), c, lit(Sep))), "")
+    val toks = split(trim(applyMerges(rep0, merges), Sep), Sep + Sep)
+    words.select(col("wcnt"), explode(toks).as("token"))
+      .groupBy("token").agg(sum("wcnt").as("cnt"))
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
   }
 
   /** Apply trained merges to a text column: per-word greedy merge fold

@@ -30,6 +30,23 @@ class BpeSpec extends SparkTestBase {
       ("a", "a", 3L, 2L), ("aa", "aa", 1L, 1L)))
   }
 
+  test("vocab: final token types, counts weighted by word frequency, dense ids") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("low lower lowest low low", "low lower").toDF("text")
+    val merges = Bpe.train(docs, "text", 3) // lo, low, lowe
+    val v = Bpe.vocab(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // reps: low(4)->[low]; lower(2)->[lowe,r]; lowest(1)->[lowe,s,t]
+    assert(v.toSet === Set(
+      ("low", 4L, 1L), ("lowe", 3L, 2L), ("r", 2L, 3L),
+      ("s", 1L, 4L), ("t", 1L, 5L)))
+    // each merge mints exactly one new token type: |vocab| <= chars + k
+    val chars = docs.selectExpr("explode(split(text, ''))")
+      .where(col("col") =!= " ").distinct().count()
+    assert(v.length <= chars + merges.length)
+  }
+
   test("toks_after decreases by cnt each step; tokenCount replays training") {
     val s = spark
     import s.implicits._

@@ -91,6 +91,45 @@ class RobustOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Privacy.suppress(df, Seq("nat"), 1))
   }
 
+  test("Privacy.dpCounts: exact thresholds, bounded noise, hand-replayed draw") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Privacy
+    // p = 1/2, b = 8: integer weights 2^(8-|m|), total 3*2^8 - 2 = 766
+    val (th, total) = Privacy.geometricThresholds(8, 1L, 2L)
+    assert(total === 766L)
+    assert(th.head === ((-8, 1L)) && th.last === ((8, 766L)))
+    assert(th.map(_._2) === th.map(_._2).sorted, "cumulative bounds monotone")
+    val df = (0 until 400).map(i => (i.toLong, s"k${i % 40}")).toDF("id", "key")
+    val noisy = Privacy.dpCounts(df, Seq("key"), seed = "g7")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(noisy.size === 40)
+    // every key: |noise| <= b around the true count of 10, never below 0
+    noisy.values.foreach(v => assert(v >= 2L && v <= 18L, s"noise out of bound: $v"))
+    // hand-replay one draw end-to-end: u = poly_hash16("g7|k7") % 766,
+    // inverse-CDF walk over the same thresholds
+    val h = graft.functions.FeatureFunctionHelpers
+      .polyHash16(org.apache.spark.unsafe.types.UTF8String.fromString("g7|k7"))
+    val u = java.lang.Math.floorMod(h.longValue, 766L)
+    val m = th.find(u < _._2).get._1
+    assert(noisy("k7") === math.max(10L + m, 0L))
+    // deterministic: same seed reproduces; different seed moves some key
+    val again = Privacy.dpCounts(df, Seq("key"), seed = "g7")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === noisy)
+    val other = Privacy.dpCounts(df, Seq("key"), seed = "z3")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(other !== noisy)
+    // clamp at zero: a count of 1 with the worst-case -8 draw floors at 0
+    val tiny = Seq.tabulate(30)(i => (i.toLong, s"solo$i")).toDF("id", "key")
+      .groupBy("key").agg(count(lit(1)).as("one"))
+    val tinyNoisy = Privacy.dpCounts(tiny, Seq("key"), seed = "g7").collect()
+    tinyNoisy.foreach(r => assert(r.getLong(1) >= 0L))
+    intercept[IllegalArgumentException](Privacy.dpCounts(df, Nil, "g7"))
+    intercept[IllegalArgumentException](Privacy.geometricThresholds(8, 2L, 2L))
+    intercept[IllegalArgumentException](Privacy.geometricThresholds(40, 1L, 2L))
+  }
+
   test("AbTest.twoProportion: hand-computed z2, degenerate pool yields NULL") {
     val s = spark
     import s.implicits._
