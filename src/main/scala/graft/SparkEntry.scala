@@ -3468,6 +3468,25 @@ object SparkEntry {
       graft.operators.Privacy
         .dpCounts(rd(s, dir, "documents"), Seq("lang"), seed = "g7")
         .orderBy(col("lang"))),
+
+    // Distinct-l-diversity audit: the homogeneity-attack complement to
+    // the k-anonymity entry — per lang class, rows + distinct sources;
+    // a class below 3 distinct sensitive values is flagged.
+    "q_l_diversity" -> ((s, dir) =>
+      graft.operators.Privacy
+        .lDiversityClasses(rd(s, dir, "documents"), Seq("lang"), "source", l = 3)
+        .orderBy(col("lang"))),
+
+    // Tamper-evident release manifest: per-bucket order-independent
+    // content fingerprint (56-bit md5 row slices summed in exact
+    // decimal, reduced mod 2^61-1). The oracle recomputes it from the
+    // raw parquet — exactly what a downstream consumer would do to
+    // prove their copy matches the release.
+    "q_release_manifest" -> ((s, dir) =>
+      graft.operators.ReleaseManifest
+        .contentManifest(rd(s, dir, "documents"), "doc_id",
+          Seq("doc_id", "text", "lang"), nBuckets = 16)
+        .orderBy(col("bucket"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5443,6 +5462,20 @@ object SparkEntry {
     "q_budget_bpe" -> bpeBudgetOracleSql(6),
     "q_bpe_vocab" -> bpeVocabOracleSql(6),
     "q_dp_lang_counts" -> dpLangCountsOracleSql,
+    "q_l_diversity" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+        |count(DISTINCT source) < 3 AS at_risk
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", " "),
+    "q_release_manifest" ->
+      """WITH r AS (SELECT doc_id % 16 AS bucket,
+        |  CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |    COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+        |    COALESCE(text, chr(2)), COALESCE(lang, chr(2)))), 1, 14)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS fp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
   )
 
   /** Shared BPE-training CTE chain: k merge rounds unrolled as SQL

@@ -58,6 +58,36 @@ object Privacy {
       .drop("__n")
   }
 
+  /** Distinct-l-diversity audit (Machanavajjhala et al., ICDE 2006):
+    * k-anonymity alone doesn't stop the homogeneity attack — a class
+    * of k rows that all share ONE sensitive value still leaks the
+    * attribute. Per equivalence class over the quasi columns, count
+    * rows and DISTINCT sensitive values; a class below l distinct is
+    * at risk. Same scale shape as the k audit: one map-side-combined
+    * groupBy, reduce side bounded by the quasi domain (count_distinct
+    * partial-aggregates per class). NULL sensitive values are ignored
+    * by the distinct count (both Spark and SQL engines agree). */
+  def lDiversityClasses(df: DataFrame, quasi: Seq[String], sensitive: String,
+                        l: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasi.contains(sensitive), "sensitive column cannot be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2 for a meaningful audit, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitive)).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < l)
+  }
+
+  /** One summary row for the l-diversity audit: `min_l` IS the
+    * dataset's actual distinct-l — the headline number. */
+  def lDiversitySummary(df: DataFrame, quasi: Seq[String], sensitive: String,
+                        l: Int): DataFrame =
+    lDiversityClasses(df, quasi, sensitive, l).agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("at_risk"), 1L).otherwise(0L)).as("n_low_diversity"),
+      sum(when(col("at_risk"), col("n")).otherwise(0L)).as("rows_at_risk"),
+      min(col("l_distinct")).as("min_l"))
+
   /**
    * Inverse-CDF thresholds for the truncated geometric mechanism
    * (Ghosh–Roughgarden–Sundararajan, STOC 2009): noise m ∈ [-b, b] with

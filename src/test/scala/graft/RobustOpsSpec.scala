@@ -130,6 +130,69 @@ class RobustOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Privacy.geometricThresholds(40, 1L, 2L))
   }
 
+  test("Privacy.lDiversity: homogeneous class flagged, null sensitive ignored") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Privacy
+    // A: 4 rows / 3 sources (diverse); B: 3 rows one source (homogeneous
+    // — k-anonymous at k=3 yet leaking); C: null sensitive ignored
+    val df = Seq(
+      ("A", Option("a")), ("A", Option("b")), ("A", Option("c")), ("A", Option("a")),
+      ("B", Option("x")), ("B", Option("x")), ("B", Option("x")),
+      ("C", Option("y")), ("C", Option.empty[String]))
+      .toDF("quasi", "src")
+    val classes = Privacy.lDiversityClasses(df, Seq("quasi"), "src", l = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(classes("A") === ((4L, 3L, false)))
+    assert(classes("B") === ((3L, 1L, true)))
+    assert(classes("C") === ((2L, 1L, true)))
+    val sRow = Privacy.lDiversitySummary(df, Seq("quasi"), "src", l = 3).collect()(0)
+    assert((sRow.getLong(0), sRow.getLong(1), sRow.getLong(2), sRow.getLong(3))
+      === ((3L, 2L, 5L, 1L)))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityClasses(df, Seq("src"), "src", 3))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityClasses(df, Seq("quasi"), "src", 1))
+  }
+
+  test("ReleaseManifest: order-independent, localizes a change, hand-replayed fp") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.ReleaseManifest.contentManifest
+    val rows = Seq((0L, Option("alpha")), (1L, Option("beta")), (2L, Option("gamma")),
+      (16L, Option("delta")), (17L, Option.empty[String]))
+    val df = rows.toDF("id", "v")
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m1 = asMap(contentManifest(df, "id", Seq("id", "v"), 16))
+    assert(m1.keySet === Set(0L, 1L, 2L))
+    assert(m1(0L)._1 === 2L && m1(1L)._1 === 2L && m1(2L)._1 === 1L)
+    // row order and partitioning never change the fingerprint
+    val m2 = asMap(contentManifest(
+      df.repartition(7, col("v")), "id", Seq("id", "v"), 16))
+    assert(m2 === m1)
+    // a single-row change flips ONLY its bucket
+    val df3 = Seq((0L, Option("alpha")), (1L, Option("beta")), (2L, Option("gammaX")),
+      (16L, Option("delta")), (17L, Option.empty[String])).toDF("id", "v")
+    val m3 = asMap(contentManifest(df3, "id", Seq("id", "v"), 16))
+    assert(m3(0L) === m1(0L) && m3(1L) === m1(1L) && (m3(2L) !== m1(2L)))
+    // null and empty string are distinguishable (sentinel coalesce)
+    val df4 = Seq((0L, Option("alpha")), (1L, Option("beta")), (2L, Option("gamma")),
+      (16L, Option("delta")), (17L, Option(""))).toDF("id", "v")
+    assert(asMap(contentManifest(df4, "id", Seq("id", "v"), 16))(1L) !== m1(1L))
+    // hand-replay bucket 0 (ids 0 and 16) end-to-end
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(payload: String): BigInt = {
+      val hex = md.digest(payload.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(14)
+      BigInt(hex, 16)
+    }
+    val expected = ((h("0\u0001alpha") + h("16\u0001delta"))
+      mod BigInt(2305843009213693951L)).toLong
+    assert(m1(0L)._2 === expected)
+  }
+
   test("AbTest.twoProportion: hand-computed z2, degenerate pool yields NULL") {
     val s = spark
     import s.implicits._
