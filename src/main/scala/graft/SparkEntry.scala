@@ -3487,6 +3487,29 @@ object SparkEntry {
         .contentManifest(rd(s, dir, "documents"), "doc_id",
           Seq("doc_id", "text", "lang"), nBuckets = 16)
         .orderBy(col("bucket"))),
+
+    // Seasonal-adjusted spike detection: the q_ts_anomaly BIGINT z²
+    // test, but every hourly bucket is judged against its own
+    // hour-of-day phase (period 24) per event_type — a 9am burst
+    // compares with 9am history, not a mean diluted by overnight lulls.
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      val c = graft.operators.TimeSeries.bucketCounts(
+        rd(s, dir, "events"), "event_type", "ts", 3600000000000L, "event_id")
+      graft.operators.TimeSeries
+        .seasonalAnomalies(c, period = 24, z = 2, minBuckets = 4)
+        .select(col("key").as("event_type"), col("phase"),
+          col("bucket").as("hour_b"), col("cnt"), col("n"), col("s"))
+        .orderBy("event_type", "hour_b")
+    }),
+
+    // Daily audience accounting via first-seen collapse: the running
+    // COUNT DISTINCT computed exactly in two shuffles (cumulative
+    // uniques through day d = keys first seen <= d); the only window
+    // runs over the bounded day domain.
+    "q_cumulative_uniques" -> ((s, dir) =>
+      graft.operators.TimeSeries.cumulativeUniques(
+        rd(s, dir, "events"), "user_id", "ts", 86400000000000L)
+        .orderBy("bucket")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5467,6 +5490,36 @@ object SparkEntry {
         |CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
         |count(DISTINCT source) < 3 AS at_risk
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", " "),
+    "q_seasonal_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_b,
+        |         epoch_ns(ts) // 3600000000000 % 24 AS phase,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT event_type, phase, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cnt) AS BIGINT) AS s,
+        |         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1, 2)
+        |SELECT c.event_type, CAST(c.phase AS BIGINT) AS phase, hour_b, cnt, n, s
+        |FROM c JOIN m USING (event_type, phase)
+        |WHERE n >= 4
+        |  AND (cnt * n - s) * (cnt * n - s) > 4 * (n * ss - s * s)
+        |ORDER BY event_type, hour_b""".stripMargin.replace("\n", " "),
+    "q_cumulative_uniques" ->
+      """WITH d AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS bucket, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |a AS (SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT user_id, min(bucket) AS fb FROM d GROUP BY 1),
+        |nw AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM f GROUP BY 1)
+        |SELECT a.bucket, a.n_active,
+        |  CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY a.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uniques
+        |FROM a LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin.replace("\n", " "),
     "q_release_manifest" ->
       """WITH r AS (SELECT doc_id % 16 AS bucket,
         |  CAST(concat('0x', substr(md5(concat_ws(chr(1),

@@ -91,6 +91,62 @@ object TimeSeries {
       .select(col("key"), col("bucket"), col("cnt"), col("n"), col("s"))
   }
 
+  /**
+   * Seasonal-adjusted spike detection: identical integer-exact z² test
+   * as [[anomalies]], but each bucket is judged against the moments of
+   * its own PHASE — `phase = bucket mod period` (hour-of-day for hourly
+   * buckets and period 24) — so a 9am burst is compared with 9am
+   * history, not with a mean diluted by overnight lulls (which hides
+   * daytime floods and false-flags every busy morning). Phases with
+   * fewer than `minBuckets` observations are not scored. Same two-
+   * shuffle shape, now keyed on (key, phase); returns flagged rows
+   * (key, phase, bucket, cnt, n, s).
+   */
+  def seasonalAnomalies(counts: DataFrame, period: Int, z: Int,
+                        minBuckets: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2 buckets, got $period")
+    val withPhase = counts.withColumn("phase",
+      pmod(col("bucket"), lit(period.toLong)))
+    val moments = withPhase.groupBy("key", "phase").agg(
+      count(lit(1)).as("n"), sum("cnt").as("s"),
+      sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("cnt") * col("n") - col("s")
+    withPhase.join(moments, Seq("key", "phase"))
+      .filter(col("n") >= minBuckets &&
+        dev * dev > lit(z.toLong * z) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("key"), col("phase"), col("bucket"), col("cnt"),
+        col("n"), col("s"))
+  }
+
+  /**
+   * Audience accounting (daily-uniques / new-vs-returning) via
+   * FIRST-SEEN COLLAPSE: the running COUNT DISTINCT that naively needs
+   * a sketch union per prefix or a quadratic self-join is EXACT in two
+   * shuffles, because cumulative uniques through bucket b equals the
+   * number of keys whose first-seen bucket is ≤ b. Per bucket:
+   * `n_active` (distinct keys seen), `n_new` (keys first seen), and
+   * `cum_uniques` (running Σ n_new). The only window runs over the
+   * BUCKET domain — days or hours, thousands of rows at most after
+   * aggregation, a documented bounded single-partition sort; every
+   * corpus-sized stage is a map-side-combined groupBy.
+   */
+  def cumulativeUniques(df: DataFrame, keyCol: String, tsCol: String,
+                        bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val d = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(expr(s"CAST($tsCol AS BIGINT) div ${bucketSize}L").as("bucket"),
+        col(keyCol).as("__k"))
+    val nActive = d.groupBy("bucket")
+      .agg(count_distinct(col("__k")).as("n_active"))
+    val nNew = d.groupBy("__k").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nActive.join(nNew, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_uniques", sum(col("n_new")).over(w))
+  }
+
   /** One (key, bucket) observation entering [[anomaliesStream]]. */
   case class BucketObs(key: Long, bucket: Long, cnt: Long)
   /** Running per-key moments carried between micro-batches. */

@@ -61,6 +61,50 @@ class TimeSeriesSpec extends SparkTestBase {
     assert((1L * 13 - 22) * (1L * 13 - 22) <= 9L * (13 * 112 - 22 * 22))
   }
 
+  test("seasonalAnomalies judges a bucket against its own phase only") {
+    // 24 hourly buckets, period 4. All cnt=5 except bucket 12 (phase 0)
+    // at cnt=50. Phase 0 sees 6 buckets {0,4,...,20}: n=6, s=75, ss=2625.
+    // NOTE a single outlier among n otherwise-identical points has
+    // z² = n-1 exactly, so n must exceed z²+1 for a strict flag — the
+    // first draft used n=5 with z=2 and tied 32400 > 32400.
+    val rows = (0 until 24).flatMap { h =>
+      val cnt = if (h == 12) 50 else 5
+      (0 until cnt).map(i => (1L, T0 + h * Hour + i * 1000L, 100L + h))
+    }
+    val c = TimeSeries.bucketCounts(events(rows), "user_id", "ts", Hour, "event_id")
+    val got = TimeSeries.seasonalAnomalies(c, period = 4, z = 2, minBuckets = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (50*6-75)^2 = 50625 > 4*(6*2625-75^2) = 40500 -> flagged
+    val t0h = T0 / Hour
+    assert(got.toSeq === Seq(((t0h + 12) % 4, t0h + 12, 50L)))
+    // the GLOBAL detector at the same z also flags it, but seasonal
+    // keeps quiet phases quiet: no other bucket flagged
+    assert(TimeSeries.seasonalAnomalies(c, period = 4, z = 2, minBuckets = 7)
+      .count() === 0L, "phases below minBuckets are never scored")
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalAnomalies(c, period = 1, z = 2, minBuckets = 4))
+  }
+
+  test("cumulativeUniques: first-seen collapse equals running count distinct") {
+    val s2 = spark
+    import s2.implicits._
+    // buckets of 10: u1 in b0+b1, u2 in b0, u3 in b2; null key/ts dropped
+    val df = Seq(
+      (Option(1L), Option(1L)), (Option(1L), Option(11L)),
+      (Option(2L), Option(3L)), (Option(2L), Option(4L)),
+      (Option(3L), Option(25L)),
+      (Option.empty[Long], Option(5L)), (Option(9L), Option.empty[Long]))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.cumulativeUniques(df, "user_id", "ts", 10L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 2L, 2L), // u1, u2 both new
+      (1L, 1L, 0L, 2L), // u1 returning only
+      (2L, 1L, 1L, 3L)  // u3 new
+    ))
+  }
+
   test("anomalies never flags a constant series (zero variance both sides)") {
     val rows = (0 until 20).map(h => (1L, T0 + h * Hour, h.toLong))
     val c = TimeSeries.bucketCounts(events(rows), "user_id", "ts", Hour, "event_id")
