@@ -3510,6 +3510,23 @@ object SparkEntry {
       graft.operators.TimeSeries.cumulativeUniques(
         rd(s, dir, "events"), "user_id", "ts", 86400000000000L)
         .orderBy("bucket")),
+
+    // Trailing 7-day active users, the SKETCH form: one corpus pass to
+    // per-day theta sketches, then a bucket-domain explode + re-merge —
+    // the sliding COUNT(DISTINCT) without W corpus shuffles. requireExact
+    // keeps the theta union in its exact regime, so the DuckDB oracle's
+    // exact trailing distinct must hash-match, not just approximate.
+    "q_trailing_uniques" -> ((s, dir) =>
+      graft.operators.TrailingUniques.trailingUniques(
+        rd(s, dir, "events"), "user_id", "ts", 86400000000000L, window = 7)
+        .orderBy("bucket")),
+
+    // The exact W-way-expansion twin (the oracle shape, priced for
+    // verification): same answer at any cardinality, W corpus shuffles.
+    "q_trailing_uniques_exact" -> ((s, dir) =>
+      graft.operators.TrailingUniques.trailingUniquesExact(
+        rd(s, dir, "events"), "user_id", "ts", 86400000000000L, window = 7)
+        .orderBy("bucket")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5520,6 +5537,8 @@ object SparkEntry {
         |  CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY a.bucket
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uniques
         |FROM a LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin.replace("\n", " "),
+    "q_trailing_uniques" -> TrailingUniquesOracle,
+    "q_trailing_uniques_exact" -> TrailingUniquesOracle,
     "q_release_manifest" ->
       """WITH r AS (SELECT doc_id % 16 AS bucket,
         |  CAST(concat('0x', substr(md5(concat_ws(chr(1),
@@ -5634,6 +5653,20 @@ object SparkEntry {
   /** Incremental LSH near-dup oracle (exact cross-set Jaccard) — shared
     * by the fresh-index and persisted-artifact entries, which must agree
     * exactly. */
+  /** Trailing-7-day distinct users — ONE oracle for both the sketch form
+    * (exact-regime theta unions) and the exact W-expansion twin: per
+    * present bucket, distinct keys in (bucket-6 .. bucket]. */
+  private val TrailingUniquesOracle: String =
+      """WITH d AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS bucket, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |pb AS (SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS n_bucket
+        |  FROM d GROUP BY 1)
+        |SELECT pb.bucket, pb.n_bucket,
+        |  (SELECT CAST(count(DISTINCT d.user_id) AS BIGINT) FROM d
+        |   WHERE d.bucket BETWEEN pb.bucket - 6 AND pb.bucket) AS n_trailing
+        |FROM pb ORDER BY bucket""".stripMargin.replace("\n", " ")
+
   private val incrLshOracle: String =
       """WITH ctoks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 250
@@ -5830,6 +5863,12 @@ object SparkEntry {
           .agg(countDistinct(col("user_id")).as("du"))
           .agg(max(col("du"))).head.getLong(0), 1L << 17,
           "max per-event_type distinct user_id (lgK=17)")),
+      // Trailing-window theta unions: exact while every merged window's
+      // distinct keys fit the sketch — TOTAL corpus distinct upper-bounds
+      // any window, so probe that
+      "q_trailing_uniques" -> ((s, dir) =>
+        check(rd(s, dir, "events").select(countDistinct(col("user_id")))
+          .head.getLong(0), 1L << 17, "distinct user_id (lgK=17)")),
       // Theta set ops are exact while BOTH input sketches are exact-mode
       "q_sketch_setops" -> ((s, dir) =>
         check(rd(s, dir, "events")

@@ -76,14 +76,26 @@ final class ThetaPartialAgg(lgK: Int = 17)
   * emits) and finish to the rounded distinct estimate — the second half
   * of the save/restore contract: sketches written to a parquet binary
   * column in one run merge with fresh partials in the next, so history
-  * is never re-scanned. */
-final class ThetaMergeEstimateAgg(lgK: Int = 17)
+  * is never re-scanned.
+  *
+  * `requireExact = true` turns the silent exact→estimate crossover into a
+  * loud failure: a MERGED group whose union left the sketch's exact regime
+  * (retained < nominal entries) throws instead of emitting an estimate —
+  * the contract callers like [[graft.operators.TrailingUniques]] use when
+  * the consumer (or the test oracle) needs exact distinct counts. */
+final class ThetaMergeEstimateAgg(lgK: Int = 17, requireExact: Boolean = false)
     extends Aggregator[Array[Byte], ThetaBuf, java.lang.Long] {
   def zero: ThetaBuf = new ThetaBuf(lgK)
   def reduce(b: ThetaBuf, in: Array[Byte]): ThetaBuf =
     if (in == null) b else b.merge(BufSerde.de[ThetaBuf](in))
   def merge(b1: ThetaBuf, b2: ThetaBuf): ThetaBuf = b1.merge(b2)
-  def finish(b: ThetaBuf): java.lang.Long = Math.round(b.result.getEstimate)
+  def finish(b: ThetaBuf): java.lang.Long = {
+    val r = b.result
+    if (requireExact) require(!r.isEstimationMode,
+      s"theta union left the exact regime (lgK=$lgK): the merged distinct " +
+        "count is now an estimate. Raise lgK or drop requireExact.")
+    Math.round(r.getEstimate)
+  }
   def bufferEncoder: Encoder[ThetaBuf] = Encoders.javaSerialization[ThetaBuf]
   def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
 }
