@@ -548,6 +548,45 @@ object SparkEntry {
         "vec_id", "embedding", k = 10).orderBy("query_id", "neighbor_id")
     }),
 
+    // Ranked-retrieval evaluation over the brute-force top-10: truth =
+    // same-label vectors (the fixture's only semantic signal), metrics
+    // P@10 / recall / MRR / AP / NDCG per query. Everything shuffles on
+    // the query key; the truth join is (query, item) equi — no rank loops.
+    "q_eval_ranked" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = rd(s, dir, "embeddings")
+      val sys = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", k = 10)
+        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("item"), col("rnk"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("ql"))
+      val truth = q.join(e.select(col("vec_id").as("item"), col("label")),
+          col("label") === col("ql") && col("item") =!= col("query_id"))
+        .select("query_id", "item")
+      graft.pipeline.Evaluation.rankedEval(sys, truth,
+        "query_id", "item", "rnk", k = 10).orderBy("query_id")
+    }),
+
+    // Per-class classifier metrics for a majority-class-per-source lang
+    // predictor: corpus collapses to its confusion matrix in one
+    // map-side-combined pass; precision/recall/F1 derive from the matrix.
+    // Three fixture langs are never predicted — their zero rows must
+    // survive (class universe = gold ∪ pred).
+    "q_eval_classifier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = rd(s, dir, "documents")
+      val maj = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n").desc, col("lang"))))
+        .filter(col("rn") === 1).select(col("source"), col("lang").as("pred"))
+      val scored = d.select("doc_id", "source", "lang")
+        .join(broadcast(maj), "source")
+      graft.pipeline.Evaluation.classifierEval(scored, "lang", "pred")
+        .orderBy("class")
+    }),
+
     // Approximate top-10 via random-hyperplane LSH with Hamming-1
     // multi-probe — the bucketed scale path. Approximate → the oracle pins
     // an in-Spark recall@10 gate vs bruteForceTopK on the clustered
@@ -3805,6 +3844,42 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sims
         |) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " "),
+    "q_eval_ranked" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS item, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+        |sims AS (SELECT query_id, item, list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim FROM q, c WHERE query_id <> item),
+        |topk AS (SELECT query_id, item, rnk FROM (SELECT query_id, item, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item) AS rnk FROM sims) WHERE rnk <= 10),
+        |truth AS (SELECT q.query_id, c.item FROM q JOIN c ON c.label = q.ql AND c.item <> q.query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+        |mk AS (SELECT t.query_id, t.rnk, CASE WHEN tr.item IS NOT NULL THEN 1 ELSE 0 END AS rel FROM topk t LEFT JOIN truth tr ON t.query_id = tr.query_id AND t.item = tr.item),
+        |cm AS (SELECT query_id, rnk, rel, sum(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum FROM mk),
+        |pq AS (SELECT query_id, sum(rel) AS hits, max(CASE WHEN rel = 1 THEN 1.0 / rnk END) AS rr,
+        |       sum(CASE WHEN rel = 1 THEN CAST(cum AS DOUBLE) / rnk END) AS apnum,
+        |       sum(CASE WHEN rel = 1 THEN 1.0 / log2(rnk + 1) END) AS dcg FROM cm GROUP BY 1)
+        |SELECT n.query_id, CAST(n.n_rel AS BIGINT) AS n_rel, CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits,
+        |  round(COALESCE(p.hits, 0) / 10.0, 4) AS precision_k,
+        |  round(COALESCE(p.hits, 0) / CAST(n.n_rel AS DOUBLE), 4) AS recall_k,
+        |  round(COALESCE(p.rr, 0), 4) AS rr,
+        |  round(COALESCE(p.apnum, 0) / least(n.n_rel, 10), 4) AS ap,
+        |  round(COALESCE(p.dcg, 0) / list_sum(list_transform(generate_series(1, CAST(least(n.n_rel, 10) AS INT)), i -> 1.0 / log2(i + 1))), 4) AS ndcg
+        |FROM nrel n LEFT JOIN pq p USING (query_id) ORDER BY query_id""".stripMargin.replace("\n", " "),
+    "q_eval_classifier" ->
+      """WITH cnt AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |maj AS (SELECT source, lang AS pred FROM (SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn FROM cnt) WHERE rn = 1),
+        |sc AS (SELECT d.lang AS g, m.pred AS p FROM documents d JOIN maj m USING (source)),
+        |m2 AS (SELECT g, p, count(*) AS n FROM sc GROUP BY 1, 2),
+        |cls AS (SELECT g AS class FROM m2 UNION SELECT p FROM m2),
+        |tpc AS (SELECT g AS class, n AS tp FROM m2 WHERE g = p),
+        |gold AS (SELECT g AS class, sum(n) AS n_gold FROM m2 GROUP BY 1),
+        |prd AS (SELECT p AS class, sum(n) AS n_pred FROM m2 GROUP BY 1),
+        |b AS (SELECT cls.class, COALESCE(tp, 0) AS tp, COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+        |      COALESCE(n_gold, 0) - COALESCE(tp, 0) AS fn, COALESCE(n_gold, 0) AS n_gold
+        |      FROM cls LEFT JOIN tpc USING (class) LEFT JOIN gold USING (class) LEFT JOIN prd USING (class))
+        |SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, CAST(n_gold AS BIGINT) AS n_gold,
+        |  round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 4) AS precision,
+        |  round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 4) AS recall,
+        |  round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE 2.0 * tp / (2 * tp + fp + fn) END, 4) AS f1
+        |FROM b ORDER BY class""".stripMargin.replace("\n", " "),
     "q_bql" ->
       "SELECT event_type AS etype, count(*) AS cnt, min(user_id) AS mu, max(user_id) AS xu FROM events WHERE value > 20.0 GROUP BY 1 ORDER BY 1",
     "q_bql_limit" ->
