@@ -2816,6 +2816,37 @@ object SparkEntry {
     // and containment = |A∩B|/|A| flags the FK signature (1.0 with
     // |A| < |B|). The 100 TB form swaps exact sets for theta sketches;
     // this exact form is the oracle-checkable reference.
+    // Fellegi–Sunter record linkage: customer vs a deterministically
+    // perturbed twin (name suffixed for %11, segment replaced for %7,
+    // balance shifted for %3), blocked on nationkey — 25 blocks, never a
+    // cross product. m/u estimated from the labeled pairs in one
+    // map-side pass, log2 likelihood-ratio weights summed in fixed field
+    // order, threshold at score >= 2. Non-matches that sneak over the
+    // bar carry is_match = false — the oracle pins them too.
+    "q_linkage" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val c = rd(s, dir, "customer")
+      val left = c.select(col("c_custkey").as("l_id"), col("c_nationkey"),
+        col("c_name").as("l_name"), col("c_mktsegment").as("l_seg"),
+        col("c_acctbal").as("l_bal"))
+      val right = c.select(col("c_custkey").as("r_id"), col("c_nationkey"),
+        when(col("c_custkey") % 11 === 0, concat(col("c_name"), lit("~")))
+          .otherwise(col("c_name")).as("r_name"),
+        when(col("c_custkey") % 7 === 0, lit("PERTURBED"))
+          .otherwise(col("c_mktsegment")).as("r_seg"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 500.0)
+          .otherwise(col("c_acctbal")).as("r_bal"))
+      val pairs = Linkage.blockedPairs(left, right, Seq("c_nationkey"), Seq(
+          "name" -> Linkage.fieldEq("l_name", "r_name"),
+          "seg" -> Linkage.fieldEq("l_seg", "r_seg"),
+          "bal" -> (floor(col("l_bal") / 1000) === floor(col("r_bal") / 1000))))
+        .withColumn("is_match", col("l_id") === col("r_id"))
+      Linkage.score(pairs, Seq("name", "seg", "bal"), "is_match")
+        .filter(col("score") >= 2.0)
+        .select(col("l_id"), col("r_id"), col("score"), col("is_match"))
+        .orderBy("l_id", "r_id")
+    }),
+
     "q_fk_discovery" -> ((s, dir) =>
       graft.operators.KeyDiscovery.containmentReport(Seq(
           ("customer.c_custkey", rd(s, dir, "customer"), "c_custkey"),
@@ -5614,6 +5645,7 @@ object SparkEntry {
         |FROM a LEFT JOIN nw USING (bucket) ORDER BY bucket""".stripMargin.replace("\n", " "),
     "q_trailing_uniques" -> TrailingUniquesOracle,
     "q_trailing_uniques_exact" -> TrailingUniquesOracle,
+    "q_linkage" -> LinkageOracle,
     "q_release_manifest" ->
       """WITH r AS (SELECT doc_id % 16 AS bucket,
         |  CAST(concat('0x', substr(md5(concat_ws(chr(1),
@@ -5728,6 +5760,36 @@ object SparkEntry {
   /** Incremental LSH near-dup oracle (exact cross-set Jaccard) — shared
     * by the fresh-index and persisted-artifact entries, which must agree
     * exactly. */
+  /** Fellegi–Sunter linkage oracle: replays the blocking join, the
+    * one-row m/u count aggregate, the smoothed log2 weights, and the
+    * FIXED-ORDER field-weight sum (name + seg + bal, matching the Spark
+    * expression tree) so the raw double is bit-comparable pre-round. */
+  private val LinkageOracle: String = {
+    def w(f: String) =
+      s"CASE WHEN a_$f = 1 THEN log2(((am_$f + 0.5) / (n_m + 1.0)) / ((au_$f + 0.5) / (n_u + 1.0))) " +
+        s"ELSE log2((1.0 - (am_$f + 0.5) / (n_m + 1.0)) / (1.0 - (au_$f + 0.5) / (n_u + 1.0))) END"
+    """WITH l AS (SELECT c_custkey AS l_id, c_nationkey, c_name AS l_name, c_mktsegment AS l_seg, c_acctbal AS l_bal FROM customer),
+      |r AS (SELECT c_custkey AS r_id, c_nationkey,
+      |  CASE WHEN c_custkey % 11 = 0 THEN c_name || '~' ELSE c_name END AS r_name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED' ELSE c_mktsegment END AS r_seg,
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END AS r_bal FROM customer),
+      |p AS (SELECT l_id, r_id,
+      |  CAST(l_name = r_name AS INT) AS a_name,
+      |  CAST(l_seg = r_seg AS INT) AS a_seg,
+      |  CAST(floor(l_bal / 1000) = floor(r_bal / 1000) AS INT) AS a_bal,
+      |  CAST(l_id = r_id AS INT) AS im
+      |  FROM l JOIN r USING (c_nationkey)),
+      |cn AS (SELECT CAST(sum(im) AS DOUBLE) AS n_m, CAST(sum(1 - im) AS DOUBLE) AS n_u,
+      |  CAST(sum(a_name * im) AS DOUBLE) AS am_name, CAST(sum(a_name * (1 - im)) AS DOUBLE) AS au_name,
+      |  CAST(sum(a_seg * im) AS DOUBLE) AS am_seg, CAST(sum(a_seg * (1 - im)) AS DOUBLE) AS au_seg,
+      |  CAST(sum(a_bal * im) AS DOUBLE) AS am_bal, CAST(sum(a_bal * (1 - im)) AS DOUBLE) AS au_bal FROM p),
+      |sc AS (SELECT p.l_id, p.r_id, p.im,
+      |  round(WNAME + WSEG + WBAL, 4) AS score FROM p, cn)
+      |SELECT l_id, r_id, score, CAST(im AS BOOLEAN) AS is_match
+      |FROM sc WHERE score >= 2.0 ORDER BY l_id, r_id""".stripMargin.replace("\n", " ")
+      .replace("WNAME", w("name")).replace("WSEG", w("seg")).replace("WBAL", w("bal"))
+  }
+
   /** Trailing-7-day distinct users — ONE oracle for both the sketch form
     * (exact-regime theta unions) and the exact W-expansion twin: per
     * present bucket, distinct keys in (bucket-6 .. bucket]. */
