@@ -3581,6 +3581,26 @@ object SparkEntry {
         rd(s, dir, "events"), "user_id", "ts", 86400000000000L)
         .orderBy("bucket")),
 
+    // Kaplan–Meier churn curve: per-user durations (first→last active
+    // day) with right-censoring at the 7-day grace horizon, then the KM
+    // product over the COLLAPSED duration domain — censored users leave
+    // the risk set without biasing survival down (the naive retention
+    // query's mistake). Log-space cumulative product in duration order.
+    // The uniform fixture has no organic churn (every user is active to
+    // the horizon — the curve would be empty), so dropout is PLANTED
+    // deterministically: user u's events end at day 2 + u % 28. Users
+    // cut before horizon - 7 churn; later cutoffs are censored.
+    "q_survival_km" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val dayE = "CAST(ts AS BIGINT) div 86400000000000"
+      val day0 = ev0.select(min(expr(dayE))).first().getLong(0)
+      val ev = ev0.filter(expr(s"$dayE - ${day0}L <= 2 + user_id % 28"))
+      val durs = graft.operators.Survival.churnDurations(
+        ev, "user_id", "ts", 86400000000000L, graceDays = 7)
+      graft.operators.Survival.kaplanMeier(durs, "duration", "churned")
+        .orderBy("t")
+    }),
+
     // Trailing 7-day active users, the SKETCH form: one corpus pass to
     // per-day theta sketches, then a bucket-domain explode + re-merge —
     // the sliding COUNT(DISTINCT) without W corpus shuffles. requireExact
@@ -5646,6 +5666,28 @@ object SparkEntry {
     "q_trailing_uniques" -> TrailingUniquesOracle,
     "q_trailing_uniques_exact" -> TrailingUniquesOracle,
     "q_linkage" -> LinkageOracle,
+    "q_survival_km" ->
+      """WITH d0 AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |d AS (SELECT user_id, day FROM d0
+        |  WHERE day - (SELECT min(day) FROM d0) <= 2 + user_id % 28),
+        |h AS (SELECT max(day) AS horizon FROM d),
+        |s AS (SELECT user_id, max(day) - min(day) AS duration,
+        |  CASE WHEN max(day) < (SELECT horizon FROM h) - 7 THEN 1 ELSE 0 END AS churned
+        |  FROM d GROUP BY user_id),
+        |g AS (SELECT duration AS t, sum(churned) AS n_events, sum(1 - churned) AS n_censored
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT t, n_events, n_censored,
+        |  (SELECT count(*) FROM s) - COALESCE(sum(n_events + n_censored)
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM g),
+        |c AS (SELECT t, n_risk, n_events, n_censored,
+        |  1.0 - CAST(n_events AS DOUBLE) / n_risk AS term FROM r),
+        |f AS (SELECT t, n_risk, n_events, n_censored,
+        |  CASE WHEN min(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0 THEN 0.0
+        |    ELSE round(exp(sum(ln(term)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) END AS survival FROM c)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, survival
+        |FROM f WHERE n_events >= 1 ORDER BY t""".stripMargin.replace("\n", " "),
     "q_release_manifest" ->
       """WITH r AS (SELECT doc_id % 16 AS bucket,
         |  CAST(concat('0x', substr(md5(concat_ws(chr(1),
