@@ -3530,6 +3530,20 @@ object SparkEntry {
       Bpe.vocab(docs, "text", Bpe.train(docs, "text", 6)).orderBy(col("id"))
     }),
 
+    // The production ENCODE pass: merges trained on the full corpus,
+    // then docs < 200 emitted as ordered (pos, token, token_id) rows —
+    // the shape shard writers and packers consume. Narrow merge fold
+    // per word, broadcast vocab join, one doc-keyed window for the
+    // position. Oracle replays training, the vocabulary ranking, AND
+    // the per-doc tokenization relationally.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", 6)
+      Bpe.encode(docs.filter(col("doc_id") < 200), "doc_id", "text",
+          merges, Bpe.vocab(docs, "text", merges))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ε-DP language histogram (ε = ln 2, truncated geometric mechanism
     // at b=8): integer-exact inverse-CDF noise seeded by the
     // oracle-replayable poly_hash16, clamped at zero — the released
@@ -5627,6 +5641,7 @@ object SparkEntry {
     "q_bpe_train" -> bpeOracleSql(6),
     "q_budget_bpe" -> bpeBudgetOracleSql(6),
     "q_bpe_vocab" -> bpeVocabOracleSql(6),
+    "q_bpe_encode" -> bpeEncodeOracleSql(6),
     "q_dp_lang_counts" -> dpLangCountsOracleSql,
     "q_l_diversity" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
@@ -5767,6 +5782,32 @@ object SparkEntry {
         |SELECT token, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
         |FROM v ORDER BY id""".stripMargin).replace("\n", " ")
+
+  /** Encode oracle: the training CTEs' final word tokenization `w$k`
+    * joined back onto each document's positioned words, re-split to
+    * positioned tokens, ranked into ids by the vocab ordering. */
+  private def bpeEncodeOracleSql(k: Int): String =
+    (s"""WITH ${bpeCtes(k)},
+        |vt AS (SELECT t AS token, CAST(sum(wcnt) AS BIGINT) AS cnt
+        |  FROM (SELECT wcnt, string_split(trim(rep, chr(31)), chr(31)||chr(31)) AS l
+        |        FROM w$k), unnest(l) AS u(t) GROUP BY 1),
+        |v AS (SELECT token,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id FROM vt),
+        |d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND text <> ''),
+        |dw AS (SELECT doc_id, i AS wpos, ws[CAST(i AS INT)] AS word
+        |  FROM d0, UNNEST(range(1, len(ws) + 1)) AS r(i)
+        |  WHERE length(ws[CAST(i AS INT)]) > 0),
+        |dt AS (SELECT doc_id, wpos, j AS tpos, l[CAST(j AS INT)] AS token
+        |  FROM (SELECT doc_id, wpos,
+        |        string_split(trim(w.rep, chr(31)), chr(31)||chr(31)) AS l
+        |        FROM dw JOIN w$k w USING (word)),
+        |  UNNEST(range(1, len(l) + 1)) AS r(j)),
+        |po AS (SELECT doc_id, token,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) AS BIGINT) AS pos
+        |  FROM dt)
+        |SELECT doc_id, pos, token, token_id FROM po JOIN v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin).replace("\n", " ")
 
   /** ε-DP language histogram oracle: replays [[graft.operators.Privacy
     * .dpCounts]] exactly — poly_hash16 over 'g7|lang' via the weight

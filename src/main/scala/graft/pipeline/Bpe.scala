@@ -137,6 +137,37 @@ object Bpe {
     * — the serve-time tokenizer. Returns the per-row token count (the
     * narrow transform a token-budget pass needs); extend with the
     * token array via the same `rep` column if needed. */
+  /**
+   * Corpus tokenization — the production encode pass: every document
+   * becomes its ordered (pos, token, token_id) sequence under the
+   * trained merges and the [[vocab]] id assignment. One narrow
+   * merge-fold per word (the same chained codegen'd replaces training
+   * uses), a broadcast join to the vocabulary (bounded by |alphabet| +
+   * |merges| rows), and one per-document window for the global token
+   * position — the only shuffle, keyed on the document id. Emitting
+   * token ROWS (not arrays) is deliberate: it is the shape shard
+   * writers and sequence packers consume, and it keeps the oracle an
+   * ordinary relational replay.
+   */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge], vocabDf: DataFrame): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val perWord = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(words).as(Seq("wpos", "word")))
+    val rep0 = array_join(transform(split(col("word"), ""),
+      c => concat(lit(Sep), c, lit(Sep))), "")
+    val toks = split(trim(applyMerges(rep0, merges), Sep), Sep + Sep)
+    val perTok = perWord
+      .select(col(idCol), col("wpos"), posexplode(toks).as(Seq("tpos", "token")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("wpos"), col("tpos"))
+    perTok
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(vocabDf.select(col("token"), col("id").as("token_id"))),
+        Seq("token"))
+      .select(col(idCol), col("pos"), col("token"), col("token_id"))
+  }
+
   def tokenCount(textCol: org.apache.spark.sql.Column,
                  merges: Seq[Merge]): org.apache.spark.sql.Column = {
     val word = filter(split(textCol, " "), w => length(w) > 0)

@@ -71,4 +71,36 @@ class BpeSpec extends SparkTestBase {
       .agg(sum("n")).as[Long].head()
     assert(chars == init)
   }
+
+  test("encode: ordered token rows reassemble every doc; ids match vocab; count matches tokenCount") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 3)
+    val v = Bpe.vocab(docs, "text", merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, v)
+    // concatenating tokens in pos order reproduces the text minus spaces
+    val rebuilt = enc.orderBy("doc_id", "pos")
+      .groupBy("doc_id").agg(concat_ws("", collect_list("token")).as("txt"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) === "lowlowerlowest")
+    assert(rebuilt(2L) === "lowlow")
+    assert(!rebuilt.contains(3L)) // empty doc yields no tokens
+    // every token id matches the vocab assignment
+    val vm = v.as[(String, Long, Long)].collect()
+      .map { case (t, _, i) => t -> i }.toMap
+    enc.as[(Long, Long, String, Long)].collect().foreach {
+      case (_, _, tok, id) => assert(vm(tok) === id)
+    }
+    // positions are 1..n dense per doc
+    val pos = enc.filter(col("doc_id") === 1).orderBy("pos")
+      .select("pos").as[Long].collect()
+    assert(pos === (1L to pos.length).toArray)
+    // row count agrees with the serve-time tokenCount fold
+    val n1 = enc.count()
+    val n2 = docs.select(Bpe.tokenCount(col("text"), merges).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(n1 === n2)
+  }
 }
