@@ -62,6 +62,22 @@ object SparkEntry {
     }
   }
 
+  /** Cohort churn fixture for the survival entries: even-u users drop
+    * out at day 2 + u % 28, odd-u at 2 + u % 14 (days rebased on the
+    * corpus min), so the two cohorts carry genuinely different survival
+    * curves. Returns per-user (key, duration, churned, cohort). */
+  private def churnCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = rd(s, dir, "events")
+    val dayE = "CAST(ts AS BIGINT) div 86400000000000"
+    val day0 = ev0.select(min(expr(dayE))).first().getLong(0)
+    val ev = ev0.filter(expr(s"$dayE - ${day0}L <= 2 + user_id % " +
+      "(CASE WHEN user_id % 2 = 0 THEN 28 ELSE 14 END)"))
+    graft.operators.Survival
+      .churnDurations(ev, "user_id", "ts", 86400000000000L, graceDays = 7)
+      .withColumn("cohort",
+        when(col("key") % 2 === 0, "even").otherwise("odd"))
+  }
+
   /** Clustered embedding fixture derived from the embeddings table: 8
     * cluster centers (vec_id < 8); every vector collapses toward its center
     * (center + 0.05·v). Gives LSH/IVF locality to exploit, so recall vs
@@ -3615,6 +3631,22 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Cohort KM curves: even-u users dropout over 28 days, odd-u over 14
+    // — two genuinely different survival curves from one pass, every
+    // window partitioned by cohort.
+    "q_survival_by" -> ((s, dir) =>
+      graft.operators.Survival.kaplanMeierBy(
+        churnCohorts(s, dir), "cohort", "duration", "churned")
+        .orderBy("grp", "t")),
+
+    // Two-sample log-rank test on the same cohorts: the planted 14- vs
+    // 28-day dropout difference must light the statistic up. Float sums
+    // run as ordered cumulative windows over the collapsed time domain —
+    // bit-replayable accumulation order, round-4 at the end.
+    "q_logrank" -> ((s, dir) =>
+      graft.operators.Survival.logRank(
+        churnCohorts(s, dir), "cohort", "duration", "churned")),
+
     // Trailing 7-day active users, the SKETCH form: one corpus pass to
     // per-day theta sketches, then a bucket-domain explode + re-merge —
     // the sliding COUNT(DISTINCT) without W corpus shuffles. requireExact
@@ -5681,6 +5713,8 @@ object SparkEntry {
     "q_trailing_uniques" -> TrailingUniquesOracle,
     "q_trailing_uniques_exact" -> TrailingUniquesOracle,
     "q_linkage" -> LinkageOracle,
+    "q_survival_by" -> SurvivalByOracle,
+    "q_logrank" -> LogRankOracle,
     "q_survival_km" ->
       """WITH d0 AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
@@ -5699,7 +5733,7 @@ object SparkEntry {
         |  1.0 - CAST(n_events AS DOUBLE) / n_risk AS term FROM r),
         |f AS (SELECT t, n_risk, n_events, n_censored,
         |  CASE WHEN min(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0 THEN 0.0
-        |    ELSE round(exp(sum(ln(term)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) END AS survival FROM c)
+        |    ELSE round(exp(sum(ln(CASE WHEN term > 0 THEN term ELSE 1 END)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) END AS survival FROM c)
         |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, survival
         |FROM f WHERE n_events >= 1 ORDER BY t""".stripMargin.replace("\n", " "),
@@ -5872,6 +5906,67 @@ object SparkEntry {
       |FROM sc WHERE score >= 2.0 ORDER BY l_id, r_id""".stripMargin.replace("\n", " ")
       .replace("WNAME", w("name")).replace("WSEG", w("seg")).replace("WBAL", w("bal"))
   }
+
+  /** Shared cohort-churn CTE chain for the survival entries: rebased
+    * days, the per-cohort planted dropout, per-user durations with
+    * grace-window censoring — `s` ends as (user_id, grp, duration,
+    * churned). */
+  private val ChurnCohortCtes: String =
+    """d0 AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |d AS (SELECT user_id, day FROM d0
+      |  WHERE day - (SELECT min(day) FROM d0) <=
+      |    2 + user_id % (CASE WHEN user_id % 2 = 0 THEN 28 ELSE 14 END)),
+      |h AS (SELECT max(day) AS horizon FROM d),
+      |s AS (SELECT user_id,
+      |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+      |  max(day) - min(day) AS duration,
+      |  CASE WHEN max(day) < (SELECT horizon FROM h) - 7 THEN 1 ELSE 0 END AS churned
+      |  FROM d GROUP BY user_id)""".stripMargin
+
+  private val SurvivalByOracle: String =
+    (s"""WITH $ChurnCohortCtes,
+        |g AS (SELECT grp, duration AS t, sum(churned) AS n_events,
+        |  sum(1 - churned) AS n_censored FROM s GROUP BY 1, 2),
+        |r AS (SELECT grp, t, n_events, n_censored,
+        |  sum(n_events + n_censored) OVER (PARTITION BY grp) -
+        |  COALESCE(sum(n_events + n_censored) OVER (PARTITION BY grp ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM g),
+        |c AS (SELECT grp, t, n_risk, n_events, n_censored,
+        |  1.0 - CAST(n_events AS DOUBLE) / n_risk AS term FROM r),
+        |f AS (SELECT grp, t, n_risk, n_events, n_censored,
+        |  CASE WHEN min(term) OVER (PARTITION BY grp ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0 THEN 0.0
+        |    ELSE round(exp(sum(ln(CASE WHEN term > 0 THEN term ELSE 1 END)) OVER (PARTITION BY grp ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) END AS survival FROM c)
+        |SELECT grp, CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, survival
+        |FROM f WHERE n_events >= 1 ORDER BY grp, t""".stripMargin).replace("\n", " ")
+
+  private val LogRankOracle: String =
+    (s"""WITH $ChurnCohortCtes,
+        |g2 AS (SELECT duration AS t, sum(churned) AS d_all, count(*) AS l_all,
+        |  sum(CASE WHEN grp = 'even' THEN churned ELSE 0 END) AS d_a,
+        |  sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END) AS l_a FROM s GROUP BY 1),
+        |r2 AS (SELECT t, d_all, d_a,
+        |  sum(l_all) OVER () - COALESCE(sum(l_all) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_all,
+        |  sum(l_a) OVER () - COALESCE(sum(l_a) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a FROM g2),
+        |t2 AS (SELECT t, d_a, d_all, n_all, n_a,
+        |  d_all * CAST(n_a AS DOUBLE) / n_all AS e_a,
+        |  CASE WHEN n_all <= 1 THEN 0.0 ELSE
+        |    d_all * (CAST(n_a AS DOUBLE) / n_all) * (1.0 - CAST(n_a AS DOUBLE) / n_all) *
+        |    CAST(n_all - d_all AS DOUBLE) / (n_all - 1) END AS v_a
+        |  FROM r2 WHERE d_all >= 1),
+        |cumt AS (SELECT t, sum(d_a) OVER w AS cum_o, sum(e_a) OVER w AS cum_e,
+        |  sum(v_a) OVER w AS cum_v FROM t2
+        |  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+        |lastr AS (SELECT * FROM cumt ORDER BY t DESC LIMIT 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN grp = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM s)
+        |SELECT 'even' AS group_a, tot.n_a, tot.n_b,
+        |  CAST(cum_o AS BIGINT) AS observed_a, round(cum_e, 4) AS expected_a,
+        |  round((cum_o - cum_e) * (cum_o - cum_e) / cum_v, 4) AS chi2
+        |FROM lastr, tot""".stripMargin).replace("\n", " ")
 
   /** Trailing-7-day distinct users — ONE oracle for both the sketch form
     * (exact-regime theta unions) and the exact W-expansion twin: per

@@ -68,6 +68,106 @@ object Survival {
   }
 
   /**
+   * Per-cohort KM curves: [[kaplanMeier]] with every window partitioned
+   * by `groupCol` — cohort comparison (plan tier vs churn, hardware
+   * batch vs lifetime) in one pass. No driver collect: per-group totals
+   * ride a group-partitioned window over the collapsed duration domain.
+   */
+  def kaplanMeierBy(df: DataFrame, groupCol: String, durationCol: String,
+                    eventCol: String): DataFrame = {
+    val grp = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(durationCol).cast("long").as("t"))
+      .agg(sum(col(eventCol).cast("long")).as("n_events"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("n_censored"))
+    val wAll = Window.partitionBy("grp")
+    val wPrev = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wCum = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_events") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("__term", lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+      .withColumn("survival",
+        when(min(col("__term")).over(wCum) <= 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("__term"))).over(wCum)), 4)))
+      .filter(col("n_events") >= 1)
+      .select(col("grp"), col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /**
+   * Two-sample log-rank test (Mantel 1966): do two cohorts share a
+   * survival curve? At each pooled event time, group A's expected
+   * events are d·n_A/n under the null; the statistic is
+   * (Σ(d_A − E_A))² / ΣVar, χ²(1) under the null. The float sums run
+   * as CUMULATIVE ordered windows over the collapsed time domain —
+   * both engines add in ascending-t order, so the double is
+   * bit-replayable before the final round (the engine-wide discipline
+   * for unavoidable float accumulation).
+   *
+   * `groupCol` must hold exactly two values; "group A" is the smaller.
+   * Output (one row): group_a, n_a, n_b, observed_a, expected_a, chi2.
+   */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    val d = df.filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+      col(groupCol).isNotNull)
+    // group A = the lexically smaller label, resolved by a one-row
+    // broadcast that also carries the two-groups precondition
+    val ga = d.agg(min(col(groupCol).cast("string")).as("__ga"),
+      countDistinct(col(groupCol)).as("__ng"))
+    val grp = d.crossJoin(broadcast(ga))
+      .withColumn("__isa",
+        (col(groupCol).cast("string") === col("__ga")).cast("long"))
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(
+        sum(col(eventCol).cast("long")).as("d_all"),
+        count(lit(1)).as("l_all"),
+        sum(col(eventCol).cast("long") * col("__isa")).as("d_a"),
+        sum(col("__isa")).as("l_a"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = grp
+      .withColumn("n_all", sum(col("l_all")).over(Window.partitionBy()) -
+        coalesce(sum(col("l_all")).over(wPrev), lit(0L)))
+      .withColumn("n_a", sum(col("l_a")).over(Window.partitionBy()) -
+        coalesce(sum(col("l_a")).over(wPrev), lit(0L)))
+      .filter(col("d_all") >= 1)
+      .withColumn("e_a", col("d_all") * col("n_a").cast("double") / col("n_all"))
+      .withColumn("v_a",
+        when(col("n_all") <= 1, lit(0.0)).otherwise(
+          col("d_all") * (col("n_a").cast("double") / col("n_all")) *
+            (lit(1.0) - col("n_a").cast("double") / col("n_all")) *
+            (col("n_all") - col("d_all")).cast("double") / (col("n_all") - 1)))
+      .withColumn("cum_o", sum(col("d_a")).over(wCum))
+      .withColumn("cum_e", sum(col("e_a")).over(wCum))
+      .withColumn("cum_v", sum(col("v_a")).over(wCum))
+      .withColumn("rn_desc", row_number().over(Window.orderBy(col("t").desc)))
+      .filter(col("rn_desc") === 1)
+    val totals = d.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("grp")).as("group_a"),
+        min_by(col("n"), col("grp")).as("n_a_subj"),
+        max_by(col("n"), col("grp")).as("n_b_subj"),
+        count(lit(1)).as("n_groups"))
+    terms.crossJoin(broadcast(totals))
+      .filter(assert_true(col("n_groups") === 2,
+        lit("logRank needs exactly two groups")).isNull)
+      .select(
+        col("group_a"), col("n_a_subj").as("n_a"), col("n_b_subj").as("n_b"),
+        col("cum_o").as("observed_a"),
+        round(col("cum_e"), 4).as("expected_a"),
+        round((col("cum_o") - col("cum_e")) * (col("cum_o") - col("cum_e")) /
+          col("cum_v"), 4).as("chi2"))
+  }
+
+  /**
    * Churn-study framing over an event log: per key, duration = days
    * from first to last activity; the event fires (churned = 1) when the
    * key's last activity precedes the observation horizon (corpus max

@@ -54,6 +54,55 @@ class SurvivalSpec extends SparkTestBase {
     assert(out.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("kaplanMeierBy matches per-group kaplanMeier run separately") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(200)((if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextInt(20).toLong + 1, rnd.nextInt(2)))
+      .toDF("grp", "duration", "event")
+    val by = Survival.kaplanMeierBy(df, "grp", "duration", "event")
+      .select("grp", "t", "n_risk", "n_events", "n_censored", "survival")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val sep = Seq("a", "b").flatMap { g =>
+      Survival.kaplanMeier(df.filter(col("grp") === g), "duration", "event")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map { case (t, nr, ne, nc, sv) => (g, t, nr, ne, nc, sv) }
+    }.toSet
+    assert(by === sep)
+  }
+
+  test("logRank: hand-computed two-cohort statistic") {
+    // A: events at 1 and 3; B: event at 2, censored at 4.
+    // E_A = .5 + 1/3 + .5 = 4/3 ; V = .25 + 2/9 + .25 = 13/18
+    // chi2 = (2 - 4/3)^2 / (13/18) = 8/13
+    val df = Seq(("a", 1L, 1), ("a", 3L, 1), ("b", 2L, 1), ("b", 4L, 0))
+      .toDF("grp", "duration", "event")
+    val out = Survival.logRank(df, "grp", "duration", "event")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.length === 1)
+    val (ga, na, nb, oa, ea, chi2) = out.head
+    assert((ga, na, nb, oa) === (("a", 2L, 2L, 2L)))
+    assert(ea === r4(4.0 / 3))
+    assert(chi2 === r4(8.0 / 13))
+  }
+
+  test("logRank: identical cohorts score chi2 = 0") {
+    val base = (1 to 50).map(i => ((i % 10).toLong + 1, i % 2))
+    val df = (base.map { case (d, e) => ("a", d, e) } ++
+      base.map { case (d, e) => ("b", d, e) }).toDF("grp", "duration", "event")
+    val chi2 = Survival.logRank(df, "grp", "duration", "event")
+      .select("chi2").as[Double].head()
+    assert(chi2 === 0.0)
+  }
+
+  test("logRank refuses three groups, loudly") {
+    val df = Seq(("a", 1L, 1), ("b", 2L, 1), ("c", 3L, 1))
+      .toDF("grp", "duration", "event")
+    val e = intercept[Exception] {
+      Survival.logRank(df, "grp", "duration", "event").collect()
+    }
+    assert(e.getMessage.contains("two groups"))
+  }
+
   test("churnDurations: grace window splits churned from censored") {
     // horizon = max day = 10
     val day = 10L
