@@ -3546,6 +3546,24 @@ object SparkEntry {
       Bpe.vocab(docs, "text", Bpe.train(docs, "text", 6)).orderBy(col("id"))
     }),
 
+    // χ² feature selection: top-10 lang-discriminative tokens per class
+    // from the distinct doc-term incidence table. Integer contingency
+    // cells; the statistic is a fixed-order product/division — no float
+    // accumulation, so the rank order replays exactly.
+    "q_chi2_terms" -> ((s, dir) =>
+      graft.pipeline.TermStats.chiSquaredTerms(
+        rd(s, dir, "documents"), "doc_id", "text", "lang", topK = 10)
+        .orderBy("class", "rank")),
+
+    // Dunning G² collocations: top-20 adjacent bigrams by log-likelihood
+    // ratio (minCount 5). Bigram + marginal counts are the only corpus
+    // passes; the entropy-form G² is a fixed-order scalar expression and
+    // the ranking runs on the RAW statistic (TakeOrdered heap).
+    "q_collocations" -> ((s, dir) =>
+      graft.pipeline.TermStats.collocations(
+        rd(s, dir, "documents"), "text", minCount = 5L, topK = 20)
+        .orderBy("w1", "w2")),
+
     // The production ENCODE pass: merges trained on the full corpus,
     // then docs < 200 emitted as ordered (pos, token, token_id) rows —
     // the shape shard writers and packers consume. Narrow merge fold
@@ -5674,6 +5692,8 @@ object SparkEntry {
     "q_budget_bpe" -> bpeBudgetOracleSql(6),
     "q_bpe_vocab" -> bpeVocabOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6),
+    "q_chi2_terms" -> Chi2TermsOracle,
+    "q_collocations" -> CollocationsOracle,
     "q_dp_lang_counts" -> dpLangCountsOracleSql,
     "q_l_diversity" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
@@ -5816,6 +5836,59 @@ object SparkEntry {
         |SELECT token, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
         |FROM v ORDER BY id""".stripMargin).replace("\n", " ")
+
+  /** χ² term-selection oracle: distinct incidence, integer cells, the
+    * SAME fixed-order double expression as the Spark statistic (raw
+    * chi2 drives the rank; round-4 only in the output). */
+  private val Chi2TermsOracle: String =
+    """WITH base AS (SELECT doc_id, lang AS class, text FROM documents
+      |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |dt AS (SELECT DISTINCT doc_id, class, t AS token
+      |  FROM base, unnest(string_split(text, ' ')) AS u(t) WHERE length(t) > 0),
+      |aa AS (SELECT class, token, count(*) AS a FROM dt GROUP BY 1, 2),
+      |tok AS (SELECT token, count(*) AS t_all FROM dt GROUP BY 1),
+      |cls AS (SELECT class, count(*) AS n_class FROM base GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM base),
+      |cell AS (SELECT class, token, a, t_all - a AS b, n_class - a AS c,
+      |  n - n_class - t_all + a AS d, n
+      |  FROM aa JOIN tok USING (token) JOIN cls USING (class), nn),
+      |x AS (SELECT class, token, a, b,
+      |  CASE WHEN CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) > 0
+      |    THEN CAST(n AS DOUBLE) * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+      |      * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+      |      / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+      |    ELSE 0.0 END AS chi2raw FROM cell)
+      |SELECT class, CAST(rnk AS BIGINT) AS rank, token, a, b, round(chi2raw, 4) AS chi2
+      |FROM (SELECT *, row_number() OVER (PARTITION BY class ORDER BY chi2raw DESC, token) AS rnk FROM x)
+      |WHERE rnk <= 10 ORDER BY class, rnk""".stripMargin.replace("\n", " ")
+
+  /** G² collocation oracle: same cells, same fixed-order entropy form
+    * (`XLX` expands to the 0·ln0-safe x·ln x). */
+  private val CollocationsOracle: String = {
+    def xlx(e: String) =
+      s"CASE WHEN $e > 0 THEN CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE)) ELSE 0.0 END"
+    """WITH t1 AS (SELECT list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |pr AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+      |  FROM t1, UNNEST(range(1, len(ws))) AS r(i)),
+      |pc AS (SELECT w1, w2, count(*) AS k11 FROM pr GROUP BY 1, 2),
+      |m1 AS (SELECT w1, sum(k11) AS n_w1 FROM pc GROUP BY 1),
+      |m2 AS (SELECT w2, sum(k11) AS n_w2 FROM pc GROUP BY 1),
+      |nt AS (SELECT sum(k11) AS n_pairs FROM pc),
+      |cells AS (SELECT pc.w1, pc.w2, k11, n_w1, n_w2, n_pairs,
+      |  n_w1 - k11 AS k12, n_w2 - k11 AS k21, n_pairs - n_w1 - n_w2 + k11 AS k22
+      |  FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2), nt WHERE k11 >= 5),
+      |g AS (SELECT w1, w2, k11 AS n_pair, n_w1, n_w2,
+      |  2.0 * (XA + XB + XC + XD - XE - XF - XG - XH + XN) AS g2raw FROM cells)
+      |SELECT w1, w2, n_pair, n_w1, n_w2, round(g2raw, 4) AS g2
+      |FROM (SELECT *, row_number() OVER (ORDER BY g2raw DESC, w1, w2) AS rn FROM g)
+      |WHERE rn <= 20 ORDER BY w1, w2""".stripMargin.replace("\n", " ")
+      .replace("XA", xlx("k11")).replace("XB", xlx("k12"))
+      .replace("XC", xlx("k21")).replace("XD", xlx("k22"))
+      .replace("XE", xlx("k11 + k12")).replace("XF", xlx("k21 + k22"))
+      .replace("XG", xlx("k11 + k21")).replace("XH", xlx("k12 + k22"))
+      .replace("XN", xlx("n_pairs"))
+  }
 
   /** Encode oracle: the training CTEs' final word tokenization `w$k`
     * joined back onto each document's positioned words, re-split to
