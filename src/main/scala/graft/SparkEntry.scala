@@ -3546,6 +3546,15 @@ object SparkEntry {
       Bpe.vocab(docs, "text", Bpe.train(docs, "text", 6)).orderBy(col("id"))
     }),
 
+    // Neyman-optimal labeling-budget allocation across sources: exact
+    // integer moments per stratum, fixed-order sigma, largest-remainder
+    // rounding that sums to the budget exactly. All float totals ride
+    // ordered cumulative windows — never an unordered double aggregate.
+    "q_neyman_alloc" -> ((s, dir) =>
+      graft.operators.Allocation.neyman(
+        rd(s, dir, "documents"), "source", "n_chars", budget = 300L)
+        .orderBy("stratum")),
+
     // χ² feature selection: top-10 lang-discriminative tokens per class
     // from the distinct doc-term incidence table. Integer contingency
     // cells; the statistic is a fixed-order product/division — no float
@@ -5694,6 +5703,7 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracleSql(6),
     "q_chi2_terms" -> Chi2TermsOracle,
     "q_collocations" -> CollocationsOracle,
+    "q_neyman_alloc" -> NeymanOracle,
     "q_dp_lang_counts" -> dpLangCountsOracleSql,
     "q_l_diversity" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
@@ -5836,6 +5846,33 @@ object SparkEntry {
         |SELECT token, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS id
         |FROM v ORDER BY id""".stripMargin).replace("\n", " ")
+
+  /** Neyman allocation oracle: exact moments, the same fixed-order
+    * sigma/share expressions, and the ordered-cumulative-last totals
+    * (replicating Spark's deterministic float accumulation order). */
+  private val NeymanOracle: String =
+    """WITH m AS (SELECT source AS stratum, count(*) AS n_pop,
+      |  sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2 FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+      |w AS (SELECT stratum, n_pop, s1, s2,
+      |  sqrt(greatest(CAST(n_pop AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1, 0.0)
+      |    / (CAST(n_pop AS DOUBLE) * n_pop)) AS sigma,
+      |  n_pop * sqrt(greatest(CAST(n_pop AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1, 0.0)
+      |    / (CAST(n_pop AS DOUBLE) * n_pop)) AS weight FROM m),
+      |t AS (SELECT *, last_value(cw) OVER (ORDER BY stratum
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_total,
+      |  sum(n_pop) OVER () AS pop_total
+      |  FROM (SELECT *, sum(weight) OVER (ORDER BY stratum ROWS UNBOUNDED PRECEDING) AS cw FROM w)),
+      |sh AS (SELECT *, CASE WHEN w_total > 0 THEN 300 * weight / w_total
+      |    ELSE 300 * CAST(n_pop AS DOUBLE) / pop_total END AS share FROM t),
+      |fl AS (SELECT *, CAST(floor(share) AS BIGINT) AS fl, share - CAST(floor(share) AS BIGINT) AS rem FROM sh),
+      |lo AS (SELECT *, 300 - last_value(cf) OVER (ORDER BY stratum
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS leftover,
+      |  row_number() OVER (ORDER BY rem DESC, stratum) AS rr
+      |  FROM (SELECT *, sum(fl) OVER (ORDER BY stratum ROWS UNBOUNDED PRECEDING) AS cf FROM fl))
+      |SELECT stratum, n_pop, round(sigma, 4) AS sigma,
+      |  CAST(fl + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM lo ORDER BY stratum""".stripMargin.replace("\n", " ")
 
   /** χ² term-selection oracle: distinct incidence, integer cells, the
     * SAME fixed-order double expression as the Spark statistic (raw
