@@ -3546,6 +3546,20 @@ object SparkEntry {
       Bpe.vocab(docs, "text", Bpe.train(docs, "text", 6)).orderBy(col("id"))
     }),
 
+    // Reliability diagram + ECE on fixed-point confidences (a double
+    // confidence would make bin edges engine-dependent): conf =
+    // min(9999, 20·n_chars)/10⁴ "predicting" n_chars > 250, 10 bins.
+    // Per-bin sums are exact integers; ECE accumulates over the ≤ 10
+    // bin rows in an ordered window.
+    "q_calibration" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(least(lit(9999L), col("n_chars") * 20).as("conf"),
+          (col("n_chars") > 250).cast("int").as("label"))
+      graft.pipeline.Evaluation.calibrationBins(d, "conf", "label",
+        nBins = 10, scale = 10000L).orderBy("bin")
+    }),
+
     // Neyman-optimal labeling-budget allocation across sources: exact
     // integer moments per stratum, fixed-order sigma, largest-remainder
     // rounding that sums to the budget exactly. All float totals ride
@@ -5704,6 +5718,24 @@ object SparkEntry {
     "q_chi2_terms" -> Chi2TermsOracle,
     "q_collocations" -> CollocationsOracle,
     "q_neyman_alloc" -> NeymanOracle,
+    "q_calibration" ->
+      """WITH d AS (SELECT least(9999, n_chars * 20) AS conf,
+        |  CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS label
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT (conf * 10) // 10000 AS bin, count(*) AS n,
+        |  sum(conf) AS s_conf, sum(label) AS positives FROM d
+        |  WHERE conf >= 0 AND conf < 10000 GROUP BY 1),
+        |x AS (SELECT bin, n, positives,
+        |  CAST(s_conf AS DOUBLE) / (n * 10000) AS conf_m,
+        |  CAST(positives AS DOUBLE) / n AS acc, sum(n) OVER () AS n_tot FROM g),
+        |t AS (SELECT *, abs(acc - conf_m) * n / n_tot AS term FROM x),
+        |e AS (SELECT *, last_value(ct) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ece_raw
+        |  FROM (SELECT *, sum(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ct FROM t))
+        |SELECT CAST(bin AS BIGINT) AS bin, n, positives,
+        |  round(conf_m, 4) AS mean_conf, round(acc, 4) AS frac_pos,
+        |  round(abs(acc - conf_m), 4) AS gap, round(ece_raw, 4) AS ece
+        |FROM e ORDER BY bin""".stripMargin.replace("\n", " "),
     "q_dp_lang_counts" -> dpLangCountsOracleSql,
     "q_l_diversity" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,

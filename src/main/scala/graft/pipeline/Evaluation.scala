@@ -75,6 +75,41 @@ object Evaluation {
   }
 
   /**
+   * Reliability diagram + expected calibration error (ECE) for a
+   * probabilistic classifier, on INTEGER confidences: `confCol` holds
+   * conf·`scale` (0 ≤ conf·scale < scale — fixed-point, so bin
+   * assignment and per-bin sums are exact integers; a double
+   * confidence column would make binning engine-dependent at bin
+   * edges). One map-side pass to per-bin (n, Σconf, positives); the
+   * per-bin mean confidence and empirical accuracy are single exact
+   * divisions; ECE = Σ (n_b/N)·|acc_b − conf_b| accumulates over the
+   * ≤ nBins rows through an ordered cumulative window (deterministic
+   * addition order), emitted on every row.
+   */
+  def calibrationBins(df: DataFrame, confCol: String, labelCol: String,
+                      nBins: Int, scale: Long): DataFrame = {
+    require(nBins >= 1 && scale >= 1, "nBins/scale must be >= 1")
+    val g = df
+      .filter(col(confCol).isNotNull && col(labelCol).isNotNull)
+      .filter(col(confCol) >= 0 && col(confCol) < scale)
+      .groupBy(expr(s"(`$confCol` * $nBins) div ${scale}L").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(confCol)).as("s_conf"),
+        sum(col(labelCol).cast("long")).as("positives"))
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conf = col("s_conf").cast("double") / (col("n") * scale)
+    val acc = col("positives").cast("double") / col("n")
+    val term = abs(acc - conf) * col("n") / sum(col("n")).over(wAll)
+    g.withColumn("__t", term)
+      .withColumn("ece", round(last(sum(col("__t")).over(wCum)).over(wAll), 4))
+      .select(col("bin"), col("n"), col("positives"),
+        round(conf, 4).as("mean_conf"), round(acc, 4).as("frac_pos"),
+        round(abs(acc - conf), 4).as("gap"), col("ece"))
+  }
+
+  /**
    * Per-class classification metrics from (gold, pred) columns.
    *
    * One corpus pass builds the confusion matrix (map-side-combined

@@ -50,6 +50,35 @@ class EvaluationSpec extends SparkTestBase {
     assert(out === Array(0L)) // c sits at rank 3 > k=2
   }
 
+  test("calibrationBins: hand-computed bins, gaps, and ECE") {
+    // scale 100, 2 bins. bin 0: confs 10,30 labels 0,1 -> conf .2 acc .5
+    // bin 1: confs 80,90 labels 1,1 -> conf .85 acc 1.0
+    // ECE = .5*.3 + .5*.15 = .225
+    val df = Seq((10L, 0), (30L, 1), (80L, 1), (90L, 1))
+      .toDF("conf", "label")
+    val out = Evaluation.calibrationBins(df, "conf", "label", nBins = 2, scale = 100L)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(out(0) === ((0L, 2L, 1L, 0.2, 0.5, 0.3, 0.225)))
+    assert(out(1) === ((1L, 2L, 2L, 0.85, 1.0, 0.15, 0.225)))
+  }
+
+  test("calibrationBins: perfectly calibrated data scores ECE 0") {
+    // conf 25 in bin 0 of 4 (0..24 -> bin 1? no: 25*4/100=1) — use bin
+    // midpoints: conf 12 (bin 0), 1 of 8 positive ... simpler: conf=50,
+    // half positive -> conf .5, acc .5
+    val df = (1 to 10).map(i => (50L, i % 2)).toDF("conf", "label")
+    val out = Evaluation.calibrationBins(df, "conf", "label", 1, 100L)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(out === Array((0L, 10L, 5L, 0.5, 0.5, 0.0, 0.0)))
+  }
+
+  test("calibrationBins: out-of-range confidences are excluded") {
+    val df = Seq((100L, 1), (-1L, 0), (99L, 1)).toDF("conf", "label")
+    val out = Evaluation.calibrationBins(df, "conf", "label", 10, 100L)
+    assert(out.agg(sum("n")).as[Long].head() === 1L)
+  }
+
   test("classifierEval: hand-computed confusion and a never-predicted class") {
     // gold:  a a a b b c    pred: a b a b b a
     // a: tp=2 fp=1(c->a) fn=1(a->b)   b: tp=2 fp=1 fn=0   c: tp=0 fp=0 fn=1
