@@ -1,9 +1,10 @@
 package graft.operators
 
-import graft.agg.{ThetaMergeEstimateAgg, ThetaPartialAgg}
-import org.apache.spark.sql.{DataFrame, Encoders}
+import graft.agg.{BufSerde, ThetaBuf, ThetaMergeEstimateAgg, ThetaPartialAgg}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Trailing-window distinct counts ("7-day active users") — the sliding
@@ -69,6 +70,44 @@ object TrailingUniques {
       .join(contrib, "bucket")
       .select(col("bucket"), col("n_bucket").cast("long").as("n_bucket"),
         col("n_trailing").cast("long").as("n_trailing"))
+  }
+
+  /** One streaming observation: `key` active in `bucket`. */
+  case class Obs(key: Long, bucket: Long)
+  /** A touched target bucket's current trailing estimate. */
+  case class TrailingUpdate(bucket: Long, nTrailing: Long)
+
+  /**
+   * STREAMING twin: the batch form avoids the W-fold corpus expansion
+   * by merging in the bucket domain, but a stream's increment is small
+   * — so here each arriving observation fans out to the `window` target
+   * buckets it contributes to, and every target bucket carries ONE
+   * theta sketch as keyed state (O(#buckets × 2^lgK) total — days ×
+   * kilobytes, bounded by construction; production would additionally
+   * drop buckets past the horizon). Each micro-batch emits the updated
+   * trailing estimate for every touched bucket; once all sources ≤ a
+   * bucket have arrived its last emission equals [[trailingUniques]]
+   * (parity + checkpoint-restart pinned in TrailingUniquesSpec /
+   * StreamingRestartSpec). Theta unions are associative and idempotent
+   * per key, so replays across restarts cannot inflate counts.
+   */
+  def trailingUniquesStream(events: Dataset[Obs], window: Int,
+                            lgK: Int = 17): Dataset[TrailingUpdate] = {
+    require(window >= 1, "window must be >= 1 bucket")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .flatMap(o => (o.bucket until o.bucket + window).map(tb => (tb, o.key)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], TrailingUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, obs: Iterator[(Long, Long)], state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption.map(BufSerde.de[ThetaBuf])
+            .getOrElse(new ThetaBuf(lgK))
+          obs.foreach(t => buf.update(t._2.toString))
+          state.update(BufSerde.ser(buf))
+          Iterator(TrailingUpdate(bucket, Math.round(buf.result.getEstimate)))
+      }
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CdcMerge, TimeSeries}
+import graft.operators.{CdcMerge, TimeSeries, TrailingUniques}
 import graft.pipeline.Dedup
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
@@ -292,5 +292,44 @@ class StreamingRestartSpec extends SparkTestBase {
         s"expected the last two batches (1 and 2 rows), got $byBatch")
       assert(rows.forall(_.getLong(5) >= 1L), "state rows visible")
     } finally s.streams.removeListener(log)
+  }
+
+  test("trailingUniquesStream: the restored sketch dedups keys seen before the crash") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-tu-in"); val ckpt = tmp("graft-tu-ckpt")
+    val updates = mutable.ArrayBuffer.empty[TrailingUniques.TrailingUpdate]
+    def start() = TrailingUniques.trailingUniquesStream(
+        s.readStream.schema("key LONG, bucket LONG").json(inDir)
+          .as[TrailingUniques.Obs], window = 3)
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TrailingUniques.TrailingUpdate], _: Long) =>
+        updates.synchronized { updates ++= b.collect() }; ()
+      }.start()
+
+    // phase 1: keys 1..5 in bucket 0, keys 6..10 in bucket 1 — target
+    // bucket 2's sketch now holds all ten
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json",
+        (1 to 5).map(k => s"""{"key": $k, "bucket": 0}""") ++
+          (6 to 10).map(k => s"""{"key": $k, "bucket": 1}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+
+    // while down: keys 1..5 AGAIN, now in bucket 2
+    writeFile(inDir, "f2.json", (1 to 5).map(k => s"""{"key": $k, "bucket": 2}"""))
+
+    // phase 2: bucket 2's trailing count must be 10 — the RESTORED
+    // sketch absorbs the replayed keys idempotently; an empty restart
+    // would report 5
+    updates.synchronized(updates.clear())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val b2 = updates.synchronized(updates.filter(_.bucket == 2L).map(_.nTrailing))
+    assert(b2 === Seq(10L),
+      s"bucket 2 must count all ten keys from restored state, got $b2")
   }
 }

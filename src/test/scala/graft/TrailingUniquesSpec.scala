@@ -57,6 +57,37 @@ class TrailingUniquesSpec extends SparkTestBase {
     assert(sk.contains((5L, 1L, 1L))) // bucket 5 trailing {3,4,5} sees only key 2
   }
 
+  test("streaming twin converges to the batch answer across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TrailingUniques.Obs]
+    val sq = TrailingUniques.trailingUniquesStream(mem.toDS(), window = 3)
+      .writeStream.format("memory").queryName("tu_stream_out")
+      .outputMode("update").start()
+    val rows = Seq(
+      TrailingUniques.Obs(1L, 0L), TrailingUniques.Obs(2L, 0L),
+      TrailingUniques.Obs(2L, 1L), TrailingUniques.Obs(3L, 3L),
+      TrailingUniques.Obs(1L, 4L), TrailingUniques.Obs(1L, 0L)) // replay dup
+    try {
+      mem.addData(rows.take(3)); sq.processAllAvailable()
+      mem.addData(rows.drop(3)); sq.processAllAvailable()
+    } finally sq.stop()
+    // last update per bucket == batch sketch form on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("__batch_order").desc)
+    val streamed = spark.table("tu_stream_out")
+      .withColumn("__batch_order", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("bucket", "nTrailing").as[(Long, Long)].collect().toMap
+    val batch = TrailingUniques.trailingUniques(
+        rows.map(o => (o.key, o.bucket * 10L)).toDF("user_id", "ts"),
+        "user_id", "ts", bucketSize = 10L, window = 3)
+      .select("bucket", "n_trailing").as[(Long, Long)].collect().toMap
+    batch.foreach { case (b, n) =>
+      assert(streamed.get(b).contains(n), s"bucket $b: $streamed vs $batch")
+    }
+  }
+
   test("requireExact trips when a merged window leaves the exact regime") {
     // lgK = 4 -> nominal 16 entries; 200 uniques in one window blows it
     val df = (1L to 200L).map(k => (k, 1L)).toDF("user_id", "ts")
