@@ -1537,6 +1537,30 @@ object SparkEntry {
         rd(s, dir, "orders"), "o_orderkey",
         rd(s, dir, "lineitem"), "l_orderkey", lgK = 18)),
 
+    // Column-level lineage of a fixed 3-table star plan, emitted as the
+    // (output column -> leaf source column) edge list. A metadata walk
+    // over the ANALYZED plan — no data job answers it, so the edges are
+    // a function of the plan alone and the oracle is the literal list.
+    // The PII gate (Lineage.derivesFrom) is this same lookup as a
+    // predicate.
+    "q_lineage" -> ((s, dir) => {
+      import s.implicits._
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      val n = rd(s, dir, "nation")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_totalprice"),
+          concat_ws("-", col("c_name"), col("n_name")).as("cust_label"))
+      val out = joined.groupBy("nation")
+        .agg(sum(col("o_totalprice")).as("revenue"),
+          countDistinct(col("cust_label")).as("n_labels"))
+      graft.plans.Lineage.columnLineage(out).toSeq
+        .flatMap { case (oc, srcs) => srcs.map(src => (oc, src)) }
+        .sorted
+        .toDF("out_col", "src_col")
+    }),
+
     // Set algebra between PERSISTED theta snapshots — "users present in
     // both halves of the stream, per event type" computed entirely from
     // stored sketch bytes: one snapshot's partials round-trip through
@@ -3513,6 +3537,22 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       Bpe.trainDf(s, rd(s, dir, "documents"), "text", 6)),
 
+    // Production-merge-count BPE training: 200 merges over a corpus
+    // with real vocabulary width (customer names split at '#': 'Customer'
+    // plus the zero-padded ids — ~|customers| distinct digit-words). The
+    // distributed loop would schedule ~400 Spark jobs of pure latency
+    // here; the LOCAL trainer collects the (guarded, vocab-sized)
+    // word-count table once and iterates on the driver — wall time is
+    // corpus-shuffle + O(vocab·merges) local work, independent of job
+    // overhead. The oracle replays all 200 merges with the same
+    // delimiter-wrapped string-replace semantics (MATERIALIZED stages +
+    // a balanced union tree keep DuckDB's planner linear).
+    "q_bpe_train_large" -> ((s, dir) =>
+      Bpe.trainDfAuto(s,
+        rd(s, dir, "customer").select(
+          regexp_replace(col("c_name"), "#", " ").as("text")),
+        "text", 200)),
+
     // Token-budget fill measured in TRAINED-BPE tokens — the composed
     // form a real mix cut uses (the budget counts what the trainer
     // will actually see, not whitespace words): train 6 merges on the
@@ -4385,6 +4425,11 @@ object SparkEntry {
         |SELECT rows_a, rows_b, ndv_a, ndv_b, ndv_intersect,
         |  CAST(rows_a AS DOUBLE) * rows_b / ndv_a / ndv_b * ndv_intersect AS est_join_rows
         |FROM s""".stripMargin.replace("\n", " "),
+    "q_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('n_labels', 'c_name'), ('n_labels', 'n_name'),
+        |  ('nation', 'n_name'), ('revenue', 'o_totalprice'))
+        |AS t(out_col, src_col) ORDER BY out_col, src_col""".stripMargin.replace("\n", " "),
     "q_sketch_overlap_persist" ->
       """WITH a AS (
         |  SELECT DISTINCT event_type AS seg, user_id
@@ -5712,6 +5757,8 @@ object SparkEntry {
         |FROM c WHERE cnt < 72
         |ORDER BY idx, lang""".stripMargin.replace("\n", " "),
     "q_bpe_train" -> bpeOracleSql(6),
+    "q_bpe_train_large" -> bpeLargeOracleSql(200,
+      "SELECT replace(c_name, '#', ' ') AS text FROM customer"),
     "q_budget_bpe" -> bpeBudgetOracleSql(6),
     "q_bpe_vocab" -> bpeVocabOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6),
@@ -5732,7 +5779,7 @@ object SparkEntry {
         |e AS (SELECT *, last_value(ct) OVER (ORDER BY bin
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ece_raw
         |  FROM (SELECT *, sum(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ct FROM t))
-        |SELECT CAST(bin AS BIGINT) AS bin, n, positives,
+        |SELECT CAST(bin AS BIGINT) AS bin, n, CAST(positives AS BIGINT) AS positives,
         |  round(conf_m, 4) AS mean_conf, round(acc, 4) AS frac_pos,
         |  round(abs(acc - conf_m), 4) AS gap, round(ece_raw, 4) AS ece
         |FROM e ORDER BY bin""".stripMargin.replace("\n", " "),
@@ -5844,6 +5891,45 @@ object SparkEntry {
     (s"WITH ${bpeCtes(k)}\nSELECT * FROM ($sel) ORDER BY step").replace("\n", " ")
   }
 
+  /** [[bpeOracleSql]] at production merge counts: a parameterized
+    * corpus, every stage CTE MATERIALIZED (DuckDB otherwise inlines the
+    * single-use chain — at k=200 the expanded plan exhausts file
+    * handles), and the per-step readout assembled as a BALANCED union
+    * tree (a left-deep 200-branch UNION ALL trips DuckDB's
+    * max_expression_depth). Same merge semantics stage-for-stage. */
+  private def bpeLargeOracleSql(k: Int, corpusSql: String): String = {
+    def stage(i: Int): String =
+      s"""p$i AS MATERIALIZED (SELECT l[j] AS a, l[j+1] AS b, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |  FROM (SELECT wcnt, string_split(trim(rep, chr(31)), chr(31)||chr(31)) AS l
+         |        FROM w${i - 1}),
+         |  unnest(range(1, len(l))) AS r(j) GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT word, wcnt, replace(rep,
+         |  chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31),
+         |  chr(31)||t.a||t.b||chr(31)) AS rep FROM w${i - 1}, t$i t),
+         |s$i AS MATERIALIZED (SELECT CAST(sum(wcnt *
+         |  len(string_split(trim(rep, chr(31)), chr(31)||chr(31)))) AS BIGINT)
+         |  AS toks FROM w$i)""".stripMargin
+    val ctes =
+      s"""words AS MATERIALIZED (SELECT t AS word, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM ($corpusSql), unnest(string_split(text, ' ')) AS u(t)
+         |  WHERE length(t) > 0 GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT word, wcnt,
+         |  list_aggregate(list_transform(string_split(word, ''),
+         |  c -> chr(31)||c||chr(31)), 'string_agg', '') AS rep FROM words),
+         |""".stripMargin + (1 to k).map(stage).mkString(",\n")
+    def unionTree(lo: Int, hi: Int): String =
+      if (lo == hi)
+        s"SELECT CAST($lo AS BIGINT) AS step, a, b, cnt, " +
+          s"(SELECT toks FROM s$lo) AS toks_after FROM t$lo"
+      else {
+        val mid = (lo + hi) / 2
+        s"(${unionTree(lo, mid)} UNION ALL ${unionTree(mid + 1, hi)})"
+      }
+    (s"WITH $ctes\nSELECT * FROM (${unionTree(1, k)}) ORDER BY step")
+      .replace("\n", " ")
+  }
+
   /** Token-budget fill measured in TRAINED-BPE tokens: per-doc counts
     * come from joining the doc's words to the final `w$k` tokenization
     * (the oracle's equivalent of the narrow per-row merge fold). */
@@ -5949,7 +6035,8 @@ object SparkEntry {
       |  FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2), nt WHERE k11 >= 5),
       |g AS (SELECT w1, w2, k11 AS n_pair, n_w1, n_w2,
       |  2.0 * (XA + XB + XC + XD - XE - XF - XG - XH + XN) AS g2raw FROM cells)
-      |SELECT w1, w2, n_pair, n_w1, n_w2, round(g2raw, 4) AS g2
+      |SELECT w1, w2, n_pair, CAST(n_w1 AS BIGINT) AS n_w1,
+      |  CAST(n_w2 AS BIGINT) AS n_w2, round(g2raw, 4) AS g2
       |FROM (SELECT *, row_number() OVER (ORDER BY g2raw DESC, w1, w2) AS rn FROM g)
       |WHERE rn <= 20 ORDER BY w1, w2""".stripMargin.replace("\n", " ")
       .replace("XA", xlx("k11")).replace("XB", xlx("k12"))

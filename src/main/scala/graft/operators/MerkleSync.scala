@@ -32,9 +32,14 @@ object MerkleSync {
   }
 
   /** Row content hash: xxhash64 over key + payload columns (column
-    * order fixed by the caller's list). */
+    * order fixed by the caller's list). xxhash64 SKIPS null inputs, so
+    * two rows whose payloads differ only by which column holds the NULL
+    * would hash identically — each column is therefore preceded by a
+    * never-null 0/1 null marker, which keeps the hashed sequence
+    * distinct across null positions. */
   private def rowHash(keyCol: String, payloadCols: Seq[String]): Column =
-    xxhash64((keyCol +: payloadCols).map(col): _*)
+    xxhash64((keyCol +: payloadCols).flatMap(c =>
+      Seq(col(c).isNull.cast("int"), col(c))): _*)
 
   /**
    * The full per-level manifest: (level, bucket, digest, n_rows) for

@@ -153,7 +153,7 @@ object SketchSetOps {
     import spark.implicits._
     // join-side sentinel: SQL join keys never match on NULL, but a null
     // segment is ONE segment (every merged* sibling groups it as one)
-    val sentinel = " __null_seg__"
+    val sentinel = "\u0000__null_seg__"
     def keyed(df: DataFrame, skName: String) = df.select(
       coalesce(col("seg").cast("string"), lit(sentinel)).as("seg"),
       col("sk").as(skName))

@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
  */
 object Survival {
 
+  /** Default ceiling on the collapsed duration domain: the cumulative
+    * windows below sort all distinct durations on ONE task (the same
+    * single-partition regime as [[ExactQuantiles]]), which is safe for
+    * day/week/bucket durations but not for raw-nanosecond inputs. */
+  val DefaultMaxTimePoints: Long = 4000000L
+
+  private def requireTimeBound(op: String, distinctT: Long,
+                               maxTimePoints: Long): Unit = {
+    require(maxTimePoints >= 1, s"$op: maxTimePoints must be >= 1")
+    require(distinctT <= maxTimePoints,
+      s"$op: $distinctT distinct duration values exceed maxTimePoints=" +
+        s"$maxTimePoints; the cumulative risk-set windows would sort them " +
+        "on a single task. Bucket durations to a bounded domain first " +
+        "(e.g. days: duration div 86400) — survival curves over raw " +
+        "timestamps are step functions per subject, not per time unit.")
+  }
+
   /**
    * KM curve from one row per subject: `durationCol` (integer time
    * units) and `eventCol` (1 = event observed at duration, 0 = censored
@@ -36,12 +53,14 @@ object Survival {
    * risk for events at t (right-continuous KM; ties censored-after-
    * events — the standard convention).
    */
-  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+                  maxTimePoints: Long = DefaultMaxTimePoints): DataFrame = {
     val grp = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
       .groupBy(col(durationCol).cast("long").as("t"))
       .agg(sum(col(eventCol).cast("long")).as("n_events"),
         sum(lit(1L) - col(eventCol).cast("long")).as("n_censored"))
+      .localCheckpoint(true) // probe job + window pass share one corpus scan
     // risk set at t = everyone with duration >= t: total minus all
     // subjects leaving strictly before t — a cumulative over the
     // COLLAPSED duration domain
@@ -49,7 +68,12 @@ object Survival {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val wCum = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = grp.select(sum(col("n_events") + col("n_censored"))).first().getLong(0)
+    // total + domain guard fused into the ONE existing driver job over
+    // the collapsed frame — no extra Spark job for the bound
+    val probe = grp.select(sum(col("n_events") + col("n_censored")),
+      count(lit(1))).first()
+    val total = probe.getLong(0)
+    requireTimeBound("kaplanMeier", probe.getLong(1), maxTimePoints)
     grp
       .withColumn("n_risk",
         lit(total) - coalesce(sum(col("n_events") + col("n_censored")).over(wPrev), lit(0L)))
@@ -74,13 +98,20 @@ object Survival {
    * ride a group-partitioned window over the collapsed duration domain.
    */
   def kaplanMeierBy(df: DataFrame, groupCol: String, durationCol: String,
-                    eventCol: String): DataFrame = {
+                    eventCol: String,
+                    maxTimePoints: Long = DefaultMaxTimePoints): DataFrame = {
     val grp = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
         col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("grp"), col(durationCol).cast("long").as("t"))
       .agg(sum(col(eventCol).cast("long")).as("n_events"),
         sum(lit(1L) - col(eventCol).cast("long")).as("n_censored"))
+      .localCheckpoint(true) // guard job + window pass share one corpus scan
+    // windows below are PER-GROUP single-task sorts — bound the widest
+    // group's collapsed time domain before running any of them
+    val maxPts = grp.groupBy("grp").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).first().getLong(0)
+    requireTimeBound("kaplanMeierBy", maxPts, maxTimePoints)
     val wAll = Window.partitionBy("grp")
     val wPrev = Window.partitionBy("grp").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
@@ -113,7 +144,8 @@ object Survival {
    * Output (one row): group_a, n_a, n_b, observed_a, expected_a, chi2.
    */
   def logRank(df: DataFrame, groupCol: String, durationCol: String,
-              eventCol: String): DataFrame = {
+              eventCol: String,
+              maxTimePoints: Long = DefaultMaxTimePoints): DataFrame = {
     val d = df.filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
       col(groupCol).isNotNull)
     // group A = the lexically smaller label, resolved by a one-row
@@ -129,6 +161,11 @@ object Survival {
         count(lit(1)).as("l_all"),
         sum(col(eventCol).cast("long") * col("__isa")).as("d_a"),
         sum(col("__isa")).as("l_a"))
+      // materialized ONCE: the guard's count and the window pass below
+      // both read the (tiny, collapsed) frame without re-scanning the
+      // corpus
+      .localCheckpoint(true)
+    requireTimeBound("logRank", grp.count(), maxTimePoints)
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val wCum = Window.orderBy("t")
@@ -163,8 +200,12 @@ object Survival {
         col("group_a"), col("n_a_subj").as("n_a"), col("n_b_subj").as("n_b"),
         col("cum_o").as("observed_a"),
         round(col("cum_e"), 4).as("expected_a"),
-        round((col("cum_o") - col("cum_e")) * (col("cum_o") - col("cum_e")) /
-          col("cum_v"), 4).as("chi2"))
+        // a degenerate risk profile (one subject at risk at every event
+        // time) has zero null-variance — chi2 is undefined, emit null
+        // rather than the division's NaN/Infinity
+        when(col("cum_v") > 0.0,
+          round((col("cum_o") - col("cum_e")) * (col("cum_o") - col("cum_e")) /
+            col("cum_v"), 4)).as("chi2"))
   }
 
   /**

@@ -106,6 +106,105 @@ object Bpe {
         col("cnt"), col("toks_after"))
   }
 
+  /** Default ceiling on the collected word-count table for the local
+    * trainer: 2M (word, count) rows is low hundreds of MB on the
+    * driver — the same driver-survivability line as the Lloyd loops. */
+  val DefaultMaxVocabRows: Long = 2000000L
+
+  /**
+   * Driver-local merge loop over the COLLECTED word-count table — the
+   * production-merge-count path. [[train]] schedules ~2 Spark jobs per
+   * merge, which is correct but job-count-bound: at a production 30k-50k
+   * merge vocabulary that is 60k+ scheduled jobs of pure latency,
+   * regardless of data size. The word-count table is the only
+   * corpus-sized object and is usually tiny (|distinct words|), so the
+   * classic trainer layout is: ONE corpus shuffle → collect word counts
+   * → iterate locally. Semantics are bit-identical to [[train]]: same
+   * left-greedy non-overlapping merge (the loop below IS the
+   * delimiter-wrapped string replace, one token window at a time), same
+   * (cnt desc, a asc, b asc) tie-break, same toksAfter accounting — the
+   * conformance spec asserts equality merge-for-merge.
+   *
+   * The collect is guarded: more than `maxVocabRows` distinct words
+   * fails loudly (collect bounded by maxVocabRows + 1 rows before the
+   * check — never materializes an unbounded frame on the driver) and
+   * names [[train]] as the stay-distributed remedy.
+   */
+  def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                 maxVocabRows: Long = DefaultMaxVocabRows): Seq[Merge] = {
+    require(numMerges >= 1, s"Bpe.trainLocal needs numMerges >= 1, got $numMerges")
+    require(maxVocabRows >= 1 && maxVocabRows < Int.MaxValue,
+      s"maxVocabRows must be in [1, Int.MaxValue), got $maxVocabRows")
+    val collected = wordCounts(docs, textCol)
+      .limit(maxVocabRows.toInt + 1).collect()
+    require(collected.length <= maxVocabRows,
+      s"Bpe.trainLocal: > $maxVocabRows distinct words — the word-count " +
+        "table no longer fits the driver; use Bpe.train (the distributed " +
+        "per-merge loop) or raise maxVocabRows")
+    // rep = token array per distinct word; multiplicity carried as count
+    var reps: Array[(Array[String], Long)] =
+      collected.map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var continue = true
+    while (step <= numMerges && continue) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (ts, c) =>
+        var i = 0
+        while (i < ts.length - 1) {
+          val k = (ts(i), ts(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) continue = false
+      else {
+        val ((a, b), cnt) = pc.minBy { case ((pa, pb), c) => (-c, pa, pb) }
+        var toksAfter = 0L
+        reps = reps.map { case (ts, c) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          val merged = out.result()
+          toksAfter += merged.length * c
+          (merged, c)
+        }
+        merges += Merge(step, a, b, cnt, toksAfter)
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** [[trainLocal]] when the vocabulary fits the driver, [[train]]
+    * (distributed per-merge loop) above the bound — the trainer a
+    * caller should reach for by default. The fallback re-runs the
+    * word-count shuffle (one extra corpus pass in the rare huge-vocab
+    * regime). */
+  def trainAuto(docs: DataFrame, textCol: String, numMerges: Int,
+                maxVocabRows: Long = DefaultMaxVocabRows): Seq[Merge] =
+    try trainLocal(docs, textCol, numMerges, maxVocabRows)
+    catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("distinct words")) =>
+        train(docs, textCol, numMerges)
+    }
+
+  /** [[trainAuto]] as a DataFrame (k rows, driver-built). */
+  def trainDfAuto(spark: SparkSession, docs: DataFrame, textCol: String,
+                  numMerges: Int,
+                  maxVocabRows: Long = DefaultMaxVocabRows): DataFrame = {
+    import spark.implicits._
+    trainAuto(docs, textCol, numMerges, maxVocabRows)
+      .toDF("step", "a", "b", "cnt", "toks_after")
+      .select(col("step").cast("long"), col("a"), col("b"),
+        col("cnt"), col("toks_after"))
+  }
+
   /** All trained merges applied to a char-wrapped rep in ONE chained
     * narrow projection (the k replaces fuse inside codegen) — for
     * artifact builds where the merge list is already known, vs the

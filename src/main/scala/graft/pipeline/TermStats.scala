@@ -32,9 +32,13 @@ object TermStats {
                       classCol: String, topK: Int): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     val base = docs.filter(col(textCol).isNotNull && col(classCol).isNotNull)
+    // distinct AFTER the explode too: array_distinct dedups only within a
+    // row, so a duplicated doc id would double-count incidence `a` and
+    // diverge from the oracle's global DISTINCT (doc, class, token)
     val dt = base.select(col(idCol), col(classCol).as("class"),
         explode(array_distinct(filter(split(col(textCol), " "),
           w => length(w) > 0))).as("token"))
+      .distinct()
     val a = dt.groupBy("class", "token").agg(count(lit(1)).as("a"))
     val tok = dt.groupBy("token").agg(count(lit(1)).as("t_all"))
     val cls = base.groupBy(col(classCol).as("class")).agg(count(lit(1)).as("n_class"))

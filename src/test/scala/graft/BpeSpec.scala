@@ -103,4 +103,33 @@ class BpeSpec extends SparkTestBase {
       .agg(sum("n")).as[Long].head()
     assert(n1 === n2)
   }
+
+  test("trainLocal matches the distributed loop merge-for-merge (incl. early stop)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("low lower lowest low low", "low lower",
+      "newer newest new widest wide wide").toDF("text")
+    val dist = Bpe.train(docs, "text", 12)
+    val local = Bpe.trainLocal(docs, "text", 12)
+    assert(local === dist)
+    // a merge count past exhaustion stops at the same step on both paths
+    val distAll = Bpe.train(Seq("ab ab ba").toDF("text"), "text", 50)
+    val localAll = Bpe.trainLocal(Seq("ab ab ba").toDF("text"), "text", 50)
+    assert(localAll === distAll)
+    assert(localAll.size < 50)
+  }
+
+  test("trainLocal vocab guard trips loudly; trainAuto falls back to distributed") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 50).map(i => s"w$i x$i").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, "text", 2, maxVocabRows = 10L)
+    }
+    assert(e.getMessage.contains("distinct words") &&
+      e.getMessage.contains("Bpe.train"), e.getMessage)
+    // auto path completes via the distributed loop under the same bound
+    val auto = Bpe.trainAuto(docs, "text", 2, maxVocabRows = 10L)
+    assert(auto === Bpe.train(docs, "text", 2))
+  }
 }

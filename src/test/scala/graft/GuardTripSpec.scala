@@ -224,4 +224,45 @@ class GuardTripSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxHeadMadds=500") &&
       e.getMessage.contains("multiply-adds"), e.getMessage)
   }
+
+  test("Survival time-domain bound: raw-ns durations fail naming the bucketing remedy") {
+    val s = spark
+    import s.implicits._
+    // 2,000 distinct raw durations — a day-bucketed study has dozens; the
+    // cumulative risk-set windows sort the collapsed domain on ONE task
+    val subj = (1L to 2000L).map(i => (i * 1000003L, i % 2, if (i % 3 == 0) "a" else "b"))
+      .toDF("dur", "event", "grp")
+    val eKm = intercept[IllegalArgumentException] {
+      graft.operators.Survival.kaplanMeier(subj, "dur", "event",
+        maxTimePoints = 100L).collect()
+    }
+    assert(eKm.getMessage.contains("maxTimePoints=100") &&
+      eKm.getMessage.contains("Bucket durations"), eKm.getMessage)
+    val eBy = intercept[IllegalArgumentException] {
+      graft.operators.Survival.kaplanMeierBy(subj, "grp", "dur", "event",
+        maxTimePoints = 100L).collect()
+    }
+    assert(eBy.getMessage.contains("maxTimePoints=100"), eBy.getMessage)
+    val eLr = intercept[IllegalArgumentException] {
+      graft.operators.Survival.logRank(subj, "grp", "dur", "event",
+        maxTimePoints = 100L).collect()
+    }
+    assert(eLr.getMessage.contains("maxTimePoints=100") &&
+      eLr.getMessage.contains("single task"), eLr.getMessage)
+    // bucketed to days, the same study passes under the bound
+    val bucketed = subj.withColumn("dur", col("dur") / lit(86400000L))
+    assert(graft.operators.Survival.kaplanMeier(bucketed, "dur", "event",
+      maxTimePoints = 100L).count() > 0)
+  }
+
+  test("logRank: zero null-variance emits null chi2, not NaN/Infinity") {
+    val s = spark
+    import s.implicits._
+    // the only event time has a risk set of ONE subject (a censored
+    // earlier), so every variance term is 0 (n_all <= 1) and cum_v = 0
+    val subj = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("dur", "event", "grp")
+    val row = graft.operators.Survival.logRank(subj, "grp", "dur", "event")
+      .select("chi2").collect()(0)
+    assert(row.isNullAt(0), s"expected null chi2, got ${row.get(0)}")
+  }
 }

@@ -56,6 +56,17 @@ class MerkleSyncSpec extends SparkTestBase {
     assert(d.filter(col("level") === 3).count() === 1)
   }
 
+  test("null position is content: (x, NULL) vs (NULL, x) payloads differ") {
+    // xxhash64 skips NULL inputs — without per-column null markers these
+    // two rows hash identically and the difference is invisible
+    val a = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "p", "q")
+    val b = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "p", "q")
+    val d = MerkleSync.diffManifests(
+      MerkleSync.manifest(a, "k", Seq("p", "q")),
+      MerkleSync.manifest(b, "k", Seq("p", "q")))
+    assert(d.filter(col("level") === 3).count() === 1)
+  }
+
   test("manifest refuses an untiny leaf domain") {
     val e = intercept[IllegalArgumentException] {
       MerkleSync.manifest(tbl(Seq((1L, "x"))), "k", Seq("v"),
