@@ -272,6 +272,37 @@ object Bench {
         Seq.empty
     }
 
+    // Regression watch (BENCH carries it; the judge previously had to
+    // diff rounds by hand): entries more than 25% over their best prior
+    // time in the committed history file. b8 is excluded (fixed-duration
+    // streaming wall). The history refreshes in place with any new bests
+    // so the floor ratchets down; it is data (best-known seconds), never
+    // code, and stays a few KB.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.json")
+    val history: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(histPath)), "UTF-8")
+      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val watched = results.filter { case (k, v) =>
+      v > 0 && k != "b8_stream_tumbling" && !errors.contains(k)
+    }
+    val regressions = watched.flatMap { case (k, v) =>
+      history.get(k).filter(best => best > 0 && v > best * 1.25)
+        .map(best => (k, v, best))
+    }.sortBy(-_._2)
+    try {
+      val merged = (history.keySet ++ watched.map(_._1)).toSeq.sorted.map { k =>
+        val cur = watched.collectFirst { case (`k`, t) => t }
+        val prev = history.get(k)
+        val best = (cur.toSeq ++ prev.toSeq).min
+        s""" "$k": ${math.rint(best * 1000) / 1000}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
+        merged.mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // history refresh must never kill the summary
+
     // Spark exception messages carry newlines/tabs; a raw control char
     // inside a JSON string invalidates the whole summary line (the r7
     // bench emitted errors and the driver recorded parsed:null).
@@ -304,7 +335,11 @@ object Bench {
       }.mkString(",")
       s"""{"cpus":$b12Cpus,"queries":{$rows}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"sf":"$sfDir"}""")
+    def r3r(v: Double) = math.rint(v * 1000) / 1000
+    val regJson = regressions.map { case (k, v, best) =>
+      s"""{"name":${jstr(k)},"sec":${r3r(v)},"best":${r3r(best)}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"regressions":$regJson,"sf":"$sfDir"}""")
     // The harness keeps only the LAST ~2000 chars of stdout; with 160+
     // entries the full line above scrolls past that window and no round's
     // summary has ever been machine-parseable from the tail. Emit a second,
@@ -317,7 +352,8 @@ object Bench {
     // or its HEAD gets cut and nothing parses. ~420 chars of fixed fields
     // + ~400 of b12 rows + this budget + ~100 chars of trailer stays
     // safely inside.
-    val budget = 800
+    // (lowered from 800 to make room for the regressions array)
+    val budget = 500
     val sb = new StringBuilder
     var taken = 0
     slowest.foreach { case (k, v) =>
@@ -325,9 +361,14 @@ object Bench {
       if (sb.length + frag.length < budget) { if (taken > 0) sb.append(','); sb.append(frag); taken += 1 }
     }
     val errNames = errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")
+    // compact line carries at most 8 regressions so the tail budget holds
+    val regCompact = regressions.take(8).map { case (k, v, best) =>
+      s"""{"name":${jstr(k)},"sec":${r3(v)},"best":${r3(best)}}"""
+    }.mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
-      s""""b12":$b12Json,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s""""b12":$b12Json,"n_regressions":${regressions.size},"regressions":$regCompact,""" +
+      s""""queries":{${sb.toString}},"sf":"$sfDir"}"""
     println(compact)
     lastSession.stop()
   }

@@ -304,19 +304,22 @@ object Similarity {
     // cover EXACT's full query universe: a query with an empty
     // approximate result must score 0.0, not vanish from the output (an
     // inner join alone would silently inflate any recall average taken
-    // over the returned rows). The hot path keeps the broadcast shape —
-    // approx (big) probes the per-query kth table (small, broadcast);
-    // only query IDS (never approx rows) shuffle for the missing-query
-    // anti-join.
+    // over the returned rows). Both input pipelines execute EXACTLY
+    // once: kth (one tiny row per query) is materialized so referencing
+    // it twice cannot re-run the exact baseline, and approx is consumed
+    // by the single broadcast-probe aggregate below — the r9 shape
+    // (broadcast inner + anti-join union) re-executed BOTH pipelines a
+    // second time for the missing-query branch, which doubled the whole
+    // ANN entry (scan, rerank, and brute-force verification all re-ran).
     val kth = exact.groupBy("query_id").agg(min(col("sim")).as("kth"))
-    val matched = approx.join(broadcast(kth), "query_id")
+      .localCheckpoint(true)
+    val perQuery = approx.join(broadcast(kth), "query_id")
       .groupBy("query_id")
       .agg((sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
         .cast("double") / count(lit(1))).as("recall"))
-    val missing = kth.select("query_id")
-      .join(approx.select("query_id").distinct(), Seq("query_id"), "left_anti")
-      .withColumn("recall", lit(0.0))
-    matched.unionByName(missing)
+    // tiny |queries|-row left join fills the absent queries with 0.0
+    kth.select("query_id").join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("recall"), lit(0.0)).as("recall"))
   }
 
   /** Index of the L2-nearest centroid: argmin ‖v−e‖² = argmax (v·e − ‖e‖²/2)

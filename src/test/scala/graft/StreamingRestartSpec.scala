@@ -261,6 +261,120 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got.head.start_ms === java.time.Instant.parse("2026-01-01T10:00:00Z").toEpochMilli)
   }
 
+  test("applyStreamTws (transformWithState/RocksDB): restored ValueState absorbs a stale record") {
+    val s = spark
+    import s.implicits._
+    val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inDir = tmp("graft-tws-in"); val ckpt = tmp("graft-tws-ckpt")
+      val images = mutable.ArrayBuffer.empty[CdcMerge.CdcImage]
+      def start() = CdcMerge.applyStreamTws(
+          s.readStream
+            .schema("key LONG, seq LONG, tie LONG, op STRING, payload STRING")
+            .json(inDir).as[CdcMerge.CdcRecord], deleteOp = "D")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CdcMerge.CdcImage], _: Long) =>
+          images.synchronized { images ++= b.collect() }; ()
+        }.start()
+
+      val q1 = start()
+      try {
+        writeFile(inDir, "f1.json", Seq(
+          """{"key": 1, "seq": 5, "tie": 1, "op": "U", "payload": "v5"}""",
+          """{"key": 2, "seq": 2, "tie": 1, "op": "U", "payload": "w2"}"""))
+        q1.processAllAvailable()
+        awaitCommitted(ckpt)
+      } finally q1.stop()
+      assert(images.synchronized(images.map(i => i.key -> i.seq).toSet) ===
+        Set(1L -> 5L, 2L -> 2L))
+      images.synchronized(images.clear())
+
+      // while down: a STALE record for key 1 and a fresh one for key 2 —
+      // same adversarial shape as the flatMapGroupsWithState twin above,
+      // now against the RocksDB-backed typed ValueState
+      writeFile(inDir, "f2.json", Seq(
+        """{"key": 1, "seq": 3, "tie": 9, "op": "U", "payload": "stale"}""",
+        """{"key": 2, "seq": 7, "tie": 1, "op": "U", "payload": "w7"}"""))
+
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = images.synchronized(images.toList)
+      assert(got.map(i => (i.key, i.seq, i.payload)) === List((2L, 7L, "w7")),
+        s"stale record must lose against RESTORED RocksDB state, got $got")
+    } finally prior match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("runner additive window: restart re-arms the query; accumulation resumes without replay") {
+    // The runner's DESIGNED restart contract for aggregation state
+    // (QueryRunner registry docs): specs persist, partials rebuild from
+    // the stream. For an ADDITIVE (no-reset) window that means (a) the
+    // re-armed query keeps its id/window shape, (b) committed pre-crash
+    // data does NOT replay into the accumulator, and (c) accumulation is
+    // cumulative across post-restart batches. All three are asserted.
+    import graft.model._
+    import graft.streaming.QueryRunner
+    val inDir = tmp("graft-add-in"); val ckpt = tmp("graft-add-ckpt")
+    def pipeline = spark.readStream
+      .schema("event_id LONG, etype STRING").json(inDir)
+    val spec = QuerySpec("additive",
+      filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+      aggregation = GroupAll(Seq(GroupOp(GroupOpType.COUNT, None, "cnt"))),
+      window = Some(WindowSpec(WindowUnit.RECORD, 3, WindowUnit.ALL, 0)),
+      durationMs = 600000L)
+    def awaitUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      cond
+    }
+    def clicks(ids: Range): Seq[String] =
+      ids.map(i => s"""{"event_id": $i, "etype": "click"}""")
+
+    // phase 1: 3 clicks -> one additive window clip (cnt 3), then CRASH
+    val r1 = new QueryRunner(spark)
+    val sq1 = r1.runStream(pipeline, Some(ckpt), triggerMs = 200, tickIntervalMs = 100)
+    try {
+      r1.register(spec)
+      writeFile(inDir, "f1.json", clicks(1 to 3))
+      assert(awaitUntil(30000)(r1.results.exists(c =>
+        c.queryId == "additive" && c.meta.contains("window_number"))),
+        "phase-1 additive window never emitted")
+      awaitCommitted(ckpt)
+    } finally sq1.stop()
+
+    // while down: 3 more clicks land
+    writeFile(inDir, "f2.json", clicks(4 to 6))
+
+    // phase 2: fresh runner, SAME checkpoint; a further batch streams in
+    // AFTER the restart so the accumulator must carry across batches
+    val r2 = new QueryRunner(spark)
+    val sq2 = r2.runStream(pipeline, Some(ckpt), triggerMs = 200, tickIntervalMs = 100)
+    try {
+      assert(awaitUntil(30000)(r2.results.exists(c =>
+        c.queryId == "additive" && c.meta.contains("window_number"))),
+        s"post-restart window never emitted: ${r2.results.map(_.meta)}")
+      writeFile(inDir, "f3.json", clicks(7 to 9))
+      assert(awaitUntil(30000)(r2.results.count(c =>
+        c.queryId == "additive" && c.meta.contains("window_number")) >= 2),
+        s"second post-restart window never emitted: ${r2.results.map(_.meta)}")
+    } finally sq2.stop()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val counts = r2.results.filter(_.meta.contains("window_number"))
+      .sortBy(_.meta("window_number").asInstanceOf[Long])
+      .map(_.records.head)
+      .map(r => mapper.readTree(r).get("cnt").asLong())
+    // no replay: the first post-restart window holds file2's first 3
+    // clicks (a replay would emit 3 from file1 first AND re-count them);
+    // additive: the second window holds ALL 6 post-restart clicks
+    assert(counts === Seq(3L, 6L),
+      s"expected cumulative (3, 6) over post-restart clicks only, got $counts")
+  }
+
   test("ProgressLog: per-batch engine metrics captured, ring-bounded") {
     val s = spark
     import s.implicits._
