@@ -305,6 +305,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = Some(200)).orderBy("id1", "id2")),
 
+    // Winnowing fingerprint match pairs (Schleimer et al. 2003 — MOSS):
+    // windowed-minimum k-gram hashes give the LOCAL-match guarantee
+    // MinHash lacks (any shared substring of length >= w + k - 1 shares
+    // a fingerprint), which is what catches partial plagiarism/quoting
+    // that whole-set resemblance misses. maxDocFreq=3 drops the
+    // boilerplate fingerprints this tiny-vocabulary corpus is full of —
+    // the same stop-shingle guard as the n-gram family — and the pair
+    // set lands on the corpus's planted near-duplicates.
+    "q_winnow" -> ((s, dir) =>
+      graft.pipeline.Winnowing.matchPairs(rd(s, dir, "documents"),
+        "doc_id", "text", k = 24, w = 8, minShared = 5, maxDocFreq = 3)
+        .orderBy("id1", "id2")),
+
     // Fuzzy dedup at scale: MinHash-LSH candidates + exact-Jaccard verify.
     // Same oracle as q_dedup_ngram: b=16,r=2 catches J ≥ 0.5 pairs w.p.
     // ≈ 0.98 and the planted near-dups here are J ≈ 0.98 (miss p < 1e-22).
@@ -2209,6 +2222,18 @@ object SparkEntry {
       graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // 12-core of the same co-occurrence graph (Seidman): iterative
+    // peel to the fixpoint, one degree aggregate + two semi-joins per
+    // round. The fixture peels in 4 rounds; the oracle unrolls 6 (a
+    // fixpoint is idempotent under further peels, so the margin is
+    // free) with the same degree/filter algebra per stage.
+    "q_kcore" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+      val edges = graft.pipeline.Graph.cooccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+      graft.pipeline.Graph.kCore(edges, "a", "b", k = 12).orderBy("node")
+    }),
+
     // Skew-safe triangle counting on a deliberately skewed graph: one
     // hub node (-1) adjacent to EVERY document plus a doc-id path — the
     // degree-n hub that makes the id-oriented wedge join enumerate n²
@@ -3810,6 +3835,29 @@ object SparkEntry {
       "SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
     "q_dedup_ngram" -> ngramJaccardOracle,
     "q_dedup_ngram_guarded" -> ngramJaccardOracle,
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 31),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE n = 8),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1) WHERE df <= 3),
+        |p AS (SELECT f.fp, f.doc_id FROM fp f JOIN rare USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared
+        |  FROM p a JOIN p b USING (fp) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, shared, s1.n_fp AS n_fp1, s2.n_fp AS n_fp2
+        |FROM pairs JOIN sizes s1 ON pairs.id1 = s1.doc_id
+        |  JOIN sizes s2 ON pairs.id2 = s2.doc_id
+        |WHERE shared >= 5 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "q_dedup_minhash" -> ngramJaccardOracle,
     "q_dedup_incr_exact" ->
       """WITH nb AS (
@@ -4807,6 +4855,7 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
+    "q_kcore" -> kCoreOracleSql(k = 12, rounds = 6),
     "q_embed_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |m AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS mx FROM v),
@@ -5889,6 +5938,35 @@ object SparkEntry {
       s"SELECT CAST($i AS BIGINT) AS step, a, b, cnt, " +
         s"(SELECT toks FROM s$i) AS toks_after FROM t$i").mkString(" UNION ALL ")
     (s"WITH ${bpeCtes(k)}\nSELECT * FROM ($sel) ORDER BY step").replace("\n", " ")
+  }
+
+  /** k-core oracle: `rounds` peel stages unrolled (MATERIALIZED so
+    * DuckDB cannot inline the chain), each stage = per-node degrees of
+    * the previous edge set, keep nodes with degree >= k, keep edges
+    * with both endpoints kept. A fixpoint is idempotent under further
+    * peels, so any `rounds` at-or-above the fixture's peel depth
+    * replays the engine's converge-until-stable loop exactly. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    def stage(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))""".stripMargin
+    (s"""WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i),
+        |""".stripMargin + (1 to rounds).map(stage).mkString(",\n") +
+      s"""
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY 1 ORDER BY node""".stripMargin).replace("\n", " ")
   }
 
   /** [[bpeOracleSql]] at production merge counts: a parameterized

@@ -52,6 +52,14 @@ object Linkage {
   def score(pairs: DataFrame, fields: Seq[String], isMatchCol: String): DataFrame = {
     require(fields.nonEmpty, "at least one comparison field")
     val isM = col(isMatchCol).cast("int")
+    // The pair frame feeds BOTH the m/u estimation aggregate and the
+    // scoring pass. Left as two references, the blocking join executes
+    // twice — column pruning gives the two subplans different scans, so
+    // Spark's exchange reuse cannot dedupe them (measured 2x the entry
+    // cost). Persist spillably: Σblock² pair rows are far cheaper to
+    // hold once than to re-join; evictable, so a pathological block
+    // degrades to recompute rather than OOM.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one map-side-combined pass: per-field agreement counts among
     // matches and non-matches + the two denominators
     val aggs = Seq(sum(isM).cast("double").as("n_m"),
@@ -59,8 +67,8 @@ object Linkage {
       Seq(sum(col(s"agree_$f") * isM).cast("double").as(s"am_$f"),
         sum(col(s"agree_$f") * (lit(1) - isM)).cast("double").as(s"au_$f"))
     }
-    val counts = pairs.agg(aggs.head, aggs.tail: _*)
-    val withW = pairs.crossJoin(broadcast(counts))
+    val counts = p.agg(aggs.head, aggs.tail: _*)
+    val withW = p.crossJoin(broadcast(counts))
     // smoothed m/u and the per-pair weight, in FIXED field order
     val weightCols = fields.map { f =>
       val m = (col(s"am_$f") + lit(0.5)) / (col("n_m") + lit(1.0))

@@ -100,6 +100,57 @@ object Graph {
       .distinct()
   }
 
+  /**
+   * k-core membership (Seidman 1983): iteratively peel nodes of degree
+   * < k until the fixpoint; returns (node, degree) for the surviving
+   * core, degree measured INSIDE the core. The standard dense-community
+   * signal — link-spam farms and boilerplate mirror clusters live in
+   * high cores; peripheral one-link noise dies in round one — and the
+   * cheap preconditioner before triangle/clique work.
+   *
+   * Scale shape: a driver loop of bounded rounds, each round ONE
+   * map-side-combined degree aggregate + two semi-joins keyed on the
+   * node id, with the edge frame re-materialized per round
+   * (`localCheckpoint`) so round i+1 reads a flat scan, not an
+   * ever-deeper lineage (the PageRank `checkpointEvery` discipline,
+   * forced every round because the frame SHRINKS — peeling only
+   * removes rows). The node set is monotone decreasing, so an
+   * unchanged survivor COUNT is the fixpoint proof — one cheap count
+   * per round, no set comparison. `maxIters` bounds the loop loudly;
+   * real graphs converge in a handful of rounds (each round removes
+   * every currently-peelable node at once).
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxIters >= 1, s"kCore: maxIters must be >= 1")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var prev = -1L
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = degrees(e, "a", "b")
+      val keep = deg.filter(col("degree") >= k).select("node")
+        .localCheckpoint(true)
+      val n = keep.count()
+      if (n == prev) done = true // monotone set + equal count = fixpoint
+      else {
+        require(rounds < maxIters,
+          s"kCore: no fixpoint after $maxIters peel rounds — raise " +
+            "maxIters (each round removes every peelable node, so this " +
+            "means a pathologically deep core hierarchy, not slow progress)")
+        prev = n
+        e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    degrees(e, "a", "b")
+  }
+
   /** Enforce a per-group membership bound on a (g, i) frame: any group
     * larger than `maxGroupSize` fails the job at run time with a
     * message naming the group. */

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+ * SIGMOD 2003 — the MOSS algorithm): hash every k-gram of a document,
+ * slide a window of `w` consecutive k-gram hashes, and keep each
+ * window's MINIMUM hash. The selected set is a position-robust
+ * fingerprint with guaranteed density ≈ 2/(w+1) and the winnowing
+ * guarantee: any shared substring of length ≥ w + k − 1 between two
+ * documents contributes at least one SHARED fingerprint — the property
+ * MinHash does not give (MinHash bounds resemblance of the whole set;
+ * winnowing localizes matches), which is why plagiarism/clone detection
+ * uses it.
+ *
+ * Scale shape: k-gram expansion is narrow (explode over positions); the
+ * window minimum is a per-document ordered frame (bounded by document
+ * length, never a global sort); the fingerprint SET is one distinct
+ * shuffle. Pair generation is the same guarded-postings discipline as
+ * the n-gram dedup family: fingerprints above `maxDocFreq` documents are
+ * corpus-wide boilerplate and are dropped BEFORE the join (a semi-join
+ * riding the posting key), so pair volume is Σ_fp df(fp)² over rare
+ * fingerprints only.
+ *
+ * Hashes are the engine's md5-portability convention (56-bit md5 prefix
+ * as BIGINT — [[graft.operators.Sharding]]): every step replays in an
+ * external SQL engine, which is how the oracle pins the whole pass.
+ */
+object Winnowing {
+
+  /** Per-document winnowing fingerprint set: (doc_id, fp) DISTINCT
+    * rows. `k` = gram length (chars), `w` = window length (grams).
+    * Documents shorter than k + w − 1 chars have no full window and
+    * emit nothing. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("pos"),
+        col("__t"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("__t").substr(col("pos"), lit(k))), 1, 14),
+          16, 10).cast("long").as("h"))
+    // full windows only: the frame must hold exactly w grams
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc_id"), min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(win).as("__n"))
+      .filter(col("__n") === w)
+      .select("doc_id", "fp").distinct()
+  }
+
+  /**
+   * Document pairs sharing ≥ `minShared` winnowing fingerprints, with
+   * the shared count and each side's fingerprint-set size (for a
+   * containment/overlap readout). `maxDocFreq` drops corpus-wide
+   * boilerplate fingerprints before the self-join — the same skew guard
+   * as [[Dedup]]'s n-gram postings.
+   */
+  def matchPairs(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, w: Int, minShared: Long,
+                 maxDocFreq: Int = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every joinable fingerprint")
+    val fp = fingerprints(df, idCol, textCol, k, w)
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fp")
+    val posting = fp.join(rare, "fp")
+    val pairs = posting.select(col("fp"), col("doc_id").as("id1"))
+      .join(posting.select(col("fp"), col("doc_id").as("id2")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("n_fp").as("n_fp1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n_fp").as("n_fp2")), "id2")
+      .select(col("id1"), col("id2"), col("shared"), col("n_fp1"), col("n_fp2"))
+  }
+}

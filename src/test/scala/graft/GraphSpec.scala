@@ -149,4 +149,21 @@ class GraphSpec extends SparkTestBase {
       !phys.contains("BroadcastNestedLoopJoin"),
       "wedge closing must stay an equi-join")
   }
+
+  test("kCore: cascade peel — K4 survives 2-core, tail chain peels over multiple rounds") {
+    val s2 = spark
+    import s2.implicits._
+    // K4 on 1..4 plus a chain 4-5-6-7: the chain needs THREE peel
+    // rounds (7 drops, then 6, then 5 — each removal exposes the next),
+    // so a single-pass degree filter would keep 5 and 6 wrongly
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val core = graft.pipeline.Graph.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core.toString)
+    // k above the max core empties out
+    assert(graft.pipeline.Graph.kCore(edges, "a", "b", k = 4).count() === 0)
+    // k=1 keeps everything with an edge
+    assert(graft.pipeline.Graph.kCore(edges, "a", "b", k = 1).count() === 7)
+  }
 }

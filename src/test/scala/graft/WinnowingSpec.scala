@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.Winnowing
+import org.apache.spark.sql.functions._
+
+/** Conformance for winnowing fingerprints (Schleimer et al. 2003). */
+class WinnowingSpec extends SparkTestBase {
+  private val s = spark
+  import s.implicits._
+
+  test("the winnowing guarantee: a shared substring of length >= w + k - 1 shares a fingerprint") {
+    // k = 5, w = 4 -> any common substring of length >= 8 must yield at
+    // least one COMMON selected fingerprint, wherever it sits in either
+    // document (the local-match property MinHash does not give)
+    val shared = "ZQXJVKWP" // 8 chars, alphabet distinct from the noise
+    val docs = Seq(
+      (1L, s"aaaaaaaaaa${shared}bbbbbbbbbb"),
+      (2L, s"cccc${shared}dddddddddddddddd")).toDF("doc_id", "text")
+    val fp = Winnowing.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+    val common = fp.groupBy("fp").agg(countDistinct("doc_id").as("n"))
+      .filter(col("n") === 2).count()
+    assert(common >= 1, "guaranteed shared fingerprint missing")
+  }
+
+  test("density: selected fingerprints are far fewer than k-grams; short docs emit nothing") {
+    val text = (1 to 40).map(i => ('a' + i % 26).toChar).mkString * 5
+    val docs = Seq((1L, text), (2L, "tiny")).toDF("doc_id", "text")
+    val fp = Winnowing.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+    val nGrams = text.length - 4
+    val nFp = fp.filter(col("doc_id") === 1L).count()
+    assert(nFp > 0 && nFp < nGrams / 2,
+      s"expected winnowed density well under the gram count, got $nFp of $nGrams")
+    assert(fp.filter(col("doc_id") === 2L).count() === 0,
+      "a doc shorter than k + w - 1 has no full window")
+  }
+
+  test("matchPairs finds the overlapping pair and honors minShared + the df guard") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " with a small tail change"),
+      (3L, "completely unrelated content that shares nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val pairs = Winnowing.matchPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), pairs.toString)
+    // a maxDocFreq of 2 on a fingerprint present in all 3 docs drops it:
+    // raising minShared beyond the surviving overlap empties the result
+    val strict = Winnowing.matchPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 1000, maxDocFreq = 10)
+    assert(strict.count() === 0)
+  }
+}
