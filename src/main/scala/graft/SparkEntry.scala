@@ -3586,7 +3586,10 @@ object SparkEntry {
     // two-phase prefix sum.
     "q_budget_bpe" -> ((s, dir) => {
       val all = rd(s, dir, "documents")
-      val merges = Bpe.train(all, "text", 6)
+      // trainAuto: the local trainer (parity-proven vs Bpe.train) saves
+      // the distributed loop's ~2 jobs/merge; q_bpe_train keeps the
+      // distributed path under oracle coverage
+      val merges = Bpe.trainAuto(all, "text", 6)
       val docs = all.filter(col("text").isNotNull && col("text") =!= "")
       val t = TextAnalysis.toks(col("text"))
       val d = docs.select(col("doc_id"),
@@ -3608,7 +3611,7 @@ object SparkEntry {
     // word tokenization.
     "q_bpe_vocab" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      Bpe.vocab(docs, "text", Bpe.train(docs, "text", 6)).orderBy(col("id"))
+      Bpe.vocab(docs, "text", Bpe.trainAuto(docs, "text", 6)).orderBy(col("id"))
     }),
 
     // Reliability diagram + ECE on fixed-point confidences (a double
@@ -3660,7 +3663,7 @@ object SparkEntry {
     // the per-doc tokenization relationally.
     "q_bpe_encode" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      val merges = Bpe.train(docs, "text", 6)
+      val merges = Bpe.trainAuto(docs, "text", 6)
       Bpe.encode(docs.filter(col("doc_id") < 200), "doc_id", "text",
           merges, Bpe.vocab(docs, "text", merges))
         .orderBy("doc_id", "pos")

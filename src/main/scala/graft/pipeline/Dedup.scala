@@ -157,8 +157,17 @@ object Dedup {
                    n: Int, threshold: Double, k: Int = 3,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     require(k >= 1, "need at least one evidence shingle")
-    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+    // ONE shingle pass feeds the pair join and both evidence sides —
+    // un-persisted, the corpus re-shingles once per consumer (the
+    // double-execution class: column pruning differentiates the
+    // subplans, so exchange reuse cannot dedupe them). Spillable,
+    // evictable — a pathological corpus degrades to recompute, not OOM.
     val g = gramSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairCountsFromGramSets(g, maxDocFreq)
+      .select(col("id1"), col("id2"),
+        (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
     pairs
       .join(g.select(col("doc_id").as("id1"), col("grams").as("__g1")), "id1")
       .join(g.select(col("doc_id").as("id2"), col("grams").as("__g2")), "id2")
@@ -241,8 +250,15 @@ object Dedup {
   /** Shared inverted-index co-occurrence core: (id1, id2, sz1, sz2, ic)
     * for every document pair sharing ≥1 shingle. */
   private def pairCounts(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, maxDocFreq: Option[Int]): DataFrame = {
-    val gs = gramSets(df, idCol, textCol, n)
+                         n: Int, maxDocFreq: Option[Int]): DataFrame =
+    pairCountsFromGramSets(gramSets(df, idCol, textCol, n), maxDocFreq)
+
+  /** [[pairCounts]] over a caller-supplied (doc_id, grams) frame — lets
+    * [[explainPairs]] share ONE (persisted) shingle computation between
+    * the pair join and the evidence joins instead of re-shingling the
+    * corpus per consumer. */
+  private def pairCountsFromGramSets(gs: DataFrame,
+                                     maxDocFreq: Option[Int]): DataFrame = {
     // Carry the set size on each posting so the pair-count aggregation can
     // compute Jaccard directly — no separate sizes join, and the shingle
     // arrays are computed once per side instead of three times. Postings
