@@ -33,11 +33,16 @@ object KeyDiscovery {
     require(cols.size >= 2, "need at least two candidate columns")
     require(cols.map(_._1).distinct.size == cols.size,
       "candidate labels must be unique")
+    // persisted: the sizes aggregate and the self-join both consume the
+    // value sets — un-persisted, every candidate column's scan+distinct
+    // re-executes per consumer (the double-execution class; only the
+    // identical a/b join sides get exchange reuse). Spillable/evictable.
     val valueSets = cols.map { case (label, df, c) =>
       df.filter(col(c).isNotNull)
         .select(lit(label).as("cid"), col(c).cast("string").as("v"))
         .distinct()
     }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = valueSets.groupBy("cid").agg(count(lit(1)).as("n"))
     val pairs = valueSets.as("a")
       .join(valueSets.as("b"),
