@@ -1904,6 +1904,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // TrustRank / personalized PageRank over the same part–supplier
+    // graph: restart mass on a seed set (every 50th part), 3 unrolled
+    // supersteps — rank decays with distance from trust, the classic
+    // spam-demotion signal. Oracle replays the identical unrolled
+    // arithmetic with the seed indicator.
+    "q_trustrank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = rd(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val seeds = rd(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 50 === 0)
+      graft.pipeline.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, iters = 3)
+        .select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy("node")
+    }),
+
     // Bigram conditional LM log-likelihood (order-2 CCNet signal): word
     // order now matters — same plan family as the unigram entry, with the
     // bigram generation a narrow arrays_zip (no extra shuffle).
@@ -4639,6 +4659,24 @@ object SparkEntry {
         |r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum(r2.r / deg.d), 0) AS r
         |       FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN r2 ON r2.node = e.s
         |       LEFT JOIN deg ON deg.s = e.s GROUP BY n.node)
+        |SELECT node, round(r, 4) AS rank FROM r3 ORDER BY node"""
+        .stripMargin.replace("\n", " "),
+    "q_trustrank" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS s, l_suppkey + 1000000 AS t FROM lineitem),
+        |e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+        |deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY s),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |sd AS (SELECT node, CASE WHEN node % 50 = 0 AND node < 1000000 THEN 1.0 ELSE 0.0 END AS ind FROM n),
+        |r0 AS (SELECT node, ind AS r FROM sd),
+        |r1 AS (SELECT sd.node, 0.15 * sd.ind + 0.85 * coalesce(sum(r0.r / deg.d), 0) AS r
+        |       FROM sd LEFT JOIN e ON e.t = sd.node LEFT JOIN r0 ON r0.node = e.s
+        |       LEFT JOIN deg ON deg.s = e.s GROUP BY sd.node, sd.ind),
+        |r2 AS (SELECT sd.node, 0.15 * sd.ind + 0.85 * coalesce(sum(r1.r / deg.d), 0) AS r
+        |       FROM sd LEFT JOIN e ON e.t = sd.node LEFT JOIN r1 ON r1.node = e.s
+        |       LEFT JOIN deg ON deg.s = e.s GROUP BY sd.node, sd.ind),
+        |r3 AS (SELECT sd.node, 0.15 * sd.ind + 0.85 * coalesce(sum(r2.r / deg.d), 0) AS r
+        |       FROM sd LEFT JOIN e ON e.t = sd.node LEFT JOIN r2 ON r2.node = e.s
+        |       LEFT JOIN deg ON deg.s = e.s GROUP BY sd.node, sd.ind)
         |SELECT node, round(r, 4) AS rank FROM r3 ORDER BY node"""
         .stripMargin.replace("\n", " "),
     "q_text_bigram_ll" ->

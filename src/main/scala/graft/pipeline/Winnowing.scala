@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
  * Hashes are the engine's md5-portability convention (56-bit md5 prefix
  * as BIGINT — [[graft.operators.Sharding]]): every step replays in an
  * external SQL engine, which is how the oracle pins the whole pass.
+ *
+ * Relationship to [[graft.functions.WinnowFingerprint]] (the native
+ * codegen'd expression behind `TextAnalysis.fingerprints`): that is the
+ * SERVING form — per-row, word-level k-grams, xxhash64, no shuffle,
+ * oracled by a copy-invariance property. This module is the RELATIONAL
+ * form — char-level grams, md5-portable, every intermediate value
+ * replayable — and adds the corpus-level match-pair stage. Use the
+ * native expression to fingerprint; use this to AUDIT a fingerprint
+ * pipeline end-to-end or to run the pair join with the df guard.
  */
 object Winnowing {
 

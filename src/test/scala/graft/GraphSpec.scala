@@ -150,6 +150,45 @@ class GraphSpec extends SparkTestBase {
       "wedge closing must stay an equi-join")
   }
 
+  test("personalizedPageRank: hand computation on an edge; trust decays with seed distance") {
+    val s2 = spark
+    import s2.implicits._
+    // single edge 1-2, seed {1}: r1 = (0.15, 0.85), r2 = (0.8725, 0.1275)
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r2 = graft.pipeline.Graph.personalizedPageRank(edge, "src", "dst",
+        seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2(1L) - 0.8725) < 1e-12 && math.abs(r2(2L) - 0.1275) < 1e-12,
+      r2.toString)
+    // path 1-2-3-4-5 seeded at 1: match a local reference computation
+    // exactly (rank OSCILLATES with parity at low iteration counts —
+    // a naive "decays with distance" assertion is wrong on paths)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val pr = graft.pipeline.Graph.personalizedPageRank(path, "src", "dst",
+        seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L, 5L), 5L -> Seq(4L))
+    var ref = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0)
+    for (_ <- 1 to 4) {
+      ref = adj.map { case (v, _) =>
+        val in = adj.filter(_._2.contains(v)).keys
+          .map(u => ref(u) / adj(u).size).sum
+        v -> ((if (v == 1L) 0.15 else 0.0) + 0.85 * in)
+      }
+    }
+    adj.keys.foreach(v => assert(math.abs(pr(v) - ref(v)) < 1e-9,
+      s"node $v: got ${pr(v)}, ref ${ref(v)}"))
+    // the seed holds the maximum rank
+    assert(pr(1L) == pr.values.max)
+    // an unknown seed id contributes nothing (no edges): all-zero ranks
+    val cold = graft.pipeline.Graph.personalizedPageRank(edge, "src", "dst",
+        Seq(99L).toDF("node"), iters = 2)
+      .collect().map(_.getDouble(1))
+    assert(cold.forall(_ == 0.0))
+  }
+
   test("kCore: cascade peel — K4 survives 2-core, tail chain peels over multiple rounds") {
     val s2 = spark
     import s2.implicits._
