@@ -153,6 +153,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     entries.foreach { case (_, fn) =>
+      spark.catalog.clearCache() // see timed(): no cross-entry cache debt
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
@@ -162,6 +163,16 @@ object Bench {
     // query at 4x its true cost from exactly that. On error the second
     // run is skipped and the failure is reported.
     def timed(name: String)(body: => Unit): (String, Double) = {
+      // Entries are independent queries: several operators persist their
+      // multi-consumer frames (linkage pairs, FK value sets, winnowing
+      // fingerprints) and a lazy operator cannot unpersist them — left
+      // alone, 250 entries' blocks accumulate and the storage pressure
+      // taxes every LATER entry (r10 caught q_coreset at 6x its fresh
+      // cost and b7 20% down from exactly this). Clear BEFORE each
+      // timing so an entry pays for its own caching, never inherits
+      // another's eviction fight. In-entry persist behavior (best-of-2
+      // reuse of the entry's OWN cache) is unchanged.
+      spark.catalog.clearCache()
       def once(): Double = {
         val t0 = System.nanoTime()
         body

@@ -318,6 +318,25 @@ object SparkEntry {
         "doc_id", "text", k = 24, w = 8, minShared = 5, maxDocFreq = 3)
         .orderBy("id1", "id2")),
 
+    // Curation composition #5: winnowing-survivor corpus report — drop
+    // every doc that loses a winnowing match (appears as the higher id
+    // of a pair; the first-occurrence-wins rule), then the per-language
+    // doc/char report a mix card reads. Integration proof that the
+    // fingerprint pipeline composes: pair generation, survivor
+    // anti-join, and the report run in ONE plan.
+    "q_pipeline_curation5" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val losers = graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
+          k = 24, w = 8, minShared = 5, maxDocFreq = 3)
+        .select(col("id2").as("doc_id")).distinct()
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("lang")
+    }),
+
     // Fuzzy dedup at scale: MinHash-LSH candidates + exact-Jaccard verify.
     // Same oracle as q_dedup_ngram: b=16,r=2 catches J ≥ 0.5 pairs w.p.
     // ≈ 0.98 and the planted near-dups here are J ≈ 0.98 (miss p < 1e-22).
@@ -3881,6 +3900,31 @@ object SparkEntry {
         |FROM pairs JOIN sizes s1 ON pairs.id1 = s1.doc_id
         |  JOIN sizes s2 ON pairs.id2 = s2.doc_id
         |WHERE shared >= 5 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_pipeline_curation5" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 31),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE n = 8),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1) WHERE df <= 3),
+        |p AS (SELECT f.fp, f.doc_id FROM fp f JOIN rare USING (fp)),
+        |losers AS (
+        |  SELECT DISTINCT id2 AS doc_id FROM (
+        |    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |    FROM p a JOIN p b USING (fp) WHERE a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) WHERE shared >= 5)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents d
+        |WHERE text IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "q_dedup_minhash" -> ngramJaccardOracle,
     "q_dedup_incr_exact" ->
       """WITH nb AS (

@@ -35,6 +35,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     entries.toSeq.flatMap { case (name, fn) =>
       try {
+        // entries are independent; drop any previous entry's persisted
+        // frames so 250 dumps don't accumulate storage pressure
+        spark.catalog.clearCache()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None

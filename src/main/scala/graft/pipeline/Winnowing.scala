@@ -79,7 +79,11 @@ object Winnowing {
                  maxDocFreq: Int = 1000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every joinable fingerprint")
+    // persisted: sizes, the df guard, and both posting sides consume the
+    // fingerprint set — un-persisted, the gram explode + window + distinct
+    // re-executes per consumer (the double-execution class). Spillable.
     val fp = fingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
