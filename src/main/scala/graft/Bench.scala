@@ -162,17 +162,20 @@ object Bench {
     // code-cache churn) as much as the plan — the r3 bench recorded one
     // query at 4x its true cost from exactly that. On error the second
     // run is skipped and the failure is reported.
-    def timed(name: String)(body: => Unit): (String, Double) = {
-      // Entries are independent queries: several operators persist their
-      // multi-consumer frames (linkage pairs, FK value sets, winnowing
-      // fingerprints) and a lazy operator cannot unpersist them — left
-      // alone, 250 entries' blocks accumulate and the storage pressure
-      // taxes every LATER entry (r10 caught q_coreset at 6x its fresh
-      // cost and b7 20% down from exactly this). Clear BEFORE each
-      // timing so an entry pays for its own caching, never inherits
-      // another's eviction fight. In-entry persist behavior (best-of-2
-      // reuse of the entry's OWN cache) is unchanged.
-      spark.catalog.clearCache()
+    // Entries are independent queries: several operators persist their
+    // multi-consumer frames (linkage pairs, FK value sets, winnowing
+    // fingerprints) and a lazy operator cannot unpersist them — left
+    // alone, 250 entries' blocks accumulate and the storage pressure
+    // taxes every LATER entry (r10 caught q_coreset at 6x its fresh
+    // cost and b7 20% down from exactly this). Clear BEFORE each
+    // timing so an entry pays for its own caching, never inherits
+    // another's eviction fight. In-entry persist behavior (best-of-2
+    // reuse of the entry's OWN cache) is unchanged. `session` is
+    // explicit because b12 re-times on a FRESH session after the wide
+    // one stops — clearing the stopped session would throw.
+    def timed(name: String, session: SparkSession = spark)
+             (body: => Unit): (String, Double) = {
+      try session.catalog.clearCache() catch { case _: Throwable => () }
       def once(): Double = {
         val t0 = System.nanoTime()
         body
@@ -275,7 +278,7 @@ object Bench {
       slowest5.map { name =>
         val fn = entries(name)
         try fn(s8, sfDir).count() catch { case _: Throwable => () } // warm
-        timed(s"b12:$name")(fn(s8, sfDir).count())
+        timed(s"b12:$name", s8)(fn(s8, sfDir).count())
       }
     } catch {
       case e: Throwable =>
