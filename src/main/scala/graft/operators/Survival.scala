@@ -70,7 +70,8 @@ object Survival {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // total + domain guard fused into the ONE existing driver job over
     // the collapsed frame — no extra Spark job for the bound
-    val probe = grp.select(sum(col("n_events") + col("n_censored")),
+    val probe = grp.select(
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L)),
       count(lit(1))).first()
     val total = probe.getLong(0)
     requireTimeBound("kaplanMeier", probe.getLong(1), maxTimePoints)
