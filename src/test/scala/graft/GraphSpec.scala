@@ -150,6 +150,69 @@ class GraphSpec extends SparkTestBase {
       "wedge closing must stay an equi-join")
   }
 
+  test("kCore differential: random graphs across densities match a local reference peel") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(4242L)
+    for ((n, m, k) <- Seq((30, 40, 2), (40, 120, 3), (25, 180, 5))) {
+      val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+      while (edgeSet.size < m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a != b) edgeSet += ((math.min(a, b), math.max(a, b)))
+      }
+      // local reference: peel until fixpoint
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      edgeSet.foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      var nodes = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val keep = nodes.filter(u => (adj(u) & nodes).size >= k)
+        changed = keep != nodes
+        nodes = keep
+      }
+      val expected = nodes.map(u => u -> (adj(u) & nodes).size.toLong)
+        .filter(_._2 >= 1).toMap
+      val got = graft.pipeline.Graph.kCore(edgeSet.toSeq.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"(n=$n m=$m k=$k) got $got expected $expected")
+    }
+  }
+
+  test("personalizedPageRank differential: random graph matches a local reference") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(77L)
+    val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+    while (edgeSet.size < 90) {
+      val a = rnd.nextInt(35).toLong
+      val b = rnd.nextInt(35).toLong
+      if (a != b) edgeSet += ((math.min(a, b), math.max(a, b)))
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edgeSet.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val seedSet = adj.keySet.filter(_ % 7 == 0).toSet
+    var ref = adj.keys.map(v => v -> (if (seedSet(v)) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      ref = adj.keys.map { v =>
+        val in = adj(v).toSeq.sorted.map(u => ref(u) / adj(u).size).sum
+        v -> ((if (seedSet(v)) 0.15 else 0.0) + 0.85 * in)
+      }.toMap
+    }
+    val got = graft.pipeline.Graph.personalizedPageRank(
+        edgeSet.toSeq.toDF("a", "b"), "a", "b",
+        seedSet.toSeq.toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (v, r) =>
+      assert(math.abs(got(v) - r) < 1e-9, s"node $v: got ${got(v)}, ref $r")
+    }
+  }
+
   test("personalizedPageRank: hand computation on an edge; trust decays with seed distance") {
     val s2 = spark
     import s2.implicits._

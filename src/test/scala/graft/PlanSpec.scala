@@ -485,4 +485,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "cross-corpus screen must stay on the posting equi-join")
   }
+
+  test("round-10 graph/fingerprint entries: equi-joins only, windows partitioned") {
+    Seq("q_winnow", "q_kcore", "q_trustrank", "q_pipeline_curation5").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must stay on equi-joins:\n" + p.take(1500))
+    }
+    // the winnowing window is per-document — a global (unpartitioned)
+    // window here would be a one-task sort over every gram in the corpus
+    val w = plan("q_winnow")
+    val windowLines = w.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("doc_id")),
+      "winnow window frames must partition by doc_id:\n" + windowLines.mkString("\n"))
+  }
 }
