@@ -255,6 +255,21 @@ class GuardTripSpec extends SparkTestBase {
       maxTimePoints = 100L).count() > 0)
   }
 
+  test("kCore: a deep peel hierarchy past maxIters fails naming the remedy") {
+    val s = spark
+    import s.implicits._
+    // a 12-node chain under k=2 peels only its two endpoints per round
+    // (each removal exposes the next) — 5+ rounds to empty
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Graph.kCore(chain, "a", "b", k = 2, maxIters = 2)
+    }
+    assert(e.getMessage.contains("maxIters") &&
+      e.getMessage.contains("peel rounds"), e.getMessage)
+    // with headroom the same chain converges (to the empty 2-core)
+    assert(graft.pipeline.Graph.kCore(chain, "a", "b", k = 2).count() === 0)
+  }
+
   test("logRank: zero null-variance emits null chi2, not NaN/Infinity") {
     val s = spark
     import s.implicits._
