@@ -129,6 +129,14 @@ object Bpe {
    * fails loudly (collect bounded by maxVocabRows + 1 rows before the
    * check — never materializes an unbounded frame on the driver) and
    * names [[train]] as the stay-distributed remedy.
+   *
+   * Tie-break caveat: pair ties order by JVM String comparison (UTF-16
+   * code units), while [[train]] orders by Spark's UTF8String (UTF-8
+   * bytes). The two agree on all of the BMP below the surrogate range —
+   * i.e. on any realistic token text — and can differ only when a
+   * supplementary-plane character ties against a U+E000..U+FFFF
+   * character at equal count; the parity spec pins the corpora this
+   * engine trains on.
    */
   def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
                  maxVocabRows: Long = DefaultMaxVocabRows): Seq[Merge] = {
