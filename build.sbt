@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 252 bench entries + the 1000-query runner generate far more Janino
+  // classes than the 240m default code cache holds; flushing/deopt
+  // churn showed up as 1.4x run-to-run swings on b11 (and the r6 bench
+  // regression cluster). Reserved ≠ committed — this only maps pages
+  // actually used.
+  "-XX:ReservedCodeCacheSize=512m",
 )

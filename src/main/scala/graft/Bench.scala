@@ -302,8 +302,14 @@ object Bench {
     val watched = results.filter { case (k, v) =>
       v > 0 && k != "b8_stream_tumbling" && !errors.contains(k)
     }
+    // >25% over best + a 0.25 s absolute grace: the floor is each
+    // entry's luckiest-ever sample, and sub-second entries routinely
+    // swing 2x run-to-run on a shared local[32] box — without the grace
+    // a normal run flags dozens of 0.2 s entries while every REAL
+    // regression this mechanism has caught (q_ann_pq +37%, q_coreset
+    // 6x) clears the grace by a wide margin.
     val regressions = watched.flatMap { case (k, v) =>
-      history.get(k).filter(best => best > 0 && v > best * 1.25)
+      history.get(k).filter(best => best > 0 && v > best * 1.25 + 0.25)
         .map(best => (k, v, best))
     }.sortBy(-_._2)
     try {
