@@ -119,6 +119,25 @@ class BpeSpec extends SparkTestBase {
     assert(localAll.size < 50)
   }
 
+  test("randomized differential: trainLocal == train on random corpora across shapes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5150L)
+    for (trial <- 1 to 3) {
+      // random words over a tiny alphabet force heavy pair ties — the
+      // (cnt desc, a, b) tie-break must agree between the paths
+      val vocab = (1 to 12).map(_ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+      val docs = (1 to 15).map(_ =>
+        (1 to (3 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")).toDF("text")
+      val nm = 4 + trial * 3
+      val dist = Bpe.train(docs, "text", nm)
+      val local = Bpe.trainLocal(docs, "text", nm)
+      assert(local === dist, s"trial $trial (numMerges=$nm) diverged")
+    }
+  }
+
   test("trainLocal vocab guard trips loudly; trainAuto falls back to distributed") {
     val s = spark
     import s.implicits._

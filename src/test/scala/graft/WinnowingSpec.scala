@@ -34,6 +34,33 @@ class WinnowingSpec extends SparkTestBase {
       "a doc shorter than k + w - 1 has no full window")
   }
 
+  test("randomized differential: fingerprints match a local reference winnow on 30 random docs") {
+    val rnd = new scala.util.Random(90125L)
+    val k = 6; val w = 5
+    val docs = (1L to 30L).map { i =>
+      // random strings over a 4-char alphabet: dense gram collisions,
+      // so window minima and duplicate grams get exercised hard
+      (i, (1 to (20 + rnd.nextInt(60))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    }
+    val got = Winnowing.fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local reference: same md5-prefix hash, same full-window minima
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      if (t.length < k + w - 1) Seq.empty
+      else {
+        val grams = (0 to t.length - k).map(i => h(t.substring(i, i + k)))
+        grams.sliding(w).filter(_.size == w).map(win => (id, win.min)).toSet
+      }
+    }.toSet
+    assert(got === expected,
+      s"diff: spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+  }
+
   test("matchPairs finds the overlapping pair and honors minShared + the df guard") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far"
     val docs = Seq(
