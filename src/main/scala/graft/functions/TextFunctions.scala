@@ -132,6 +132,42 @@ object TextFunctionHelpers {
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Char-level md5-prefix winnowing fingerprint — the native twin of
+    * [[graft.pipeline.Winnowing.fingerprints]]'s relational form, VALUE-
+    * IDENTICAL by construction: hash = the first 14 md5 hex digits of
+    * each char k-gram as a BIGINT (`conv(substring(md5(g),1,14),16,10)`
+    * = the first 7 digest bytes big-endian), fingerprints = the set of
+    * FULL-window minima (fewer than w grams → empty, matching the
+    * relational `length >= k + w - 1` filter; no short-text global-min
+    * special case, unlike the word-level [[winnowFingerprint]]). Grams
+    * slice by CHARACTER (`substringSQL`), matching SQL substring. */
+  def winnowMd5Fingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    if (text == null) return Empty
+    val nGrams = text.numChars() - k + 1
+    if (nGrams < w) return Empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val out = new LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s + w <= nGrams) {
+      var m = hashes(s)
+      var x = 1
+      while (x < w) { if (hashes(s + x) < m) m = hashes(s + x); x += 1 }
+      out.add(m)
+      s += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** 64-bit SimHash of `text`: per-bit majority vote over xxhash64 (seed
     * 42 — bit-identical to Spark's `xxhash64`) of each DISTINCT word
     * n-gram, tie (sum = 0) voting 1 — exactly the explode + 64-conditional-
@@ -321,6 +357,50 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
     val c = child.genCode(ctx)
     val call = JavaCode.expression(
       s"graft.functions.TextFunctionHelpers.winnowFingerprint(" +
+        s"${c.isNull} ? null : ${c.value}, $k, $w)", dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $call;""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Native Catalyst char-level md5 winnowing: [[graft.pipeline.Winnowing]]'s
+ * relational gram-explode + per-doc window + distinct collapsed into ONE
+ * JVM call per row. The selected set is value-identical (same md5-prefix
+ * hash, same full-window minima), so downstream pair joins explode only
+ * the ~2/(w+1)-density SELECTED fingerprints instead of shuffling every
+ * char position through a per-doc window sort — the 100 TB form of the
+ * fingerprint pass.
+ */
+case class WinnowMd5Fingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (k >= 2 && w >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"winnow_md5_fingerprint needs k >= 2, w >= 1, got ($k, $w)")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"winnow_md5_fingerprint needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_md5_fingerprint"
+  override def nullable: Boolean = false // NULL text → empty array
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextFunctionHelpers.winnowMd5Fingerprint(child.eval(input).asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val call = JavaCode.expression(
+      s"graft.functions.TextFunctionHelpers.winnowMd5Fingerprint(" +
         s"${c.isNull} ? null : ${c.value}, $k, $w)", dataType)
     ev.copy(
       code = code"""
@@ -538,6 +618,10 @@ object TextFunctions {
   /** `winnow_fingerprint(text, k, w)` as a Column — session-free. */
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     nativeCol(WinnowFingerprint(exprOf(text), k, w))
+
+  /** `winnow_md5_fingerprint(text, k, w)` as a Column — session-free. */
+  def winnowMd5Fingerprint(text: Column, k: Int, w: Int): Column =
+    nativeCol(WinnowMd5Fingerprint(exprOf(text), k, w))
 
   /** `simhash64(text, n)` as a Column — session-free. */
   def simhash64(text: Column, n: Int): Column =

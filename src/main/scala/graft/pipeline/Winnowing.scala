@@ -67,6 +67,25 @@ object Winnowing {
       .select("doc_id", "fp").distinct()
   }
 
+  /** The native form of [[fingerprints]] — VALUE-IDENTICAL selected set
+    * (same md5-prefix hash, same full-window minima; the randomized
+    * differential pins equality), computed as ONE codegen'd JVM call
+    * per row ([[graft.functions.WinnowMd5Fingerprint]]) and exploded
+    * AFTER selection: only the ~2/(w+1)-density fingerprints ever
+    * become rows, where the relational form shuffles every char
+    * position through a per-doc window sort. No distinct needed — the
+    * native selection already dedupes per document. This is the 100 TB
+    * fingerprint pass; keep [[fingerprints]] as the replayable audit
+    * twin. */
+  def fingerprintsNative(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.winnowMd5Fingerprint(
+          col(textCol), k, w)).as("fp"))
+  }
+
   /**
    * Document pairs sharing ≥ `minShared` winnowing fingerprints, with
    * the shared count and each side's fingerprint-set size (for a
@@ -79,10 +98,10 @@ object Winnowing {
                  maxDocFreq: Int = 1000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every joinable fingerprint")
-    // persisted: sizes, the df guard, and both posting sides consume the
-    // fingerprint set — un-persisted, the gram explode + window + distinct
-    // re-executes per consumer (the double-execution class). Spillable.
-    val fp = fingerprints(df, idCol, textCol, k, w)
+    // the NATIVE fingerprint pass (selection before explosion);
+    // persisted because sizes, the df guard, and both posting sides all
+    // consume it (the double-execution class). Spillable.
+    val fp = fingerprintsNative(df, idCol, textCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))

@@ -59,6 +59,12 @@ class WinnowingSpec extends SparkTestBase {
     }.toSet
     assert(got === expected,
       s"diff: spark-only=${(got -- expected).take(3)} ref-only=${(expected -- got).take(3)}")
+    // the native codegen'd twin (WinnowMd5Fingerprint) selects the SAME set
+    val native = Winnowing.fingerprintsNative(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === expected,
+      s"native diff: extra=${(native -- expected).take(3)} missing=${(expected -- native).take(3)}")
   }
 
   test("matchPairs finds the overlapping pair and honors minShared + the df guard") {
