@@ -1,0 +1,53 @@
+package graft
+
+/**
+ * Structural guard for the double-execution class: every driver entry's
+ * EXECUTED plan must not contain more parquet scans than the committed
+ * `scan_baseline.json` records. A frame consumed by two downstream
+ * branches re-executes its whole lineage when column pruning makes the
+ * subplans differ (exchange reuse only dedupes identical subtrees) —
+ * r10 caught epsilonRecallPerQuery re-running the ANN scan+rerank+
+ * brute-force and Linkage.score re-running its blocking join exactly
+ * this way, each visible as extra scans of the same table. Freezing
+ * today's counts turns any regrowth into a test failure instead of a
+ * bench surprise.
+ *
+ * Unrolled-iteration operators (PageRank supersteps, hierarchy closure)
+ * legitimately scan many times — the gate is DRIFT vs the baseline, not
+ * an absolute bound. If an entry's plan legitimately grows (a new
+ * verification stage, a deeper unroll), regenerate the baseline:
+ * `SPARK_GRAFT_CPUS=4 sbt "runMain graft.ScanAudit /root/testdata/sf0.001 scan_baseline.json"`
+ * and justify the diff in the commit.
+ */
+class ScanCountAuditSpec extends SparkTestBase {
+
+  test("no entry's plan scans more than its committed baseline") {
+    val sfDir = "/root/testdata/sf0.001"
+    val baseline: Map[String, Int] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("scan_baseline.json")), "UTF-8")
+      """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    }
+    assert(baseline.size > 200, s"baseline looks truncated: ${baseline.size} entries")
+    val grew = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      baseline.get(name).flatMap { base =>
+        try {
+          spark.catalog.clearCache()
+          val now = ScanAudit.scanCount(fn(spark, sfDir))
+          if (now > base) Some(s"$name: $now scans > baseline $base") else None
+        } catch {
+          case e: Throwable => Some(s"$name: entry failed to plan: ${e.getMessage}")
+        }
+      }
+    }
+    assert(grew.isEmpty,
+      "double-execution drift (see ScanCountAuditSpec scaladoc to regenerate):\n" +
+        grew.mkString("\n"))
+    // entries missing from the baseline (newly added) are a reminder,
+    // not a failure — but the set should stay small
+    val missing = SparkEntry.queries.keySet -- baseline.keySet
+    assert(missing.size <= 10,
+      s"regenerate scan_baseline.json — ${missing.size} entries uncovered: $missing")
+  }
+}
