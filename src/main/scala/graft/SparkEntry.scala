@@ -318,6 +318,20 @@ object SparkEntry {
         "doc_id", "text", k = 24, w = 8, minShared = 5, maxDocFreq = 3)
         .orderBy("id1", "id2")),
 
+    // Cross-corpus winnowing decontamination: which training docs share
+    // >= 3 selected fingerprints with the 5-doc "benchmark" side — the
+    // PARTIAL-contamination screen (a quoted span >= w+k-1 chars always
+    // shares a fingerprint; whole-set Jaccard dilutes on long docs).
+    // Self-matches (the benchmark docs ARE corpus members here) anchor
+    // the expected rows; near-dups of them surface as the real catches.
+    "q_winnow_cross" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+      graft.pipeline.Winnowing.crossMatchPairs(docs, bench,
+          "doc_id", "text", k = 24, w = 8, minShared = 3, maxDocFreq = 10)
+        .orderBy("corpus_id", "probe_id")
+    }),
+
     // Curation composition #5: winnowing-survivor corpus report — drop
     // every doc that loses a winnowing match (appears as the higher id
     // of a pair; the first-occurrence-wins rule), then the per-language
@@ -3900,6 +3914,25 @@ object SparkEntry {
         |FROM pairs JOIN sizes s1 ON pairs.id1 = s1.doc_id
         |  JOIN sizes s2 ON pairs.id2 = s2.doc_id
         |WHERE shared >= 5 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_winnow_cross" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 31),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE n = 8),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1) WHERE df <= 10),
+        |cf AS (SELECT f.fp, f.doc_id AS corpus_id FROM fp f JOIN rare USING (fp)),
+        |pf AS (SELECT fp, doc_id AS probe_id FROM fp WHERE doc_id < 5)
+        |SELECT corpus_id, probe_id, CAST(count(*) AS BIGINT) AS shared
+        |FROM cf JOIN pf USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY corpus_id, probe_id""".stripMargin.replace("\n", " "),
     "q_pipeline_curation5" ->
       """WITH g AS (
         |  SELECT doc_id, i AS pos,

@@ -87,6 +87,40 @@ object Winnowing {
   }
 
   /**
+   * Cross-corpus winnowing screen: every (corpus doc, probe doc) pair
+   * sharing ≥ `minShared` fingerprints — the decontamination form of
+   * [[matchPairs]]. Winnowing's guarantee makes this the right screen
+   * for PARTIAL contamination (an eval question quoted inside a long
+   * training document shares a fingerprint whenever the quoted span is
+   * ≥ w + k − 1 chars), where whole-set Jaccard dilutes to nothing.
+   * Strictly between sides — the corpus never self-pairs — so volume is
+   * Σ_fp df_corpus(fp)·df_probe(fp), linear in corpus postings when the
+   * probe side (an eval suite) is small; `maxDocFreq` bounds the
+   * corpus-side df per fingerprint (boilerplate cut, same as the
+   * self-join form).
+   */
+  def crossMatchPairs(corpus: DataFrame, probe: DataFrame,
+                      idCol: String, textCol: String,
+                      k: Int, w: Int, minShared: Long,
+                      maxDocFreq: Int = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val pfp = fingerprintsNative(probe, idCol, textCol, k, w)
+      .select(col("fp"), col("doc_id").as("probe_id"))
+    val cfp = fingerprintsNative(corpus, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = cfp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fp")
+    cfp.join(rare, "fp")
+      .select(col("fp"), col("doc_id").as("corpus_id"))
+      .join(pfp, "fp")
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Document pairs sharing ≥ `minShared` winnowing fingerprints, with
    * the shared count and each side's fingerprint-set size (for a
    * containment/overlap readout). `maxDocFreq` drops corpus-wide

@@ -67,6 +67,19 @@ class WinnowingSpec extends SparkTestBase {
       s"native diff: extra=${(native -- expected).take(3)} missing=${(expected -- native).take(3)}")
   }
 
+  test("crossMatchPairs: a quoted span is caught; unrelated corpus docs are not") {
+    val quote = "ZQXJVKWPTHMRBLDY" * 3 // 48 chars >= w + k - 1 = 11
+    val corpus = Seq(
+      (10L, s"aaaaaaaaaaaaaaaaaaa${quote}bbbbbbbbbbbbbbbbbbb"), // quotes the probe
+      (11L, "completely unrelated training content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val probe = Seq((1L, s"cccc${quote}dddddddddd")).toDF("doc_id", "text")
+    val got = Winnowing.crossMatchPairs(corpus, probe, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L)), got.toString)
+  }
+
   test("matchPairs finds the overlapping pair and honors minShared + the df guard") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far"
     val docs = Seq(
