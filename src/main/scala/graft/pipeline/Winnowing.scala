@@ -87,6 +87,64 @@ object Winnowing {
   }
 
   /**
+   * Streaming winnowing dedup suppression — [[graft.pipeline.Dedup
+   * .simhashDedupStream]]'s discipline on the winnowing fingerprint set:
+   * every selected fingerprint claims first-arrival ownership in the
+   * dedup state; a document is novel (`is_first`) iff it claimed at
+   * least `minNovelFrac` of its own fingerprints. Exact copies claim
+   * none and near-exact copies only the few windows their edit touched —
+   * both suppressed — while a doc that merely QUOTES an earlier one
+   * keeps its majority-novel tail and survives (partial overlap is
+   * [[crossMatchPairs]]' job, not suppression's). Unlike simhash's
+   * fixed band count, the per-doc fingerprint count varies, so each
+   * exploded row carries its document's total and the claim test
+   * compares against it.
+   *
+   * With `eventTimeCol`: watermarked `dropDuplicatesWithinWatermark` on
+   * the fingerprint + a windowed count-back per doc (the two-stateful-op
+   * chain append mode requires; a doc's fingerprints share its
+   * timestamp, so they land in one window). Without: deterministic
+   * batch ownership by min doc id per fingerprint (an arbitrary
+   * dropDuplicates winner can split a same-batch duplicate pair's
+   * fingerprints between the copies and suppress the whole cluster).
+   * Docs too short for any full window carry no signal and are omitted
+   * (same contract as simhash's null-signature rows).
+   */
+  def winnowDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int,
+                        minNovelFrac: Double = 0.5,
+                        eventTimeCol: Option[String] = None,
+                        delay: String = "10 minutes"): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    require(minNovelFrac > 0 && minNovelFrac <= 1,
+      s"minNovelFrac must be in (0, 1], got $minNovelFrac")
+    val fps = stream
+      .filter(col(textCol).isNotNull)
+      .withColumn("__fps", graft.functions.TextFunctions.winnowMd5Fingerprint(
+        col(textCol), k, w))
+      .filter(size(col("__fps")) > 0)
+      .withColumn("__nfp", size(col("__fps")).cast("long"))
+      .withColumn("__fp", explode(col("__fps")))
+    eventTimeCol match {
+      case Some(t) =>
+        fps.withWatermark(t, delay)
+          .dropDuplicatesWithinWatermark("__fp")
+          .groupBy(window(col(t), delay), col(idCol), col("__nfp"))
+          .agg(count(lit(1)).as("__kept"))
+          .filter(col("__kept").cast("double") >= lit(minNovelFrac) * col("__nfp"))
+          .select(col(idCol), lit(true).as("is_first"))
+      case None =>
+        fps.groupBy(col("__fp"))
+          .agg(min(col(idCol)).as("__owner"))
+          .groupBy(col("__owner").as(idCol))
+          .agg(count(lit(1)).as("__kept"))
+          .join(fps.select(col(idCol), col("__nfp")).distinct(), Seq(idCol))
+          .filter(col("__kept").cast("double") >= lit(minNovelFrac) * col("__nfp"))
+          .select(col(idCol), lit(true).as("is_first"))
+    }
+  }
+
+  /**
    * Cross-corpus winnowing screen: every (corpus doc, probe doc) pair
    * sharing ≥ `minShared` fingerprints — the decontamination form of
    * [[matchPairs]]. Winnowing's guarantee makes this the right screen

@@ -213,6 +213,52 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(!got.contains(2L), s"near-dup must stay suppressed across restart, got $got")
   }
 
+  test("winnowDedupStream: fingerprint ownership survives restart; copy stays suppressed") {
+    val s = spark
+    val inDir = tmp("graft-win-in"); val ckpt = tmp("graft-win-ckpt")
+    val kept = mutable.ArrayBuffer.empty[Long]
+    def start() = graft.pipeline.Winnowing.winnowDedupStream(
+        s.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP").json(inDir),
+        "doc_id", "text", k = 8, w = 4,
+        eventTimeCol = Some("ts"), delay = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select(col("doc_id")).collect().map(_.getLong(0))
+        kept.synchronized { kept ++= rows }; ()
+      }.start()
+
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    // phase 1: the original claims its fingerprints, CRASH pre-flush
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(
+        s"""{"doc_id": 1, "text": "$text", "ts": "2026-01-01T00:00:05.000Z"}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+    assert(kept.isEmpty, "nothing flushes before the watermark moves")
+
+    // while down: an EXACT copy in the same window
+    writeFile(inDir, "f2.json", Seq(
+      s"""{"doc_id": 2, "text": "$text", "ts": "2026-01-01T00:00:06.000Z"}"""))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // far-future novel doc pushes the watermark past the first window
+      writeFile(inDir, "f3.json", Seq(
+        """{"doc_id": 9, "text": "completely different words entirely novel content in this one here", "ts": "2026-01-01T00:05:00.000Z"}"""))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = kept.synchronized(kept.toList)
+    // doc 1 flushes having claimed ALL its fingerprints (restored
+    // dropDuplicates state still owns them); doc 2 claims none against
+    // the RESTORED state — an empty restart would have emitted it
+    assert(got.contains(1L), s"original must flush after restart, got $got")
+    assert(!got.contains(2L), s"copy must stay suppressed across restart, got $got")
+  }
+
   test("statefulSessions: an open session spans the crash and closes with pre-crash events") {
     val s = spark
     import s.implicits._

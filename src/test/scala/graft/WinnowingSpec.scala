@@ -67,6 +67,26 @@ class WinnowingSpec extends SparkTestBase {
       s"native diff: extra=${(native -- expected).take(3)} missing=${(expected -- native).take(3)}")
   }
 
+  test("winnowDedupStream batch path: copy suppressed, quoting doc survives, min-id wins in-batch") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact copy — suppressed
+      (3L, base + " tail"),                         // near-exact — suppressed
+      (4L, s"totally different and much longer prefix text goes here then ${base.take(26)} " +
+        "plus a long novel tail of many entirely different words continuing onward"),
+      (5L, "entirely novel content sharing nothing with the earlier documents at all")
+    ).toDF("doc_id", "text")
+    val first = Winnowing.winnowDedupStream(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!first.contains(2L), s"exact copy must be suppressed, got $first")
+    assert(!first.contains(3L), s"near-exact copy must be suppressed, got $first")
+    assert(first.contains(1L) && first.contains(5L), first.toString)
+    // doc 4 QUOTES a short span of doc 1 but is majority-novel — kept
+    // (partial overlap is crossMatchPairs' job, not suppression's)
+    assert(first.contains(4L), first.toString)
+  }
+
   test("crossMatchPairs: a quoted span is caught; unrelated corpus docs are not") {
     val quote = "ZQXJVKWPTHMRBLDY" * 3 // 48 chars >= w + k - 1 = 11
     val corpus = Seq(
