@@ -318,6 +318,18 @@ object SparkEntry {
         "doc_id", "text", k = 24, w = 8, minShared = 5, maxDocFreq = 3)
         .orderBy("id1", "id2")),
 
+    // Winnowing dedup suppression, deterministic batch path: planted
+    // exact copies (doc_id + 1M twins of docs < 100) claim NO
+    // fingerprints against min-id ownership and are suppressed; docs
+    // claiming >= half their own fingerprints survive. The oracle
+    // replays ownership, per-doc claim counts, and the majority-novel
+    // rule relationally.
+    "q_winnow_suppress" -> ((s, dir) =>
+      graft.pipeline.Winnowing.winnowDedupStream(
+          withPlantedCopies(rd(s, dir, "documents")), "doc_id", "text",
+          k = 24, w = 8)
+        .orderBy("doc_id")),
+
     // Cross-corpus winnowing decontamination: which training docs share
     // >= 3 selected fingerprints with the 5-doc "benchmark" side — the
     // PARTIAL-contamination screen (a quoted span >= w+k-1 chars always
@@ -3914,6 +3926,29 @@ object SparkEntry {
         |FROM pairs JOIN sizes s1 ON pairs.id1 = s1.doc_id
         |  JOIN sizes s2 ON pairs.id2 = s2.doc_id
         |WHERE shared >= 5 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "q_winnow_suppress" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM corpus, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 31),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM wm WHERE n = 8),
+        |own AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+        |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k FROM own GROUP BY 1),
+        |nfp AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1)
+        |SELECT kept.doc_id, true AS is_first
+        |FROM kept JOIN nfp USING (doc_id)
+        |WHERE CAST(k AS DOUBLE) >= 0.5 * n
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_winnow_cross" ->
       """WITH g AS (
         |  SELECT doc_id, i AS pos,
