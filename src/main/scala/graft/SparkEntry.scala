@@ -1472,6 +1472,9 @@ object SparkEntry {
     "q_dedup_editdist" -> ((s, dir) =>
       graft.pipeline.Dedup.editDistancePairs(
           rd(s, dir, "documents"), "doc_id", "text", prefixLen = 24, maxDist = 2)
+        // levenshtein returns INT; the oracle's BIGINT column hashed
+        // equal under the driver but trips strict width checks — align
+        .withColumn("dist", col("dist").cast("long"))
         .orderBy("doc_id1", "doc_id2")),
 
     // Pivot (wide aggregation): return-flag counts as columns per line
