@@ -42,11 +42,32 @@ object Bpe {
 
   val Sep = "\u001f"
 
+  /** Thrown by [[trainLocal]] when the distinct-word table exceeds
+    * `maxVocabRows` — a dedicated type so [[trainAuto]]'s distributed
+    * fallback dispatches on the CLASS, never on message text (rewording
+    * the message cannot silently disable the fallback). Extends
+    * IllegalArgumentException so callers treating the guard as a
+    * precondition failure keep working. */
+  final class VocabOverflowException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** One trained merge: `step` is 1-based, (a, b) → a+b, `cnt` the
     * corpus-weighted pair count that won the step, `toksAfter` the
     * total corpus token count after applying the merge (monotone
     * decreasing — each merge saves exactly `cnt` tokens). */
   final case class Merge(step: Int, a: String, b: String, cnt: Long, toksAfter: Long)
+
+  /** A word as its Unicode CODE POINT array — the BPE alphabet. Spark's
+    * `split(word, "")` splits per UTF-16 code unit, which shears a
+    * supplementary-plane character (an emoji) into two unpaired
+    * surrogates that UTF8String then encodes as `?` — silently merging
+    * distinct emoji and diverging from DuckDB's `string_split(word, '')`
+    * (per code point). `substr` over a position sequence is code-point
+    * based on UTF8String, so both engines and both trainer paths see the
+    * same alphabet. Callers guarantee length(word) >= 1 (sequence(1, 0)
+    * throws). */
+  private def codepoints(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
 
   /** Distinct words with multiplicities — the only corpus-sized pass. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
@@ -61,7 +82,7 @@ object Bpe {
     val words = wordCounts(docs, textCol)
     // initial representation: every character is a token
     var rep = words.select(col("wcnt"),
-      array_join(transform(split(col("word"), ""),
+      array_join(transform(codepoints(col("word")),
         c => concat(lit(Sep), c, lit(Sep))), "").as("rep"))
       .cache()
     val merges = Seq.newBuilder[Merge]
@@ -126,17 +147,15 @@ object Bpe {
    * conformance spec asserts equality merge-for-merge.
    *
    * The collect is guarded: more than `maxVocabRows` distinct words
-   * fails loudly (collect bounded by maxVocabRows + 1 rows before the
-   * check — never materializes an unbounded frame on the driver) and
-   * names [[train]] as the stay-distributed remedy.
+   * throws [[VocabOverflowException]] (collect bounded by maxVocabRows
+   * + 1 rows before the check — never materializes an unbounded frame
+   * on the driver) and names [[train]] as the stay-distributed remedy.
    *
-   * Tie-break caveat: pair ties order by JVM String comparison (UTF-16
-   * code units), while [[train]] orders by Spark's UTF8String (UTF-8
-   * bytes). The two agree on all of the BMP below the surrogate range —
-   * i.e. on any realistic token text — and can differ only when a
-   * supplementary-plane character ties against a U+E000..U+FFFF
-   * character at equal count; the parity spec pins the corpora this
-   * engine trains on.
+   * Pair ties order by UTF-8 BYTE comparison ([[u8Ordering]]) — the
+   * exact collation Spark's UTF8String gives [[train]]'s `orderBy` —
+   * so merge-for-merge parity holds unconditionally, including the
+   * supplementary-plane-vs-U+E000 ties where JVM String (UTF-16 code
+   * unit) order disagrees with UTF-8 byte order.
    */
   def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
                  maxVocabRows: Long = DefaultMaxVocabRows): Seq[Merge] = {
@@ -145,13 +164,15 @@ object Bpe {
       s"maxVocabRows must be in [1, Int.MaxValue), got $maxVocabRows")
     val collected = wordCounts(docs, textCol)
       .limit(maxVocabRows.toInt + 1).collect()
-    require(collected.length <= maxVocabRows,
-      s"Bpe.trainLocal: > $maxVocabRows distinct words — the word-count " +
-        "table no longer fits the driver; use Bpe.train (the distributed " +
-        "per-merge loop) or raise maxVocabRows")
+    if (collected.length > maxVocabRows)
+      throw new VocabOverflowException(
+        s"Bpe.trainLocal: > $maxVocabRows distinct words — the word-count " +
+          "table no longer fits the driver; use Bpe.train (the distributed " +
+          "per-merge loop) or raise maxVocabRows")
     // rep = token array per distinct word; multiplicity carried as count
     var reps: Array[(Array[String], Long)] =
-      collected.map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+      collected.map(r => (r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var continue = true
@@ -167,7 +188,8 @@ object Bpe {
       }
       if (pc.isEmpty) continue = false
       else {
-        val ((a, b), cnt) = pc.minBy { case ((pa, pb), c) => (-c, pa, pb) }
+        val ((a, b), cnt) = pc.minBy { case ((pa, pb), c) => (-c, pa, pb) }(
+          Ordering.Tuple3(Ordering.Long, u8Ordering, u8Ordering))
         var toksAfter = 0L
         reps = reps.map { case (ts, c) =>
           val out = Array.newBuilder[String]
@@ -188,6 +210,27 @@ object Bpe {
     merges.result()
   }
 
+  /** UTF-8 byte-wise (unsigned) string ordering — the collation Spark's
+    * UTF8String applies in [[train]]'s `orderBy(a, b)` tie-break. The
+    * local loop must match it exactly or the two paths pick different
+    * winners on supplementary-plane-vs-U+E000..U+FFFF ties (UTF-16 code
+    * units sort surrogates BELOW U+E000; UTF-8 bytes sort 4-byte
+    * sequences ABOVE 3-byte ones). */
+  private[pipeline] val u8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
   /** [[trainLocal]] when the vocabulary fits the driver, [[train]]
     * (distributed per-merge loop) above the bound — the trainer a
     * caller should reach for by default. The fallback re-runs the
@@ -196,11 +239,7 @@ object Bpe {
   def trainAuto(docs: DataFrame, textCol: String, numMerges: Int,
                 maxVocabRows: Long = DefaultMaxVocabRows): Seq[Merge] =
     try trainLocal(docs, textCol, numMerges, maxVocabRows)
-    catch {
-      case e: IllegalArgumentException
-          if Option(e.getMessage).exists(_.contains("distinct words")) =>
-        train(docs, textCol, numMerges)
-    }
+    catch { case _: VocabOverflowException => train(docs, textCol, numMerges) }
 
   /** [[trainAuto]] as a DataFrame (k rows, driver-built). */
   def trainDfAuto(spark: SparkSession, docs: DataFrame, textCol: String,
@@ -231,7 +270,7 @@ object Bpe {
     * (same shape as feature index encoding). */
   def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val words = wordCounts(docs, textCol)
-    val rep0 = array_join(transform(split(col("word"), ""),
+    val rep0 = array_join(transform(codepoints(col("word")),
       c => concat(lit(Sep), c, lit(Sep))), "")
     val toks = split(trim(applyMerges(rep0, merges), Sep), Sep + Sep)
     words.select(col("wcnt"), explode(toks).as("token"))
@@ -262,7 +301,7 @@ object Bpe {
     val perWord = docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol), posexplode(words).as(Seq("wpos", "word")))
-    val rep0 = array_join(transform(split(col("word"), ""),
+    val rep0 = array_join(transform(codepoints(col("word")),
       c => concat(lit(Sep), c, lit(Sep))), "")
     val toks = split(trim(applyMerges(rep0, merges), Sep), Sep + Sep)
     val perTok = perWord
@@ -279,7 +318,7 @@ object Bpe {
                  merges: Seq[Merge]): org.apache.spark.sql.Column = {
     val word = filter(split(textCol, " "), w => length(w) > 0)
     val rep0 = transform(word, w =>
-      array_join(transform(split(w, ""), c => concat(lit(Sep), c, lit(Sep))), ""))
+      array_join(transform(codepoints(w), c => concat(lit(Sep), c, lit(Sep))), ""))
     val repK = merges.foldLeft(rep0) { (r, m) =>
       transform(r, s => replace(s,
         lit(Sep + m.a + Sep + Sep + m.b + Sep), lit(Sep + m.a + m.b + Sep)))

@@ -134,11 +134,19 @@ object Winnowing {
           .filter(col("__kept").cast("double") >= lit(minNovelFrac) * col("__nfp"))
           .select(col(idCol), lit(true).as("is_first"))
       case None =>
-        fps.groupBy(col("__fp"))
-          .agg(min(col(idCol)).as("__owner"))
-          .groupBy(col("__owner").as(idCol))
-          .agg(count(lit(1)).as("__kept"))
-          .join(fps.select(col(idCol), col("__nfp")).distinct(), Seq(idCol))
+        // single fingerprint pass: ownership (min doc id per fingerprint)
+        // rides a window over the exploded rows instead of a separate
+        // groupBy, so the O(len·w) native winnow expression executes ONCE —
+        // the prior two-consumer shape (ownership groupBy + a sizes
+        // distinct join on the same unpersisted frame) re-ran it over the
+        // whole corpus per consumer. Each row already carries its doc's
+        // total (__nfp), so the claim test needs no sizes join at all.
+        fps
+          .withColumn("__owner",
+            min(col(idCol)).over(Window.partitionBy("__fp")))
+          .groupBy(col(idCol), col("__nfp"))
+          .agg(sum(when(col(idCol) === col("__owner"), 1L).otherwise(0L))
+            .as("__kept"))
           .filter(col("__kept").cast("double") >= lit(minNovelFrac) * col("__nfp"))
           .select(col(idCol), lit(true).as("is_first"))
     }
@@ -156,6 +164,14 @@ object Winnowing {
    * probe side (an eval suite) is small; `maxDocFreq` bounds the
    * corpus-side df per fingerprint (boilerplate cut, same as the
    * self-join form).
+   *
+   * Caching contract (same as [[matchPairs]]): the corpus fingerprint
+   * frame is persisted because the df guard and the posting join both
+   * consume it, and a lazily-returned plan cannot unpersist its own
+   * inputs. The blocks are spillable and LRU-evictable, but a
+   * long-lived session composing many operators should
+   * `spark.catalog.clearCache()` between pipelines — the same contract
+   * the other persisting operators (linkage, FK discovery) carry.
    */
   def crossMatchPairs(corpus: DataFrame, probe: DataFrame,
                       idCol: String, textCol: String,
@@ -184,6 +200,14 @@ object Winnowing {
    * containment/overlap readout). `maxDocFreq` drops corpus-wide
    * boilerplate fingerprints before the self-join — the same skew guard
    * as [[Dedup]]'s n-gram postings.
+   *
+   * Caching contract: the fingerprint frame below is persisted (three
+   * consumers — sizes, the df guard, both posting sides) and CANNOT be
+   * unpersisted by this method, because the returned frame is lazy and
+   * still reads it. Blocks are spillable and LRU-evictable; callers
+   * composing many operators in one long-lived session should
+   * `spark.catalog.clearCache()` between pipelines (Bench/Verify do
+   * exactly this per entry).
    */
   def matchPairs(df: DataFrame, idCol: String, textCol: String,
                  k: Int, w: Int, minShared: Long,

@@ -138,6 +138,22 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("trainLocal tie-break matches train on supplementary-plane vs U+E000 ties") {
+    val s = spark
+    import s.implicits._
+    // pair (a, U+E000) ties pair (a, U+1F600) at count 1. Spark's UTF8String
+    // (UTF-8 byte) order puts U+E000 (EE 80 80) BELOW U+1F600 (F0 9F 98 80);
+    // JVM UTF-16 code-unit order puts the surrogate pair (D83D DE00)
+    // below U+E000 — the one divergence window the local loop had.
+    val pua = "\uE000"                                  // EE 80 80
+    val smiley = new String(Character.toChars(0x1F600)) // F0 9F 98 80
+    val docs = Seq(s"a$pua a$smiley").toDF("text")
+    val dist = Bpe.train(docs, "text", 2)
+    val local = Bpe.trainLocal(docs, "text", 2)
+    assert(local === dist)
+    assert(dist.head.b === pua) // UTF-8 byte order picks U+E000 first
+  }
+
   test("trainLocal vocab guard trips loudly; trainAuto falls back to distributed") {
     val s = spark
     import s.implicits._
@@ -147,6 +163,9 @@ class BpeSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("distinct words") &&
       e.getMessage.contains("Bpe.train"), e.getMessage)
+    // the fallback dispatches on the dedicated TYPE, not message text —
+    // rewording the message must not be able to disable it
+    assert(e.isInstanceOf[Bpe.VocabOverflowException])
     // auto path completes via the distributed loop under the same bound
     val auto = Bpe.trainAuto(docs, "text", 2, maxVocabRows = 10L)
     assert(auto === Bpe.train(docs, "text", 2))
