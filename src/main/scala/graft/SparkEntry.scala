@@ -344,6 +344,71 @@ object SparkEntry {
         .orderBy("corpus_id", "probe_id")
     }),
 
+    // Incremental winnowing decontamination — the q_dedup_index_persist
+    // pattern on the winnowing postings: the corpus participates ONLY as
+    // the persisted fingerprint index (rare postings, df cut baked in at
+    // build time); the nightly probe fingerprints just the delta (new
+    // docs plus planted copies of corpus docs 0-99) and joins the stored
+    // artifact — corpus text is never rescanned, which is what lets a
+    // decontamination screen re-run per release at the cost of the
+    // release. PlanSpec pins the scan-free probe plan.
+    "q_winnow_index_persist" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val newBatch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val tmpIdx = scratch("winnow_idx")
+      graft.pipeline.Winnowing.fingerprintIndex(corpus, "doc_id", "text",
+          k = 24, w = 8, maxDocFreq = 10)
+        .write.mode("overwrite").parquet(tmpIdx)
+      graft.pipeline.Winnowing.pairsAgainstStored(newBatch, "doc_id", "text",
+          s.read.parquet(tmpIdx), k = 24, w = 8, minShared = 3)
+        .orderBy("new_id", "corpus_id")
+    }),
+
+    // Cross-document EXACT-substring dedup (Lee et al. 2022's
+    // ExactSubstr class, bucketed-anchor + bidirectional-extension
+    // form): content-sampled anchor k-grams (md5-56 ≡ 0 mod stride)
+    // bucket-join across docs, then each candidate extends code-point-
+    // wise to the MAXIMAL shared run — emitting (id1, id2, start1,
+    // start2, span_len) for runs >= 100 chars. The planted docs splice
+    // a 160-char slice of docs 0-14 between fresh pre/suffixes, so the
+    // expected spans have known positions; extension verifies chars, so
+    // every reported span is exact regardless of hash behavior. The
+    // oracle replays anchor sampling, the df cut, and both extension
+    // directions (lateral char-walk) relationally.
+    "q_dedup_substr" -> ((s, dir) => {
+      val base = rd(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 15 && length(col("text")) >= 220)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-"), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 31, 160), lit(" :SUFFIX")).as("text"))
+      graft.pipeline.ExactSubstr.sharedSpans(base.unionByName(planted),
+          "doc_id", "text", k = 20, stride = 4, minLen = 100,
+          maxDocFreq = 8, maxOccPerDoc = 16)
+        .orderBy("id1", "id2", "start1", "start2")
+    }),
+
+    // Per-pair rollup of the same exact-substring screen: longest shared
+    // run + distinct run count — the two numbers a span-level scrubber
+    // thresholds on before cutting quoted regions.
+    "q_dedup_substr_summary" -> ((s, dir) => {
+      val base = rd(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 15 && length(col("text")) >= 220)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-"), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 31, 160), lit(" :SUFFIX")).as("text"))
+      graft.pipeline.ExactSubstr.sharedSpanSummary(base.unionByName(planted),
+          "doc_id", "text", k = 20, stride = 4, minLen = 100,
+          maxDocFreq = 8, maxOccPerDoc = 16)
+        .orderBy("id1", "id2")
+    }),
+
     // Curation composition #5: winnowing-survivor corpus report — drop
     // every doc that loses a winnowing match (appears as the higher id
     // of a pair; the first-occurrence-wins rule), then the per-language
@@ -2302,6 +2367,22 @@ object SparkEntry {
       graft.pipeline.Graph.kCore(edges, "a", "b", k = 12).orderBy("node")
     }),
 
+    // Full k-core DECOMPOSITION — per-node coreness, the "which shell
+    // does this page live in" signal beyond q_kcore's fixed-k
+    // membership — by the h-index fixpoint (Lü et al. 2016, Nat.
+    // Commun.): start every node at its degree, repeatedly replace with
+    // the h-index of neighbor values; the unique fixpoint is coreness,
+    // equal to the Seidman peel (GraphSpec pins the equality on random
+    // graphs and this fixture). Converges in 5-6 rounds here; the
+    // oracle unrolls 9 (the operator is idempotent at the fixpoint, so
+    // the margin is free).
+    "q_coreness" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+      val edges = graft.pipeline.Graph.cooccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+      graft.pipeline.Graph.corenessHIndex(edges, "a", "b").orderBy("node")
+    }),
+
     // Skew-safe triangle counting on a deliberately skewed graph: one
     // hub node (-1) adjacent to EVERY document plus a doc-id path — the
     // degree-n hub that makes the id-oriented wedge join enumerate n²
@@ -3971,6 +4052,41 @@ object SparkEntry {
         |FROM cf JOIN pf USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY corpus_id, probe_id""".stripMargin.replace("\n", " "),
+    "q_winnow_index_persist" ->
+      """WITH cg AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE doc_id < 250 AND text IS NOT NULL AND length(text) >= 31),
+        |cwm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM cg),
+        |cfp AS (SELECT DISTINCT doc_id, fp FROM cwm WHERE n = 8),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM cfp GROUP BY 1) WHERE df <= 10),
+        |idx AS (SELECT f.fp, f.doc_id FROM cfp f JOIN rare USING (fp)),
+        |nd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+        |ng AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM nd, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 31),
+        |nwm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM ng),
+        |nfp AS (SELECT DISTINCT doc_id, fp FROM nwm WHERE n = 8)
+        |SELECT n.doc_id AS new_id, i.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS shared
+        |FROM nfp n JOIN idx i USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
+    "q_dedup_substr" -> dedupSubstrOracleSql(summary = false),
+    "q_dedup_substr_summary" -> dedupSubstrOracleSql(summary = true),
     "q_pipeline_curation5" ->
       """WITH g AS (
         |  SELECT doc_id, i AS pos,
@@ -5012,6 +5128,7 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
     "q_kcore" -> kCoreOracleSql(k = 12, rounds = 6),
+    "q_coreness" -> corenessOracleSql(rounds = 9),
     "q_embed_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |m AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS mx FROM v),
@@ -6123,6 +6240,101 @@ object SparkEntry {
          |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
          |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          |GROUP BY 1 ORDER BY node""".stripMargin).replace("\n", " ")
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Graph.corenessHIndex]] on the
+    * q_coreness fixture: `rounds` unrolled h-operator stages (each one
+    * neighbor-value join + a per-node ranked h-index), starting from
+    * degrees. The operator is idempotent at its fixpoint (= coreness,
+    * Lü et al. 2016), so `rounds` only needs to be ≥ the measured
+    * convergence count (5-6 on this fixture across SFs). */
+  private def corenessOracleSql(rounds: Int): String = {
+    def stage(i: Int): String =
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s AS node, max(least(rn, cv)) AS c FROM (
+         |    SELECT e.s, c${i - 1}.c AS cv,
+         |      row_number() OVER (PARTITION BY e.s ORDER BY c${i - 1}.c DESC) AS rn
+         |    FROM e JOIN c${i - 1} ON e.t = c${i - 1}.node)
+         |  GROUP BY 1)""".stripMargin
+    (s"""WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i),
+        |e AS MATERIALIZED (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+        |c0 AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |""".stripMargin + (1 to rounds).map(stage).mkString(",\n") +
+      s"""
+         |SELECT node, c AS coreness FROM c$rounds ORDER BY node""".stripMargin)
+      .replace("\n", " ")
+  }
+
+  /** DuckDB replay of [[graft.pipeline.ExactSubstr.sharedSpans]] on the
+    * q_dedup_substr fixture: the planted-splice corpus, anchor sampling
+    * (md5-56 ≡ 0 mod 4 over char 20-grams), the df ≤ 8 boilerplate cut,
+    * the anchor bucket join, and BOTH extension directions as lateral
+    * char-walks (right: first mismatch of the suffixes; left: first
+    * mismatch walking backwards, with the no-rows empty-range case of a
+    * position-1 anchor restored by the LEFT JOIN + coalesce). The loud
+    * maxOccPerDoc guard is identity when it does not trip, so it has no
+    * oracle counterpart (same convention as the other assert_true
+    * guards). */
+  private def dedupSubstrOracleSql(summary: Boolean): String = {
+    val spans =
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |docs AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    concat('PREFIX-', CAST(doc_id AS VARCHAR), ': ',
+        |           substr(text, 31, 160), ' :SUFFIX') AS text
+        |  FROM base WHERE doc_id < 15 AND length(text) >= 220),
+        |a AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS g
+        |  FROM docs, unnest(range(1, length(text) - 18)) r(i)
+        |  WHERE CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 20)), 1, 14)) AS BIGINT) % 4 = 0),
+        |rare AS MATERIALIZED (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM a GROUP BY 1) WHERE df <= 8),
+        |p AS MATERIALIZED (SELECT a.g, a.doc_id, a.pos FROM a JOIN rare USING (g)),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS id1, x.pos AS p1, y.doc_id AS id2, y.pos AS p2
+        |  FROM p x JOIN p y USING (g) WHERE x.doc_id < y.doc_id),
+        |ct AS MATERIALIZED (
+        |  SELECT cand.*, d1.text AS t1, d2.text AS t2,
+        |    least(length(d1.text) - p1 + 1, length(d2.text) - p2 + 1) AS maxr,
+        |    least(p1, p2) - 1 AS maxl
+        |  FROM cand JOIN docs d1 ON cand.id1 = d1.doc_id
+        |            JOIN docs d2 ON cand.id2 = d2.doc_id),
+        |rext AS MATERIALIZED (
+        |  SELECT id1, p1, id2, p2,
+        |    coalesce(min(CASE WHEN substr(t1, CAST(p1 + j AS INT), 1) <> substr(t2, CAST(p2 + j AS INT), 1) THEN j END), maxr) AS r
+        |  FROM ct, unnest(range(0, maxr)) u(j)
+        |  GROUP BY id1, p1, id2, p2, maxr),
+        |lext AS MATERIALIZED (
+        |  SELECT id1, p1, id2, p2,
+        |    coalesce(min(CASE WHEN substr(t1, CAST(p1 - j AS INT), 1) <> substr(t2, CAST(p2 - j AS INT), 1) THEN j END) - 1, maxl) AS l
+        |  FROM ct, unnest(range(1, maxl + 1)) u(j)
+        |  GROUP BY id1, p1, id2, p2, maxl),
+        |spans AS MATERIALIZED (
+        |  SELECT DISTINCT ct.id1, ct.id2,
+        |    ct.p1 - coalesce(lext.l, 0) AS start1,
+        |    ct.p2 - coalesce(lext.l, 0) AS start2,
+        |    coalesce(lext.l, 0) + rext.r AS span_len
+        |  FROM ct JOIN rext USING (id1, p1, id2, p2)
+        |          LEFT JOIN lext USING (id1, p1, id2, p2)
+        |  WHERE coalesce(lext.l, 0) + rext.r >= 100)""".stripMargin
+    val tail =
+      if (summary)
+        """
+          |SELECT id1, id2, max(span_len) AS max_span, CAST(count(*) AS BIGINT) AS n_spans
+          |FROM spans GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin
+      else
+        """
+          |SELECT id1, id2, start1, start2, span_len FROM spans
+          |ORDER BY id1, id2, start1, start2""".stripMargin
+    (spans + tail).replace("\n", " ")
   }
 
   /** [[bpeOracleSql]] at production merge counts: a parameterized

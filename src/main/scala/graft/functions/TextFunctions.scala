@@ -236,6 +236,61 @@ object TextFunctionHelpers {
     if (java.text.Normalizer.isNormalized(s, form)) text
     else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
   }
+
+  /** 1-based char positions of `text`'s k-grams whose md5-56 hash (the
+    * same first-14-hex-digits-as-BIGINT convention as
+    * [[winnowMd5Fingerprint]]) is ≡ 0 (mod stride) — the Karp–Rabin
+    * "0 mod p" anchor sampling the exact-substring dedup pipeline seeds
+    * its extensions from. Content-determined: the same substring selects
+    * the same anchors in every document that contains it, so two copies
+    * of a span always agree on the anchor inside it. Expected density
+    * 1/stride. NULL or shorter-than-k text → empty array. */
+  def modAnchorPositions(text: UTF8String, k: Int, stride: Int): ArrayData = {
+    if (text == null) return Empty
+    val nGrams = text.numChars() - k + 1
+    if (nGrams <= 0) return Empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i < nGrams) {
+      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      if (h % stride == 0) out.add(java.lang.Long.valueOf((i + 1).toLong))
+      i += 1
+    }
+    if (out.isEmpty) Empty
+    else new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  private val ZeroExtension =
+    new GenericArrayData(Array[Any](0L, 0L))
+
+  /** Maximal common extension of `t1`/`t2` around the 1-based char
+    * positions `p1`/`p2`: returns `[l, r]` where `r` is the length of
+    * the longest common prefix of the suffixes starting AT (p1, p2) and
+    * `l` the longest common suffix of the prefixes ending just BEFORE
+    * them — so `[p1 − l, p1 + r − 1]` / `[p2 − l, p2 + r − 1]` is the
+    * maximal matching run through the anchor diagonal, and every
+    * reported span is a genuine common substring regardless of how the
+    * anchor was chosen (a hash-collision anchor just extends to a short
+    * run that the caller's min-length filter drops). Comparison is by
+    * code point (supplementary-plane safe — the Bpe surrogate lesson).
+    * NULL text or out-of-range position → [0, 0]. */
+  def commonExtension(t1: UTF8String, p1: Long, t2: UTF8String, p2: Long): ArrayData = {
+    if (t1 == null || t2 == null || p1 < 1 || p2 < 1) return ZeroExtension
+    val a = t1.toString.codePoints.toArray
+    val b = t2.toString.codePoints.toArray
+    val i = (p1 - 1).toInt
+    val j = (p2 - 1).toInt
+    if (i >= a.length || j >= b.length) return ZeroExtension
+    var r = 0
+    while (i + r < a.length && j + r < b.length && a(i + r) == b(j + r)) r += 1
+    var l = 0
+    while (i - l - 1 >= 0 && j - l - 1 >= 0 && a(i - l - 1) == b(j - l - 1)) l += 1
+    new GenericArrayData(Array[Any](l.toLong, r.toLong))
+  }
 }
 
 
@@ -411,6 +466,121 @@ case class WinnowMd5Fingerprint(child: Expression, k: Int, w: Int) extends Unary
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * Native Catalyst anchor sampler for exact-substring dedup: the 1-based
+ * char positions whose k-gram md5-56 hash is ≡ 0 (mod stride) — Karp–
+ * Rabin "0 mod p" content-defined sampling. One JVM call per row inside
+ * whole-stage codegen; only the ~1/stride sampled positions ever become
+ * rows (the same selection-before-explosion discipline as
+ * [[WinnowMd5Fingerprint]]). md5-portable, so an external SQL engine
+ * replays the selection verbatim.
+ */
+case class ModAnchorPositions(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (k >= 2 && stride >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"mod_anchor_positions needs k >= 2, stride >= 1, got ($k, $stride)")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"mod_anchor_positions needs a string input, got ${child.dataType}")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "mod_anchor_positions"
+  override def nullable: Boolean = false // NULL text → empty array
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextFunctionHelpers.modAnchorPositions(
+      child.eval(input).asInstanceOf[UTF8String], k, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val call = JavaCode.expression(
+      s"graft.functions.TextFunctionHelpers.modAnchorPositions(" +
+        s"${c.isNull} ? null : ${c.value}, $k, $stride)", dataType)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $call;""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Native Catalyst maximal-common-extension: `[l, r]` such that
+ * `t1[p1−l … p1+r−1] == t2[p2−l … p2+r−1]` is the maximal matching run
+ * through the (p1, p2) diagonal — the extension step of anchor-based
+ * exact-substring dedup (Lee et al. 2022's ExactSubstr class, in
+ * bucketed-anchor form). One code-point-wise JVM scan per candidate
+ * pair, O(span); every reported span is a genuine common substring no
+ * matter how the anchor was found.
+ */
+case class CommonExtension(t1: Expression, p1: Expression,
+                           t2: Expression, p2: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(t1, p1, t2, p2)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val lt = org.apache.spark.sql.types.LongType
+    if (t1.dataType == StringType && t2.dataType == StringType &&
+        p1.dataType == lt && p2.dataType == lt) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "common_extension needs (string, bigint, string, bigint), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "common_extension"
+  override def nullable: Boolean = false // NULL/out-of-range → [0, 0]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s1 = t1.eval(input).asInstanceOf[UTF8String]
+    val s2 = t2.eval(input).asInstanceOf[UTF8String]
+    val i1 = p1.eval(input)
+    val i2 = p2.eval(input)
+    TextFunctionHelpers.commonExtension(s1,
+      if (i1 == null) 0L else i1.asInstanceOf[Long],
+      s2,
+      if (i2 == null) 0L else i2.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c1 = t1.genCode(ctx)
+    val cp1 = p1.genCode(ctx)
+    val c2 = t2.genCode(ctx)
+    val cp2 = p2.genCode(ctx)
+    val call = JavaCode.expression(
+      s"graft.functions.TextFunctionHelpers.commonExtension(" +
+        s"${c1.isNull} ? null : ${c1.value}, " +
+        s"${cp1.isNull} ? 0L : ${cp1.value}, " +
+        s"${c2.isNull} ? null : ${c2.value}, " +
+        s"${cp2.isNull} ? 0L : ${cp2.value})", dataType)
+    ev.copy(
+      code = code"""
+        |${c1.code}
+        |${cp1.code}
+        |${c2.code}
+        |${cp2.code}
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $call;""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(t1 = newChildren(0), p1 = newChildren(1),
+      t2 = newChildren(2), p2 = newChildren(3))
 }
 
 /**
@@ -635,4 +805,12 @@ object TextFunctions {
   def unicodeNormalize(text: Column, form: String): Column =
     nativeCol(NormalizeUnicode(exprOf(text),
       java.text.Normalizer.Form.valueOf(form)))
+
+  /** `mod_anchor_positions(text, k, stride)` as a Column — session-free. */
+  def modAnchorPositions(text: Column, k: Int, stride: Int): Column =
+    nativeCol(ModAnchorPositions(exprOf(text), k, stride))
+
+  /** `common_extension(t1, p1, t2, p2)` as a Column — session-free. */
+  def commonExtension(t1: Column, p1: Column, t2: Column, p2: Column): Column =
+    nativeCol(CommonExtension(exprOf(t1), exprOf(p1), exprOf(t2), exprOf(p2)))
 }

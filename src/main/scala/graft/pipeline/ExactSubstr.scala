@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-document EXACT-substring dedup (the ExactSubstr class of Lee et
+ * al. 2022, "Deduplicating Training Data Makes Language Models Better"),
+ * in bucketed anchor + bidirectional-extension form: sample content-
+ * defined anchor k-grams (Karp–Rabin "0 mod stride" on the md5-56 gram
+ * hash), bucket-join anchors across documents, and extend each anchor
+ * pair code-point-wise in both directions to the MAXIMAL shared run —
+ * emitting (id1, id2, start1, start2, span_len) for every shared
+ * substring ≥ `minLen` chars. The exact complement to the winnowing
+ * fingerprint screen: winnowing tells you THAT two docs share ≥ w+k−1
+ * chars; this tells you WHERE and exactly HOW MUCH, which is what a
+ * span-level scrubber (cut the quoted region, keep the rest) needs.
+ *
+ * Guarantees. Every emitted span is a genuine maximal common substring
+ * occurrence — the extension verifies characters, so hash collisions
+ * can only fail to SEED a span, never fabricate one. A shared span of
+ * length L ≥ minLen is found unless none of its L−k+1 anchor positions
+ * samples (probability (1−1/stride)^(L−k+1) — ~2·10⁻⁸ at the default
+ * stride=4, k=20, minLen=80); sampling is content-determined, so both
+ * copies always agree and misses are corpus-independent.
+ *
+ * Scale shape (100 TB discipline): the anchor pass is one codegen'd
+ * JVM call per row that explodes only the ~1/stride sampled positions
+ * (selection before explosion, as the winnowing family); the bucket
+ * join is guarded postings — anchors in more than `maxDocFreq`
+ * documents are corpus boilerplate and are cut BEFORE the self-join,
+ * and a document repeating one anchor gram more than `maxOccPerDoc`
+ * times fails LOUDLY (within-doc repetition multiplies pair volume
+ * quadratically; the remedy is a cap raise or upstream boilerplate
+ * stripping, not a silent explosion). Pair volume is
+ * Σ_g (df·occ)² over rare anchors only; extension is O(span) per
+ * candidate; texts attach via two hash joins keyed on doc id.
+ *
+ * Reference scope analog: the reference engine's dedup surface is
+ * record-level (`bullet-storm`'s TopK/CountDistinct sketches); span
+ * dedup is part of this engine's LLM-curation extension, per SURVEY §2.
+ */
+object ExactSubstr {
+
+  /** Anchor rows (doc_id, pos, g): every 1-based position whose k-gram
+    * md5-56 hash ≡ 0 (mod stride), carrying the gram itself as the
+    * bucket key — joins on the literal gram are collision-free and
+    * replay in any SQL engine as `substr(text, pos, k)`. */
+  def anchors(df: DataFrame, idCol: String, textCol: String,
+              k: Int, stride: Int): DataFrame = {
+    require(k >= 2, s"exactSubstr: k must be >= 2, got $k")
+    require(stride >= 1, s"exactSubstr: stride must be >= 1, got $stride")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.modAnchorPositions(
+          col(textCol), k, stride)).as("pos"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"), col("pos"),
+        col("__t").substr(col("pos").cast("int"), lit(k)).as("g"))
+  }
+
+  /**
+   * All maximal shared substrings of length ≥ `minLen` between distinct
+   * documents: (id1, id2, start1, start2, span_len), id1 < id2,
+   * positions 1-based. Distinct — every anchor inside one shared run
+   * extends to the same maximal span.
+   */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, stride: Int, minLen: Int,
+                  maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
+    require(minLen >= k,
+      s"exactSubstr: minLen ($minLen) must be >= the anchor gram k ($k) — " +
+        "shorter spans cannot contain an anchor")
+    require(maxDocFreq >= 2,
+      s"exactSubstr: maxDocFreq < 2 would drop every joinable anchor")
+    require(maxOccPerDoc >= 1, "exactSubstr: maxOccPerDoc must be >= 1")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val anch = anchors(docs, "doc_id", "__t", k, stride)
+    // LOUD within-doc guard: a doc repeating one anchor gram o times
+    // contributes o² candidate pairs per partner — at maxOccPerDoc the
+    // job fails with the remedy instead of silently exploding
+    val byDocG = Window.partitionBy("doc_id", "g")
+    // persisted: the df guard and BOTH posting sides consume this frame,
+    // and the recompute is the whole anchor pass (per-char md5 sampling +
+    // a window) — the double-execution class. Spillable; same caller
+    // clearCache contract as Winnowing.matchPairs.
+    val guarded = anch
+      .withColumn("__occ", count(lit(1)).over(byDocG))
+      .filter(assert_true(col("__occ") <= maxOccPerDoc,
+        concat(lit("exactSubstr: doc "), col("doc_id"),
+          lit(" repeats one anchor gram "), col("__occ"),
+          lit(s" times > maxOccPerDoc=$maxOccPerDoc — within-doc " +
+            "repetition multiplies candidate pairs quadratically; raise " +
+            "the cap or strip the repeated boilerplate upstream"))).isNull)
+      .drop("__occ")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // silent boilerplate cut: anchors present in > maxDocFreq documents
+    // are corpus-wide noise (same policy as the n-gram/winnowing postings)
+    val rare = guarded.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("g")
+    val posting = guarded.join(rare, "g")
+    val cand = posting.select(col("g"), col("doc_id").as("id1"), col("pos").as("p1"))
+      .join(posting.select(col("g"), col("doc_id").as("id2"), col("pos").as("p2")), "g")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "p1", "id2", "p2").distinct()
+    val withText = cand
+      .join(docs.select(col("doc_id").as("id1"), col("__t").as("__t1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("__t").as("__t2")), "id2")
+    withText
+      .withColumn("__ext", graft.functions.TextFunctions.commonExtension(
+        col("__t1"), col("p1"), col("__t2"), col("p2")))
+      .select(col("id1"), col("id2"),
+        (col("p1") - col("__ext")(0)).as("start1"),
+        (col("p2") - col("__ext")(0)).as("start2"),
+        (col("__ext")(0) + col("__ext")(1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .distinct()
+  }
+
+  /** Per-pair contamination rollup of [[sharedSpans]]: the longest
+    * shared exact substring and the number of distinct shared runs —
+    * the decision table a scrubber thresholds on. */
+  def sharedSpanSummary(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, stride: Int, minLen: Int,
+                        maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame =
+    sharedSpans(df, idCol, textCol, k, stride, minLen, maxDocFreq, maxOccPerDoc)
+      .groupBy("id1", "id2")
+      .agg(max(col("span_len")).as("max_span"),
+        count(lit(1)).as("n_spans"))
+}

@@ -171,31 +171,201 @@ object Graph {
             maxIters: Int = 50): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(maxIters >= 1, s"kCore: maxIters must be >= 1")
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    degrees(peel(e0, k, maxIters)._1, "a", "b")
+  }
+
+  /** Peel a normalized, localCheckpoint'ed (a, b) edge frame at `k` to
+    * the fixpoint: (surviving edge frame, its node set, node count) —
+    * the node set falls out of the fixpoint test for free (at the
+    * stable round, `keep` IS the survivor node set), so callers never
+    * pay a separate nodes-of-edges job. The inner loop of
+    * [[kCore]]/[[coreness]] — one map-side-combined degree aggregate +
+    * two semi-joins per round, survivor COUNT stability as the fixpoint
+    * proof (the node set is monotone decreasing). */
+  private def peel(e0: DataFrame, k: Int,
+                   maxIters: Int): (DataFrame, DataFrame, Long) = {
+    var e = e0
     var prev = -1L
     var rounds = 0
-    var done = false
-    while (!done) {
+    while (true) {
       val deg = degrees(e, "a", "b")
       val keep = deg.filter(col("degree") >= k).select("node")
         .localCheckpoint(true)
       val n = keep.count()
-      if (n == prev) done = true // monotone set + equal count = fixpoint
+      // monotone set + equal count = fixpoint; at the stable round every
+      // node of e has degree >= k, so keep IS nodes(e)
+      if (n == prev) return (e, keep, n)
+      require(rounds < maxIters,
+        s"kCore: no fixpoint after $maxIters peel rounds — raise " +
+          "maxIters (each round removes every peelable node, so this " +
+          "means a pathologically deep core hierarchy, not slow progress)")
+      prev = n
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      rounds += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * Full k-core DECOMPOSITION: (node, coreness) for every node with at
+   * least one edge, where coreness(v) = the largest k such that v
+   * survives the k-core peel — the standard per-node graph-quality
+   * signal (Seidman 1983; the "which shell does this page live in"
+   * number a curation mix card thresholds on), where [[kCore]] only
+   * answers membership at one fixed k.
+   *
+   * Computed by ascending-k peeling that REUSES each level's surviving
+   * edge frame: the k-core is a subgraph of the (k−1)-core, so level k
+   * peels the previous level's survivors, never the original edges —
+   * total work is the telescoping Σ_k |E_{k-1}-core| rather than
+   * maxK·|E|, and the edge frame shrinks monotonically. Each level is
+   * one [[peel]] fixpoint (bounded rounds, localCheckpoint'ed per round
+   * so lineage stays flat); nodes dropped between level k−1 and level k
+   * carry coreness k−1. `maxK` bounds the level loop LOUDLY — a
+   * decomposition deeper than maxK means a denser core than the caller
+   * budgeted for, and the remedy (raise maxK) is stated in the error.
+   */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+               maxK: Int = 64, maxIters: Int = 50): DataFrame = {
+    require(maxK >= 1, s"coreness: maxK must be >= 1, got $maxK")
+    require(maxIters >= 1, s"coreness: maxIters must be >= 1")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    // (node, degree) of the current surviving subgraph — checkpointed,
+    // so the per-round threshold tests below are filter+count over a
+    // flat scan, and ADVANCING k when a level is stable re-reads this
+    // same frame instead of re-shuffling degrees (the level-k fixpoint
+    // confirm and the level-(k+1) opening round are the same degree
+    // aggregate; fusing them halves the shuffle count of the naive
+    // peel-per-level loop)
+    var deg = degrees(e, "a", "b").localCheckpoint(true)
+    val levels = scala.collection.mutable.Buffer.empty[DataFrame]
+    var k = 2
+    var roundsAtK = 0
+    var done = false
+    while (!done) {
+      // ONE small job answers both round questions over the checkpointed
+      // deg frame: is anything peelable at k, and is the graph exhausted
+      val probe = deg.agg(
+        count(when(col("degree") < k, 1)).as("peelable"),
+        count(lit(1)).as("n")).head()
+      if (probe.getLong(1) == 0L) done = true
+      else {
+        require(k - 1 <= maxK,
+          s"coreness: the decomposition exceeds maxK=$maxK levels — the " +
+            "graph holds a denser core than budgeted (a clique of n nodes " +
+            "alone reaches coreness n-1); raise maxK if that density is " +
+            "expected")
+        if (probe.getLong(0) == 0L) {
+          // level-k fixpoint (nothing peelable): everyone survives into
+          // the k-core — advance the threshold on the SAME deg frame
+          k += 1
+          roundsAtK = 0
+        } else {
+          require(roundsAtK < maxIters,
+            s"coreness: no fixpoint after $maxIters peel rounds at k=$k — " +
+              "raise maxIters (each round removes every peelable node, so " +
+              "this means a pathologically deep cascade, not slow progress)")
+          val keep = deg.filter(col("degree") >= k).select("node")
+          // LAZY checkpoints: the next round's probe agg is the single
+          // job that materializes e, newDeg, and the two counts at once
+          // (an eager checkpoint pair costs 3 scheduled jobs per cascade
+          // wave, and deep cascades run ~100 waves — measured 3x wall
+          // on the co-occurrence fixture); lineage still truncates at
+          // materialization, so plans stay flat
+          e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+            .localCheckpoint(false)
+          val newDeg = degrees(e, "a", "b").localCheckpoint(false)
+          // every node peeled while thresholding at k has coreness k−1,
+          // whichever cascade round it falls in. Dropped = old nodes minus
+          // new nodes — NOT `degree < k`: a node can pass the degree
+          // filter yet lose its last edge because every neighbor dropped,
+          // and it must still be credited here. Lazy anti-join over two
+          // checkpointed frames, consumed once by the final union.
+          levels += deg.join(newDeg, Seq("node"), "left_anti")
+            .select(col("node"), lit((k - 1).toLong).as("coreness"))
+          deg = newDeg
+          roundsAtK += 1
+        }
+      }
+    }
+    levels.reduceOption(_ unionByName _)
+      .getOrElse(deg.select(col("node"), lit(0L).as("coreness")).filter(lit(false)))
+  }
+
+  /**
+   * k-core decomposition by the H-INDEX fixpoint (Lü, Zhou, Zhang &
+   * Stanley 2016, "The H-index of a network node and its relation to
+   * degree and coreness", Nat. Commun. 7:10168): start every node at
+   * its degree and repeatedly replace each node's value with the
+   * h-index of its neighbors' values (the largest h such that ≥ h
+   * neighbors hold value ≥ h); the unique fixpoint is exactly the
+   * coreness. Identical answer to [[coreness]] — the peel is the
+   * audit/differential twin — but the round count is the VALUE-
+   * propagation radius of the graph (typically a handful) instead of
+   * the peel's one-Spark-round-per-cascade-wave (measured ~100 waves on
+   * the co-occurrence fixture), and each round is ONE join + ONE
+   * windowed aggregate keyed on the node: the Pregel-superstep shape
+   * that holds at any scale.
+   *
+   * Convergence detection is one cheap aggregate: values are monotone
+   * non-increasing per node, so Σc strictly decreases until the
+   * fixpoint — a stable sum IS the proof. `maxIters` bounds the loop
+   * loudly (propagation radius can reach O(n) on path-like graphs).
+   */
+  def corenessHIndex(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxIters: Int = 100): DataFrame =
+    corenessHIndexWithRounds(edges, srcCol, dstCol, maxIters)._1
+
+  /** [[corenessHIndex]] plus the number of h-operator rounds applied
+    * before the sum stabilized — the figure an unrolled external replay
+    * (the oracle) needs; extra rounds are no-ops at the fixpoint. */
+  private[graft] def corenessHIndexWithRounds(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 100): (DataFrame, Int) = {
+    require(maxIters >= 1, s"corenessHIndex: maxIters must be >= 1")
+    val sym = symmetrize(
+      edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+        .filter(col("x") =!= col("y")).distinct(), "x", "y")
+      .localCheckpoint(true)
+    var c = sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    var prevSum = -1L
+    var rounds = 0
+    var done = false
+    while (!done) {
+      // single job: materializes the lazily-checkpointed c and probes it
+      val sum = c.agg(coalesce(org.apache.spark.sql.functions.sum(col("c")), lit(0L)))
+        .head().getLong(0)
+      if (sum == prevSum) done = true
       else {
         require(rounds < maxIters,
-          s"kCore: no fixpoint after $maxIters peel rounds — raise " +
-            "maxIters (each round removes every peelable node, so this " +
-            "means a pathologically deep core hierarchy, not slow progress)")
-        prev = n
-        e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .localCheckpoint(true)
+          s"corenessHIndex: no fixpoint after $maxIters rounds — the " +
+            "value-propagation radius exceeds the budget (path-like " +
+            "graphs propagate one hop per round); raise maxIters or use " +
+            "the peel form [[coreness]]")
+        prevSum = sum
+        val nbr = sym.join(c.select(col("node").as("t"), col("c").as("cv")), "t")
+          .select(col("s"), col("cv"))
+        val byS = org.apache.spark.sql.expressions.Window
+          .partitionBy("s").orderBy(col("cv").desc)
+        c = nbr.withColumn("rn", row_number().over(byS).cast("long"))
+          .groupBy(col("s").as("node"))
+          .agg(max(least(col("rn"), col("cv"))).as("c"))
+          .localCheckpoint(false)
         rounds += 1
       }
     }
-    degrees(e, "a", "b")
+    // the last round was the stable confirm — it applied the operator to
+    // an already-converged state
+    (c.select(col("node"), col("c").as("coreness")), rounds)
   }
 
   /** Enforce a per-group membership bound on a (g, i) frame: any group

@@ -195,6 +195,57 @@ object Winnowing {
   }
 
   /**
+   * Build-once winnowing fingerprint index: the RARE postings
+   * (fp, doc_id) after the `maxDocFreq` boilerplate cut — the persisted
+   * artifact an incremental decontamination probe joins against WITHOUT
+   * rescanning corpus text (the [[graft.pipeline.Dedup]] band-index
+   * pattern applied to winnowing). Write this to parquet when the
+   * corpus is built; per release, [[pairsAgainstStored]] reads it back
+   * plus only the delta. The df cut is baked in at build time, so the
+   * per-fingerprint posting list in the artifact is bounded by
+   * construction.
+   *
+   * Caching contract (same as [[matchPairs]]): the fingerprint frame is
+   * persisted across its two consumers (the df guard and the posting
+   * projection); callers composing many operators in one session should
+   * `spark.catalog.clearCache()` between pipelines.
+   */
+  def fingerprintIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, maxDocFreq: Int = 1000): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val fp = fingerprintsNative(corpus, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fp")
+    fp.join(rare, "fp").select(col("fp"), col("doc_id"))
+  }
+
+  /**
+   * Incremental winnowing probe against a STORED fingerprint index:
+   * (new_id, corpus_id, shared) for every new document sharing ≥
+   * `minShared` selected fingerprints with an indexed corpus document.
+   * The corpus participates only as the [[fingerprintIndex]] artifact —
+   * the probe plan scans the index parquet plus the delta, never corpus
+   * text, which is what lets a decontamination screen re-run per corpus
+   * release at the cost of the release, not the corpus. Strictly
+   * two-sided (a new doc never pairs with another new doc — run
+   * [[matchPairs]] over the delta for that), volume Σ_fp
+   * df_index(fp)·df_delta(fp) with the index side bounded at build time.
+   */
+  def pairsAgainstStored(newDocs: DataFrame, idCol: String, textCol: String,
+                         storedPostings: DataFrame,
+                         k: Int, w: Int, minShared: Long): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    fingerprintsNative(newDocs, idCol, textCol, k, w)
+      .select(col("fp"), col("doc_id").as("new_id"))
+      .join(storedPostings.select(col("fp"), col("doc_id").as("corpus_id")), "fp")
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Document pairs sharing ≥ `minShared` winnowing fingerprints, with
    * the shared count and each side's fingerprint-set size (for a
    * containment/overlap readout). `maxDocFreq` drops corpus-wide

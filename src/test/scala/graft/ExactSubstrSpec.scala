@@ -1,0 +1,123 @@
+package graft
+
+import graft.pipeline.ExactSubstr
+import org.apache.spark.sql.functions._
+
+/** Conformance for anchor-based exact-substring dedup (the ExactSubstr
+  * class of Lee et al. 2022, bucketed-anchor + extension form). */
+class ExactSubstrSpec extends SparkTestBase {
+  private val s = spark
+  import s.implicits._
+
+  test("a planted shared substring is found at its exact positions and maximal length") {
+    // 50 chars with no repeated 8-gram (a periodic plant would add
+    // genuine cross-occurrence spans)
+    val shared = "QWJXZVKPYGHMBTFDNRLSCUAEI0123456789qwertyuioplkjhg"
+    val docs = Seq(
+      (1L, s"aaaabbbbcc${shared}ddddeeee"),
+      (2L, s"ffff${shared}gggghhhhiiiijjjj")).toDF("doc_id", "text")
+    val spans = ExactSubstr.sharedSpans(docs, "doc_id", "text",
+      k = 8, stride = 2, minLen = 20, maxDocFreq = 4, maxOccPerDoc = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.length === 1, s"expected exactly the planted span, got ${spans.toSeq}")
+    // 1-based: doc 1 starts the span at 11, doc 2 at 5; maximal = 50
+    assert(spans.head === ((1L, 2L, 11L, 5L, 50L)))
+  }
+
+  test("spans shorter than minLen are dropped; disjoint texts emit nothing") {
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKLMNOP-one-xxxxxxxxxxxxxxxxxxxx"),
+      (2L, "ABCDEFGHIJKLMNOP-two-yyyyyyyyyyyyyyyyyyyy"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    // docs 1/2 share exactly 21 chars ("ABCDEFGHIJKLMNOP-" + "on"? no —
+    // they diverge at "one"/"two", sharing "ABCDEFGHIJKLMNOP-" = 17)
+    // maxOccPerDoc = 32: the xxxx/yyyy/zzzz filler is itself a repeated
+    // gram (stride 1 samples all of them), which is exactly what the
+    // loud guard counts — room for the filler, tripping is GuardTripSpec's
+    // job
+    val spans = ExactSubstr.sharedSpans(docs, "doc_id", "text",
+      k = 8, stride = 1, minLen = 30, maxDocFreq = 4, maxOccPerDoc = 32)
+    assert(spans.count() === 0)
+    val loose = ExactSubstr.sharedSpans(docs, "doc_id", "text",
+      k = 8, stride = 1, minLen = 10, maxDocFreq = 4, maxOccPerDoc = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(loose.toSeq === Seq((1L, 2L, 17L)))
+  }
+
+  test("randomized differential: spans match a local quadratic reference on 25 random docs") {
+    val rnd = new scala.util.Random(5150L)
+    val k = 6; val stride = 2; val minLen = 12
+    // 4-char alphabet + planted cross-copies: dense accidental repeats
+    val base = (1L to 25L).map { i =>
+      (i, (1 to (30 + rnd.nextInt(50))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    }
+    val docs = base ++ base.take(5).map { case (i, t) =>
+      (i + 100L, "xx" + t.substring(5, math.min(t.length, 35)) + "yy")
+    }
+    // high maxDocFreq/maxOccPerDoc: the reference below has no guards,
+    // so the pipeline must not cut anything for the comparison to hold
+    val got = ExactSubstr.sharedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k, stride, minLen, maxDocFreq = 1000, maxOccPerDoc = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // local reference: all maximal shared runs >= minLen whose diagonal
+    // holds at least one sampled anchor (the same md5-56 % stride rule)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h56(s: String): Long = {
+      val d = mdig.digest(s.getBytes("UTF-8"))
+      (0 until 7).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xffL))
+    }
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    for (((i1, t1), x) <- docs.zipWithIndex; (i2, t2) <- docs.drop(x + 1)) {
+      val (idA, tA, idB, tB) = if (i1 < i2) (i1, t1, i2, t2) else (i2, t2, i1, t1)
+      for (p1 <- 0 until tA.length; p2 <- 0 until tB.length
+           if tA(p1) == tB(p2) &&
+             (p1 == 0 || p2 == 0 || tA(p1 - 1) != tB(p2 - 1))) {
+        // maximal run starting here on this diagonal
+        var len = 0
+        while (p1 + len < tA.length && p2 + len < tB.length &&
+          tA(p1 + len) == tB(p2 + len)) len += 1
+        if (len >= minLen) {
+          // anchored iff some sampled k-gram lies fully inside the run
+          val anchored = (0 to len - k).exists { o =>
+            h56(tA.substring(p1 + o, p1 + o + k)) % stride == 0
+          }
+          if (anchored)
+            expected += ((idA, idB, p1 + 1L, p2 + 1L, len.toLong))
+        }
+      }
+    }
+    assert(got === expected.toSet,
+      s"missing=${(expected.toSet -- got).take(5)} extra=${(got -- expected.toSet).take(5)}")
+  }
+
+  test("hash-collision anchors cannot fabricate spans: every reported span verifies char-for-char") {
+    val rnd = new scala.util.Random(2112L)
+    val docs = (1L to 12L).map { i =>
+      (i, (1 to 60).map(_ => "ab"(rnd.nextInt(2))).mkString)
+    }.toDF("doc_id", "text")
+    val txt = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ExactSubstr.sharedSpans(docs, "doc_id", "text",
+        k = 4, stride = 1, minLen = 8, maxDocFreq = 100, maxOccPerDoc = 10000)
+      .collect().foreach { r =>
+        val (id1, id2, s1, s2, len) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val a = txt(id1).substring(s1.toInt - 1, s1.toInt - 1 + len.toInt)
+        val b = txt(id2).substring(s2.toInt - 1, s2.toInt - 1 + len.toInt)
+        assert(a === b, s"span ($id1,$id2,$s1,$s2,$len) does not verify")
+      }
+  }
+
+  test("supplementary-plane text: positions and extension count code points, not UTF-16 units") {
+    val emoji = "😀" // U+1F600, one code point, two UTF-16 units
+    val sharedRun = s"${emoji}ZQXJVKWP${emoji}ZQXJVKWP"
+    val docs = Seq(
+      (1L, s"abc$sharedRun"),
+      (2L, s"defgh$sharedRun")).toDF("doc_id", "text")
+    val spans = ExactSubstr.sharedSpans(docs, "doc_id", "text",
+        k = 5, stride = 1, minLen = 10, maxDocFreq = 4, maxOccPerDoc = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // code-point positions: doc 1 run starts at 4, doc 2 at 6; len = 18
+    assert(spans.toSeq === Seq((1L, 2L, 4L, 6L, 18L)))
+  }
+}

@@ -182,6 +182,57 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("coreness differential: peel and h-index agree with a local reference on random graphs") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(777L)
+    for ((n, m) <- Seq((25, 40), (35, 140), (20, 150))) {
+      val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+      while (edgeSet.size < m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a != b) edgeSet += ((math.min(a, b), math.max(a, b)))
+      }
+      // local reference: min-degree peel with per-node removal level
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      edgeSet.foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      var nodes = adj.keySet.toSet
+      var k = 2L
+      while (nodes.nonEmpty) {
+        val peelable = nodes.filter(u => (adj(u) & nodes).size < k)
+        if (peelable.isEmpty) k += 1
+        else {
+          peelable.foreach(u => expected(u) = k - 1)
+          nodes = nodes -- peelable
+        }
+      }
+      val df = edgeSet.toSeq.toDF("a", "b")
+      val viaPeel = graft.pipeline.Graph.coreness(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaH = graft.pipeline.Graph.corenessHIndex(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaPeel === expected.toMap, s"(n=$n m=$m) peel mismatch")
+      assert(viaH === expected.toMap, s"(n=$n m=$m) h-index mismatch")
+    }
+  }
+
+  test("coreness: hand example — K4 with a pendant tail decomposes into shells") {
+    val s2 = spark
+    import s2.implicits._
+    // K4 on 1-4 (coreness 3), tail 4-5-6 (coreness 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val expected = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L)
+    assert(graft.pipeline.Graph.coreness(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    assert(graft.pipeline.Graph.corenessHIndex(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+  }
+
   test("personalizedPageRank differential: random graph matches a local reference") {
     val s2 = spark
     import s2.implicits._

@@ -270,6 +270,59 @@ class GuardTripSpec extends SparkTestBase {
     assert(graft.pipeline.Graph.kCore(chain, "a", "b", k = 2).count() === 0)
   }
 
+  test("exactSubstr maxOccPerDoc: a doc of repeated boilerplate fails with the quadratic message") {
+    val s = spark
+    import s.implicits._
+    // 200 repeated chars: every sampled 8-gram recurs ~190x within one
+    // doc (stride 1 samples all positions) — the o² pair explosion the
+    // guard exists for
+    val docs = Seq((1L, "x" * 200), (2L, "x" * 200 + "tail"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.pipeline.ExactSubstr.sharedSpans(docs, "doc_id", "text",
+        k = 8, stride = 1, minLen = 20, maxDocFreq = 10, maxOccPerDoc = 16)
+        .count()
+    }
+    assert(e.getMessage.contains("maxOccPerDoc") &&
+      e.getMessage.contains("quadratic"), e.getMessage)
+    // with headroom the identical corpus runs and reports the 200-char run
+    val ok = graft.pipeline.ExactSubstr.sharedSpans(docs, "doc_id", "text",
+      k = 8, stride = 1, minLen = 20, maxDocFreq = 10, maxOccPerDoc = 1000)
+    assert(ok.count() >= 1)
+  }
+
+  test("coreness maxK: a clique denser than the level budget fails naming the remedy") {
+    val s = spark
+    import s.implicits._
+    // K8 clique -> coreness 7 everywhere; maxK = 3 must trip at level 4
+    val clique = (for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j))
+      .toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Graph.coreness(clique, "a", "b", maxK = 3)
+    }
+    assert(e.getMessage.contains("maxK") && e.getMessage.contains("clique"),
+      e.getMessage)
+    // with headroom: everyone lands at coreness 7
+    val c = graft.pipeline.Graph.coreness(clique, "a", "b")
+      .collect().map(_.getLong(1)).toSet
+    assert(c === Set(7L))
+  }
+
+  test("corenessHIndex maxIters: a long path propagates one hop per round and trips a tight budget") {
+    val s = spark
+    import s.implicits._
+    val path = (1L to 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Graph.corenessHIndex(path, "a", "b", maxIters = 3)
+    }
+    assert(e.getMessage.contains("maxIters") &&
+      e.getMessage.contains("propagation"), e.getMessage)
+    // with headroom: a path is coreness 1 everywhere
+    val c = graft.pipeline.Graph.corenessHIndex(path, "a", "b")
+      .collect().map(_.getLong(1)).toSet
+    assert(c === Set(1L))
+  }
+
   test("logRank: zero null-variance emits null chi2, not NaN/Infinity") {
     val s = spark
     import s.implicits._

@@ -486,6 +486,35 @@ class PlanSpec extends SparkTestBase {
       "cross-corpus screen must stay on the posting equi-join")
   }
 
+  test("winnowing incremental probe: the plan reads ONLY the stored index and the delta, never corpus text") {
+    val s2 = spark
+    import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("winnow_probe_plan").toString
+    val corpus = (1L to 40L).map(i =>
+      (i, s"corpus document $i body " + ("lorem ipsum dolor sit amet " * 4)))
+      .toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(s"$tmp/corpus")
+    (900L to 905L).map(i =>
+      (i, s"delta document $i body " + ("lorem ipsum dolor sit amet " * 4)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/delta")
+    graft.pipeline.Winnowing.fingerprintIndex(
+        spark.read.parquet(s"$tmp/corpus"), "doc_id", "text", k = 8, w = 4,
+        maxDocFreq = 100)
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    spark.catalog.clearCache()
+    val probe = graft.pipeline.Winnowing.pairsAgainstStored(
+      spark.read.parquet(s"$tmp/delta"), "doc_id", "text",
+      spark.read.parquet(s"$tmp/idx"), k = 8, w = 4, minShared = 1)
+    val p = probe.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size === 2, s"expected exactly index+delta scans:\n$p")
+    assert(p.contains("idx") && p.contains("delta"), p)
+    assert(!p.contains("/corpus"), s"probe plan must not rescan corpus text:\n$p")
+    // and the probe actually matches the boilerplate-sharing docs
+    assert(probe.count() > 0)
+  }
+
   test("round-10 graph/fingerprint entries: equi-joins only, windows partitioned") {
     Seq("q_winnow", "q_kcore", "q_trustrank", "q_pipeline_curation5").foreach { n =>
       val p = plan(n)
