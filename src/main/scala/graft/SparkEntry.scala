@@ -409,6 +409,25 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Span-level SCRUB report — the action the exact-substring screen
+    // exists for: per later-side doc, merge its shared spans into
+    // maximal contaminated runs (gaps-and-islands, partitioned by doc)
+    // and report run count + contaminated chars next to the doc length.
+    // ONE plan from anchors to report; the oracle replays the island
+    // merge with the identical running-max window.
+    "q_pipeline_scrub" -> ((s, dir) => {
+      val base = rd(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 15 && length(col("text")) >= 220)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-"), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 31, 160), lit(" :SUFFIX")).as("text"))
+      graft.pipeline.ExactSubstr.contaminationReport(base.unionByName(planted),
+          "doc_id", "text", k = 20, stride = 4, minLen = 100,
+          maxDocFreq = 8, maxOccPerDoc = 16)
+        .orderBy("doc_id")
+    }),
+
     // Curation composition #5: winnowing-survivor corpus report — drop
     // every doc that loses a winnowing match (appears as the higher id
     // of a pair; the first-occurrence-wins rule), then the per-language
@@ -4085,8 +4104,9 @@ object SparkEntry {
         |FROM nfp n JOIN idx i USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
-    "q_dedup_substr" -> dedupSubstrOracleSql(summary = false),
-    "q_dedup_substr_summary" -> dedupSubstrOracleSql(summary = true),
+    "q_dedup_substr" -> dedupSubstrOracleSql("spans"),
+    "q_dedup_substr_summary" -> dedupSubstrOracleSql("summary"),
+    "q_pipeline_scrub" -> dedupSubstrOracleSql("scrub"),
     "q_pipeline_curation5" ->
       """WITH g AS (
         |  SELECT doc_id, i AS pos,
@@ -6280,7 +6300,7 @@ object SparkEntry {
     * maxOccPerDoc guard is identity when it does not trip, so it has no
     * oracle counterpart (same convention as the other assert_true
     * guards). */
-  private def dedupSubstrOracleSql(summary: Boolean): String = {
+  private def dedupSubstrOracleSql(mode: String): String = {
     val spans =
       """WITH base AS MATERIALIZED (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 400),
@@ -6325,15 +6345,41 @@ object SparkEntry {
         |  FROM ct JOIN rext USING (id1, p1, id2, p2)
         |          LEFT JOIN lext USING (id1, p1, id2, p2)
         |  WHERE coalesce(lext.l, 0) + rext.r >= 100)""".stripMargin
-    val tail =
-      if (summary)
+    val tail = mode match {
+      case "summary" =>
         """
           |SELECT id1, id2, max(span_len) AS max_span, CAST(count(*) AS BIGINT) AS n_spans
           |FROM spans GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin
-      else
+      case "scrub" =>
+        // gaps-and-islands over the later-side intervals, the same
+        // running-max window the Spark report uses
+        """,
+          |reg AS MATERIALIZED (
+          |  SELECT DISTINCT id2 AS doc_id, start2 AS s, start2 + span_len AS e FROM spans),
+          |mx AS (
+          |  SELECT doc_id, s, e,
+          |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |  FROM reg),
+          |grp AS (
+          |  SELECT doc_id, s, e,
+          |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+          |  FROM mx),
+          |isl AS (SELECT doc_id, g, min(s) AS rs, max(e) AS re FROM grp GROUP BY 1, 2),
+          |rep AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+          |    CAST(sum(re - rs) AS BIGINT) AS contaminated_chars
+          |  FROM isl GROUP BY 1)
+          |SELECT rep.doc_id, n_runs, contaminated_chars,
+          |  CAST(length(d.text) AS BIGINT) AS doc_len
+          |FROM rep JOIN docs d ON rep.doc_id = d.doc_id
+          |ORDER BY rep.doc_id""".stripMargin
+      case _ =>
         """
           |SELECT id1, id2, start1, start2, span_len FROM spans
           |ORDER BY id1, id2, start1, start2""".stripMargin
+    }
     (spans + tail).replace("\n", " ")
   }
 

@@ -131,4 +131,44 @@ object ExactSubstr {
       .groupBy("id1", "id2")
       .agg(max(col("span_len")).as("max_span"),
         count(lit(1)).as("n_spans"))
+
+  /**
+   * Per-document SCRUB report: for every doc appearing as the LATER
+   * (id2 — keep-first-occurrence) side of a shared span, merge its
+   * span intervals into maximal contaminated runs (classic gaps-and-
+   * islands over [start, start+len): a row opens a new island when its
+   * start clears the running max end; adjacent runs fuse) and emit
+   * (doc_id, n_runs, contaminated_chars, doc_len) — the integers a
+   * span-level scrubber needs to cut quoted regions and re-emit the
+   * remainder, and the corpus-health numbers a mix card reports. All
+   * window work is partitioned by doc (never a global sort); interval
+   * counts per doc are span-guarded upstream.
+   */
+  def contaminationReport(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, stride: Int, minLen: Int,
+                          maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, k, stride, minLen,
+      maxDocFreq, maxOccPerDoc)
+    // distinct: the same contaminated region reached from two different
+    // partner docs is one region
+    val regions = spans.select(col("id2").as("doc_id"), col("start2").as("s"),
+      (col("start2") + col("span_len")).as("e")).distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val runs = regions
+      .withColumn("__new",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("re") - col("rs")).as("contaminated_chars"))
+      .join(df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          length(col(textCol)).cast("long").as("doc_len")), "doc_id")
+      .select("doc_id", "n_runs", "contaminated_chars", "doc_len")
+  }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * 10x scale-up smoke for the guarded pair-join family — the test-scope
+ * twin of Bench's `b13` block (which measures the WALL ratios at sf0.1):
+ * on a 10x id-remapped, per-replica-perturbed corpus, every guarded op
+ * must (a) complete without tripping a guard and (b) produce ~10x the
+ * pair volume — near-linear OUTPUT growth is the structural evidence
+ * that the postings discipline holds (a quadratic path would grow
+ * ~100x; a silently-overcut df guard would grow ~1x).
+ *
+ * Replicas rotate ten letters of the corpus alphabet so each replica
+ * carries its own vocabulary: the dup structure WITHIN a replica is
+ * preserved (the letter map is a bijection, so equal texts stay equal
+ * and shared substrings stay shared), while across replicas almost no
+ * gram collides — 10x volume at the same dup-rate, the realistic
+ * scale-up shape.
+ */
+class ScaleSmokeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsRep(n: Int): DataFrame = {
+    val base = SparkEntry.rd(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val alpha = "etaonrishd"
+    (0 until n).map { r =>
+      val rot = alpha.drop(r % alpha.length) + alpha.take(r % alpha.length)
+      base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        (if (r == 0) col("text")
+         else translate(col("text"), alpha, rot)).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def assertLinear(name: String, rows1: Long, rows10: Long): Unit = {
+    assert(rows1 > 0, s"$name: 1x run found nothing — the smoke tests nothing")
+    // per-replica pair counts vary (hash selections differ under the
+    // letter rotation) and a handful of cross-replica accidental pairs
+    // are possible; 6x-14x brackets "linear", excludes 1x and 100x
+    assert(rows10 >= rows1 * 6 && rows10 <= rows1 * 14,
+      s"$name: pair volume went $rows1 -> $rows10 at 10x corpus " +
+        "(expected ~10x: either a quadratic path or an overcut guard)")
+  }
+
+  test("winnowing matchPairs: 10x corpus, no guard trip, ~10x pairs") {
+    val r1 = graft.pipeline.Winnowing.matchPairs(docsRep(1), "doc_id", "text",
+      k = 24, w = 8, minShared = 5, maxDocFreq = 3).count()
+    val r10 = graft.pipeline.Winnowing.matchPairs(docsRep(10), "doc_id", "text",
+      k = 24, w = 8, minShared = 5, maxDocFreq = 3).count()
+    assertLinear("winnow", r1, r10)
+  }
+
+  test("minhash LSH pairs: 10x corpus, no guard trip, ~10x pairs") {
+    val r1 = graft.pipeline.Dedup.minhashLshPairs(docsRep(1), "doc_id", "text",
+      n = 3, threshold = 0.5).count()
+    val r10 = graft.pipeline.Dedup.minhashLshPairs(docsRep(10), "doc_id", "text",
+      n = 3, threshold = 0.5).count()
+    assertLinear("minhash", r1, r10)
+  }
+
+  test("guarded n-gram Jaccard pairs: 10x corpus, no guard trip, ~10x pairs") {
+    val r1 = graft.pipeline.Dedup.ngramJaccardPairs(docsRep(1), "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = Some(200)).count()
+    val r10 = graft.pipeline.Dedup.ngramJaccardPairs(docsRep(10), "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = Some(200)).count()
+    assertLinear("ngram_guarded", r1, r10)
+  }
+
+  test("tf dot pairs: 10x corpus under a 10x-sized budget, ~10x pairs") {
+    // budgets scale with intended input; both runs get the same raised
+    // budget so the growth comparison stays apples-to-apples
+    val r1 = graft.pipeline.Retrieval.tfDotPairs(docsRep(1), "doc_id", "text",
+      minDot = 300L, maxHeadTokens = 640, maxHeadMadds = 20000000000L,
+      maxTailBroadcastPairs = 200000000L).count()
+    val r10 = graft.pipeline.Retrieval.tfDotPairs(docsRep(10), "doc_id", "text",
+      minDot = 300L, maxHeadTokens = 640, maxHeadMadds = 20000000000L,
+      maxTailBroadcastPairs = 200000000L).count()
+    assertLinear("tf_dot", r1, r10)
+  }
+
+  test("exact-substring spans: 10x corpus, no guard trip, ~10x spans") {
+    def plantAndRun(n: Int): Long = {
+      val d = docsRep(n)
+      val planted = d.filter(col("doc_id") % 10000000L < 15 &&
+          length(col("text")) >= 220)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("P-"), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 31, 160), lit(" :S")).as("text"))
+      graft.pipeline.ExactSubstr.sharedSpans(d.unionByName(planted),
+        "doc_id", "text", k = 20, stride = 4, minLen = 100,
+        maxDocFreq = 8, maxOccPerDoc = 16).count()
+    }
+    assertLinear("exact_substr", plantAndRun(1), plantAndRun(10))
+  }
+
+  test("kCore on 10 disjoint graph replicas: same peel depth, 10x membership") {
+    val li = SparkEntry.rd(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+    def rep(n: Int): DataFrame = (0 until n).map { r =>
+      li.select((col("g") + lit(r * 100000000L)).as("g"),
+        (col("i") + lit(r * 100000000L)).as("i"))
+    }.reduce(_ unionByName _)
+    def core(n: Int): Long = graft.pipeline.Graph.kCore(
+      graft.pipeline.Graph.cooccurrenceEdges(rep(n), "g", "i"),
+      "a", "b", k = 12).count()
+    val c1 = core(1)
+    // id-remapped replicas are EXACT graph copies: the 12-core is
+    // precisely 10 copies of the base 12-core, and the peel depth (a
+    // per-replica property) cannot grow with replica count
+    assert(core(10) === c1 * 10)
+  }
+}
