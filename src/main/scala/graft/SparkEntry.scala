@@ -409,6 +409,35 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Incremental exact-substring probe — the third leg of the
+    // incremental-index family (MinHash bands, winnowing postings, now
+    // anchor postings): the corpus anchor pass (the expensive per-char
+    // md5 sampling) runs ONCE at index build; the nightly probe anchors
+    // only the delta, joins the stored postings, and touches corpus
+    // text solely through the id-keyed extension join for matched
+    // candidates. Planted splices of corpus docs 0-14 arrive in the
+    // delta and must surface with exact span positions.
+    "q_dedup_substr_incr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus
+          .filter(col("doc_id") < 15 && length(col("text")) >= 220)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("PREFIX-"), col("doc_id").cast("string"), lit(": "),
+              substring(col("text"), 31, 160), lit(" :SUFFIX")).as("text")))
+      val tmpIdx = scratch("substr_idx")
+      graft.pipeline.ExactSubstr.anchorIndex(corpus, "doc_id", "text",
+          k = 20, stride = 4, maxDocFreq = 8, maxOccPerDoc = 16)
+        .write.mode("overwrite").parquet(tmpIdx)
+      graft.pipeline.ExactSubstr.spansAgainstStored(delta, "doc_id", "text",
+          corpus, s.read.parquet(tmpIdx), k = 20, stride = 4, minLen = 100,
+          maxDocFreq = 8, maxOccPerDoc = 16)
+        .orderBy("new_id", "corpus_id", "start_new", "start_corpus")
+    }),
+
     // Span-level SCRUB report — the action the exact-substring screen
     // exists for: per later-side doc, merge its shared spans into
     // maximal contaminated runs (gaps-and-islands, partitioned by doc)
@@ -3069,11 +3098,17 @@ object SparkEntry {
           .otherwise(col("c_mktsegment")).as("r_seg"),
         when(col("c_custkey") % 3 === 0, col("c_acctbal") + 500.0)
           .otherwise(col("c_acctbal")).as("r_bal"))
+      // project to ids + agreement flags BEFORE score: the scored frame
+      // is persisted across two passes, and the raw pair columns
+      // (names, segments, balances) are dead weight once the agree_*
+      // flags exist — the persist holds 6 scalars/row instead of 9
+      // (Σblock² rows make per-row width the bill)
       val pairs = Linkage.blockedPairs(left, right, Seq("c_nationkey"), Seq(
           "name" -> Linkage.fieldEq("l_name", "r_name"),
           "seg" -> Linkage.fieldEq("l_seg", "r_seg"),
           "bal" -> (floor(col("l_bal") / 1000) === floor(col("r_bal") / 1000))))
         .withColumn("is_match", col("l_id") === col("r_id"))
+        .select("l_id", "r_id", "agree_name", "agree_seg", "agree_bal", "is_match")
       Linkage.score(pairs, Seq("name", "seg", "bal"), "is_match")
         .filter(col("score") >= 2.0)
         .select(col("l_id"), col("r_id"), col("score"), col("is_match"))
@@ -4106,6 +4141,7 @@ object SparkEntry {
         |ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
     "q_dedup_substr" -> dedupSubstrOracleSql("spans"),
     "q_dedup_substr_summary" -> dedupSubstrOracleSql("summary"),
+    "q_dedup_substr_incr" -> dedupSubstrIncrOracleSql,
     "q_pipeline_scrub" -> dedupSubstrOracleSql("scrub"),
     "q_pipeline_curation5" ->
       """WITH g AS (
@@ -6382,6 +6418,62 @@ object SparkEntry {
     }
     (spans + tail).replace("\n", " ")
   }
+
+  /** DuckDB replay of the INCREMENTAL exact-substring probe
+    * (q_dedup_substr_incr): corpus anchor postings with the df cut
+    * (the stored index), delta anchors with no df cut, the two-sided
+    * bucket join, and the same lateral extension walks keyed on
+    * (new_id, pn, corpus_id, pc). */
+  private def dedupSubstrIncrOracleSql: String =
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+      |delta AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id >= 250 AND doc_id < 400 AND text IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    concat('PREFIX-', CAST(doc_id AS VARCHAR), ': ',
+      |           substr(text, 31, 160), ' :SUFFIX') AS text
+      |  FROM corpus WHERE doc_id < 15 AND length(text) >= 220),
+      |ca AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS g
+      |  FROM corpus, unnest(range(1, length(text) - 18)) r(i)
+      |  WHERE CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 20)), 1, 14)) AS BIGINT) % 4 = 0),
+      |rare AS MATERIALIZED (
+      |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM ca GROUP BY 1) WHERE df <= 8),
+      |idx AS MATERIALIZED (SELECT ca.g, ca.doc_id, ca.pos FROM ca JOIN rare USING (g)),
+      |da AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS g
+      |  FROM delta, unnest(range(1, length(text) - 18)) r(i)
+      |  WHERE CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 20)), 1, 14)) AS BIGINT) % 4 = 0),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT d.doc_id AS new_id, d.pos AS pn, i.doc_id AS corpus_id, i.pos AS pc
+      |  FROM da d JOIN idx i USING (g)),
+      |ct AS MATERIALIZED (
+      |  SELECT cand.*, dn.text AS t1, dc.text AS t2,
+      |    least(length(dn.text) - pn + 1, length(dc.text) - pc + 1) AS maxr,
+      |    least(pn, pc) - 1 AS maxl
+      |  FROM cand JOIN delta dn ON cand.new_id = dn.doc_id
+      |            JOIN corpus dc ON cand.corpus_id = dc.doc_id),
+      |rext AS MATERIALIZED (
+      |  SELECT new_id, pn, corpus_id, pc,
+      |    coalesce(min(CASE WHEN substr(t1, CAST(pn + j AS INT), 1) <> substr(t2, CAST(pc + j AS INT), 1) THEN j END), maxr) AS r
+      |  FROM ct, unnest(range(0, maxr)) u(j)
+      |  GROUP BY new_id, pn, corpus_id, pc, maxr),
+      |lext AS MATERIALIZED (
+      |  SELECT new_id, pn, corpus_id, pc,
+      |    coalesce(min(CASE WHEN substr(t1, CAST(pn - j AS INT), 1) <> substr(t2, CAST(pc - j AS INT), 1) THEN j END) - 1, maxl) AS l
+      |  FROM ct, unnest(range(1, maxl + 1)) u(j)
+      |  GROUP BY new_id, pn, corpus_id, pc, maxl)
+      |SELECT DISTINCT ct.new_id, ct.corpus_id,
+      |  ct.pn - coalesce(lext.l, 0) AS start_new,
+      |  ct.pc - coalesce(lext.l, 0) AS start_corpus,
+      |  coalesce(lext.l, 0) + rext.r AS span_len
+      |FROM ct JOIN rext USING (new_id, pn, corpus_id, pc)
+      |        LEFT JOIN lext USING (new_id, pn, corpus_id, pc)
+      |WHERE coalesce(lext.l, 0) + rext.r >= 100
+      |ORDER BY new_id, corpus_id, start_new, start_corpus""".stripMargin
+      .replace("\n", " ")
 
   /** [[bpeOracleSql]] at production merge counts: a parameterized
     * corpus, every stage CTE MATERIALIZED (DuckDB otherwise inlines the

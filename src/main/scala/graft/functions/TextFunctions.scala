@@ -141,19 +141,49 @@ object TextFunctionHelpers {
     * relational `length >= k + w - 1` filter; no short-text global-min
     * special case, unlike the word-level [[winnowFingerprint]]). Grams
     * slice by CHARACTER (`substringSQL`), matching SQL substring. */
+  /** Byte start offset of every code point of `text` (plus the end
+    * offset), so k-gram hashing can digest byte slices in place instead
+    * of allocating a UTF8String + byte copy per gram — the md5 values
+    * are identical (same UTF-8 bytes), the allocations are gone. */
+  private def codePointByteOffsets(bytes: Array[Byte], numChars: Int): Array[Int] = {
+    val offs = new Array[Int](numChars + 1)
+    var o = 0
+    var c = 0
+    while (c < numChars) {
+      offs(c) = o
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+      c += 1
+    }
+    offs(numChars) = o
+    offs
+  }
+
+  /** md5-56 (first 7 digest bytes big-endian as non-negative BIGINT) of
+    * the byte slice [from, until) — shared by the winnowing and anchor
+    * samplers; `buf` is the caller's reusable 16-byte digest buffer. */
+  private def md5Prefix56(md: java.security.MessageDigest, bytes: Array[Byte],
+                          from: Int, until: Int, buf: Array[Byte]): Long = {
+    md.update(bytes, from, until - from)
+    md.digest(buf, 0, 16)
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (buf(b) & 0xffL); b += 1 }
+    h
+  }
+
   def winnowMd5Fingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
     if (text == null) return Empty
-    val nGrams = text.numChars() - k + 1
+    val numChars = text.numChars()
+    val nGrams = numChars - k + 1
     if (nGrams < w) return Empty
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
+    val bytes = text.getBytes
+    val offs = codePointByteOffsets(bytes, numChars)
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      hashes(i) = h
+      hashes(i) = md5Prefix56(md, bytes, offs(i), offs(i + k), buf)
       i += 1
     }
     val out = new LinkedHashSet[java.lang.Long]()
@@ -247,17 +277,18 @@ object TextFunctionHelpers {
     * 1/stride. NULL or shorter-than-k text → empty array. */
   def modAnchorPositions(text: UTF8String, k: Int, stride: Int): ArrayData = {
     if (text == null) return Empty
-    val nGrams = text.numChars() - k + 1
+    val numChars = text.numChars()
+    val nGrams = numChars - k + 1
     if (nGrams <= 0) return Empty
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
+    val bytes = text.getBytes
+    val offs = codePointByteOffsets(bytes, numChars)
     val out = new java.util.ArrayList[java.lang.Long]()
     var i = 0
     while (i < nGrams) {
-      val d = md.digest(text.substringSQL(i + 1, k).getBytes)
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      if (h % stride == 0) out.add(java.lang.Long.valueOf((i + 1).toLong))
+      if (md5Prefix56(md, bytes, offs(i), offs(i + k), buf) % stride == 0)
+        out.add(java.lang.Long.valueOf((i + 1).toLong))
       i += 1
     }
     if (out.isEmpty) Empty

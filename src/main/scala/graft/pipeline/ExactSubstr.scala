@@ -60,6 +60,24 @@ object ExactSubstr {
         col("__t").substr(col("pos").cast("int"), lit(k)).as("g"))
   }
 
+  /** [[anchors]] plus the LOUD within-doc occurrence guard: a doc
+    * repeating one anchor gram o times contributes o² candidate pairs
+    * per partner, so at `maxOccPerDoc` the job fails with the remedy
+    * instead of silently exploding. Expects (doc_id, __t) input. */
+  private def guardedAnchors(docs: DataFrame, k: Int, stride: Int,
+                             maxOccPerDoc: Int): DataFrame = {
+    val byDocG = Window.partitionBy("doc_id", "g")
+    anchors(docs, "doc_id", "__t", k, stride)
+      .withColumn("__occ", count(lit(1)).over(byDocG))
+      .filter(assert_true(col("__occ") <= maxOccPerDoc,
+        concat(lit("exactSubstr: doc "), col("doc_id"),
+          lit(" repeats one anchor gram "), col("__occ"),
+          lit(s" times > maxOccPerDoc=$maxOccPerDoc — within-doc " +
+            "repetition multiplies candidate pairs quadratically; raise " +
+            "the cap or strip the repeated boilerplate upstream"))).isNull)
+      .drop("__occ")
+  }
+
   /**
    * All maximal shared substrings of length ≥ `minLen` between distinct
    * documents: (id1, id2, start1, start2, span_len), id1 < id2,
@@ -77,24 +95,11 @@ object ExactSubstr {
     require(maxOccPerDoc >= 1, "exactSubstr: maxOccPerDoc must be >= 1")
     val docs = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-    val anch = anchors(docs, "doc_id", "__t", k, stride)
-    // LOUD within-doc guard: a doc repeating one anchor gram o times
-    // contributes o² candidate pairs per partner — at maxOccPerDoc the
-    // job fails with the remedy instead of silently exploding
-    val byDocG = Window.partitionBy("doc_id", "g")
     // persisted: the df guard and BOTH posting sides consume this frame,
     // and the recompute is the whole anchor pass (per-char md5 sampling +
     // a window) — the double-execution class. Spillable; same caller
     // clearCache contract as Winnowing.matchPairs.
-    val guarded = anch
-      .withColumn("__occ", count(lit(1)).over(byDocG))
-      .filter(assert_true(col("__occ") <= maxOccPerDoc,
-        concat(lit("exactSubstr: doc "), col("doc_id"),
-          lit(" repeats one anchor gram "), col("__occ"),
-          lit(s" times > maxOccPerDoc=$maxOccPerDoc — within-doc " +
-            "repetition multiplies candidate pairs quadratically; raise " +
-            "the cap or strip the repeated boilerplate upstream"))).isNull)
-      .drop("__occ")
+    val guarded = guardedAnchors(docs, k, stride, maxOccPerDoc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // silent boilerplate cut: anchors present in > maxDocFreq documents
     // are corpus-wide noise (same policy as the n-gram/winnowing postings)
@@ -131,6 +136,71 @@ object ExactSubstr {
       .groupBy("id1", "id2")
       .agg(max(col("span_len")).as("max_span"),
         count(lit(1)).as("n_spans"))
+
+  /**
+   * Build-once anchor index: the guarded rare anchor postings
+   * (g, doc_id, pos) — df cut and the loud within-doc occurrence guard
+   * baked in at build time. Write to parquet when the corpus is built;
+   * per release, [[spansAgainstStored]] probes it with just the delta.
+   * The expensive O(len) md5 anchor pass over corpus text runs ONCE, at
+   * build time.
+   */
+  def anchorIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  k: Int, stride: Int,
+                  maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    require(maxOccPerDoc >= 1, "maxOccPerDoc must be >= 1")
+    val docs = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    // persisted across the df guard + posting projection (the one-shot
+    // index build); spillable, caller clearCache contract as elsewhere
+    val guarded = guardedAnchors(docs, k, stride, maxOccPerDoc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = guarded.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("g")
+    guarded.join(rare, "g").select("g", "doc_id", "pos")
+  }
+
+  /**
+   * Incremental exact-substring probe against a STORED anchor index:
+   * (new_id, corpus_id, start_new, start_corpus, span_len) for every
+   * maximal shared run ≥ `minLen` between a delta document and an
+   * indexed corpus document. The corpus's anchor pass is never re-run —
+   * the plan reads the index plus the delta, and touches corpus TEXT
+   * only through an id-keyed join for the matched candidates' extension
+   * step (at scale that join drives row-group pruning on the text
+   * table; the md5 sampling pass, the expensive part, is index-build
+   * work). Strictly two-sided: delta docs never pair with each other —
+   * run [[sharedSpans]] over the delta for that.
+   */
+  def spansAgainstStored(newDocs: DataFrame, idCol: String, textCol: String,
+                         corpusText: DataFrame, storedAnchors: DataFrame,
+                         k: Int, stride: Int, minLen: Int,
+                         maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= the anchor gram k ($k)")
+    val delta = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    val cand = guardedAnchors(delta, k, stride, maxOccPerDoc)
+      .select(col("g"), col("doc_id").as("new_id"), col("pos").as("pn"))
+      .join(storedAnchors
+        .select(col("g"), col("doc_id").as("corpus_id"), col("pos").as("pc")), "g")
+      .select("new_id", "pn", "corpus_id", "pc").distinct()
+    val ct = corpusText.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
+    cand
+      .join(delta.select(col("doc_id").as("new_id"), col("__t").as("__tn")), "new_id")
+      .join(ct, "corpus_id")
+      .withColumn("__ext", graft.functions.TextFunctions.commonExtension(
+        col("__tn"), col("pn"), col("__tc"), col("pc")))
+      .select(col("new_id"), col("corpus_id"),
+        (col("pn") - col("__ext")(0)).as("start_new"),
+        (col("pc") - col("__ext")(0)).as("start_corpus"),
+        (col("__ext")(0) + col("__ext")(1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .distinct()
+  }
 
   /**
    * Per-document SCRUB report: for every doc appearing as the LATER

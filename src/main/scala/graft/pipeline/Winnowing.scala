@@ -118,11 +118,15 @@ object Winnowing {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     require(minNovelFrac > 0 && minNovelFrac <= 1,
       s"minNovelFrac must be in (0, 1], got $minNovelFrac")
+    // no size(__fps) > 0 filter: exploding an empty array emits no rows,
+    // so short docs are omitted anyway — and the filter predicate gets
+    // pushed below the projection where it RE-EVALUATES the whole
+    // O(len·w) winnow expression per row (the r11 plan audit measured
+    // the pass twice per branch from exactly this)
     val fps = stream
       .filter(col(textCol).isNotNull)
       .withColumn("__fps", graft.functions.TextFunctions.winnowMd5Fingerprint(
         col(textCol), k, w))
-      .filter(size(col("__fps")) > 0)
       .withColumn("__nfp", size(col("__fps")).cast("long"))
       .withColumn("__fp", explode(col("__fps")))
     eventTimeCol match {

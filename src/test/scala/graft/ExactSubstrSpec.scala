@@ -108,6 +108,24 @@ class ExactSubstrSpec extends SparkTestBase {
       }
   }
 
+  test("multibyte gram hashing: native byte-slice md5 equals the relational substring md5") {
+    // pins the zero-copy byte-offset walk in the helpers: grams sliced at
+    // code-point boundaries over 1-4 byte chars must digest the same
+    // bytes Spark's substring produces
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "añб😀x" * 12), // 1-, 2-, 2-, 4-byte chars interleaved
+      (2L, "日本語テキストの重複検出は文字単位で動く" * 3)).toDF("doc_id", "text")
+    val native = graft.pipeline.Winnowing
+      .fingerprintsNative(docs, "doc_id", "text", k = 5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val relational = graft.pipeline.Winnowing
+      .fingerprints(docs, "doc_id", "text", k = 5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === relational)
+  }
+
   test("supplementary-plane text: positions and extension count code points, not UTF-16 units") {
     val emoji = "😀" // U+1F600, one code point, two UTF-16 units
     val sharedRun = s"${emoji}ZQXJVKWP${emoji}ZQXJVKWP"

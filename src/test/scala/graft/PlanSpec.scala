@@ -515,6 +515,18 @@ class PlanSpec extends SparkTestBase {
     assert(probe.count() > 0)
   }
 
+  test("incremental exact-substr probe: the md5 anchor pass runs ONLY on the delta side") {
+    val p = plan("q_dedup_substr_incr")
+    val anchorPasses = "mod_anchor_positions".r.findAllIn(p).size
+    // corpus anchors come from the stored index; corpus text appears only
+    // in the id-keyed extension join. A second anchor pass means the
+    // probe is re-sampling the corpus — the exact cost the index exists
+    // to avoid.
+    assert(anchorPasses === 1,
+      s"expected one (delta-side) anchor pass, found $anchorPasses:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("round-10 graph/fingerprint entries: equi-joins only, windows partitioned") {
     Seq("q_winnow", "q_kcore", "q_trustrank", "q_pipeline_curation5").foreach { n =>
       val p = plan(n)
