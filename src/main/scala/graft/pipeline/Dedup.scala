@@ -115,6 +115,18 @@ object Dedup {
   private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("grams"))
 
+  /** Cheap pushdown-safe precondition equivalent to "the native text
+    * signature is non-null": the signature expressions return null
+    * exactly when the text is null or holds fewer than `n`
+    * space-separated tokens. Filtering on the signature COLUMN instead
+    * gets pushed below its projection and re-evaluates the whole
+    * expensive expression per row (filter + project are separate codegen
+    * operators — no cross-operator subexpression elimination; the r11
+    * winnow audit measured the full pass twice from exactly this). This
+    * predicate re-evaluates only the tokenization. */
+  private def hasTokens(textCol: String, n: Int) =
+    col(textCol).isNotNull && size(split(col(textCol), " ")) >= n
+
   /** The persistable verify-side artifact for [[lshPairsAgainstStored]]:
     * (doc_id, grams) shingle sets as a parquet-writable frame. Stored
     * NEXT TO the band index, it makes incremental near-dup fully
@@ -317,8 +329,9 @@ object Dedup {
    * reference. Hash family = Murmur3 of (shingle, seed i).
    */
   private[graft] def minhashSignatures(gs: DataFrame, numHashes: Int): DataFrame = {
-    val exploded = gs.filter(size(col("grams")) > 0)
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+    // no size > 0 filter: exploding an empty array emits nothing, and the
+    // pushed-down predicate would re-run the shingling per row
+    val exploded = gs.select(col("doc_id"), explode(col("grams")).as("g"))
     val sigCols = (0 until numHashes).map(i => min(hash(col("g"), lit(i))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
@@ -392,10 +405,10 @@ object Dedup {
   def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
-    val sigs = df.select(col(idCol).as("doc_id"),
+    val sigs = df.filter(hasTokens(textCol, n))
+      .select(col(idCol).as("doc_id"),
         graft.functions.TextFunctions.minhashSignature(col(textCol), n, numHashes)
           .as("__sig"))
-      .filter(col("__sig").isNotNull)
     val numBands = numHashes / bandRows
     val bandStructs = (0 until numBands).map { b =>
       val cols = (b * bandRows until (b + 1) * bandRows)
@@ -623,9 +636,9 @@ object Dedup {
     * form's pre-explode filter. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    df.select(col(idCol).as("doc_id"),
+    df.filter(hasTokens(textCol, n))
+      .select(col(idCol).as("doc_id"),
         graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
-      .filter(col("simhash").isNotNull)
   }
 
   /** The explode + groupBy(doc) + 64-conditional-sum form of
@@ -634,8 +647,7 @@ object Dedup {
   private[graft] def simhashSignaturesAgg(df: DataFrame, idCol: String,
                                           textCol: String, n: Int): DataFrame = {
     val gs = gramSets(df, idCol, textCol, n)
-    val ex = gs.filter(size(col("grams")) > 0)
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+    val ex = gs.select(col("doc_id"), explode(col("grams")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
@@ -766,11 +778,14 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = stream.withColumn("__sig",
-      graft.functions.TextFunctions.simhash64(col(textCol), n))
-    // docs too short for a signature (null) are omitted — they carry no
-    // near-dup signal; union them back downstream if they should survive
-    val withBands = sig.filter(col("__sig").isNotNull)
+    // docs too short for a signature are omitted — they carry no
+    // near-dup signal; union them back downstream if they should survive.
+    // Token-count pre-filter, not isNotNull on the signature column: the
+    // pushed-down predicate re-runs simhash64 per row.
+    val sig = stream.filter(hasTokens(textCol, n))
+      .withColumn("__sig",
+        graft.functions.TextFunctions.simhash64(col(textCol), n))
+    val withBands = sig
       .withColumn("__band", explode(array((0 until bands).map { b =>
         concat(lit(s"$b:"),
           shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit(mask)))
@@ -1038,7 +1053,9 @@ object Dedup {
     // the postings shuffle longs and — unlike the string formulation —
     // the exact-verify intersection below compares longs too, which
     // halves its cost. Same collision argument as pairCounts.
-    val gs = gramSets(df, idCol, textCol, n).filter(size(col("grams")) > 0)
+    // no size > 0 filter (the explode below emits nothing for empties; a
+    // pushed-down size predicate re-runs the shingling per row)
+    val gs = gramSets(df, idCol, textCol, n)
       .select(col("doc_id"),
         transform(col("grams"), g => xxhash64(g)).as("grams"))
     val posts = gs.select(col("doc_id"), size(col("grams")).as("sz"),
