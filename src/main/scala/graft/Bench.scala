@@ -396,7 +396,17 @@ object Bench {
       """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    val history = histAll.filterNot(_._1.startsWith("__"))
+    // floors from a DIFFERENT measurement protocol are not comparable —
+    // an untagged (pre-r11) file is protocol 1 by definition, and using
+    // its luckiest-sample floors is exactly the crying-wolf class the
+    // tag exists to stop. On mismatch: no floors (the watch stays
+    // silent this run) and the refresh below re-seeds the file from
+    // THIS run's values under the current tag.
+    val CurrentProtocol = 2
+    val histProtocol = histAll.getOrElse("__protocol", 1.0).toInt
+    val history =
+      if (histProtocol == CurrentProtocol) histAll.filterNot(_._1.startsWith("__"))
+      else Map.empty[String, Double]
     val watched = results.filter { case (k, v) =>
       v > 0 && k != "b8_stream_tumbling" && !errors.contains(k)
     }
@@ -411,7 +421,7 @@ object Bench {
         .map(best => (k, v, best))
     }.sortBy(-_._2)
     try {
-      val meta = Seq(s""" "__protocol": ${histAll.getOrElse("__protocol", 2.0).toInt}""")
+      val meta = Seq(s""" "__protocol": $CurrentProtocol""")
       val merged = (history.keySet ++ watched.map(_._1)).toSeq.sorted.map { k =>
         val cur = watched.collectFirst { case (`k`, t) => t }
         val prev = history.get(k)

@@ -6442,10 +6442,13 @@ object SparkEntry {
       |rare AS MATERIALIZED (
       |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM ca GROUP BY 1) WHERE df <= 8),
       |idx AS MATERIALIZED (SELECT ca.g, ca.doc_id, ca.pos FROM ca JOIN rare USING (g)),
-      |da AS MATERIALIZED (
+      |da0 AS MATERIALIZED (
       |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS g
       |  FROM delta, unnest(range(1, length(text) - 18)) r(i)
       |  WHERE CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 20)), 1, 14)) AS BIGINT) % 4 = 0),
+      |drare AS MATERIALIZED (
+      |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM da0 GROUP BY 1) WHERE df <= 8),
+      |da AS MATERIALIZED (SELECT da0.* FROM da0 JOIN drare USING (g)),
       |cand AS MATERIALIZED (
       |  SELECT DISTINCT d.doc_id AS new_id, d.pos AS pn, i.doc_id AS corpus_id, i.pos AS pc
       |  FROM da d JOIN idx i USING (g)),

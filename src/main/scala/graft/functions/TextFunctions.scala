@@ -311,16 +311,64 @@ object TextFunctionHelpers {
     * NULL text or out-of-range position → [0, 0]. */
   def commonExtension(t1: UTF8String, p1: Long, t2: UTF8String, p2: Long): ArrayData = {
     if (t1 == null || t2 == null || p1 < 1 || p2 < 1) return ZeroExtension
-    val a = t1.toString.codePoints.toArray
-    val b = t2.toString.codePoints.toArray
-    val i = (p1 - 1).toInt
-    val j = (p2 - 1).toInt
-    if (i >= a.length || j >= b.length) return ZeroExtension
-    var r = 0
-    while (i + r < a.length && j + r < b.length && a(i + r) == b(j + r)) r += 1
-    var l = 0
-    while (i - l - 1 >= 0 && j - l - 1 >= 0 && a(i - l - 1) == b(j - l - 1)) l += 1
-    new GenericArrayData(Array[Any](l.toLong, r.toLong))
+    // in-place UTF-8 byte walk: O(p) positioning + O(span) comparison,
+    // zero allocation — a full decode of both documents per candidate
+    // pair (the toString/codePoints form) costs O(len1+len2) time and
+    // ~8 bytes per char of garbage for spans a few hundred chars long.
+    // UTF-8 is injective, so code points are equal iff their byte runs
+    // are equal (width compared first).
+    val n1 = t1.numBytes
+    val n2 = t2.numBytes
+    def offsetOf(t: UTF8String, nBytes: Int, p: Long): Int = {
+      var o = 0
+      var c = 1L
+      while (c < p && o < nBytes) {
+        o += UTF8String.numBytesForFirstByte(t.getByte(o)); c += 1
+      }
+      if (c == p && o < nBytes) o else -1
+    }
+    val o1 = offsetOf(t1, n1, p1)
+    val o2 = offsetOf(t2, n2, p2)
+    if (o1 < 0 || o2 < 0) return ZeroExtension
+    var r = 0L
+    var i = o1
+    var j = o2
+    var stop = false
+    while (!stop && i < n1 && j < n2) {
+      val w = UTF8String.numBytesForFirstByte(t1.getByte(i))
+      if (w != UTF8String.numBytesForFirstByte(t2.getByte(j)) ||
+          i + w > n1 || j + w > n2) stop = true
+      else {
+        var b = 0
+        while (b < w && t1.getByte(i + b) == t2.getByte(j + b)) b += 1
+        if (b < w) stop = true
+        else { r += 1; i += w; j += w }
+      }
+    }
+    // backward: step to the previous code-point start (skip continuation
+    // bytes 10xxxxxx) on both sides
+    def prevStart(t: UTF8String, o: Int): Int = {
+      var q = o - 1
+      while (q > 0 && (t.getByte(q) & 0xC0) == 0x80) q -= 1
+      q
+    }
+    var l = 0L
+    i = o1
+    j = o2
+    stop = false
+    while (!stop && i > 0 && j > 0) {
+      val pi = prevStart(t1, i)
+      val pj = prevStart(t2, j)
+      val w = i - pi
+      if (w != j - pj) stop = true
+      else {
+        var b = 0
+        while (b < w && t1.getByte(pi + b) == t2.getByte(pj + b)) b += 1
+        if (b < w) stop = true
+        else { l += 1; i = pi; j = pj }
+      }
+    }
+    new GenericArrayData(Array[Any](l, r))
   }
 }
 

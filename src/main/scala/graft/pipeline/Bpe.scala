@@ -64,10 +64,15 @@ object Bpe {
     * distinct emoji and diverging from DuckDB's `string_split(word, '')`
     * (per code point). `substr` over a position sequence is code-point
     * based on UTF8String, so both engines and both trainer paths see the
-    * same alphabet. Callers guarantee length(word) >= 1 (sequence(1, 0)
-    * throws). */
+    * same alphabet. Empty words yield an EMPTY array by construction —
+    * Spark's sequence(1, 0) does NOT throw, it counts down to [1, 0]
+    * (default step −1), which would silently fabricate two empty-string
+    * "code points"; the when() guard below makes the empty case
+    * explicit instead of relying on every call site's filter. */
   private def codepoints(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    when(length(word) >= 1,
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct words with multiplicities — the only corpus-sized pass. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =

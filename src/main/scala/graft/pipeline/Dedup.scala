@@ -678,11 +678,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, maxHamming: Int, bands: Int = 4,
                    maxBucket: Option[Int] = None): DataFrame = {
-    // Unfiltered projection, NOT simhashSignatures: its isNotNull filter
-    // re-evaluates simhash64 per row (filter + project are separate
-    // codegen operators — no cross-operator subexpression elimination).
-    // A null signature (< n tokens) yields null band keys, which the
-    // join's inferred isnotnull(bkey) drops before the shuffle anyway.
+    // Unfiltered projection, NOT simhashSignatures: no pre-filter is
+    // needed at all here — a null signature (< n tokens) yields null
+    // band keys, which the join's inferred isnotnull(bkey) drops before
+    // the shuffle anyway, so adding even the cheap token-count filter
+    // would be pure re-tokenization overhead.
     val sig = df.select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.simhash64(col(textCol), n).as("simhash"))
     // requireFullRecall=false: maxHamming ≥ bands is a documented

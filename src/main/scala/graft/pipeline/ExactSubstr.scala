@@ -182,7 +182,20 @@ object ExactSubstr {
     require(minLen >= k, s"minLen ($minLen) must be >= the anchor gram k ($k)")
     val delta = newDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    // the delta side carries its OWN df cut (the index side's cut was
+    // baked in at build time): a boilerplate anchor present across a
+    // big delta would otherwise join the stored postings unguarded.
+    // Distinct-doc counting rides two chained windows (first-row flag
+    // per (g, doc) summed per g) instead of a groupBy + join-back, so
+    // the expensive anchor pass stays SINGLE-consumer — the probe plan
+    // keeps exactly one delta-side anchor evaluation (PlanSpec pins it).
+    val byGDoc = Window.partitionBy("g", "doc_id").orderBy("pos")
+    val byG = Window.partitionBy("g")
     val cand = guardedAnchors(delta, k, stride, maxOccPerDoc)
+      .withColumn("__first",
+        when(row_number().over(byGDoc) === 1, 1L).otherwise(0L))
+      .withColumn("__df", sum(col("__first")).over(byG))
+      .filter(col("__df") <= maxDocFreq)
       .select(col("g"), col("doc_id").as("new_id"), col("pos").as("pn"))
       .join(storedAnchors
         .select(col("g"), col("doc_id").as("corpus_id"), col("pos").as("pc")), "g")

@@ -174,30 +174,31 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    degrees(peel(e0, k, maxIters)._1, "a", "b")
+    degrees(peel(e0, k, maxIters), "a", "b")
   }
 
   /** Peel a normalized, localCheckpoint'ed (a, b) edge frame at `k` to
-    * the fixpoint: (surviving edge frame, its node set, node count) —
-    * the node set falls out of the fixpoint test for free (at the
-    * stable round, `keep` IS the survivor node set), so callers never
-    * pay a separate nodes-of-edges job. The inner loop of
-    * [[kCore]]/[[coreness]] — one map-side-combined degree aggregate +
-    * two semi-joins per round, survivor COUNT stability as the fixpoint
-    * proof (the node set is monotone decreasing). */
-  private def peel(e0: DataFrame, k: Int,
-                   maxIters: Int): (DataFrame, DataFrame, Long) = {
+    * the fixpoint: the surviving edge frame. The inner loop of
+    * [[kCore]] — one map-side-combined degree aggregate + two
+    * semi-joins per round, survivor COUNT stability as the fixpoint
+    * proof (the node set is monotone decreasing); [[coreness]] fuses
+    * its own variant that shares the degree frame across level
+    * advances. */
+  private def peel(e0: DataFrame, k: Int, maxIters: Int): DataFrame = {
     var e = e0
     var prev = -1L
     var rounds = 0
     while (true) {
+      // LAZY checkpoints: keep.count() is the single scheduled job per
+      // round — it materializes keep AND the previous round's pending e
+      // in one pass (eager checkpoints cost 3 jobs per cascade wave;
+      // lineage still truncates at materialization, so plans stay flat)
       val deg = degrees(e, "a", "b")
       val keep = deg.filter(col("degree") >= k).select("node")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n = keep.count()
-      // monotone set + equal count = fixpoint; at the stable round every
-      // node of e has degree >= k, so keep IS nodes(e)
-      if (n == prev) return (e, keep, n)
+      // monotone set + equal count = fixpoint
+      if (n == prev) return e
       require(rounds < maxIters,
         s"kCore: no fixpoint after $maxIters peel rounds — raise " +
           "maxIters (each round removes every peelable node, so this " +
@@ -205,7 +206,7 @@ object Graph {
       prev = n
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       rounds += 1
     }
     throw new IllegalStateException("unreachable")
@@ -245,7 +246,16 @@ object Graph {
     // aggregate; fusing them halves the shuffle count of the naive
     // peel-per-level loop)
     var deg = degrees(e, "a", "b").localCheckpoint(true)
-    val levels = scala.collection.mutable.Buffer.empty[DataFrame]
+    // accumulated (node, coreness) rows. Folded into an EAGER checkpoint
+    // every few waves: each wave's dropped-set is a lazy anti-join over
+    // that wave's deg frames, and letting ~100 waves' local-checkpoint
+    // blocks stay live until one terminal union widens the
+    // lost-block-fails-the-job window ~100x (localCheckpoint is not
+    // fault-tolerant). The fold costs one tiny job per `foldEvery`
+    // waves and bounds the live window to that many frames.
+    var acc: DataFrame = null
+    var wavesSinceFold = 0
+    val foldEvery = 16
     var k = 2
     var roundsAtK = 0
     var done = false
@@ -287,16 +297,21 @@ object Graph {
           // whichever cascade round it falls in. Dropped = old nodes minus
           // new nodes — NOT `degree < k`: a node can pass the degree
           // filter yet lose its last edge because every neighbor dropped,
-          // and it must still be credited here. Lazy anti-join over two
-          // checkpointed frames, consumed once by the final union.
-          levels += deg.join(newDeg, Seq("node"), "left_anti")
+          // and it must still be credited here.
+          val dropped = deg.join(newDeg, Seq("node"), "left_anti")
             .select(col("node"), lit((k - 1).toLong).as("coreness"))
+          acc = if (acc == null) dropped else acc.unionByName(dropped)
+          wavesSinceFold += 1
+          if (wavesSinceFold >= foldEvery) {
+            acc = acc.localCheckpoint(true)
+            wavesSinceFold = 0
+          }
           deg = newDeg
           roundsAtK += 1
         }
       }
     }
-    levels.reduceOption(_ unionByName _)
+    Option(acc)
       .getOrElse(deg.select(col("node"), lit(0L).as("coreness")).filter(lit(false)))
   }
 
