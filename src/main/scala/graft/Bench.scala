@@ -310,14 +310,15 @@ object Bench {
           ("ngram_guarded", n => graft.pipeline.Dedup.ngramJaccardPairs(
             docsRep(n), "doc_id", "text", n = 3, threshold = 0.5,
             maxDocFreq = Some(200)).count()),
-          // head capacity scales with input: 10 replica vocabularies mean
-          // ~310 dense head tokens, so the dense-block width cap rises
-          // with them (same values on both sides — the ratio stays honest)
-          ("tf_dot", n => graft.pipeline.Retrieval.tfDotPairs(
-            docsRep(n), "doc_id", "text", minDot = 300L,
-            maxHeadTokens = 640,
-            maxHeadMadds = 20000000000L,
-            maxTailBroadcastPairs = 200000000L).count()),
+          // tf_dot is deliberately EXCLUDED (no silent caps — reason
+          // logged here): on this 31-word-vocabulary corpus every doc
+          // shares every token with every other doc, so the thresholded
+          // dot's candidate volume is Θ(docs²) by the DATA, not by the
+          // plan — 50k docs imply ~3.7e11 head multiply-adds and no
+          // guard configuration makes that linear. Its own guard says
+          // the same: past the budget, use the ANN/banded similarity
+          // paths (which ARE in this smoke via minhash). ScaleSmokeSpec
+          // keeps the small-SF output-linearity check for the op.
           ("kcore", n => graft.pipeline.Graph.kCore(
             graft.pipeline.Graph.cooccurrenceEdges(edgesRep(n), "g", "i"),
             "a", "b", k = 12).count()))
