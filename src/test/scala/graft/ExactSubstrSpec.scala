@@ -108,6 +108,44 @@ class ExactSubstrSpec extends SparkTestBase {
       }
   }
 
+  test("commonExtension byte-walk differential: random mixed-width unicode matches a code-point reference") {
+    // the production helper walks UTF-8 bytes in place; pin it against
+    // the obviously-correct decode-to-code-points form over strings
+    // mixing 1-, 2-, 3- and 4-byte characters (incl. supplementary
+    // plane) at every anchor position
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = Array("a", "b", "ñ", "б", "日", "本", "😀", "🚀")
+    val rnd = new scala.util.Random(424242L)
+    def randText(): String =
+      (1 to (5 + rnd.nextInt(40))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def reference(s1: String, p1: Int, s2: String, p2: Int): (Long, Long) = {
+      val a = s1.codePoints.toArray
+      val b = s2.codePoints.toArray
+      val i = p1 - 1
+      val j = p2 - 1
+      if (i >= a.length || j >= b.length) return (0L, 0L)
+      var r = 0
+      while (i + r < a.length && j + r < b.length && a(i + r) == b(j + r)) r += 1
+      var l = 0
+      while (i - l - 1 >= 0 && j - l - 1 >= 0 && a(i - l - 1) == b(j - l - 1)) l += 1
+      (l.toLong, r.toLong)
+    }
+    for (_ <- 1 to 300) {
+      val s1 = randText()
+      val s2 = if (rnd.nextBoolean()) randText()
+        else randText() + s1.substring(0, 1 + rnd.nextInt(s1.length - 1)) + randText()
+      val n1 = s1.codePointCount(0, s1.length)
+      val n2 = s2.codePointCount(0, s2.length)
+      val p1 = 1 + rnd.nextInt(n1 + 1) // may run one past the end
+      val p2 = 1 + rnd.nextInt(n2 + 1)
+      val got = graft.functions.TextFunctionHelpers.commonExtension(
+        UTF8String.fromString(s1), p1.toLong, UTF8String.fromString(s2), p2.toLong)
+      val exp = reference(s1, p1, s2, p2)
+      assert((got.getLong(0), got.getLong(1)) === exp,
+        s"s1=$s1 p1=$p1 s2=$s2 p2=$p2")
+    }
+  }
+
   test("multibyte gram hashing: native byte-slice md5 equals the relational substring md5") {
     // pins the zero-copy byte-offset walk in the helpers: grams sliced at
     // code-point boundaries over 1-4 byte chars must digest the same
