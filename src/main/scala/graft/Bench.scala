@@ -272,9 +272,7 @@ object Bench {
     // stays realistic — a verbatim 10x union would push every
     // fingerprint's df over the boilerplate cut and measure nothing).
     // The graded claim: wall-time growth stays ~linear-with-logs and no
-    // guard trips (tfDotPairs gets its work BUDGET raised identically on
-    // both sides — budgets scale with intended input, they are not
-    // correctness bounds). Single samples, own frames cleared per run;
+    // guard trips. Single samples, own frames cleared per run;
     // kept OUT of the per-entry results so the floors/regression watch
     // never ingest a deliberately-10x run.
     val b13: Seq[(String, Double, Double, Long, Long)] =
@@ -423,8 +421,12 @@ object Bench {
     }.sortBy(-_._2)
     try {
       val meta = Seq(s""" "__protocol": $CurrentProtocol""")
-      val merged = (history.keySet ++ watched.map(_._1)).toSeq.sorted.map { k =>
-        val cur = watched.collectFirst { case (`k`, t) => t }
+      // record EVERY clean timing (incl. b8, which the watch excludes as
+      // a fixed-duration wall) so a protocol-mismatch re-seed never drops
+      // an entry from the file permanently
+      val recordable = results.filter { case (k, v) => v > 0 && !errors.contains(k) }
+      val merged = (history.keySet ++ recordable.map(_._1)).toSeq.sorted.map { k =>
+        val cur = recordable.collectFirst { case (`k`, t) => t }
         val prev = history.get(k)
         val best = (cur.toSeq ++ prev.toSeq).min
         s""" "$k": ${math.rint(best * 1000) / 1000}"""

@@ -6421,9 +6421,10 @@ object SparkEntry {
 
   /** DuckDB replay of the INCREMENTAL exact-substring probe
     * (q_dedup_substr_incr): corpus anchor postings with the df cut
-    * (the stored index), delta anchors with no df cut, the two-sided
-    * bucket join, and the same lateral extension walks keyed on
-    * (new_id, pn, corpus_id, pc). */
+    * (the stored index), delta anchors with their OWN df cut (the
+    * drare CTE — mirrors spansAgainstStored's windowed cut), the
+    * two-sided bucket join, and the same lateral extension walks keyed
+    * on (new_id, pn, corpus_id, pc). */
   private def dedupSubstrIncrOracleSql: String =
     """WITH corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 250 AND text IS NOT NULL),

@@ -68,10 +68,14 @@ object Bpe {
     * Spark's sequence(1, 0) does NOT throw, it counts down to [1, 0]
     * (default step −1), which would silently fabricate two empty-string
     * "code points"; the when() guard below makes the empty case
-    * explicit instead of relying on every call site's filter. */
+    * explicit instead of relying on every call site's filter. NULL
+    * words stay NULL (length(NULL) >= 1 is NULL, which this when()
+    * chain routes to the null branch, not to the empty array — a null
+    * row should surface, not silently become a zero-token word). */
   private def codepoints(word: Column): Column =
-    when(length(word) >= 1,
-      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+    when(word.isNull, lit(null).cast("array<string>"))
+      .when(length(word) >= 1,
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
       .otherwise(array().cast("array<string>"))
 
   /** Distinct words with multiplicities — the only corpus-sized pass. */

@@ -180,6 +180,8 @@ object ExactSubstr {
                          k: Int, stride: Int, minLen: Int,
                          maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= the anchor gram k ($k)")
+    require(maxDocFreq >= 2,
+      s"spansAgainstStored: maxDocFreq < 2 would drop every delta anchor")
     val delta = newDocs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     // the delta side carries its OWN df cut (the index side's cut was
@@ -189,6 +191,11 @@ object ExactSubstr {
     // per (g, doc) summed per g) instead of a groupBy + join-back, so
     // the expensive anchor pass stays SINGLE-consumer — the probe plan
     // keeps exactly one delta-side anchor evaluation (PlanSpec pins it).
+    // Skew: a pathological gram concentrates its delta rows in one
+    // spillable window partition — the same window-over-postings
+    // discipline as the n-gram df guard, with the per-doc factor capped
+    // by the loud maxOccPerDoc guard upstream; the one-shot anchorIndex
+    // build uses the map-side-combinable groupBy shape instead.
     val byGDoc = Window.partitionBy("g", "doc_id").orderBy("pos")
     val byG = Window.partitionBy("g")
     val cand = guardedAnchors(delta, k, stride, maxOccPerDoc)

@@ -132,8 +132,17 @@ class ExactSubstrSpec extends SparkTestBase {
     }
     for (_ <- 1 to 300) {
       val s1 = randText()
+      // splice cut at a CODE-POINT boundary: a raw char-index substring
+      // over this alphabet can split a surrogate pair, and
+      // UTF8String.fromString rewrites the lone surrogate to '?' — the
+      // reference (UTF-16 String) and the unit under test (UTF-8 bytes)
+      // would then compare different strings
       val s2 = if (rnd.nextBoolean()) randText()
-        else randText() + s1.substring(0, 1 + rnd.nextInt(s1.length - 1)) + randText()
+        else {
+          val cps = s1.codePointCount(0, s1.length)
+          val cut = s1.offsetByCodePoints(0, 1 + rnd.nextInt(math.max(1, cps - 1)))
+          randText() + s1.substring(0, cut) + randText()
+        }
       val n1 = s1.codePointCount(0, s1.length)
       val n2 = s2.codePointCount(0, s2.length)
       val p1 = 1 + rnd.nextInt(n1 + 1) // may run one past the end
