@@ -457,6 +457,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The scrub APPLIED: each contaminated doc re-emitted with its
+    // merged runs cut out (kept segments = the islands' interval
+    // complement, assembled by a per-doc lag window + ordered concat).
+    // The oracle replays the splice byte-for-byte via string_agg over
+    // the same segments — a wrong island boundary or a one-off substring
+    // index breaks the string hash immediately.
+    "q_pipeline_scrub_text" -> ((s, dir) => {
+      val base = rd(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 15 && length(col("text")) >= 220)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-"), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 31, 160), lit(" :SUFFIX")).as("text"))
+      graft.pipeline.ExactSubstr.scrubbedText(base.unionByName(planted),
+          "doc_id", "text", k = 20, stride = 4, minLen = 100,
+          maxDocFreq = 8, maxOccPerDoc = 16)
+        .orderBy("doc_id")
+    }),
+
     // Curation composition #5: winnowing-survivor corpus report — drop
     // every doc that loses a winnowing match (appears as the higher id
     // of a pair; the first-occurrence-wins rule), then the per-language
@@ -4143,6 +4162,7 @@ object SparkEntry {
     "q_dedup_substr_summary" -> dedupSubstrOracleSql("summary"),
     "q_dedup_substr_incr" -> dedupSubstrIncrOracleSql,
     "q_pipeline_scrub" -> dedupSubstrOracleSql("scrub"),
+    "q_pipeline_scrub_text" -> dedupSubstrOracleSql("scrub_text"),
     "q_pipeline_curation5" ->
       """WITH g AS (
         |  SELECT doc_id, i AS pos,
@@ -6386,7 +6406,7 @@ object SparkEntry {
         """
           |SELECT id1, id2, max(span_len) AS max_span, CAST(count(*) AS BIGINT) AS n_spans
           |FROM spans GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin
-      case "scrub" =>
+      case "scrub" | "scrub_text" =>
         // gaps-and-islands over the later-side intervals, the same
         // running-max window the Spark report uses
         """,
@@ -6402,15 +6422,39 @@ object SparkEntry {
           |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
           |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
           |  FROM mx),
-          |isl AS (SELECT doc_id, g, min(s) AS rs, max(e) AS re FROM grp GROUP BY 1, 2),
-          |rep AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
-          |    CAST(sum(re - rs) AS BIGINT) AS contaminated_chars
-          |  FROM isl GROUP BY 1)
-          |SELECT rep.doc_id, n_runs, contaminated_chars,
-          |  CAST(length(d.text) AS BIGINT) AS doc_len
-          |FROM rep JOIN docs d ON rep.doc_id = d.doc_id
-          |ORDER BY rep.doc_id""".stripMargin
+          |isl AS (SELECT doc_id, g, min(s) AS rs, max(e) AS re FROM grp GROUP BY 1, 2)""".stripMargin +
+          (if (mode == "scrub")
+            """,
+              |rep AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+              |    CAST(sum(re - rs) AS BIGINT) AS contaminated_chars
+              |  FROM isl GROUP BY 1)
+              |SELECT rep.doc_id, n_runs, contaminated_chars,
+              |  CAST(length(d.text) AS BIGINT) AS doc_len
+              |FROM rep JOIN docs d ON rep.doc_id = d.doc_id
+              |ORDER BY rep.doc_id""".stripMargin
+          else
+            // the splice: kept segments = gap before each island
+            // (lag window) + the tail after the last island; ordered
+            // string_agg re-assembles the clean text
+            """,
+              |segs AS (
+              |  SELECT doc_id,
+              |    coalesce(lag(re) OVER (PARTITION BY doc_id ORDER BY rs), 1) AS seg_start,
+              |    rs AS seg_end
+              |  FROM isl
+              |  UNION ALL
+              |  SELECT i.doc_id, max(i.re) AS seg_start,
+              |    length(d.text) + 1 AS seg_end
+              |  FROM isl i JOIN docs d ON i.doc_id = d.doc_id
+              |  GROUP BY i.doc_id, length(d.text)),
+              |pieces AS (
+              |  SELECT s.doc_id, s.seg_start,
+              |    substr(d.text, CAST(s.seg_start AS INT),
+              |           CAST(s.seg_end - s.seg_start AS INT)) AS piece
+              |  FROM segs s JOIN docs d ON s.doc_id = d.doc_id)
+              |SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS clean_text
+              |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin)
       case _ =>
         """
           |SELECT id1, id2, start1, start2, span_len FROM spans

@@ -237,6 +237,26 @@ object ExactSubstr {
   def contaminationReport(df: DataFrame, idCol: String, textCol: String,
                           k: Int, stride: Int, minLen: Int,
                           maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
+    val runs = contaminatedRuns(df, idCol, textCol, k, stride, minLen,
+      maxDocFreq, maxOccPerDoc)
+    runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("re") - col("rs")).as("contaminated_chars"))
+      .join(df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          length(col(textCol)).cast("long").as("doc_len")), "doc_id")
+      .select("doc_id", "n_runs", "contaminated_chars", "doc_len")
+  }
+
+  /** The merged maximal contaminated runs per later-side doc:
+    * (doc_id, rs, re) half-open char intervals — the shared islands
+    * stage behind [[contaminationReport]] and [[scrubbedText]].
+    * Gaps-and-islands over [start2, start2+len): a row opens a new
+    * island when its start clears the running max end; adjacent runs
+    * fuse. Window work is partitioned by doc, never a global sort. */
+  private def contaminatedRuns(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, stride: Int, minLen: Int,
+                               maxDocFreq: Int, maxOccPerDoc: Int): DataFrame = {
     val spans = sharedSpans(df, idCol, textCol, k, stride, minLen,
       maxDocFreq, maxOccPerDoc)
     // distinct: the same contaminated region reached from two different
@@ -246,19 +266,59 @@ object ExactSubstr {
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max(col("e"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val runs = regions
+    regions
       .withColumn("__new",
         when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
       .withColumn("__grp", sum(col("__new"))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
-    runs.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_runs"),
-        sum(col("re") - col("rs")).as("contaminated_chars"))
-      .join(df.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("doc_id"),
-          length(col(textCol)).cast("long").as("doc_len")), "doc_id")
-      .select("doc_id", "n_runs", "contaminated_chars", "doc_len")
+  }
+
+  /**
+   * The scrub itself: each later-side doc's text with its merged
+   * contaminated runs CUT OUT — (doc_id, clean_text) for every doc that
+   * had at least one run (unaffected docs pass through a pipeline
+   * untouched and are not re-emitted). Kept segments are the interval
+   * complement of the islands, assembled by a per-doc lag window (each
+   * island contributes the gap before it; one trailing segment closes
+   * the doc) and an ordered concatenation — every step relational and
+   * engine-portable, which is how the oracle replays the splice
+   * byte-for-byte. All window/group work is keyed on the doc id.
+   */
+  def scrubbedText(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, stride: Int, minLen: Int,
+                   maxDocFreq: Int = 8, maxOccPerDoc: Int = 16): DataFrame = {
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    // eagerly materialized: the gap window AND the tail aggregate both
+    // consume the islands, and re-deriving them re-runs the whole span
+    // pipeline (the double-execution class); the frame is tiny —
+    // a handful of intervals per contaminated doc
+    val runs = contaminatedRuns(df, idCol, textCol, k, stride, minLen,
+      maxDocFreq, maxOccPerDoc)
+      .localCheckpoint(true)
+    val byDoc = Window.partitionBy("doc_id").orderBy("rs")
+    // the gap BEFORE each island, [prev re (or 1), rs)
+    val gaps = runs
+      .withColumn("seg_start", coalesce(lag(col("re"), 1).over(byDoc), lit(1L)))
+      .select(col("doc_id"), col("seg_start"),
+        (col("rs") - col("seg_start")).as("seg_len"))
+    // the tail segment after the last island, [max re, len]
+    val tails = runs.groupBy("doc_id").agg(max(col("re")).as("seg_start"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("seg_start"),
+        (length(col("__t")).cast("long") - col("seg_start") + 1L).as("seg_len"))
+    gaps.unionByName(tails)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("seg_start"),
+        col("__t").substr(col("seg_start").cast("int"),
+          col("seg_len").cast("int")).as("piece"))
+      .groupBy("doc_id")
+      // collect_list order is nondeterministic — sort by segment start
+      // before joining the pieces
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("seg_start").as("s"), col("piece").as("p")))),
+        x => x.getField("p")), "").as("clean_text"))
   }
 }

@@ -108,6 +108,24 @@ class ExactSubstrSpec extends SparkTestBase {
       }
   }
 
+  test("scrubbedText cuts exactly the merged runs and keeps everything else in order") {
+    // doc 3 quotes doc 1's span twice (two islands) and doc 2's once —
+    // overlapping with its own second quote so the islands merge
+    val q1 = "QWJXZVKPYGHMBTFDNRLSCUAEI" // 25 chars, no repeated 6-gram
+    val q2 = "0123456789zyxwvutsrqponml"
+    val docs = Seq(
+      (1L, s"first-source $q1 end"),
+      (2L, s"second-source $q2 end"),
+      (3L, s"AAA${q1}BBB${q2}CCC")).toDF("doc_id", "text")
+    val out = graft.pipeline.ExactSubstr.scrubbedText(docs, "doc_id", "text",
+        k = 6, stride = 1, minLen = 20, maxDocFreq = 4, maxOccPerDoc = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3 is the later side of both pairs: both quotes cut, glue kept
+    assert(out(3L) === "AAABBBCCC", out.toString)
+    assert(!out.contains(1L) && !out.contains(2L),
+      "earlier-side docs must pass through untouched (not re-emitted)")
+  }
+
   test("commonExtension byte-walk differential: random mixed-width unicode matches a code-point reference") {
     // the production helper walks UTF-8 bytes in place; pin it against
     // the obviously-correct decode-to-code-points form over strings
