@@ -273,6 +273,7 @@ object ExactSubstr {
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+      .select("doc_id", "rs", "re")
   }
 
   /**
@@ -302,18 +303,20 @@ object ExactSubstr {
     // the gap BEFORE each island, [prev re (or 1), rs)
     val gaps = runs
       .withColumn("seg_start", coalesce(lag(col("re"), 1).over(byDoc), lit(1L)))
-      .select(col("doc_id"), col("seg_start"),
-        (col("rs") - col("seg_start")).as("seg_len"))
-    // the tail segment after the last island, [max re, len]
+      .select(col("doc_id"), col("seg_start"), col("rs").as("seg_end"))
+    // the tail segment after the last island: a NULL end means "to the
+    // end of the doc" — resolved inside the single text join below, so
+    // corpus text is joined exactly ONCE (a second length()-only join
+    // of the text table would double the operator's largest input)
     val tails = runs.groupBy("doc_id").agg(max(col("re")).as("seg_start"))
-      .join(docs, "doc_id")
       .select(col("doc_id"), col("seg_start"),
-        (length(col("__t")).cast("long") - col("seg_start") + 1L).as("seg_len"))
+        lit(null).cast("long").as("seg_end"))
     gaps.unionByName(tails)
       .join(docs, "doc_id")
       .select(col("doc_id"), col("seg_start"),
         col("__t").substr(col("seg_start").cast("int"),
-          col("seg_len").cast("int")).as("piece"))
+          (coalesce(col("seg_end"), length(col("__t")).cast("long") + 1L)
+            - col("seg_start")).cast("int")).as("piece"))
       .groupBy("doc_id")
       // collect_list order is nondeterministic — sort by segment start
       // before joining the pieces

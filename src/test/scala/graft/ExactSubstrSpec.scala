@@ -108,9 +108,7 @@ class ExactSubstrSpec extends SparkTestBase {
       }
   }
 
-  test("scrubbedText cuts exactly the merged runs and keeps everything else in order") {
-    // doc 3 quotes doc 1's span twice (two islands) and doc 2's once —
-    // overlapping with its own second quote so the islands merge
+  test("scrubbedText cuts disjoint runs and keeps the glue in order") {
     val q1 = "QWJXZVKPYGHMBTFDNRLSCUAEI" // 25 chars, no repeated 6-gram
     val q2 = "0123456789zyxwvutsrqponml"
     val docs = Seq(
@@ -120,10 +118,32 @@ class ExactSubstrSpec extends SparkTestBase {
     val out = graft.pipeline.ExactSubstr.scrubbedText(docs, "doc_id", "text",
         k = 6, stride = 1, minLen = 20, maxDocFreq = 4, maxOccPerDoc = 8)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // doc 3 is the later side of both pairs: both quotes cut, glue kept
+    // doc 3 is the later side of both pairs: two DISJOINT islands
+    // [4,29) and [32,57) cut, glue kept
     assert(out(3L) === "AAABBBCCC", out.toString)
     assert(!out.contains(1L) && !out.contains(2L),
       "earlier-side docs must pass through untouched (not re-emitted)")
+  }
+
+  test("scrubbedText fuses OVERLAPPING runs into one cut (the island-merge path)") {
+    val q1 = "QWJXZVKPYGHMBTFDNRLSCUAEI"
+    val q2 = "0123456789zyxwvutsrqponml"
+    val d3 = s"AAA${q1}BBB${q2}CCC"
+    // doc 0 holds a 30-char window straddling the q1/BBB/q2 junction of
+    // doc 3 — its span [20,50) in doc 3 overlaps BOTH quote islands
+    // ([4,29) from doc 1, [32,57) from doc 2), so all three must fuse
+    // into a single [4,57) cut. doc 0 has the LOWEST id so the span
+    // lands on doc 3's (later) side.
+    val d0 = "XX" + d3.substring(19, 49) + "YY"
+    val docs = Seq(
+      (0L, d0),
+      (1L, s"first-source $q1 end"),
+      (2L, s"second-source $q2 end"),
+      (3L, d3)).toDF("doc_id", "text")
+    val out = graft.pipeline.ExactSubstr.scrubbedText(docs, "doc_id", "text",
+        k = 6, stride = 1, minLen = 20, maxDocFreq = 4, maxOccPerDoc = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) === "AAACCC", out.toString)
   }
 
   test("commonExtension byte-walk differential: random mixed-width unicode matches a code-point reference") {
