@@ -181,6 +181,31 @@ class GuardTripSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.operators.SnapshotDiff.diff(df, df, "id", Seq.empty)
     }
+    val docs = Seq((1L, "abcdefghijkl")).toDF("doc_id", "text")
+    // minLen below the anchor gram: no span could ever hold an anchor
+    intercept[IllegalArgumentException] {
+      graft.pipeline.ExactSubstr.sharedSpans(docs, "doc_id", "text",
+        k = 8, stride = 2, minLen = 4)
+    }
+    // maxDocFreq < 2 would silently drop every joinable anchor
+    intercept[IllegalArgumentException] {
+      graft.pipeline.ExactSubstr.sharedSpans(docs, "doc_id", "text",
+        k = 4, stride = 2, minLen = 8, maxDocFreq = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.ExactSubstr.spansAgainstStored(docs, "doc_id", "text",
+        docs, docs.select(col("text").as("g"), col("doc_id"),
+          lit(1L).as("pos")), k = 4, stride = 2, minLen = 8, maxDocFreq = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Winnowing.pairsAgainstStored(docs, "doc_id", "text",
+        docs.select(lit(1L).as("fp"), col("doc_id")), k = 4, w = 2,
+        minShared = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Graph.coreness(
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", maxK = 0)
+    }
   }
 
   test("Lloyd training bounds: an oversized training frame fails naming hashSample") {
