@@ -26,6 +26,17 @@ object Graph {
     edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
 
+  /** One row per undirected edge regardless of input orientation:
+    * least/greatest canonicalization before the distinct, self-loops
+    * dropped. Without this, an already-symmetrized input holding both
+    * (a, b) and (b, a) survives `.distinct()` as TWO rows and silently
+    * doubles every degree the core family computes — the
+    * canonicalization is one narrow projection, noise next to a peel. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
   /** Per-node degree of an undirected edge list: (node, degree). */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     symmetrize(edges, srcCol, dstCol)
@@ -171,8 +182,7 @@ object Graph {
             maxIters: Int = 50): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(maxIters >= 1, s"kCore: maxIters must be >= 1")
-    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val e0 = canonicalEdges(edges, srcCol, dstCol)
       .localCheckpoint(true)
     degrees(peel(e0, k, maxIters), "a", "b")
   }
@@ -235,8 +245,7 @@ object Graph {
                maxK: Int = 64, maxIters: Int = 50): DataFrame = {
     require(maxK >= 1, s"coreness: maxK must be >= 1, got $maxK")
     require(maxIters >= 1, s"coreness: maxIters must be >= 1")
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    var e = canonicalEdges(edges, srcCol, dstCol)
       .localCheckpoint(true)
     // (node, degree) of the current surviving subgraph — checkpointed,
     // so the per-round threshold tests below are filter+count over a
@@ -346,9 +355,7 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 100): (DataFrame, Int) = {
     require(maxIters >= 1, s"corenessHIndex: maxIters must be >= 1")
-    val sym = symmetrize(
-      edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
-        .filter(col("x") =!= col("y")).distinct(), "x", "y")
+    val sym = symmetrize(canonicalEdges(edges, srcCol, dstCol), "a", "b")
       .localCheckpoint(true)
     var c = sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)

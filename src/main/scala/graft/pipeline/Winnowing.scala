@@ -235,13 +235,26 @@ object Winnowing {
    * release at the cost of the release, not the corpus. Strictly
    * two-sided (a new doc never pairs with another new doc — run
    * [[matchPairs]] over the delta for that), volume Σ_fp
-   * df_index(fp)·df_delta(fp) with the index side bounded at build time.
+   * df_index(fp)·df_delta(fp) with the index side bounded at build time
+   * and the delta side by this call's own `maxDocFreq` cut: a
+   * boilerplate fingerprint appearing across a large delta would
+   * otherwise join the stored postings unguarded (the index-side cut
+   * bounds each posting LIST, not how many delta rows probe it). The
+   * cut rides a window over the delta fingerprint rows — already
+   * distinct per (fp, doc) by native selection, so one count-over-fp
+   * frame IS the df — keeping the expensive O(len·w) winnow expression
+   * single-consumer (PlanSpec pins one delta-side pass, exactly the
+   * [[ExactSubstr.spansAgainstStored]] discipline).
    */
   def pairsAgainstStored(newDocs: DataFrame, idCol: String, textCol: String,
                          storedPostings: DataFrame,
-                         k: Int, w: Int, minShared: Long): DataFrame = {
+                         k: Int, w: Int, minShared: Long,
+                         maxDocFreq: Int = 1000): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     fingerprintsNative(newDocs, idCol, textCol, k, w)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDocFreq)
       .select(col("fp"), col("doc_id").as("new_id"))
       .join(storedPostings.select(col("fp"), col("doc_id").as("corpus_id")), "fp")
       .groupBy("new_id", "corpus_id")

@@ -146,6 +146,36 @@ class ExactSubstrSpec extends SparkTestBase {
     assert(out(3L) === "AAACCC", out.toString)
   }
 
+  test("scrub idempotence: a second scrub over the patched corpus is a fixpoint no-op") {
+    // a scrubber re-runs per corpus release, so scrub(scrub(C)) must
+    // equal scrub(C): the first pass cuts the later-side copy of every
+    // shared run while the first occurrence keeps its text, so the
+    // patched corpus holds each span ONCE — nothing left to find.
+    val q1 = "QWJXZVKPYGHMBTFDNRLSCUAEI"
+    val q2 = "0123456789zyxwvutsrqponml"
+    val docs = Seq(
+      (1L, s"first-source $q1 end"),
+      (2L, s"second-source $q2 end"),
+      (3L, s"AAA${q1}BBB${q2}CCC"),
+      (4L, s"untouched clean document with its own words only here"))
+      .toDF("doc_id", "text")
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.ExactSubstr.scrubbedText(df, "doc_id", "text",
+        k = 6, stride = 1, minLen = 20, maxDocFreq = 4, maxOccPerDoc = 8)
+    val first = scrub(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === Map(3L -> "AAABBBCCC"), first.toString)
+    // patch the scrubbed text back into the corpus (what a release does)
+    val patched = docs.join(
+        first.toSeq.toDF("doc_id", "clean_text"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), col("text")).as("text"))
+    assert(scrub(patched).count() === 0,
+      "second scrub must find nothing — the scrubber is a fixpoint")
+    // and the clean doc was never re-emitted by either pass
+    assert(!first.contains(4L))
+  }
+
   test("commonExtension byte-walk differential: random mixed-width unicode matches a code-point reference") {
     // the production helper walks UTF-8 bytes in place; pin it against
     // the obviously-correct decode-to-code-points form over strings

@@ -319,4 +319,26 @@ class GraphSpec extends SparkTestBase {
     // k=1 keeps everything with an edge
     assert(graft.pipeline.Graph.kCore(edges, "a", "b", k = 1).count() === 7)
   }
+
+  test("core family canonicalizes orientation: a pre-symmetrized input does not double degrees") {
+    val s2 = spark
+    import s2.implicits._
+    // K4 + pendant, fed with BOTH orientations of every edge (the way a
+    // caller who already symmetrized would): before canonicalization,
+    // .distinct() kept both rows and every degree doubled — the pendant
+    // node read degree 2 and wrongly survived the 2-core
+    val oneWay = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val bothWays = oneWay.unionByName(
+      oneWay.select(col("b").as("a"), col("a").as("b")))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kc = toMap(graft.pipeline.Graph.kCore(bothWays, "a", "b", k = 2))
+    assert(kc === toMap(graft.pipeline.Graph.kCore(oneWay, "a", "b", k = 2)))
+    assert(!kc.contains(5L), s"pendant must peel at k=2, got $kc")
+    assert(toMap(graft.pipeline.Graph.coreness(bothWays, "a", "b")) ===
+      toMap(graft.pipeline.Graph.coreness(oneWay, "a", "b")))
+    assert(toMap(graft.pipeline.Graph.corenessHIndex(bothWays, "a", "b")) ===
+      toMap(graft.pipeline.Graph.corenessHIndex(oneWay, "a", "b")))
+  }
 }

@@ -316,6 +316,31 @@ class GuardTripSpec extends SparkTestBase {
     assert(ok.count() >= 1)
   }
 
+  test("pairsAgainstStored: a boilerplate fingerprint across the delta is cut before the stored join") {
+    val s = spark
+    import s.implicits._
+    // 30 delta docs carrying IDENTICAL text: every winnowing fingerprint
+    // has delta-df 30, so against a stored index each hot fingerprint
+    // would fan out 30 × posting-list rows — the delta-side volume the
+    // index-side build cut cannot bound. With the delta cut at 5 the
+    // probe emits NOTHING (the whole delta is boilerplate); with
+    // headroom the same probe matches every corpus twin.
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 4L).map(i => (i, text)).toDF("doc_id", "text")
+    val idx = graft.pipeline.Winnowing.fingerprintIndex(
+      corpus, "doc_id", "text", k = 8, w = 4, maxDocFreq = 100)
+      .localCheckpoint(true)
+    val delta = (100L to 129L).map(i => (i, text)).toDF("doc_id", "text")
+    val cut = graft.pipeline.Winnowing.pairsAgainstStored(
+      delta, "doc_id", "text", idx, k = 8, w = 4, minShared = 1,
+      maxDocFreq = 5)
+    assert(cut.count() === 0, "boilerplate delta must be cut before the join")
+    val open = graft.pipeline.Winnowing.pairsAgainstStored(
+      delta, "doc_id", "text", idx, k = 8, w = 4, minShared = 1)
+    assert(open.count() === 30L * 4L, "with headroom every twin pair surfaces")
+    spark.catalog.clearCache()
+  }
+
   test("coreness maxK: a clique denser than the level budget fails naming the remedy") {
     val s = spark
     import s.implicits._

@@ -511,6 +511,12 @@ class PlanSpec extends SparkTestBase {
     assert(scans.size === 2, s"expected exactly index+delta scans:\n$p")
     assert(p.contains("idx") && p.contains("delta"), p)
     assert(!p.contains("/corpus"), s"probe plan must not rescan corpus text:\n$p")
+    // the delta-side df cut must ride a window over the ONE fingerprint
+    // pass — a second winnow_md5_fingerprint evaluation means the cut
+    // re-derived the expensive expression (the double-execution class)
+    val winnowPasses = "winnow_md5_fingerprint".r.findAllIn(p).size
+    assert(winnowPasses === 1,
+      s"expected one delta-side fingerprint pass, found $winnowPasses:\n${p.take(1500)}")
     // and the probe actually matches the boilerplate-sharing docs
     assert(probe.count() > 0)
   }
