@@ -438,6 +438,56 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id", "start_new", "start_corpus")
     }),
 
+    // STREAMING decontamination — the incremental probe driven from a
+    // micro-batch stream (foreachBatch over the stored anchor index;
+    // idempotent per-batch overwrite gives exact restart parity —
+    // StreamingRestartSpec pins the crash path). Two deterministic
+    // batches split q_dedup_substr_incr's delta; the probe is stateless
+    // across batches and each batch carries its OWN delta-side df cut,
+    // which is exactly what the oracle replays: two independent probes,
+    // unioned. The planted splices (corpus docs 0-7 in batch 1, 8-14 in
+    // batch 2) must surface with exact span positions.
+    "q_dedup_substr_stream" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      def spliced(lo: Long, hi: Long) = corpus
+        .filter(col("doc_id") >= lo && col("doc_id") < hi &&
+          length(col("text")) >= 220)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PREFIX-"), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 31, 160), lit(" :SUFFIX")).as("text"))
+      val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 325)
+        .select(col("doc_id"), col("text")).unionByName(spliced(0, 8))
+      val b2 = docs.filter(col("doc_id") >= 325 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text")).unionByName(spliced(8, 15))
+      val idxP = scratch("substr_stream_idx")
+      graft.pipeline.ExactSubstr.anchorIndex(corpus, "doc_id", "text",
+          k = 20, stride = 4, maxDocFreq = 8, maxOccPerDoc = 16)
+        .write.mode("overwrite").parquet(idxP)
+      // fresh stream dirs per run: a stale checkpoint would skip batches
+      val inP = scratch("substr_stream_in")
+      val outP = scratch("substr_stream_out")
+      val ckP = scratch("substr_stream_ck")
+      Seq(inP, outP, ckP).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      }
+      val q = graft.pipeline.ExactSubstr.decontaminationStream(
+        s.readStream.schema("doc_id LONG, text STRING").json(inP),
+        "doc_id", "text", corpus, s.read.parquet(idxP),
+        k = 20, stride = 4, minLen = 100, outPath = outP, checkpoint = ckP,
+        maxDocFreq = 8, maxOccPerDoc = 16)
+      try {
+        b1.write.mode("append").json(inP); q.processAllAvailable()
+        b2.write.mode("append").json(inP); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outP)
+        .select("new_id", "corpus_id", "start_new", "start_corpus", "span_len")
+        .orderBy("new_id", "corpus_id", "start_new", "start_corpus")
+    }),
+
     // Span-level SCRUB report — the action the exact-substring screen
     // exists for: per later-side doc, merge its shared spans into
     // maximal contaminated runs (gaps-and-islands, partitioned by doc)
@@ -2442,12 +2492,23 @@ object SparkEntry {
     // equal to the Seidman peel (GraphSpec pins the equality on random
     // graphs and this fixture). Converges in 5-6 rounds here; the
     // oracle unrolls 9 (the operator is idempotent at the fixpoint, so
-    // the margin is free).
+    // the margin is free) — and because the convergence count is
+    // DATA-dependent (path-like fixtures propagate one hop per round),
+    // the measured count is asserted under the unrolled budget loudly,
+    // so a fixture/SF change past the margin names itself instead of
+    // failing parity with a confusing value diff.
     "q_coreness" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
       val edges = graft.pipeline.Graph.cooccurrenceEdges(
         li, "l_orderkey", "l_partkey")
-      graft.pipeline.Graph.corenessHIndex(edges, "a", "b").orderBy("node")
+      val (res, rounds) =
+        graft.pipeline.Graph.corenessHIndexWithRounds(edges, "a", "b")
+      require(rounds <= corenessOracleRounds,
+        s"q_coreness: h-index fixpoint took $rounds rounds but the oracle " +
+          s"unrolls only $corenessOracleRounds — the fixture's propagation " +
+          "radius grew past the margin; raise corenessOracleRounds (extra " +
+          "rounds are no-ops at the fixpoint, so the margin is free)")
+      res.orderBy("node")
     }),
 
     // Skew-safe triangle counting on a deliberately skewed graph: one
@@ -4161,6 +4222,7 @@ object SparkEntry {
     "q_dedup_substr" -> dedupSubstrOracleSql("spans"),
     "q_dedup_substr_summary" -> dedupSubstrOracleSql("summary"),
     "q_dedup_substr_incr" -> dedupSubstrIncrOracleSql,
+    "q_dedup_substr_stream" -> dedupSubstrStreamOracleSql,
     "q_pipeline_scrub" -> dedupSubstrOracleSql("scrub"),
     "q_pipeline_scrub_text" -> dedupSubstrOracleSql("scrub_text"),
     "q_pipeline_curation5" ->
@@ -5204,7 +5266,7 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " "),
     "q_kcore" -> kCoreOracleSql(k = 12, rounds = 6),
-    "q_coreness" -> corenessOracleSql(rounds = 9),
+    "q_coreness" -> corenessOracleSql(rounds = corenessOracleRounds),
     "q_embed_quant" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |m AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) AS mx FROM v),
@@ -6318,6 +6380,12 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY node""".stripMargin).replace("\n", " ")
   }
 
+  /** The h-operator round budget the q_coreness oracle unrolls — ONE
+    * constant shared by the Spark entry (which asserts the measured
+    * convergence count stays under it) and the oracle generator, so the
+    * two can never drift apart. */
+  private val corenessOracleRounds = 9
+
   /** DuckDB replay of [[graft.pipeline.Graph.corenessHIndex]] on the
     * q_coreness fixture: `rounds` unrolled h-operator stages (each one
     * neighbor-value join + a per-node ranked h-index), starting from
@@ -6463,23 +6531,27 @@ object SparkEntry {
     (spans + tail).replace("\n", " ")
   }
 
-  /** DuckDB replay of the INCREMENTAL exact-substring probe
-    * (q_dedup_substr_incr): corpus anchor postings with the df cut
-    * (the stored index), delta anchors with their OWN df cut (the
-    * drare CTE — mirrors spansAgainstStored's windowed cut), the
-    * two-sided bucket join, and the same lateral extension walks keyed
-    * on (new_id, pn, corpus_id, pc). */
-  private def dedupSubstrIncrOracleSql: String =
-    """WITH corpus AS MATERIALIZED (
+  /** DuckDB replay of the INCREMENTAL exact-substring probe: corpus
+    * anchor postings with the df cut (the stored index), delta anchors
+    * with their OWN df cut (the drare CTE — mirrors
+    * spansAgainstStored's windowed cut), the two-sided bucket join, and
+    * the same lateral extension walks keyed on (new_id, pn, corpus_id,
+    * pc). Parameterized over the delta's doc and splice predicates so
+    * q_dedup_substr_incr (one probe over the whole delta) and
+    * q_dedup_substr_stream (a UNION of per-batch probes — each batch
+    * re-derives its own df cut, exactly like the foreachBatch driver)
+    * share one generator. No ORDER BY — callers append their own. */
+  private def substrProbeSql(deltaPred: String, splicePred: String): String =
+    s"""WITH corpus AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
       |delta AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
-      |  WHERE doc_id >= 250 AND doc_id < 400 AND text IS NOT NULL
+      |  WHERE $deltaPred AND text IS NOT NULL
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
       |    concat('PREFIX-', CAST(doc_id AS VARCHAR), ': ',
       |           substr(text, 31, 160), ' :SUFFIX') AS text
-      |  FROM corpus WHERE doc_id < 15 AND length(text) >= 220),
+      |  FROM corpus WHERE $splicePred AND length(text) >= 220),
       |ca AS MATERIALIZED (
       |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS g
       |  FROM corpus, unnest(range(1, length(text) - 18)) r(i)
@@ -6519,9 +6591,24 @@ object SparkEntry {
       |  coalesce(lext.l, 0) + rext.r AS span_len
       |FROM ct JOIN rext USING (new_id, pn, corpus_id, pc)
       |        LEFT JOIN lext USING (new_id, pn, corpus_id, pc)
-      |WHERE coalesce(lext.l, 0) + rext.r >= 100
-      |ORDER BY new_id, corpus_id, start_new, start_corpus""".stripMargin
+      |WHERE coalesce(lext.l, 0) + rext.r >= 100""".stripMargin
       .replace("\n", " ")
+
+  private def dedupSubstrIncrOracleSql: String =
+    substrProbeSql("doc_id >= 250 AND doc_id < 400", "doc_id < 15") +
+      " ORDER BY new_id, corpus_id, start_new, start_corpus"
+
+  /** [[substrProbeSql]] per deterministic batch, unioned — the relational
+    * replay of the foreachBatch stream drive (each micro-batch is an
+    * independent stateless probe with its own per-batch df cut; batch
+    * doc-id ranges are disjoint, so the union carries no duplicates). */
+  private def dedupSubstrStreamOracleSql: String = {
+    val b1 = substrProbeSql("doc_id >= 250 AND doc_id < 325", "doc_id < 8")
+    val b2 = substrProbeSql("doc_id >= 325 AND doc_id < 400",
+      "doc_id >= 8 AND doc_id < 15")
+    s"SELECT * FROM (SELECT * FROM ($b1) u1 UNION ALL SELECT * FROM ($b2) u2) t " +
+      "ORDER BY new_id, corpus_id, start_new, start_corpus"
+  }
 
   /** [[bpeOracleSql]] at production merge counts: a parameterized
     * corpus, every stage CTE MATERIALIZED (DuckDB otherwise inlines the

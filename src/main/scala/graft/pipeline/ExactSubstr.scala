@@ -223,6 +223,45 @@ object ExactSubstr {
   }
 
   /**
+   * Streaming decontamination: drive [[spansAgainstStored]] from a
+   * micro-batch stream of arriving documents — the streaming twin the
+   * other dedup families carry (simhash/winnowing suppression streams),
+   * completing the per-release probe as a CONTINUOUS one. Each
+   * micro-batch probes the stored anchor index independently (the probe
+   * is stateless across batches — candidate pairs are delta×corpus, so
+   * batch boundaries cannot lose a pair), and spans land under
+   * `outPath/batch=<id>` via idempotent per-batch OVERWRITE: a batch
+   * replayed after a crash rewrites its own directory instead of
+   * appending duplicates, which is what makes restart parity exact
+   * (StreamingRestartSpec pins it). Read results back with
+   * `spark.read.parquet(outPath)` — the `batch` partition column
+   * records arrival provenance.
+   *
+   * Note the delta-side `maxDocFreq` cut is PER BATCH (each batch is
+   * its own probe): a boilerplate anchor spread across batches is
+   * bounded per batch by construction, same volume envelope as running
+   * the probe per release.
+   */
+  def decontaminationStream(stream: DataFrame, idCol: String, textCol: String,
+                            corpusText: DataFrame, storedAnchors: DataFrame,
+                            k: Int, stride: Int, minLen: Int,
+                            outPath: String, checkpoint: String,
+                            maxDocFreq: Int = 8, maxOccPerDoc: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(minLen >= k, s"minLen ($minLen) must be >= the anchor gram k ($k)")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        spansAgainstStored(batch.toDF(), idCol, textCol, corpusText,
+          storedAnchors, k, stride, minLen, maxDocFreq, maxOccPerDoc)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Per-document SCRUB report: for every doc appearing as the LATER
    * (id2 — keep-first-occurrence) side of a shared span, merge its
    * span intervals into maximal contaminated runs (classic gaps-and-

@@ -259,6 +259,54 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(!got.contains(2L), s"copy must stay suppressed across restart, got $got")
   }
 
+  test("decontaminationStream: committed batch not re-emitted after restart; post-crash batch still probes") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-substr-in"); val ckpt = tmp("graft-substr-ckpt")
+    val outDir = tmp("graft-substr-out") + "/spans"
+    val idxDir = tmp("graft-substr-idx") + "/idx"
+    // 39 chars, no repeated 8-gram — the contamination plant
+    val quoted = "QWJXZVKPYGHMBTFDNRLSCUAEI0123456789qwer"
+    val corpus = Seq(
+      (1L, s"corpus document holds $quoted plus its own tail words here"),
+      (2L, "a completely unrelated corpus document with different words"))
+      .toDF("doc_id", "text")
+    graft.pipeline.ExactSubstr.anchorIndex(corpus, "doc_id", "text",
+        k = 8, stride = 1, maxDocFreq = 8, maxOccPerDoc = 32)
+      .write.mode("overwrite").parquet(idxDir)
+    def start() = graft.pipeline.ExactSubstr.decontaminationStream(
+      s.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      "doc_id", "text", corpus, s.read.parquet(idxDir),
+      k = 8, stride = 1, minLen = 30, outPath = outDir, checkpoint = ckpt,
+      maxDocFreq = 8, maxOccPerDoc = 32)
+
+    // phase 1: one contaminated arrival, committed, then CRASH
+    val q1 = start()
+    try {
+      // ':'/'#' delimiters differ from the corpus's surrounding spaces,
+      // so the extension stops exactly at the 39-char plant
+      writeFile(inDir, "f1.json", Seq(
+        s"""{"doc_id": 100, "text": "first arrival quoting:$quoted#end"}"""))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+
+    // while down: a second contaminated arrival lands
+    writeFile(inDir, "f2.json", Seq(
+      s"""{"doc_id": 101, "text": "second arrival also quoting>$quoted!tail"}"""))
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = s.read.parquet(outDir)
+      .select(col("new_id"), col("corpus_id"), col("span_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // exactly one span per arrival: the committed batch-0 output was NOT
+    // re-emitted on restart (idempotent per-batch overwrite + resumed
+    // offsets), and the post-crash batch probed the same stored index
+    assert(got === Seq((100L, 1L, 39L), (101L, 1L, 39L)), got.toString)
+  }
+
   test("statefulSessions: an open session spans the crash and closes with pre-crash events") {
     val s = spark
     import s.implicits._
