@@ -17,8 +17,105 @@ import scala.collection.mutable
  *
  * `b7_runner_100q` is BASELINE.md B7: 100 concurrent queries over the
  * events table in ONE shared pass through the streaming runner.
+ *
+ * MEASUREMENT PROTOCOL (3, r12). Two defects the r11 official run
+ * exposed are fixed structurally:
+ *
+ * 1. SEGMENTED per-entry timing: one JVM compiling 260+ entries' codegen
+ *    accumulates JIT/code-cache state that progressively taxes later
+ *    entries (the r11 driver run flagged 42 "regressions" of which ZERO
+ *    reproduced in fresh JVMs). The per-entry section now runs in child
+ *    JVMs of ~45 entries each (same warmup + best-of-2 discipline inside
+ *    each child), so every entry measures within a bounded codegen
+ *    neighborhood — wall cost is a handful of extra session startups.
+ *    `SPARK_GRAFT_SEGMENTS=0` restores the single-JVM path.
+ * 2. SELF-ADJUDICATING regression watch: every floor breach is re-timed
+ *    in a FRESH JVM (the BenchOne median machinery) before the
+ *    `regressions` array is written; only breaches that REPRODUCE are
+ *    flagged — the rest ship under `suite_noise` with both numbers, so
+ *    a polluted in-suite sample can never masquerade as a code
+ *    regression again. Re-timing is capped (entries and wall) so a
+ *    pathological run cannot blow the bench budget.
+ *
+ * Per-entry JVM telemetry (code-cache occupancy, cumulative GC/JIT
+ * time, heap) lands in `bench_telemetry.json` for offline adjudication
+ * of any residual drift.
  */
 object Bench {
+
+  /** Runner-bench bodies by name — shared with [[BenchOne]] so the
+    * fresh-JVM adjudicator can re-time headline blocks, not only
+    * SparkEntry queries. Each body REQUIREs its completion count. */
+  private[graft] def runnerBody(name: String): Option[(SparkSession, String) => Unit] =
+    name match {
+      case "b7_runner_100q" => Some((s, d) =>
+        require(runnerPass(s, d, 100) == 100, "runner lost queries"))
+      case "b11_runner_1000q" => Some((s, d) =>
+        require(runnerPass(s, d, 1000) == 1000, "runner lost queries"))
+      case "b9_runner_200eq" => Some((s, d) =>
+        require(eqRunnerPass(s, d, 200) == 200, "eq runner lost queries"))
+      case "b10_runner_200eq_tuple" => Some((s, d) =>
+        require(eqTupleRunnerPass(s, d, 200) == 200, "tuple runner lost queries"))
+      case "b14_runner_1k_eq" => Some((s, d) =>
+        require(eqRunnerPass(s, d, 1000) == 1000, "eq runner lost queries"))
+      case "b14_runner_10k_eq" => Some((s, d) =>
+        require(eqRunnerPass(s, d, 10000) == 10000, "eq runner lost queries"))
+      case _ => None
+    }
+
+  /** JVM health probes for the per-entry telemetry — the evidence that
+    * separates "the plan got slower" from "the JVM degraded" (code-cache
+    * exhaustion, GC debt) without re-running anything. */
+  private object Jvm {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def codeCacheUsedMb: Double = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / 1048576.0
+    def codeCacheMaxMb: Double = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(p => math.max(p.getUsage.getMax, 0L)).sum / 1048576.0
+    def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+    def jitMs: Long = {
+      val c = ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime
+      else -1L
+    }
+    def heapUsedMb: Double =
+      ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1048576.0
+  }
+
+  /** Spawn a child JVM mirroring this one (same module opens, heap and
+    * code-cache sizing from RuntimeMXBean; classpath from
+    * java.class.path), run `mainClass args`, return (exitCode, stdout).
+    * Used for segment children and fresh-JVM re-adjudication. */
+  private def spawn(mainClass: String, args: Seq[String],
+                    env: Map[String, String], timeoutMs: Long): (Int, String) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib:jdwp")) // debugger ports collide
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
+    val buf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() => {
+      try proc.getInputStream.transferTo(buf) catch { case _: Throwable => () }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    val done = proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!done) proc.destroyForcibly()
+    proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
+    reader.join(5000)
+    (if (done) proc.exitValue() else -1, buf.toString("UTF-8"))
+  }
 
   /** `n` mixed queries exercising every aggregation type in one pass
     * (b7 runs 100, b11 runs 1000 — the README headroom claim). */
@@ -152,10 +249,34 @@ object Bench {
       case Some(sel) => SparkEntry.queries.filter { case (k, _) => sel(k) }
       case None => SparkEntry.queries
     }
-    entries.foreach { case (_, fn) =>
+    // protocol 3: the per-entry section runs in segment children (see
+    // the object scaladoc) unless disabled or already a child/iteration
+    // run (`only` set). Children emit one GRAFT_ENTRY line per timing.
+    val segSize =
+      try sys.env.getOrElse("SPARK_GRAFT_SEG_SIZE", "45").trim.toInt
+      catch { case _: Throwable => 45 }
+    val segmented = only.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_SEGMENTS").contains("0") && segSize > 0
+    val emitPerEntry = sys.env.get("SPARK_GRAFT_EMIT").contains("perentry")
+    // per-entry JVM telemetry rows: (name, sec, ccMb, gcMs, jitMs, heapMb)
+    val telemetry = mutable.ArrayBuffer.empty[(String, Double, Double, Long, Long, Double)]
+    def recordTel(name: String, sec: Double): Unit = {
+      telemetry += ((name, sec, Jvm.codeCacheUsedMb, Jvm.gcMs, Jvm.jitMs,
+        Jvm.heapUsedMb))
+      if (emitPerEntry) {
+        val err = errors.get(name)
+          .map(e => s""","err":"${e.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\x00-\\x1f]", " ")}"""")
+          .getOrElse("")
+        println(s"""GRAFT_ENTRY{"name":"$name","sec":${math.rint(sec * 1000) / 1000}$err}""")
+      }
+    }
+    recordTel("__jvm_start", 0.0)
+    if (!segmented) entries.foreach { case (_, fn) =>
       spark.catalog.clearCache() // see timed(): no cross-entry cache debt
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    if (!segmented) recordTel("__post_warmup", 0.0)
 
     // Steady-state timing: best of two back-to-back runs. A single sample
     // after 40+ other queries measures accumulated JVM state (GC debt,
@@ -181,7 +302,7 @@ object Bench {
         body
         (System.nanoTime() - t0) / 1e9
       }
-      try {
+      val res = try {
         val first = once()
         // a failed SECOND run doesn't invalidate the first sample — keep it
         val best = try math.min(first, once()) catch { case _: Throwable => first }
@@ -191,6 +312,8 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
           name -> 0.0
       }
+      recordTel(res._1, res._2)
+      res
     }
 
     // Wall-clock single run — for bodies that must not execute twice
@@ -206,9 +329,57 @@ object Bench {
 
     val b8Secs = sys.env.getOrElse("SPARK_GRAFT_B8_SECS", "60").toInt
     var b8 = (0L, -1.0, 0L)
-    val perQuery = entries.toSeq.map { case (name, fn) =>
-      timed(name)(fn(spark, sfDir).count())
-    }
+    // GRAFT_ENTRY{"name":"...","sec":1.234[,"err":"..."]} — what segment
+    // children print per timed entry and the parent parses back
+    val entryLine =
+      """GRAFT_ENTRY\{"name":"([^"]+)","sec":([0-9.eE+-]+)(?:,"err":"(.*)")?\}""".r
+    val perQuery: Seq[(String, Double)] =
+      if (!segmented) entries.toSeq.map { case (name, fn) =>
+        timed(name)(fn(spark, sfDir).count())
+      } else {
+        val names = entries.keys.toSeq
+        names.grouped(segSize).zipWithIndex.flatMap { case (seg, i) =>
+          val segTel = s"/tmp/graft_bench_tel_seg$i.json"
+          val (rc, out) = spawn("graft.Bench", Seq.empty, Map(
+            "SPARK_GRAFT_ONLY" -> seg.mkString(","),
+            "SPARK_GRAFT_SF_DIR" -> sfDir,
+            "SPARK_GRAFT_CPUS" -> cpus,
+            "SPARK_GRAFT_EMIT" -> "perentry",
+            "SPARK_GRAFT_TELEMETRY" -> segTel,
+            // a child must never touch the committed floor file: point it
+            // at a scratch path (empty file → stale protocol → `only` set
+            // → no write, and no floors to flag against)
+            "SPARK_GRAFT_HISTORY" -> s"/tmp/graft_bench_hist_seg$i.json"
+          ), timeoutMs = 45 * 60 * 1000L)
+          val got = out.linesIterator.collect {
+            case entryLine(n, sec, err) =>
+              if (err != null && err.nonEmpty) errors(n) = err
+              n -> sec.toDouble
+          }.toSeq
+          // merge the child's telemetry rows under this parent
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(segTel)), "UTF-8")
+            """\{"name":"([^"]+)","sec":([0-9.eE+-]+),"cc_mb":([0-9.eE+-]+),"gc_ms":(-?\d+),"jit_ms":(-?\d+),"heap_mb":([0-9.eE+-]+)\}""".r
+              .findAllMatchIn(txt).foreach { m =>
+                telemetry += ((s"seg$i:${m.group(1)}", m.group(2).toDouble,
+                  m.group(3).toDouble, m.group(4).toLong, m.group(5).toLong,
+                  m.group(6).toDouble))
+              }
+          } catch { case _: Throwable => () }
+          val gotNames = got.map(_._1).toSet
+          val missing = seg.filterNot(gotNames)
+          if (rc != 0 || missing.nonEmpty) {
+            errors(s"__segment$i") = s"child rc=$rc, ${missing.size} entries " +
+              s"missing (re-timed in-process): ${missing.take(5).mkString(",")}"
+            // degrade, never lose entries: time the stragglers here
+            got ++ missing.map { n =>
+              try entries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+              timed(n)(entries(n)(spark, sfDir).count())
+            }
+          } else got
+        }.toSeq
+      }
     System.gc() // drop per-query GC debt before the runner benches
     // Each runner bench warms IMMEDIATELY before its own timed run —
     // codegen/janino compilation of the shared-pass aggregate columns is
@@ -340,6 +511,76 @@ object Bench {
         }
       }
 
+    // b13_100x: TWO-DECADE scale growth on the two cheapest guarded
+    // families (winnow, kcore), from the sf0.01 sibling so the 100x
+    // corpus lands near 10x the driver SF's volume and wall stays sane.
+    // Replica perturbation must give >= 100 DISTINCT vocabularies (the
+    // 10-letter rotation of b13 collides past 10 replicas and verbatim
+    // cross-replica dups would push every fingerprint over the df cut):
+    // each replica applies an AFFINE letter permutation i -> a*i + b
+    // (mod 26), a coprime to 26 — 312 distinct maps. The graded claim:
+    // wall growth stays ~linear-with-logs across BOTH decades and row
+    // volume tracks the replica count.
+    val b13_100x: Seq[(String, Seq[(Int, Double, Long)])] =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_100X").contains("0")) Seq.empty
+      else {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions.{col, lit, translate}
+        val sf001 = {
+          val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
+          val sib = p.getParent.resolve("sf0.01")
+          if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
+        }
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        def affinePerm(r: Int): String = {
+          val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+          val a = as((r / 26) % as.length); val b = r % 26
+          (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+        }
+        def docsRep(n: Int): DataFrame = {
+          val base = spark.read.parquet(s"$sf001/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          (0 until n).map { r =>
+            base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+              (if (r == 0) col("text")
+               else translate(col("text"), alpha, affinePerm(r))).as("text"))
+          }.reduce(_ unionByName _)
+        }
+        def edgesRep(n: Int): DataFrame = {
+          val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+            .filter(col("l_orderkey") % 5 === 0)
+            .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+          // id-offset replicas via a 1-row-per-replica cross (disjoint
+          // graph copies) — no 100-way union plan needed for edges
+          li.crossJoin(spark.range(n).toDF("r"))
+            .select((col("g") + col("r") * 100000000L).as("g"),
+              (col("i") + col("r") * 100000000L).as("i"))
+        }
+        val ops: Seq[(String, Int => Long)] = Seq(
+          ("winnow", n => graft.pipeline.Winnowing.matchPairs(
+            docsRep(n), "doc_id", "text", k = 24, w = 8, minShared = 5,
+            maxDocFreq = 3).count()),
+          ("kcore", n => graft.pipeline.Graph.kCore(
+            graft.pipeline.Graph.cooccurrenceEdges(edgesRep(n), "g", "i"),
+            "a", "b", k = 12).count()))
+        ops.flatMap { case (name, run) =>
+          try {
+            val pts = Seq(1, 10, 100).map { n =>
+              try spark.catalog.clearCache() catch { case _: Throwable => () }
+              val t0 = System.nanoTime()
+              val rows = run(n)
+              (n, (System.nanoTime() - t0) / 1e9, rows)
+            }
+            Some((name, pts))
+          } catch {
+            case e: Throwable =>
+              errors(s"b13_100x:$name") =
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+              None
+          }
+        }
+      }
+
     // b12: constricted-parallelism probe. local[32] can hide a serial
     // stage — a plan spending half its wall in one task still looks
     // "fast" with 31 idle cores soaking the parallel half. Re-time the 5
@@ -415,11 +656,52 @@ object Bench {
     // a normal run flags dozens of 0.2 s entries while every REAL
     // regression this mechanism has caught (q_ann_pq +37%, q_coreset
     // 6x) clears the grace by a wide margin.
-    val regressions = watched.flatMap { case (k, v) =>
+    val candidates = watched.flatMap { case (k, v) =>
       history.get(k).filter(best => best > 0 && v > best * 1.25 + 0.25)
         .map(best => (k, v, best))
     }.sortBy(-_._2)
-    try {
+    // SELF-ADJUDICATION (r12): every floor breach re-times in a FRESH
+    // JVM (BenchOne median-of-3) before the regressions array is
+    // written. Only breaches that REPRODUCE fresh are flagged; the rest
+    // ship under suite_noise with both numbers. Re-timing is bounded
+    // (entry cap + wall budget, biggest absolute offenders first); an
+    // entry the budget skips stays flagged with fresh:null — silence
+    // never hides a breach, it only stays unadjudicated.
+    val readjMax =
+      try sys.env.getOrElse("SPARK_GRAFT_READJ_MAX", "10").trim.toInt
+      catch { case _: Throwable => 10 }
+    val readjBudgetMs = 600000L
+    val readjStart = System.currentTimeMillis()
+    val adjudicated: Seq[(String, Double, Double, Option[Double])] =
+      candidates.sortBy { case (_, v, best) => -(v - best) }.zipWithIndex
+        .map { case ((k, v, best), idx) =>
+          val inBudget = idx < readjMax &&
+            System.currentTimeMillis() - readjStart < readjBudgetMs
+          val fresh = if (!inBudget) None else {
+            val (rc, out) = spawn("graft.BenchOne", Seq(k, sfDir), Map(
+              "SPARK_GRAFT_SAMPLES" -> "3",
+              "SPARK_GRAFT_CPUS" -> cpus), 10 * 60 * 1000L)
+            if (rc != 0) None
+            else """"metric":"median".*?"value":([0-9.eE+-]+)""".r
+              .findFirstMatchIn(out).map(_.group(1).toDouble)
+          }
+          (k, v, best, fresh)
+        }
+    val regressions = adjudicated
+      .filter { case (_, _, best, fresh) => fresh.forall(_ > best * 1.25 + 0.25) }
+      .sortBy(-_._2)
+    val suiteNoise = adjudicated
+      .filter { case (_, _, best, fresh) => fresh.exists(_ <= best * 1.25 + 0.25) }
+      .sortBy(-_._2)
+    // fresh medians are protocol-valid floor samples — fold them into
+    // the history ratchet below
+    val freshBests = adjudicated.collect { case (k, _, _, Some(f)) => k -> f }.toMap
+    // A protocol-mismatch re-seed rewrites the file from THIS run's
+    // entries only — legitimate for a full run, but under `only` a
+    // single-entry iteration run would silently and permanently wipe
+    // every other floor. Partial run + stale protocol → no write at all
+    // (floors stay stale-tagged until the next full run re-seeds them).
+    if (histProtocol == CurrentProtocol || only.isEmpty) try {
       val meta = Seq(s""" "__protocol": $CurrentProtocol""")
       // record EVERY clean timing (incl. b8, which the watch excludes as
       // a fixed-duration wall) so a protocol-mismatch re-seed never drops
@@ -428,7 +710,7 @@ object Bench {
       val merged = (history.keySet ++ recordable.map(_._1)).toSeq.sorted.map { k =>
         val cur = recordable.collectFirst { case (`k`, t) => t }
         val prev = history.get(k)
-        val best = (cur.toSeq ++ prev.toSeq).min
+        val best = (cur.toSeq ++ prev.toSeq ++ freshBests.get(k).toSeq).min
         s""" "$k": ${math.rint(best * 1000) / 1000}"""
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
@@ -468,8 +750,14 @@ object Bench {
       s"""{"cpus":$b12Cpus,"queries":{$rows}}"""
     }
     def r3r(v: Double) = math.rint(v * 1000) / 1000
-    val regJson = regressions.map { case (k, v, best) =>
-      s"""{"name":${jstr(k)},"sec":${r3r(v)},"best":${r3r(best)}}"""
+    def adjRow(k: String, v: Double, best: Double, fresh: Option[Double]) =
+      s"""{"name":${jstr(k)},"sec":${r3r(v)},"best":${r3r(best)},""" +
+        s""""fresh":${fresh.map(f => r3r(f).toString).getOrElse("null")}}"""
+    val regJson = regressions.map { case (k, v, best, fresh) =>
+      adjRow(k, v, best, fresh)
+    }.mkString("[", ",", "]")
+    val noiseJson = suiteNoise.map { case (k, v, best, fresh) =>
+      adjRow(k, v, best, fresh)
     }.mkString("[", ",", "]")
     // b13 rows carry the 1x/10x walls, the growth ratio, and both row
     // counts (pair volume should itself scale ~10x — a flat row count
@@ -486,7 +774,34 @@ object Bench {
       val ratio = if (m1k > 0) math.rint(m10k / m1k * 100) / 100 else -1.0
       s"""{"ms_per_query_1k":${r3r(m1k)},"ms_per_query_10k":${r3r(m10k)},"ratio":$ratio}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"b13":$b13Json,"b14":$b14Json,"regressions":$regJson,"sf":"$sfDir"}""")
+    // b13_100x rows: wall + row volume at x1/x10/x100 and the per-decade
+    // growth ratios (r10 = x10/x1, r100 = x100/x10)
+    val b13_100xJson = b13_100x.map { case (name, pts) =>
+      val walls = pts.map { case (n, t, rows) =>
+        s""""x$n":${r3r(t)},"rows$n":$rows""" }.mkString(",")
+      def at(n: Int) = pts.collectFirst { case (`n`, t, _) => t }.getOrElse(0.0)
+      val rA = if (at(1) > 0) math.rint(at(10) / at(1) * 100) / 100 else -1.0
+      val rB = if (at(10) > 0) math.rint(at(100) / at(10) * 100) / 100 else -1.0
+      s"${jstr(name)}:{$walls,\"r10\":$rA,\"r100\":$rB}"
+    }.mkString("{", ",", "}")
+    // JVM health summary + the full per-entry telemetry sidecar file —
+    // the evidence stream for adjudicating any residual late-suite drift
+    val jvmJson = {
+      val gc0 = telemetry.headOption.map(_._4).getOrElse(0L)
+      val jit0 = telemetry.headOption.map(_._5).getOrElse(0L)
+      s"""{"cc_used_mb":${r3r(Jvm.codeCacheUsedMb)},"cc_max_mb":${r3r(Jvm.codeCacheMaxMb)},""" +
+        s""""gc_sec":${r3r((Jvm.gcMs - gc0) / 1000.0)},"jit_sec":${r3r((Jvm.jitMs - jit0) / 1000.0)},""" +
+        s""""segmented":$segmented}"""
+    }
+    try {
+      val telPath = sys.env.getOrElse("SPARK_GRAFT_TELEMETRY", "bench_telemetry.json")
+      val rows = telemetry.map { case (n, sec, cc, gc, jit, heap) =>
+        s"""{"name":${jstr(n)},"sec":${r3r(sec)},"cc_mb":${r3r(cc)},"gc_ms":$gc,"jit_ms":$jit,"heap_mb":${r3r(heap)}}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(telPath),
+        rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // telemetry must never kill the summary
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"b13":$b13Json,"b13_100x":$b13_100xJson,"b14":$b14Json,"regressions":$regJson,"suite_noise":$noiseJson,"jvm":$jvmJson,"sf":"$sfDir"}""")
     // The harness keeps only the LAST ~2000 chars of stdout; with 160+
     // entries the full line above scrolls past that window and no round's
     // summary has ever been machine-parseable from the tail. Emit a second,
@@ -500,8 +815,8 @@ object Bench {
     // + ~400 of b12 rows + this budget + ~100 chars of trailer stays
     // safely inside.
     // (lowered from 800 to make room for the regressions array, then
-    // again for the b13/b14 blocks)
-    val budget = 380
+    // again for the b13/b14 blocks, then the b13_100x/jvm blocks)
+    val budget = 300
     val sb = new StringBuilder
     var taken = 0
     slowest.foreach { case (k, v) =>
@@ -509,18 +824,24 @@ object Bench {
       if (sb.length + frag.length < budget) { if (taken > 0) sb.append(','); sb.append(frag); taken += 1 }
     }
     val errNames = errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")
-    // compact line carries at most 8 regressions so the tail budget holds
-    val regCompact = regressions.take(8).map { case (k, v, best) =>
-      s"""{"name":${jstr(k)},"sec":${r3(v)},"best":${r3(best)}}"""
+    // compact line carries at most 6 regressions so the tail budget holds
+    val regCompact = regressions.take(6).map { case (k, v, best, fresh) =>
+      adjRow(k, v, best, fresh)
     }.mkString("[", ",", "]")
     // compact b13: ratios only — the full line above has the walls/rows
     val b13Compact = b13.map { case (name, t1, t10, _, _) =>
       s"${jstr(name)}:${if (t1 > 0) math.rint(t10 / t1 * 100) / 100 else -1.0}"
     }.mkString("{", ",", "}")
+    val b13_100xCompact = b13_100x.map { case (name, pts) =>
+      def at(n: Int) = pts.collectFirst { case (`n`, t, _) => t }.getOrElse(0.0)
+      val rB = if (at(10) > 0) math.rint(at(100) / at(10) * 100) / 100 else -1.0
+      s"${jstr(name)}:$rB"
+    }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
-      s""""b12":$b12Json,"b13_ratio":$b13Compact,"b14":$b14Json,""" +
+      s""""b12":$b12Json,"b13_ratio":$b13Compact,"b13_100x_r100":$b13_100xCompact,"b14":$b14Json,""" +
       s""""n_regressions":${regressions.size},"regressions":$regCompact,""" +
+      s""""n_suite_noise":${suiteNoise.size},"jvm":$jvmJson,""" +
       s""""queries":{${sb.toString}},"sf":"$sfDir"}"""
     println(compact)
     lastSession.stop()

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Session-soak proof for the persist contract (r11 demand #5): the
+ * persisting operators (winnowing match/index, exact-substr spans/
+ * index, linkage pairs, FK value sets) document a caller-side
+ * `clearCache` contract because a lazily-returned plan cannot
+ * unpersist its own inputs. Bench/Verify comply per entry; this spec
+ * proves the contract is SURVIVABLE for a library user who does NOT:
+ * ~30 persisting operator invocations composed in one session with no
+ * clearCache between them, then
+ *
+ *  1. every accumulated block is spillable (MEMORY_AND_DISK — eviction
+ *     degrades to recompute/disk, never OOM),
+ *  2. storage memory stays inside the executor storage pool (the LRU
+ *     evicts; accumulation is bounded by the pool, not by the number
+ *     of operators), and
+ *  3. a reference operator re-timed after the pile-up stays within a
+ *     committed factor of its fresh cost — the wall-tax shape r10
+ *     measured (q_coreset 6.3 s vs 0.70 s isolated) cannot silently
+ *     return.
+ *
+ * The factor is deliberately generous (suites run concurrently in this
+ * JVM); the failure mode under test is pathological degradation, not
+ * percent-level drift — Bench's per-entry isolation covers that.
+ */
+class SessionSoakSpec extends SparkTestBase {
+
+  test("~30 persisting operators without clearCache: blocks spillable, storage bounded, wall survives") {
+    val s = spark
+    import s.implicits._
+    s.catalog.clearCache() // start from a clean slate, whatever ran before
+    val docs = (1L to 300L).map { i =>
+      (i, s"document $i opens " + s"unique-lead-$i " +
+        ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 2) +
+        s"and closes with tail-marker-$i")
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    val probeDf = docs.filter(col("doc_id") <= 20L).localCheckpoint(true)
+
+    def reference(): Long = graft.pipeline.Winnowing.matchPairs(
+      docs, "doc_id", "text", k = 8, w = 4, minShared = 2,
+      maxDocFreq = 50).count()
+    def medianOf3(body: => Long): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    reference() // warm: codegen for the reference plan
+    val fresh = medianOf3(reference())
+
+    // ~30 persisting invocations, parameters varied so every plan (and
+    // its persisted frame) is distinct — nothing here is ever unpersisted
+    (0 until 28).foreach { i =>
+      i % 4 match {
+        case 0 => graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
+          k = 9 + i % 3, w = 4, minShared = 2, maxDocFreq = 50).count()
+        case 1 => graft.pipeline.Winnowing.fingerprintIndex(docs, "doc_id", "text",
+          k = 9 + i % 3, w = 5, maxDocFreq = 50).count()
+        case 2 => graft.pipeline.ExactSubstr.sharedSpans(docs, "doc_id", "text",
+          k = 8, stride = 2 + i % 3, minLen = 20, maxDocFreq = 50,
+          maxOccPerDoc = 256).count()
+        case _ => graft.pipeline.Winnowing.crossMatchPairs(docs, probeDf,
+          "doc_id", "text", k = 9 + i % 3, w = 6, minShared = 2,
+          maxDocFreq = 50).count()
+      }
+    }
+
+    // 1. blocks accumulated AND every one of them is spillable
+    val rdds = s.sparkContext.getRDDStorageInfo
+    val persisted = rdds.filter(_.numCachedPartitions > 0)
+    assert(persisted.nonEmpty,
+      "soak must actually accumulate persisted blocks — fixture broke")
+    // localCheckpoint frames are deliberately memory-only; the operator
+    // persists under test all declare MEMORY_AND_DISK
+    val nonSpillable = persisted.filterNot(r =>
+      r.storageLevel.useDisk || r.name.contains("Local Checkpoint"))
+    assert(nonSpillable.isEmpty,
+      s"non-spillable operator persists found: ${nonSpillable.map(_.name).mkString(", ")}")
+
+    // 2. storage memory bounded by the pool (LRU eviction, not growth)
+    val (maxMem, remaining) = s.sparkContext.getExecutorMemoryStatus.values.head
+    val used = rdds.map(_.memSize).sum
+    assert(used <= maxMem,
+      s"storage used $used exceeds pool $maxMem — blocks escaped the LRU pool")
+    assert(remaining >= 0, s"negative remaining storage: $remaining")
+
+    // 3. the reference op after ~30 uncleared persists: same plan, warm
+    // JVM — any degradation is pure storage/GC tax, and it must stay
+    // inside the committed factor
+    val soaked = medianOf3(reference())
+    val factor = 8.0
+    assert(soaked <= fresh * factor + 0.5,
+      f"reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx after the soak " +
+        f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — the clearCache contract " +
+        "is no longer survivable; unpersist-on-terminal needs a mechanism")
+
+    s.catalog.clearCache() // leave the shared session clean for other suites
+  }
+}
