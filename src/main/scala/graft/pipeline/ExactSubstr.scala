@@ -98,7 +98,7 @@ object ExactSubstr {
     // persisted: the df guard and BOTH posting sides consume this frame,
     // and the recompute is the whole anchor pass (per-char md5 sampling +
     // a window) — the double-execution class. Spillable; same caller
-    // clearCache contract as Winnowing.matchPairs.
+    // clearCache / CacheScope contract as Winnowing.matchPairs.
     val guarded = guardedAnchors(docs, k, stride, maxOccPerDoc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // silent boilerplate cut: anchors present in > maxDocFreq documents
@@ -153,7 +153,7 @@ object ExactSubstr {
     val docs = corpus.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
     // persisted across the df guard + posting projection (the one-shot
-    // index build); spillable, caller clearCache contract as elsewhere
+    // index build); spillable, caller clearCache/CacheScope contract as elsewhere
     val guarded = guardedAnchors(docs, k, stride, maxOccPerDoc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = guarded.groupBy("g")

@@ -174,8 +174,11 @@ object Winnowing {
    * consume it, and a lazily-returned plan cannot unpersist its own
    * inputs. The blocks are spillable and LRU-evictable, but a
    * long-lived session composing many operators should
-   * `spark.catalog.clearCache()` between pipelines — the same contract
-   * the other persisting operators (linkage, FK discovery) carry.
+   * `spark.catalog.clearCache()` between pipelines, or wrap the
+   * consumption in [[graft.plans.CacheScope]] (releases exactly this
+   * operator's persists, leaves other pipelines' caches alone) — the
+   * same contract the other persisting operators (linkage, FK
+   * discovery) carry.
    */
   def crossMatchPairs(corpus: DataFrame, probe: DataFrame,
                       idCol: String, textCol: String,
@@ -212,7 +215,8 @@ object Winnowing {
    * Caching contract (same as [[matchPairs]]): the fingerprint frame is
    * persisted across its two consumers (the df guard and the posting
    * projection); callers composing many operators in one session should
-   * `spark.catalog.clearCache()` between pipelines.
+   * `spark.catalog.clearCache()` between pipelines or wrap the
+   * consumption in [[graft.plans.CacheScope]].
    */
   def fingerprintIndex(corpus: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int, maxDocFreq: Int = 1000): DataFrame = {
@@ -275,7 +279,8 @@ object Winnowing {
    * still reads it. Blocks are spillable and LRU-evictable; callers
    * composing many operators in one long-lived session should
    * `spark.catalog.clearCache()` between pipelines (Bench/Verify do
-   * exactly this per entry).
+   * exactly this per entry) or wrap the consumption in
+   * [[graft.plans.CacheScope]].
    */
   def matchPairs(df: DataFrame, idCol: String, textCol: String,
                  k: Int, w: Int, minShared: Long,

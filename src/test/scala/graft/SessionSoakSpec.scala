@@ -99,4 +99,47 @@ class SessionSoakSpec extends SparkTestBase {
 
     s.catalog.clearCache() // leave the shared session clean for other suites
   }
+
+  test("CacheScope releases exactly its own persists; results stay correct after the scope") {
+    val s = spark
+    import s.implicits._
+    s.catalog.clearCache()
+    val docs = (1L to 80L).map { i =>
+      (i, s"scope doc $i " + ("alpha beta gamma delta epsilon zeta " * 2) + s"tail-$i")
+    }.toDF("doc_id", "text")
+    // a pre-existing persist OUTSIDE the scope must survive it
+    val outer = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outer.count()
+    val baseline = s.sparkContext.getPersistentRDDs.size
+    val inScope = graft.plans.CacheScope(s) {
+      val pairs = graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDocFreq = 50)
+      val n = pairs.count()
+      assert(s.sparkContext.getPersistentRDDs.size > baseline,
+        "the operator's persist must be visible inside the scope")
+      n
+    }
+    assert(s.sparkContext.getPersistentRDDs.size === baseline,
+      "scope exit must release exactly the operator's persists")
+    assert(outer.count() === 80L, "pre-existing persist must survive the scope")
+    // a frame that ESCAPES the scope lazily stays correct (recompute)
+    val escaped = graft.plans.CacheScope(s) {
+      graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDocFreq = 50)
+    }
+    assert(escaped.count() === inScope,
+      "unpersist never breaks lineage — an escaped frame recomputes correctly")
+    // failure path: the scope still cleans up
+    intercept[RuntimeException] {
+      graft.plans.CacheScope(s) {
+        graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
+          k = 8, w = 4, minShared = 2, maxDocFreq = 50).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(s.sparkContext.getPersistentRDDs.size === baseline,
+      "scope must release its persists on the failure path too")
+    outer.unpersist(true)
+    s.catalog.clearCache()
+  }
 }
