@@ -369,6 +369,53 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // STREAMING winnowing decontamination — q_winnow_index_persist's
+    // probe driven from a micro-batch stream (foreachBatch over the
+    // stored fingerprint index, idempotent per-batch overwrite). Two
+    // deterministic batches split the same delta; the oracle is the
+    // SAME single-probe replay as the persist entry because the drive
+    // is provably batch-split-invariant here: a doc's fingerprints all
+    // arrive with it (per-pair shared-counts never cross batches) and
+    // the per-batch delta df cut is identity at the default 1000 on
+    // this fixture's doc frequencies — WinnowingSpec pins the
+    // equivalence executably.
+    "q_winnow_index_stream" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val idxP = scratch("winnow_stream_idx")
+      graft.pipeline.Winnowing.fingerprintIndex(corpus, "doc_id", "text",
+          k = 24, w = 8, maxDocFreq = 10)
+        .write.mode("overwrite").parquet(idxP)
+      val inP = scratch("winnow_stream_in")
+      val outP = scratch("winnow_stream_out")
+      val ckP = scratch("winnow_stream_ck")
+      Seq(inP, outP, ckP).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      }
+      val q = graft.pipeline.Winnowing.decontaminationStream(
+        s.readStream.schema("doc_id LONG, text STRING").json(inP),
+        "doc_id", "text", s.read.parquet(idxP),
+        k = 24, w = 8, minShared = 3, outPath = outP, checkpoint = ckP)
+      try {
+        b1.write.mode("append").json(inP); q.processAllAvailable()
+        b2.write.mode("append").json(inP); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outP)
+        .select("new_id", "corpus_id", "shared")
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // Cross-document EXACT-substring dedup (Lee et al. 2022's
     // ExactSubstr class, bucketed-anchor + bidirectional-extension
     // form): content-sampled anchor k-grams (md5-56 ≡ 0 mod stride)
@@ -4186,40 +4233,12 @@ object SparkEntry {
         |FROM cf JOIN pf USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY corpus_id, probe_id""".stripMargin.replace("\n", " "),
-    "q_winnow_index_persist" ->
-      """WITH cg AS (
-        |  SELECT doc_id, i AS pos,
-        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
-        |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
-        |  WHERE doc_id < 250 AND text IS NOT NULL AND length(text) >= 31),
-        |cwm AS (
-        |  SELECT doc_id,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
-        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
-        |  FROM cg),
-        |cfp AS (SELECT DISTINCT doc_id, fp FROM cwm WHERE n = 8),
-        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM cfp GROUP BY 1) WHERE df <= 10),
-        |idx AS (SELECT f.fp, f.doc_id FROM cfp f JOIN rare USING (fp)),
-        |nd AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
-        |ng AS (
-        |  SELECT doc_id, i AS pos,
-        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
-        |  FROM nd, unnest(range(1, length(text) - 22)) AS r(i)
-        |  WHERE text IS NOT NULL AND length(text) >= 31),
-        |nwm AS (
-        |  SELECT doc_id,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
-        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
-        |  FROM ng),
-        |nfp AS (SELECT DISTINCT doc_id, fp FROM nwm WHERE n = 8)
-        |SELECT n.doc_id AS new_id, i.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS shared
-        |FROM nfp n JOIN idx i USING (fp)
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
-    "q_dedup_substr" -> dedupSubstrOracleSql("spans"),
+    "q_winnow_index_persist" -> winnowIndexProbeOracleSql,
+    // identical replay: the streaming drive is batch-split-invariant on
+    // this fixture (per-doc fingerprint atomicity + identity delta cut),
+    // so one whole-delta probe IS the union of the per-batch probes
+    "q_winnow_index_stream" -> winnowIndexProbeOracleSql,
+        "q_dedup_substr" -> dedupSubstrOracleSql("spans"),
     "q_dedup_substr_summary" -> dedupSubstrOracleSql("summary"),
     "q_dedup_substr_incr" -> dedupSubstrIncrOracleSql,
     "q_dedup_substr_stream" -> dedupSubstrStreamOracleSql,
@@ -6379,6 +6398,45 @@ object SparkEntry {
          |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
          |GROUP BY 1 ORDER BY node""".stripMargin).replace("\n", " ")
   }
+
+  /** DuckDB replay of the stored-winnowing-index probe — shared by
+    * q_winnow_index_persist (one batch probe) and q_winnow_index_stream
+    * (two micro-batches whose union is provably the same probe): corpus
+    * fingerprints with the build-time df cut, delta fingerprints, the
+    * posting join, and the minShared HAVING. */
+  private def winnowIndexProbeOracleSql: String =
+    """WITH cg AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE doc_id < 250 AND text IS NOT NULL AND length(text) >= 31),
+        |cwm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM cg),
+        |cfp AS (SELECT DISTINCT doc_id, fp FROM cwm WHERE n = 8),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM cfp GROUP BY 1) WHERE df <= 10),
+        |idx AS (SELECT f.fp, f.doc_id FROM cfp f JOIN rare USING (fp)),
+        |nd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+        |ng AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
+        |  FROM nd, unnest(range(1, length(text) - 22)) AS r(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 31),
+        |nwm AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+        |  FROM ng),
+        |nfp AS (SELECT DISTINCT doc_id, fp FROM nwm WHERE n = 8)
+        |SELECT n.doc_id AS new_id, i.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS shared
+        |FROM nfp n JOIN idx i USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " ")
 
   /** The h-operator round budget the q_coreness oracle unrolls — ONE
     * constant shared by the Spark entry (which asserts the measured

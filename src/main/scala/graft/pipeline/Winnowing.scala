@@ -267,6 +267,42 @@ object Winnowing {
   }
 
   /**
+   * Streaming winnowing decontamination: drive [[pairsAgainstStored]]
+   * from a micro-batch stream of arriving documents — the stored-index
+   * streaming twin ([[graft.pipeline.ExactSubstr.decontaminationStream]]
+   * is the span-level sibling; [[winnowDedupStream]] covers
+   * suppression, this covers the index probe). Each micro-batch probes
+   * the stored postings independently (stateless across batches — a
+   * document's fingerprints all arrive with it, so batch boundaries
+   * cannot split a (new_id, corpus_id) shared-count), and matches land
+   * under `outPath/batch=<id>` via idempotent per-batch OVERWRITE: a
+   * replayed batch rewrites its own directory, making restart parity
+   * exact. Read results back with `spark.read.parquet(outPath)`.
+   *
+   * The delta-side `maxDocFreq` cut is PER BATCH — each batch is its
+   * own probe, so a boilerplate fingerprint's join volume is bounded
+   * per batch by construction.
+   */
+  def decontaminationStream(stream: DataFrame, idCol: String, textCol: String,
+                            storedPostings: DataFrame,
+                            k: Int, w: Int, minShared: Long,
+                            outPath: String, checkpoint: String,
+                            maxDocFreq: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(minShared >= 1, "minShared must be >= 1")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        pairsAgainstStored(batch.toDF(), idCol, textCol, storedPostings,
+          k, w, minShared, maxDocFreq)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Document pairs sharing ≥ `minShared` winnowing fingerprints, with
    * the shared count and each side's fingerprint-set size (for a
    * containment/overlap readout). `maxDocFreq` drops corpus-wide

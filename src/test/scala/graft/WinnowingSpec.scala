@@ -117,4 +117,32 @@ class WinnowingSpec extends SparkTestBase {
       k = 8, w = 4, minShared = 1000, maxDocFreq = 10)
     assert(strict.count() === 0)
   }
+
+  test("stored-index probe is batch-split-invariant: union of per-batch probes == whole-delta probe") {
+    // the q_winnow_index_stream oracle reuses the persist entry's
+    // single-probe SQL on exactly this argument: a doc's fingerprints
+    // all arrive with it, so per-pair shared-counts never cross
+    // batches, and with the delta df cut at identity the per-batch
+    // probes partition the whole-delta probe's rows
+    val s2 = spark
+    import s2.implicits._
+    val quote = "SHARED-RUN-QWJXZVKPYGHMBTFDNRLS"
+    val corpus = (1L to 6L).map(i =>
+      (i, s"corpus doc $i holds $quote plus own words $i here")).toDF("doc_id", "text")
+    val idx = Winnowing.fingerprintIndex(corpus, "doc_id", "text",
+      k = 8, w = 4, maxDocFreq = 100).localCheckpoint(true)
+    val delta = (100L to 119L).map(i =>
+      (i, s"arrival $i quoting $quote and trailing words $i")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Winnowing.pairsAgainstStored(df, "doc_id", "text", idx,
+        k = 8, w = 4, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = rows(delta)
+    val unioned = rows(delta.filter(col("doc_id") % 2 === 0)) ++
+      rows(delta.filter(col("doc_id") % 2 === 1))
+    assert(whole === unioned, s"batch split changed the probe: " +
+      s"whole=${whole.size} union=${unioned.size}")
+    assert(whole.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
