@@ -113,4 +113,45 @@ class ScaleSmokeSpec extends SparkTestBase {
     // per-replica property) cannot grow with replica count
     assert(core(10) === c1 * 10)
   }
+
+  test("incremental probes: 10x DELTA against a FIXED stored index scales matches ~10x") {
+    // "re-run per release at the cost of the release, not the corpus":
+    // the index is built ONCE from the 1x corpus; the delta (planted
+    // partial copies of corpus docs, id-remapped per replica) grows 10x
+    // and the match volume must track the delta — the structural
+    // evidence that probe work is delta-proportional. The 10x delta
+    // repeats each probe TEXT verbatim (ids differ), so every replica
+    // matches exactly the base replica's corpus partners.
+    val corpus = SparkEntry.rd(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 250)
+    def delta(n: Int): DataFrame = (0 until n).map { r =>
+      corpus.filter(col("doc_id") < 40 && length(col("text")) >= 200)
+        .select((col("doc_id") + lit(1000000L + r * 10000000L)).as("doc_id"),
+          concat(lit("L-"), col("doc_id").cast("string"), lit(s"-$r: "),
+            substring(col("text"), 21, 150), lit(" :R")).as("text"))
+    }.reduce(_ unionByName _)
+    // winnowing: stored fingerprint postings, delta-side probe
+    val wIdx = graft.pipeline.Winnowing.fingerprintIndex(
+      corpus, "doc_id", "text", k = 24, w = 8, maxDocFreq = 10)
+      .localCheckpoint(true)
+    def wProbe(n: Int): Long = graft.pipeline.Winnowing.pairsAgainstStored(
+      delta(n), "doc_id", "text", wIdx, k = 24, w = 8, minShared = 3).count()
+    val w1 = wProbe(1)
+    assert(w1 > 0, "winnow probe found nothing — fixture broke")
+    assert(wProbe(10) === w1 * 10,
+      "verbatim-replica delta must match exactly 10x the base probe")
+    // exact-substring: stored anchor postings, delta-side probe
+    val aIdx = graft.pipeline.ExactSubstr.anchorIndex(
+      corpus, "doc_id", "text", k = 20, stride = 4,
+      maxDocFreq = 8, maxOccPerDoc = 16).localCheckpoint(true)
+    def aProbe(n: Int): Long = graft.pipeline.ExactSubstr.spansAgainstStored(
+      delta(n), "doc_id", "text", corpus, aIdx, k = 20, stride = 4,
+      minLen = 100, maxDocFreq = 8 * n, maxOccPerDoc = 16).count()
+    val a1 = aProbe(1)
+    assert(a1 > 0, "substr probe found nothing — fixture broke")
+    assert(aProbe(10) === a1 * 10,
+      "verbatim-replica delta must span exactly 10x the base probe")
+    spark.catalog.clearCache()
+  }
 }
