@@ -42,7 +42,7 @@ object KeyDiscovery {
         .select(lit(label).as("cid"), col(c).cast("string").as("v"))
         .distinct()
     }.reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     val sizes = valueSets.groupBy("cid").agg(count(lit(1)).as("n"))
     val pairs = valueSets.as("a")
       .join(valueSets.as("b"),

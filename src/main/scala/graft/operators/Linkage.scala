@@ -59,7 +59,7 @@ object Linkage {
     // cost). Persist spillably: Σblock² pair rows are far cheaper to
     // hold once than to re-join; evictable, so a pathological block
     // degrades to recompute rather than OOM.
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = graft.plans.CacheScope.persistTracked(pairs)
     // one map-side-combined pass: per-field agreement counts among
     // matches and non-matches + the two denominators
     val aggs = Seq(sum(isM).cast("double").as("n_m"),

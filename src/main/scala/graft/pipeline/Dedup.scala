@@ -175,7 +175,7 @@ object Dedup {
     // subplans, so exchange reuse cannot dedupe them). Spillable,
     // evictable — a pathological corpus degrades to recompute, not OOM.
     val g = gramSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     val pairs = pairCountsFromGramSets(g, maxDocFreq)
       .select(col("id1"), col("id2"),
         (col("ic").cast("double") / (col("sz1") + col("sz2") - col("ic"))).as("jaccard"))

@@ -100,7 +100,7 @@ object ExactSubstr {
     // a window) — the double-execution class. Spillable; same caller
     // clearCache / CacheScope contract as Winnowing.matchPairs.
     val guarded = guardedAnchors(docs, k, stride, maxOccPerDoc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     // silent boilerplate cut: anchors present in > maxDocFreq documents
     // are corpus-wide noise (same policy as the n-gram/winnowing postings)
     val rare = guarded.groupBy("g")
@@ -155,7 +155,7 @@ object ExactSubstr {
     // persisted across the df guard + posting projection (the one-shot
     // index build); spillable, caller clearCache/CacheScope contract as elsewhere
     val guarded = guardedAnchors(docs, k, stride, maxOccPerDoc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     val rare = guarded.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") <= maxDocFreq)

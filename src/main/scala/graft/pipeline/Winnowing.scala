@@ -189,7 +189,7 @@ object Winnowing {
     val pfp = fingerprintsNative(probe, idCol, textCol, k, w)
       .select(col("fp"), col("doc_id").as("probe_id"))
     val cfp = fingerprintsNative(corpus, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     val rare = cfp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
       .select("fp")
@@ -222,7 +222,7 @@ object Winnowing {
                        k: Int, w: Int, maxDocFreq: Int = 1000): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     val fp = fingerprintsNative(corpus, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
       .select("fp")
@@ -327,7 +327,7 @@ object Winnowing {
     // persisted because sizes, the df guard, and both posting sides all
     // consume it (the double-execution class). Spillable.
     val fp = fingerprintsNative(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.CacheScope.persistTracked)
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)

@@ -107,21 +107,28 @@ class SessionSoakSpec extends SparkTestBase {
     val docs = (1L to 80L).map { i =>
       (i, s"scope doc $i " + ("alpha beta gamma delta epsilon zeta " * 2) + s"tail-$i")
     }.toDF("doc_id", "text")
-    // a pre-existing persist OUTSIDE the scope must survive it
+    // a pre-existing persist OUTSIDE the scope must survive it.
+    // Assertions are ID-SET based, not global-count based: suites share
+    // this session and run concurrently, so the total persisted count
+    // can move under us — only OUR additions' lifecycle is under test.
     val outer = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     outer.count()
-    val baseline = s.sparkContext.getPersistentRDDs.size
+    val baseline = s.sparkContext.getPersistentRDDs.keySet.toSet
+    var scopeIds = Set.empty[Int]
     val inScope = graft.plans.CacheScope(s) {
       val pairs = graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
         k = 8, w = 4, minShared = 2, maxDocFreq = 50)
       val n = pairs.count()
-      assert(s.sparkContext.getPersistentRDDs.size > baseline,
+      scopeIds = s.sparkContext.getPersistentRDDs.keySet.toSet.diff(baseline)
+      assert(scopeIds.nonEmpty,
         "the operator's persist must be visible inside the scope")
       n
     }
-    assert(s.sparkContext.getPersistentRDDs.size === baseline,
-      "scope exit must release exactly the operator's persists")
-    assert(outer.count() === 80L, "pre-existing persist must survive the scope")
+    assert(s.sparkContext.getPersistentRDDs.keySet.toSet.intersect(scopeIds).isEmpty,
+      "scope exit must release the scope's own persists")
+    assert(outer.storageLevel.useDisk,
+      "pre-existing persist must survive the scope")
+    assert(outer.count() === 80L)
     // a frame that ESCAPES the scope lazily stays correct (recompute)
     val escaped = graft.plans.CacheScope(s) {
       graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
@@ -130,16 +137,19 @@ class SessionSoakSpec extends SparkTestBase {
     assert(escaped.count() === inScope,
       "unpersist never breaks lineage — an escaped frame recomputes correctly")
     // failure path: the scope still cleans up
+    val preFail = s.sparkContext.getPersistentRDDs.keySet.toSet
+    var failIds = Set.empty[Int]
     intercept[RuntimeException] {
       graft.plans.CacheScope(s) {
         graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
           k = 8, w = 4, minShared = 2, maxDocFreq = 50).count()
+        failIds = s.sparkContext.getPersistentRDDs.keySet.toSet.diff(preFail)
         throw new RuntimeException("boom")
       }
     }
-    assert(s.sparkContext.getPersistentRDDs.size === baseline,
+    assert(failIds.nonEmpty)
+    assert(s.sparkContext.getPersistentRDDs.keySet.toSet.intersect(failIds).isEmpty,
       "scope must release its persists on the failure path too")
     outer.unpersist(true)
-    s.catalog.clearCache()
   }
 }
