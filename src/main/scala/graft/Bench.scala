@@ -652,6 +652,20 @@ object Bench {
     // streaming wall). The history refreshes in place with any new bests
     // so the floor ratchets down; it is data (best-known seconds), never
     // code, and stays a few KB.
+    // PRELIMINARY summary BEFORE the adjudication spawns: if an external
+    // wall budget kills the run during fresh-JVM re-timing, the stdout
+    // tail still carries a parseable line — flags simply ship
+    // unadjudicated from a line marked preliminary. The final lines
+    // print after adjudication and supersede this one at the tail.
+    {
+      def r3p(v: Double) = math.rint(v * 1000) / 1000
+      val qs = results.sortBy(-_._2).take(10)
+        .map { case (k, v) => s""""$k":${r3p(v)}""" }.mkString(",")
+      println(s"""{"metric":"total","value":${r3p(results.map(_._2).sum)},""" +
+        s""""unit":"sec","preliminary":true,"n_queries":${results.size},""" +
+        s""""n_errors":${errors.size},"queries":{$qs},"sf":"$sfDir"}""")
+    }
+
     val histPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.json")
     // "__"-prefixed keys are metadata, not floors: "__protocol" tags the
     // measurement protocol the floors were seeded under (2 = per-entry
@@ -721,9 +735,9 @@ object Bench {
     // entry the budget skips stays flagged with fresh:null — silence
     // never hides a breach, it only stays unadjudicated.
     val readjMax =
-      try sys.env.getOrElse("SPARK_GRAFT_READJ_MAX", "10").trim.toInt
-      catch { case _: Throwable => 10 }
-    val readjBudgetMs = 600000L
+      try sys.env.getOrElse("SPARK_GRAFT_READJ_MAX", "8").trim.toInt
+      catch { case _: Throwable => 8 }
+    val readjBudgetMs = 360000L
     val readjStart = System.currentTimeMillis()
     val adjudicated: Seq[(String, Double, Double, Option[Double])] =
       candidates.sortBy { case (_, v, best) => -(v - best) }.zipWithIndex
@@ -743,7 +757,7 @@ object Bench {
           val fresh = if (!inBudget) None else {
             val (rc, out) = spawn("graft.BenchOne", Seq(k, sfDir), Map(
               "SPARK_GRAFT_SAMPLES" -> "3",
-              "SPARK_GRAFT_CPUS" -> cpus), 10 * 60 * 1000L)
+              "SPARK_GRAFT_CPUS" -> cpus), 6 * 60 * 1000L)
             if (rc != 0) None
             else """"samples":\[([0-9.,eE+-]+)\]""".r
               .findFirstMatchIn(out)
