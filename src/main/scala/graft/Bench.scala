@@ -661,7 +661,9 @@ object Bench {
       def r3p(v: Double) = math.rint(v * 1000) / 1000
       val qs = results.sortBy(-_._2).take(10)
         .map { case (k, v) => s""""$k":${r3p(v)}""" }.mkString(",")
-      println(s"""{"metric":"total","value":${r3p(results.map(_._2).sum)},""" +
+      // a DISTINCT metric name: a driver that grabs the first
+      // "metric":"total" line must never pick this one up
+      println(s"""{"metric":"total_preliminary","value":${r3p(results.map(_._2).sum)},""" +
         s""""unit":"sec","preliminary":true,"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"queries":{$qs},"sf":"$sfDir"}""")
     }
