@@ -729,7 +729,7 @@ object Bench {
         .map(best => (k, v, best))
     }.sortBy(-_._2)
     // SELF-ADJUDICATION (r12): every floor breach re-times in a FRESH
-    // JVM (BenchOne, 3 samples; the reproduce decision uses the MINIMUM
+    // JVM (BenchOne, 5 samples; the reproduce decision uses the MINIMUM
     // sample — see below) before the regressions array is written. Only
     // breaches that REPRODUCE fresh are flagged; the rest ship under
     // suite_noise with both numbers. Re-timing is bounded
@@ -758,7 +758,7 @@ object Bench {
           // medians but usually leaves one calm sample through
           val fresh = if (!inBudget) None else {
             val (rc, out) = spawn("graft.BenchOne", Seq(k, sfDir), Map(
-              "SPARK_GRAFT_SAMPLES" -> "3",
+              "SPARK_GRAFT_SAMPLES" -> "5",
               "SPARK_GRAFT_CPUS" -> cpus), 6 * 60 * 1000L)
             if (rc != 0) None
             else """"samples":\[([0-9.,eE+-]+)\]""".r
