@@ -29,13 +29,18 @@ import scala.collection.mutable
  *    each child), so every entry measures within a bounded codegen
  *    neighborhood — wall cost is a handful of extra session startups.
  *    `SPARK_GRAFT_SEGMENTS=0` restores the single-JVM path.
- * 2. SELF-ADJUDICATING regression watch: every floor breach is re-timed
- *    in a FRESH JVM (the BenchOne median machinery) before the
- *    `regressions` array is written; only breaches that REPRODUCE are
- *    flagged — the rest ship under `suite_noise` with both numbers, so
- *    a polluted in-suite sample can never masquerade as a code
- *    regression again. Re-timing is capped (entries and wall) so a
- *    pathological run cannot blow the bench budget.
+ * 2. SELF-ADJUDICATING regression watch (hardened r13): every floor
+ *    breach is re-timed in a FRESH JVM (the BenchOne machinery, in
+ *    descending breach-ratio order) before the `regressions` array is
+ *    written; the reproduce decision is judged against the
+ *    ADJUDICATION-TIME canary factor via [[categorize]], and the
+ *    output splits three ways — `regressions` (fresh-reproduced only),
+ *    `suite_noise` (fresh-disproved), `unadjudicated` (budget-skipped
+ *    or degraded-window rows; never inside `regressions`). Every
+ *    summary line carries a `verdict` (`ok` / `box_degraded` /
+ *    `adjudication_degraded`) so a degraded window brands its own
+ *    output. Re-timing is capped (entries and wall) so a pathological
+ *    run cannot blow the bench budget.
  *
  * Per-entry JVM telemetry (code-cache occupancy, cumulative GC/JIT
  * time, heap) lands in `bench_telemetry.json` for offline adjudication
@@ -62,6 +67,60 @@ object Bench {
         require(eqRunnerPass(s, d, 10000) == 10000, "eq runner lost queries"))
       case _ => None
     }
+
+  /** One regression-watch adjudication row: in-suite seconds, committed
+    * floor, fresh-JVM minimum + median (None = the re-time budget never
+    * reached this row). */
+  private[graft] final case class AdjRow(
+    name: String, sec: Double, best: Double,
+    freshMin: Option[Double], freshMedian: Option[Double])
+
+  /** Breach test at a given box factor: >25% over the floor (scaled by
+    * the factor) plus a 0.25 s absolute grace for sub-second swing. */
+  private[graft] def breachAt(best: Double, v: Double, factor: Double): Boolean =
+    v > best * 1.25 * factor + 0.25
+
+  /** Box windows at/above this factor cannot produce trustworthy flags:
+    * r11+r12 shipped 97 of them with zero true positives. At or past it
+    * the run verdict is `box_degraded` and (if the ADJUDICATION window
+    * is also past it) breaches defer instead of flagging. */
+  private[graft] val DegradedBoxFactor = 1.3
+
+  /** Split breach rows into (regressions, suite_noise, unadjudicated).
+    *
+    * `adjFactor` is the box factor AT ADJUDICATION TIME — the canary
+    * re-timed immediately before the fresh-JVM batch, over the best
+    * canary on record. Fresh re-times run in their own time window, so
+    * they are judged against THAT window's factor, never the suite
+    * samples' `box_factor` (r12: q_ts_anomaly "reproduced" at fresh_min
+    * 1.5 because the re-time rode the same polluted window that true
+    * idle-box min 0.606 later disproved).
+    *
+    * - calm adjudication window (adjFactor < DegradedBoxFactor): a
+    *   fresh min past the adjFactor-scaled envelope REPRODUCES the
+    *   breach → regressions; inside it → suite_noise.
+    * - degraded adjudication window: a "reproduced" breach proves
+    *   nothing (the box, not the code, may be slow) → unadjudicated.
+    *   A fresh min inside the UNSCALED envelope is still the strongest
+    *   possible disproof (the code reached its floor neighborhood on a
+    *   slow box) → suite_noise; the scaled envelope is NOT used for
+    *   disproof here because a 1.3×+ threshold could absorb a real
+    *   regression.
+    * - rows the budget never re-timed are unadjudicated always; they
+    *   must never ship inside `regressions` where a first-line parser
+    *   reads them as real flags.
+    */
+  private[graft] def categorize(rows: Seq[AdjRow], adjFactor: Double)
+      : (Seq[AdjRow], Seq[AdjRow], Seq[AdjRow]) = {
+    val (timed, untimed) = rows.partition(_.freshMin.isDefined)
+    if (adjFactor >= DegradedBoxFactor) {
+      val (noise, defer) = timed.partition(r => !breachAt(r.best, r.freshMin.get, 1.0))
+      (Seq.empty, noise, defer ++ untimed)
+    } else {
+      val (repro, noise) = timed.partition(r => breachAt(r.best, r.freshMin.get, adjFactor))
+      (repro, noise, untimed)
+    }
+  }
 
   /** JVM health probes for the per-entry telemetry — the evidence that
     * separates "the plan got slower" from "the JVM degraded" (code-cache
@@ -263,7 +322,11 @@ object Bench {
     def recordTel(name: String, sec: Double): Unit = {
       telemetry += ((name, sec, Jvm.codeCacheUsedMb, Jvm.gcMs, Jvm.jitMs,
         Jvm.heapUsedMb))
-      if (emitPerEntry) {
+      // "__"-prefixed rows are JVM telemetry markers, not entries: a
+      // segment child emitting them as GRAFT_ENTRY lines would hand the
+      // parent phantom (name, 0.0) rows that inflate n_queries and
+      // pollute the queries map
+      if (emitPerEntry && !name.startsWith("__")) {
         val err = errors.get(name)
           .map(e => s""","err":"${e.replace("\\", "\\\\").replace("\"", "\\\"")
             .replaceAll("[\\x00-\\x1f]", " ")}"""")
@@ -285,7 +348,7 @@ object Bench {
     // fresh-JVM re-time "reproduces" the breach because the box, not
     // the code, is slow. A genuine code regression still flags: the
     // canary contains no graft code, so only platform slowdown moves it.
-    val canarySec: Double = if (only.isDefined) -1.0 else {
+    def canaryMedian3(): Double = {
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -299,9 +362,11 @@ object Bench {
       try { once(); Seq(once(), once(), once()).sorted.apply(1) }
       catch { case _: Throwable => -1.0 }
     }
+    val canarySec: Double = if (only.isDefined) -1.0 else canaryMedian3()
     if (!segmented) entries.foreach { case (_, fn) =>
-      spark.catalog.clearCache() // see timed(): no cross-entry cache debt
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // scoped like timed(): no cross-entry cache debt (see timed())
+      try graft.plans.CacheScope(spark) { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
     }
     if (!segmented) recordTel("__post_warmup", 0.0)
 
@@ -315,25 +380,41 @@ object Bench {
     // fingerprints) and a lazy operator cannot unpersist them — left
     // alone, 250 entries' blocks accumulate and the storage pressure
     // taxes every LATER entry (r10 caught q_coreset at 6x its fresh
-    // cost and b7 20% down from exactly this). Clear BEFORE each
-    // timing so an entry pays for its own caching, never inherits
-    // another's eviction fight. In-entry persist behavior (best-of-2
-    // reuse of the entry's OWN cache) is unchanged. `session` is
+    // cost and b7 20% down from exactly this). Isolation (r13) dogfoods
+    // the library's own CacheScope under the full per-entry load: the
+    // best-of-2 pair runs inside ONE scope — run 2 still reuses the
+    // entry's OWN persisted frames, and scope exit releases exactly
+    // them. Residual blocks ENTERING an entry mean some operator
+    // persisted outside persistTracked (or off-thread): counted into
+    // `residual_blocks_max` telemetry so the leak is a visible number,
+    // then cleared so it can never tax this entry. `session` is
     // explicit because b12 re-times on a FRESH session after the wide
-    // one stops — clearing the stopped session would throw.
+    // one stops — touching the stopped session would throw.
+    var residualMax = 0
+    def residualCheck(session: SparkSession): Unit = {
+      val residual =
+        try session.sparkContext.getPersistentRDDs.size
+        catch { case _: Throwable => 0 }
+      if (residual > 0) {
+        residualMax = math.max(residualMax, residual)
+        try session.catalog.clearCache() catch { case _: Throwable => () }
+      }
+    }
     def timed(name: String, session: SparkSession = spark)
              (body: => Unit): (String, Double) = {
-      try session.catalog.clearCache() catch { case _: Throwable => () }
+      residualCheck(session)
       def once(): Double = {
         val t0 = System.nanoTime()
         body
         (System.nanoTime() - t0) / 1e9
       }
       val res = try {
-        val first = once()
-        // a failed SECOND run doesn't invalidate the first sample — keep it
-        val best = try math.min(first, once()) catch { case _: Throwable => first }
-        name -> best
+        graft.plans.CacheScope(session) {
+          val first = once()
+          // a failed SECOND run doesn't invalidate the first sample — keep it
+          val best = try math.min(first, once()) catch { case _: Throwable => first }
+          name -> best
+        }
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
@@ -379,7 +460,9 @@ object Bench {
             "SPARK_GRAFT_HISTORY" -> s"/tmp/graft_bench_hist_seg$i.json"
           ), timeoutMs = 45 * 60 * 1000L)
           val got = out.linesIterator.collect {
-            case entryLine(n, sec, err) =>
+            // belt-and-braces vs recordTel's own "__" skip: telemetry
+            // markers must never parse back as entries
+            case entryLine(n, sec, err) if !n.startsWith("__") =>
               if (err != null && err.nonEmpty) errors(n) = err
               n -> sec.toDouble
           }.toSeq
@@ -401,7 +484,9 @@ object Bench {
               s"missing (re-timed in-process): ${missing.take(5).mkString(",")}"
             // degrade, never lose entries: time the stragglers here
             got ++ missing.map { n =>
-              try entries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+              try graft.plans.CacheScope(spark) {
+                entries(n)(spark, sfDir).count(); ()
+              } catch { case _: Throwable => () }
               timed(n)(entries(n)(spark, sfDir).count())
             }
           } else got
@@ -521,10 +606,12 @@ object Bench {
         ops.flatMap { case (name, run) =>
           try {
             def one(n: Int): (Double, Long) = {
-              try spark.catalog.clearCache() catch { case _: Throwable => () }
-              val t0 = System.nanoTime()
-              val rows = run(n)
-              ((System.nanoTime() - t0) / 1e9, rows)
+              residualCheck(spark)
+              graft.plans.CacheScope(spark) {
+                val t0 = System.nanoTime()
+                val rows = run(n)
+                ((System.nanoTime() - t0) / 1e9, rows)
+              }
             }
             val (t1, r1) = one(1)
             val (t10, r10) = one(10)
@@ -593,10 +680,12 @@ object Bench {
         ops.flatMap { case (name, run) =>
           try {
             val pts = Seq(1, 10, 100).map { n =>
-              try spark.catalog.clearCache() catch { case _: Throwable => () }
-              val t0 = System.nanoTime()
-              val rows = run(n)
-              (n, (System.nanoTime() - t0) / 1e9, rows)
+              residualCheck(spark)
+              graft.plans.CacheScope(spark) {
+                val t0 = System.nanoTime()
+                val rows = run(n)
+                (n, (System.nanoTime() - t0) / 1e9, rows)
+              }
             }
             Some((name, pts))
           } catch {
@@ -637,7 +726,8 @@ object Bench {
       lastSession = s8
       slowest5.map { name =>
         val fn = entries(name)
-        try fn(s8, sfDir).count() catch { case _: Throwable => () } // warm
+        try graft.plans.CacheScope(s8) { fn(s8, sfDir).count(); () }
+        catch { case _: Throwable => () } // warm
         timed(s"b12:$name", s8)(fn(s8, sfDir).count())
       }
     } catch {
@@ -652,22 +742,6 @@ object Bench {
     // streaming wall). The history refreshes in place with any new bests
     // so the floor ratchets down; it is data (best-known seconds), never
     // code, and stays a few KB.
-    // PRELIMINARY summary BEFORE the adjudication spawns: if an external
-    // wall budget kills the run during fresh-JVM re-timing, the stdout
-    // tail still carries a parseable line — flags simply ship
-    // unadjudicated from a line marked preliminary. The final lines
-    // print after adjudication and supersede this one at the tail.
-    {
-      def r3p(v: Double) = math.rint(v * 1000) / 1000
-      val qs = results.sortBy(-_._2).take(10)
-        .map { case (k, v) => s""""$k":${r3p(v)}""" }.mkString(",")
-      // a DISTINCT metric name: a driver that grabs the first
-      // "metric":"total" line must never pick this one up
-      println(s"""{"metric":"total_preliminary","value":${r3p(results.map(_._2).sum)},""" +
-        s""""unit":"sec","preliminary":true,"n_queries":${results.size},""" +
-        s""""n_errors":${errors.size},"queries":{$qs},"sf":"$sfDir"}""")
-    }
-
     val histPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.json")
     // "__"-prefixed keys are metadata, not floors: "__protocol" tags the
     // measurement protocol the floors were seeded under (2 = per-entry
@@ -716,8 +790,6 @@ object Bench {
       if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     }
     val boxFactor = math.max(1.0, runFactor)
-    def breach(best: Double, v: Double): Boolean =
-      v > best * 1.25 * boxFactor + 0.25
     // >25% over best (box-factor-scaled) + a 0.25 s absolute grace: the
     // floor is each entry's luckiest-ever sample, and sub-second entries
     // routinely swing 2x run-to-run on a shared local[32] box — without
@@ -725,57 +797,99 @@ object Bench {
     // REAL regression this mechanism has caught (q_ann_pq +37%,
     // q_coreset 6x) clears the grace by a wide margin.
     val candidates = watched.flatMap { case (k, v) =>
-      history.get(k).filter(best => best > 0 && breach(best, v))
+      history.get(k).filter(best => best > 0 && breachAt(best, v, boxFactor))
         .map(best => (k, v, best))
-    }.sortBy(-_._2)
-    // SELF-ADJUDICATION (r12): every floor breach re-times in a FRESH
-    // JVM (BenchOne, 5 samples; the reproduce decision uses the MINIMUM
-    // sample — see below) before the regressions array is written. Only
-    // breaches that REPRODUCE fresh are flagged; the rest ship under
-    // suite_noise with both numbers. Re-timing is bounded
-    // (entry cap + wall budget, biggest absolute offenders first); an
-    // entry the budget skips stays flagged with fresh:null — silence
-    // never hides a breach, it only stays unadjudicated.
+    }
+    // SELF-ADJUDICATION (r12, hardened r13): every floor breach re-times
+    // in a FRESH JVM (BenchOne) before the regressions array is written.
+    // The reproduce statistic is the MINIMUM fresh sample ("can this
+    // code still reach its floor neighborhood" — a genuine regression
+    // can never emit a fast sample, a burst window usually lets one
+    // calm sample through), judged by [[categorize]] against the
+    // ADJUDICATION-TIME canary factor, not the suite's box_factor (the
+    // re-times run in a different window — r12's one "reproduced" flag
+    // was the adjudication riding the same polluted window).
+    // Budget (r13): candidates adjudicate in descending breach-ratio
+    // order v/(best*box_factor) — the most suspicious plans first —
+    // with min-of-3 sampling for batch entries (streaming entries keep
+    // 5: dir churn + micro-batch scheduling gives them 1.7x per-sample
+    // spread, BENCH_NOTES r12 tail) so more candidates fit the wall
+    // cap. Whatever the budget skips ships under `unadjudicated`,
+    // never inside `regressions`.
     val readjMax =
-      try sys.env.getOrElse("SPARK_GRAFT_READJ_MAX", "8").trim.toInt
-      catch { case _: Throwable => 8 }
+      try sys.env.getOrElse("SPARK_GRAFT_READJ_MAX", "12").trim.toInt
+      catch { case _: Throwable => 12 }
     val readjBudgetMs = 360000L
+    // adjudication-time canary: the box state the fresh re-times will
+    // actually run under (median-of-3, ~2 s warm). Skipped when there
+    // is nothing to adjudicate.
+    val adjCanary: Double =
+      if (candidates.isEmpty || only.isDefined) -1.0 else canaryMedian3()
+    val adjFactor =
+      if (adjCanary > 0 && canaryBest > 0) math.max(1.0, adjCanary / canaryBest)
+      else 1.0
+    // PRELIMINARY summary BEFORE the adjudication spawns: if an external
+    // wall budget kills the run during fresh-JVM re-timing, the stdout
+    // tail still carries a parseable line — with the box verdict, so
+    // even a killed degraded-window run's tail is honest. The final
+    // lines print after adjudication and supersede this one.
+    locally {
+      def r3p(v: Double) = math.rint(v * 1000) / 1000
+      val qs = results.sortBy(-_._2).take(10)
+        .map { case (k, v) => s""""$k":${r3p(v)}""" }.mkString(",")
+      val pv = if (boxFactor >= DegradedBoxFactor) "box_degraded" else "preliminary"
+      // a DISTINCT metric name: a driver that grabs the first
+      // "metric":"total" line must never pick this one up
+      println(s"""{"metric":"total_preliminary","value":${r3p(results.map(_._2).sum)},""" +
+        s""""unit":"sec","preliminary":true,"verdict":"$pv",""" +
+        s""""box_factor":${r3p(boxFactor)},"n_candidates":${candidates.size},""" +
+        s""""n_queries":${results.size},""" +
+        s""""n_errors":${errors.size},"queries":{$qs},"sf":"$sfDir"}""")
+    }
     val readjStart = System.currentTimeMillis()
-    val adjudicated: Seq[(String, Double, Double, Option[Double])] =
-      candidates.sortBy { case (_, v, best) => -(v - best) }.zipWithIndex
+    val adjudicated: Seq[AdjRow] =
+      candidates.sortBy { case (k, v, best) => -(v / (best * boxFactor)) }.zipWithIndex
         .map { case ((k, v, best), idx) =>
           // iteration (`only`) runs never spawn re-times — their cold
           // samples over-flag by design and the README says to judge
           // only the full-suite line
           val inBudget = only.isEmpty && idx < readjMax &&
             System.currentTimeMillis() - readjStart < readjBudgetMs
-          // the reproduce statistic is the MINIMUM fresh sample, not the
-          // median: the question is "can this code still reach its
-          // floor neighborhood", and a genuine code regression can
-          // never produce a fast sample, while a burst-shaped box
-          // window (r12: subsets of entries 2-3x slow for minutes with
-          // zero PSI pressure while the run median moved 1.2x) inflates
-          // medians but usually leaves one calm sample through
-          val fresh = if (!inBudget) None else {
+          val samples = if (k.contains("stream")) "5" else "3"
+          val fresh: Option[Seq[Double]] = if (!inBudget) None else {
             val (rc, out) = spawn("graft.BenchOne", Seq(k, sfDir), Map(
-              "SPARK_GRAFT_SAMPLES" -> "5",
+              "SPARK_GRAFT_SAMPLES" -> samples,
               "SPARK_GRAFT_CPUS" -> cpus), 6 * 60 * 1000L)
             if (rc != 0) None
             else """"samples":\[([0-9.,eE+-]+)\]""".r
               .findFirstMatchIn(out)
-              .map(_.group(1).split(",").map(_.toDouble).min)
+              .map(_.group(1).split(",").map(_.toDouble).toSeq.sorted)
           }
-          (k, v, best, fresh)
+          AdjRow(k, v, best,
+            freshMin = fresh.map(_.min),
+            freshMedian = fresh.map(s => s(s.size / 2)))
         }
-    val regressions = adjudicated
-      .filter { case (_, _, best, fresh) => fresh.forall(f => breach(best, f)) }
-      .sortBy(-_._2)
-    val suiteNoise = adjudicated
-      .filter { case (_, _, best, fresh) => fresh.exists(f => !breach(best, f)) }
-      .sortBy(-_._2)
-    // fresh medians are protocol-valid floor samples — fold them into
-    // the history ratchet below
-    val freshBests = adjudicated.collect { case (k, _, _, Some(f)) => k -> f }.toMap
+    val (regressions0, suiteNoise0, unadjudicated0) =
+      categorize(adjudicated, adjFactor)
+    val regressions = regressions0.sortBy(-_.sec)
+    val suiteNoise = suiteNoise0.sortBy(-_.sec)
+    val unadjudicated = unadjudicated0.sortBy(-_.sec)
+    // the run verdict a first-line parser should trust: a box window at
+    // DegradedBoxFactor+ cannot produce meaningful in-suite walls or
+    // unreproduced flags (r11: 42 phantom flags, r12: 55)
+    val verdict =
+      if (boxFactor >= DegradedBoxFactor) "box_degraded"
+      else if (adjFactor >= DegradedBoxFactor && unadjudicated.nonEmpty)
+        "adjudication_degraded"
+      else "ok"
+    // fresh MEDIANS are the protocol-valid floor ratchet samples; the
+    // MIN stays reproduce-decision-only — fresh-JVM minima run
+    // systematically below segment-child best-of-2, so min-ratcheting
+    // drifts floors into a population the suite can never reproduce
+    // and the same entries burn the re-time budget every run (the
+    // tf_dot stale-floor class)
+    val freshBests = adjudicated
+      .collect { case AdjRow(k, _, _, _, Some(med)) => k -> med }.toMap
     // A protocol-mismatch re-seed rewrites the file from THIS run's
     // entries only — legitimate for a full run, but under `only` a
     // single-entry iteration run would silently and permanently wipe
@@ -836,15 +950,13 @@ object Bench {
       s"""{"cpus":$b12Cpus,"queries":{$rows}}"""
     }
     def r3r(v: Double) = math.rint(v * 1000) / 1000
-    def adjRow(k: String, v: Double, best: Double, fresh: Option[Double]) =
-      s"""{"name":${jstr(k)},"sec":${r3r(v)},"best":${r3r(best)},""" +
-        s""""fresh_min":${fresh.map(f => r3r(f).toString).getOrElse("null")}}"""
-    val regJson = regressions.map { case (k, v, best, fresh) =>
-      adjRow(k, v, best, fresh)
-    }.mkString("[", ",", "]")
-    val noiseJson = suiteNoise.map { case (k, v, best, fresh) =>
-      adjRow(k, v, best, fresh)
-    }.mkString("[", ",", "]")
+    def adjRowJson(r: AdjRow) =
+      s"""{"name":${jstr(r.name)},"sec":${r3r(r.sec)},"best":${r3r(r.best)},""" +
+        s""""fresh_min":${r.freshMin.map(f => r3r(f).toString).getOrElse("null")},""" +
+        s""""fresh_median":${r.freshMedian.map(f => r3r(f).toString).getOrElse("null")}}"""
+    val regJson = regressions.map(adjRowJson).mkString("[", ",", "]")
+    val noiseJson = suiteNoise.map(adjRowJson).mkString("[", ",", "]")
+    val unadjJson = unadjudicated.map(adjRowJson).mkString("[", ",", "]")
     // b13 rows carry the 1x/10x walls, the growth ratio, and both row
     // counts (pair volume should itself scale ~10x — a flat row count
     // means a guard silently ate the bigger corpus)
@@ -875,10 +987,16 @@ object Bench {
     val jvmJson = {
       val gc0 = telemetry.headOption.map(_._4).getOrElse(0L)
       val jit0 = telemetry.headOption.map(_._5).getOrElse(0L)
+      // box_anomaly: box_factor far above canary_factor = the
+      // IO/scheduling burst class (entries slow, CPU canary calm) OR a
+      // >half-the-suite code regression the median absorbed — either
+      // way a warning a first-line parser must see (ADVICE r12)
       s"""{"cc_used_mb":${r3r(Jvm.codeCacheUsedMb)},"cc_max_mb":${r3r(Jvm.codeCacheMaxMb)},""" +
         s""""gc_sec":${r3r((Jvm.gcMs - gc0) / 1000.0)},"jit_sec":${r3r((Jvm.jitMs - jit0) / 1000.0)},""" +
         s""""canary_sec":${r3r(canarySec)},"canary_factor":${r3r(canaryFactor)},""" +
-        s""""box_factor":${r3r(boxFactor)},"segmented":$segmented}"""
+        s""""box_factor":${r3r(boxFactor)},"adj_canary_factor":${r3r(adjFactor)},""" +
+        s""""box_anomaly":${boxFactor > canaryFactor * 1.3},""" +
+        s""""residual_blocks_max":$residualMax,"segmented":$segmented}"""
     }
     try {
       val telPath = sys.env.getOrElse("SPARK_GRAFT_TELEMETRY", "bench_telemetry.json")
@@ -888,7 +1006,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(telPath),
         rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // telemetry must never kill the summary
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"b13":$b13Json,"b13_100x":$b13_100xJson,"b14":$b14Json,"regressions":$regJson,"suite_noise":$noiseJson,"jvm":$jvmJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","verdict":"$verdict","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"b13":$b13Json,"b13_100x":$b13_100xJson,"b14":$b14Json,"regressions":$regJson,"suite_noise":$noiseJson,"unadjudicated":$unadjJson,"jvm":$jvmJson,"sf":"$sfDir"}""")
     // The harness keeps only the LAST ~2000 chars of stdout; with 160+
     // entries the full line above scrolls past that window and no round's
     // summary has ever been machine-parseable from the tail. Emit a second,
@@ -912,9 +1030,7 @@ object Bench {
     }
     val errNames = errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")
     // compact line carries at most 6 regressions so the tail budget holds
-    val regCompact = regressions.take(6).map { case (k, v, best, fresh) =>
-      adjRow(k, v, best, fresh)
-    }.mkString("[", ",", "]")
+    val regCompact = regressions.take(6).map(adjRowJson).mkString("[", ",", "]")
     // compact b13: ratios only — the full line above has the walls/rows
     val b13Compact = b13.map { case (name, t1, t10, _, _) =>
       s"${jstr(name)}:${if (t1 > 0) math.rint(t10 / t1 * 100) / 100 else -1.0}"
@@ -924,11 +1040,12 @@ object Bench {
       val rB = if (at(10) > 0) math.rint(at(100) / at(10) * 100) / 100 else -1.0
       s"${jstr(name)}:$rB"
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","verdict":"$verdict",""" +
+      s""""n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
       s""""b12":$b12Json,"b13_ratio":$b13Compact,"b13_100x_r100":$b13_100xCompact,"b14":$b14Json,""" +
       s""""n_regressions":${regressions.size},"regressions":$regCompact,""" +
-      s""""n_suite_noise":${suiteNoise.size},"jvm":$jvmJson,""" +
+      s""""n_suite_noise":${suiteNoise.size},"n_unadjudicated":${unadjudicated.size},"jvm":$jvmJson,""" +
       s""""queries":{${sb.toString}},"sf":"$sfDir"}"""
     println(compact)
     lastSession.stop()

@@ -33,13 +33,27 @@ object Verify {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           entries: Map[String, (SparkSession, String) => DataFrame]): Seq[String] = {
     new java.io.File(outDir).mkdirs()
-    entries.toSeq.flatMap { case (name, fn) =>
+    // entries are independent: each dumps inside its own CacheScope (the
+    // cleanup mechanism the library documents — dogfooded here under the
+    // full 258-entry load), so an entry's persisted frames release at
+    // scope exit and 250 dumps can't accumulate storage pressure.
+    // Residual blocks ENTERING an entry mean some operator persisted
+    // outside persistTracked (or handed work to another thread) — count
+    // that loudly, then clearCache so the leak can't tax this entry.
+    var residualMax = 0
+    val failed = entries.toSeq.flatMap { case (name, fn) =>
       try {
-        // entries are independent; drop any previous entry's persisted
-        // frames so 250 dumps don't accumulate storage pressure
-        spark.catalog.clearCache()
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val residual =
+          try spark.sparkContext.getPersistentRDDs.size
+          catch { case _: Throwable => 0 }
+        if (residual > 0) {
+          residualMax = math.max(residualMax, residual)
+          spark.catalog.clearCache()
+        }
+        graft.plans.CacheScope(spark) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -60,6 +74,11 @@ object Verify {
         Some(name)
       }
     }
+    if (residualMax > 0)
+      System.err.println(s"[verify] WARNING: up to $residualMax persisted " +
+        "blocks leaked past an entry's CacheScope — an operator is " +
+        "persisting outside CacheScope.persistTracked")
+    failed
   }
 
   def main(args: Array[String]): Unit = {

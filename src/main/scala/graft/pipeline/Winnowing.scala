@@ -290,6 +290,10 @@ object Winnowing {
                             maxDocFreq: Int = 1000)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(minShared >= 1, "minShared must be >= 1")
+    // validate BEFORE the stream starts: deferring this to
+    // pairsAgainstStored inside foreachBatch would surface a bad
+    // argument only as an async first-batch failure
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],

@@ -100,6 +100,69 @@ class SessionSoakSpec extends SparkTestBase {
     s.catalog.clearCache() // leave the shared session clean for other suites
   }
 
+  test("scoped soak: the same ~30 operators, each inside CacheScope, leave no residue and the reference op stays near fresh") {
+    // The companion to the survival test above: a user who FOLLOWS the
+    // docs (every pipeline inside a CacheScope) accumulates nothing —
+    // zero residual persisted blocks between pipelines and a reference
+    // op within a TIGHT factor of its fresh cost (the survival test's
+    // 8x is the generous no-cleanup bound; this is the number the
+    // documented path should actually deliver).
+    val s = spark
+    import s.implicits._
+    s.catalog.clearCache()
+    val docs = (1L to 300L).map { i =>
+      (i, s"document $i opens " + s"unique-lead-$i " +
+        ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 2) +
+        s"and closes with tail-marker-$i")
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    val probeDf = docs.filter(col("doc_id") <= 20L).localCheckpoint(true)
+
+    def reference(): Long = graft.plans.CacheScope(s) {
+      graft.pipeline.Winnowing.matchPairs(
+        docs, "doc_id", "text", k = 8, w = 4, minShared = 2,
+        maxDocFreq = 50).count()
+    }
+    def medianOf3(body: => Long): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    reference() // warm codegen
+    val fresh = medianOf3(reference())
+
+    val baseline = s.sparkContext.getPersistentRDDs.keySet.toSet
+    (0 until 28).foreach { i =>
+      graft.plans.CacheScope(s) {
+        i % 4 match {
+          case 0 => graft.pipeline.Winnowing.matchPairs(docs, "doc_id", "text",
+            k = 9 + i % 3, w = 4, minShared = 2, maxDocFreq = 50).count()
+          case 1 => graft.pipeline.Winnowing.fingerprintIndex(docs, "doc_id", "text",
+            k = 9 + i % 3, w = 5, maxDocFreq = 50).count()
+          case 2 => graft.pipeline.ExactSubstr.sharedSpans(docs, "doc_id", "text",
+            k = 8, stride = 2 + i % 3, minLen = 20, maxDocFreq = 50,
+            maxOccPerDoc = 256).count()
+          case _ => graft.pipeline.Winnowing.crossMatchPairs(docs, probeDf,
+            "doc_id", "text", k = 9 + i % 3, w = 6, minShared = 2,
+            maxDocFreq = 50).count()
+        }
+      }
+      // ID-set based (suites share this session concurrently): OUR
+      // scopes must add nothing that outlives them
+      val residue = s.sparkContext.getPersistentRDDs.keySet.toSet
+        .diff(baseline)
+      assert(residue.isEmpty,
+        s"invocation $i leaked ${residue.size} persisted RDDs past its scope")
+    }
+
+    val soaked = medianOf3(reference())
+    val factor = 1.5
+    assert(soaked <= fresh * factor + 0.5,
+      f"scoped reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx " +
+        f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — CacheScope is not " +
+        "delivering the documented near-fresh steady state")
+  }
+
   test("CacheScope releases exactly its own persists; results stay correct after the scope") {
     val s = spark
     import s.implicits._

@@ -145,4 +145,33 @@ class WinnowingSpec extends SparkTestBase {
     assert(whole.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("oracle-parity guard: the index-probe fixtures' max delta-side df sits far under the default cut") {
+    // winnowIndexProbeOracleSql (shared by q_winnow_index_persist and
+    // q_winnow_index_stream) does NOT model pairsAgainstStored's
+    // delta-side maxDocFreq cut — parity rests on the fact that no
+    // delta fingerprint on the documents fixture comes anywhere near
+    // the default 1000. Make that fact EXECUTABLE: rebuild both
+    // entries' exact delta (docs >= 250 plus planted copies of 0-99,
+    // k=24/w=8) on every available SF and assert the max fingerprint
+    // doc-frequency stays under a 10x safety margin. A fixture or SF
+    // change that breaks the assumption now fails HERE with the reason,
+    // not in Verify as a confusing value diff.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    assert(dirs.nonEmpty, "no testdata fixture present")
+    dirs.foreach { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val delta = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val maxDf = Winnowing.fingerprints(delta, "doc_id", "text", k = 24, w = 8)
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head().getLong(0)
+      assert(maxDf < 100,
+        s"$d: max delta fingerprint df $maxDf is within 10x of the default " +
+          "1000 cut — the shared oracle SQL no longer models the probe")
+    }
+  }
 }
