@@ -1347,6 +1347,58 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // STREAMING embedding near-dup against the stored band index — the
+    // embedding family's stored-index streaming twin (the winnowing /
+    // exact-substr discipline): the corpus participates only as its
+    // persisted embedBandIndex parquet plus the candidate-keyed verify
+    // fetch; two deterministic micro-batches split the delta and land
+    // under outPath/batch=<id> via idempotent overwrite. The oracle is
+    // the EXACT cross-pair SQL (delta x corpus at the threshold) — the
+    // same recall-is-the-match trick as q_embed_neardup_lsh: on this
+    // fixture 8 bands of 2 planes recover every qualifying pair, and the
+    // drive is batch-split-invariant (a vector's band signatures all
+    // arrive with it; the per-batch delta bucket cut is identity at the
+    // default against this fixture's bucket sizes — SimilaritySpec pins
+    // both executably).
+    "q_embed_neardup_stream" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      val corpus = e.filter(col("vec_id") < 150)
+      // the arriving batches carry fresh vectors PLUS verbatim re-crawls
+      // of corpus vectors 0-19 (re-id'd) — the planted dups every
+      // decontamination screen exists to catch
+      val b1 = e.filter(col("vec_id") >= 150 && col("vec_id") % 2 === 0)
+        .unionByName(e.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val b2 = e.filter(col("vec_id") >= 150 && col("vec_id") % 2 === 1)
+        .unionByName(e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val idxP = scratch("embed_stream_idx")
+      Similarity.embedBandIndex(corpus, "vec_id", "embedding",
+          dim = 64, numPlanes = 16, bands = 8)
+        .write.mode("overwrite").parquet(idxP)
+      val inP = scratch("embed_stream_in")
+      val outP = scratch("embed_stream_out")
+      val ckP = scratch("embed_stream_ck")
+      Seq(inP, outP, ckP).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      }
+      val q = Similarity.nearDupStream(
+        s.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inP),
+        "vec_id", "embedding", corpus, s.read.parquet(idxP),
+        threshold = 0.4, dim = 64, outPath = outP, checkpoint = ckP,
+        numPlanes = 16, bands = 8)
+      try {
+        b1.write.mode("append").json(inP); q.processAllAvailable()
+        b2.write.mode("append").json(inP); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outP)
+        .select("new_id", "corpus_id", "sim")
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // SemDeDup: k-means cells → within-cell cosine pairs → cluster
     // survivors, on the clustered fixture (vec_id < 200, 8 planted
     // clusters; init seeds 0..7 are one per true cluster). The gate is
@@ -3594,6 +3646,45 @@ object SparkEntry {
           (avg(col("recall")) >= 0.95).as("recall_ok"))
     }),
 
+    // ANN stored-index incremental probe — the embedding family's
+    // persisted-artifact twin (the pattern of q_winnow_index_persist /
+    // q_dedup_index_persist): IVF centroids + PQ codebooks + per-vector
+    // (cell, codes) assignments are trained and written ONCE at corpus
+    // build; the query batch then probes ONLY those artifacts — no
+    // retraining, no corpus re-encode; raw embeddings are touched solely
+    // by the candidate-keyed exact-rerank id-join. Two gates, both
+    // executable replays: parity_ok pins the stored-artifact probe
+    // EXACTLY equal (exceptAll both ways) to the monolithic ivfPqTopK
+    // fed the same trained parameters — i.e. the artifacts reproduce the
+    // assignment + ADC math bit-for-bit through the parquet round-trip —
+    // and recall_ok is the same epsilon-recall gate as q_ann_ivfpq.
+    "q_ann_index_incr" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val base = scratch("ann_idx")
+      val (cdf, bdf, adf) = Similarity.annIndexBuild(emb, "vec_id", "embedding",
+        dim = 64, nlist = 8, m = 8, ksub = 16, iters = 3)
+      cdf.write.mode("overwrite").parquet(s"$base/centroids")
+      bdf.write.mode("overwrite").parquet(s"$base/codebooks")
+      adf.write.mode("overwrite").parquet(s"$base/assignments")
+      val centsDf = s.read.parquet(s"$base/centroids")
+      val booksDf = s.read.parquet(s"$base/codebooks")
+      val approx = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+        centsDf, booksDf, s.read.parquet(s"$base/assignments"),
+        rerankVecs = emb, k = 10, dim = 64, nprobe = 3, rerank = 50)
+      val mono = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        k = 10, dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 16,
+        rerank = 50,
+        centroids = Some(Similarity.loadCentroids(centsDf)),
+        codebooks = Some(Similarity.loadCodebooks(booksDf)))
+      val parityOk = approx.exceptAll(mono).isEmpty && mono.exceptAll(approx).isEmpty
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      Similarity.epsilonRecallPerQuery(approx, exact, eps = 1e-3)
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          (avg(col("recall")) >= 0.95).as("recall_ok"))
+        .withColumn("parity_ok", lit(parityOk))
+    }),
+
     // ADDITIVE (cumulative, include ALL) window through the streaming
     // runner, pinned by a batch oracle: 3 deterministic batches
     // (event_id mod 3), one emission per tick with NO state reset, so a
@@ -4537,6 +4628,22 @@ object SparkEntry {
         |    list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS sim
         |  FROM v a, v b WHERE a.vec_id < b.vec_id
         |) WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    // exact cross pairs (delta x corpus) — recall of the banded probe is
+    // part of what the hash match verifies, as in q_embed_neardup_lsh;
+    // numerator/denominator operation order mirrors Similarity.cosine
+    // with the NEW side first
+    "q_embed_neardup_stream" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id < 200),
+        |nd AS (SELECT vec_id, ev FROM v WHERE vec_id >= 150
+        |       UNION ALL SELECT vec_id + 1000000 AS vec_id, ev FROM v WHERE vec_id < 20)
+        |SELECT new_id, corpus_id, sim FROM (
+        |  SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+        |    list_dot_product(n.ev, c.ev) / (sqrt(list_dot_product(n.ev, n.ev)) * sqrt(list_dot_product(c.ev, c.ev))) AS sim
+        |  FROM v c, nd n WHERE c.vec_id < 150
+        |) WHERE sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
+    "q_ann_index_incr" ->
+      ("SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok, " +
+        "CAST(1 AS BOOLEAN) AS parity_ok"),
     "q_semdedup" ->
       "SELECT CAST(200 AS BIGINT) AS n_vectors, CAST(1 AS BOOLEAN) AS survivors_ok",
     "q_csv_ingest" ->

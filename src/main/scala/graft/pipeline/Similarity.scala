@@ -548,10 +548,31 @@ object Similarity {
       kmeansCentroids(corpus, idCol, vecCol, nlist, iters))
     val books = codebooks.getOrElse(
       pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters))
-    val sub = dim / m
     val enc = pqEncode(corpus, idCol, vecCol, dim, books)
       .join(corpus.select(col(idCol).as("neighbor_id"),
         ivfAssign(asD(col(vecCol)), cents).as("cell")), "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asD(col(vecCol)).as("cv"))
+    adcProbe(queries, idCol, vecCol, enc, cv, cents, books,
+      k, dim, nprobe, rerank)
+  }
+
+  /** The shared IVF-PQ ADC probe: `enc` is the encoded corpus
+    * (neighbor_id, cell, codes) — computed inline by [[ivfPqTopK]] or
+    * read back from the persisted [[annIndexBuild]] artifact by
+    * [[annIndexProbe]] — and `rerankVecs` is the raw-vector source
+    * (neighbor_id, cv) the candidate-sized exact-rerank id-join fetches
+    * from. Both callers route through this one body so the monolithic
+    * and stored-artifact paths are the SAME math by construction
+    * (q_ann_index_incr pins their outputs equal). */
+  private def adcProbe(queries: DataFrame, idCol: String, vecCol: String,
+                       enc: DataFrame, rerankVecs: DataFrame,
+                       cents: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]],
+                       k: Int, dim: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val sub = dim / m
     val probeCells = { q: Column =>
       val scored = array(cents.zipWithIndex.map { case (cent, i) =>
         struct(dot(q, typedLit(cent.toSeq)).as("d"), lit(i).as("i"))
@@ -583,8 +604,8 @@ object Similarity {
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val shortlist = cands.withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= rerank).drop("rn", "approx")
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-      asD(col(vecCol)).as("cv"))
+    val cv = rerankVecs
+      .select(col("neighbor_id"), col("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val exact = shortlist.join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -592,6 +613,130 @@ object Similarity {
     val wE = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     exact.withColumn("rn", row_number().over(wE)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /**
+   * Build the persisted IVF-PQ index artifacts — the ANN family's
+   * stored-index twin (same pattern as [[Winnowing.fingerprintIndex]] /
+   * [[Dedup.minhashBandIndex]]): train ONCE at corpus build, write the
+   * three frames out, and every later query/delta batch probes via
+   * [[annIndexProbe]] without retraining and without re-encoding or
+   * rescanning corpus embeddings. Returns
+   *  - `centroids`  (cell INT, centroid ARRAY<DOUBLE>) — nlist rows,
+   *  - `codebooks`  (s INT, code INT, centroid ARRAY<DOUBLE>) — m·ksub
+   *    rows,
+   *  - `assignments` (neighbor_id, cell INT, codes ARRAY<INT>) — one
+   *    narrow row per corpus vector, computed in a SINGLE pass over the
+   *    corpus (cell assignment + all m sub-codes in one projection; no
+   *    self-join, no second scan). At 100 TB the assignments table is
+   *    the entire per-vector index footprint — cluster/bucket it by
+   *    `cell` on write so a probe reads contiguous ranges.
+   *
+   * Doubles round-trip bit-exactly through parquet, so a probe against
+   * the written artifacts reproduces the in-memory math EXACTLY
+   * (q_ann_index_incr's parity gate pins this).
+   */
+  def annIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
+                    iters: Int = 3, maxTrainRows: Long = 2000000L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, maxTrainRows)
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters,
+      maxTrainRows)
+    val sub = dim / m
+    val centroidsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val codebooksDf = (for { s <- books.indices; c <- books(s).indices }
+      yield (s, c, books(s)(c).toSeq)).toDF("s", "code", "centroid")
+    val assignments = corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("v"))
+      .select(col("neighbor_id"),
+        ivfAssign(col("v"), cents).as("cell"),
+        array((0 until m).map(s =>
+          l2Assign(slice(col("v"), s * sub + 1, sub), books(s))): _*).as("codes"))
+    (centroidsDf, codebooksDf, assignments)
+  }
+
+  /** Collect a (cell, centroid) artifact back to the driver array —
+    * bounded by `maxCells` (nlist-sized by construction, never corpus-
+    * sized); fails loudly on an empty or holey artifact. */
+  private[graft] def loadCentroids(df: DataFrame,
+                                   maxCells: Int = 65536): Array[Array[Double]] = {
+    val rows = df.select(col("cell").cast("int"),
+      col("centroid").cast("array<double>")).collect()
+    require(rows.nonEmpty, "centroid artifact is empty")
+    require(rows.length <= maxCells,
+      s"centroid artifact has ${rows.length} rows > maxCells=$maxCells — " +
+        "this collect is bounded by nlist, never corpus size")
+    val arr = new Array[Array[Double]](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => arr(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    require(arr.forall(_ != null), "centroid artifact has missing cells")
+    arr
+  }
+
+  /** Collect an (s, code, centroid) codebook artifact back to the driver
+    * — bounded by `maxEntries` (m·ksub-sized by construction). */
+  private[graft] def loadCodebooks(df: DataFrame, maxEntries: Int = 1 << 20)
+      : Array[Array[Array[Double]]] = {
+    val rows = df.select(col("s").cast("int"), col("code").cast("int"),
+      col("centroid").cast("array<double>")).collect()
+    require(rows.nonEmpty, "codebook artifact is empty")
+    require(rows.length <= maxEntries,
+      s"codebook artifact has ${rows.length} rows > maxEntries=$maxEntries")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    require(books.forall(_.forall(_ != null)),
+      "codebook artifact has missing (subspace, code) entries")
+    books
+  }
+
+  /**
+   * Incremental ANN probe against the STORED [[annIndexBuild]] artifacts
+   * — the per-release embedding screen at the cost of the delta: load
+   * the (tiny, driver-bounded) centroids + codebooks, build each query's
+   * ADC table, and scan ONLY the assignments artifact (m codes/vector)
+   * routed by IVF cell. Corpus embeddings are touched solely by the
+   * exact-rerank id-join on the ADC shortlist — a candidate-sized point
+   * fetch (O(queries · rerank) ids), never a corpus re-encode or
+   * re-assignment. Routes through the same ADC body as [[ivfPqTopK]],
+   * so given the same trained parameters the two paths return
+   * IDENTICAL rows — the executable definition of "the artifact is the
+   * index".
+   */
+  def annIndexProbe(queries: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, codebooks: DataFrame,
+                    assignments: DataFrame, rerankVecs: DataFrame,
+                    k: Int, dim: Int, nprobe: Int = 3,
+                    rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "rerank horizon must be >= k")
+    val cents = loadCentroids(centroids)
+    val books = loadCodebooks(codebooks)
+    require(dim % books.length == 0,
+      s"dim=$dim not divisible by the artifact's m=${books.length}")
+    adcProbe(queries, idCol, vecCol,
+      assignments.select(col("neighbor_id"), col("cell"), col("codes")),
+      rerankVecs.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv")),
+      cents, books, k, dim, nprobe, rerank)
+  }
+
+  /** The banded random-hyperplane signature column shared by
+    * [[cosineNearDupPairs]], [[embedBandIndex]] and
+    * [[nearDupAgainstStored]]: an array of (band, bkey) structs —
+    * identical math everywhere, so an index built at corpus time and a
+    * delta banded at probe time agree bucket-for-bucket. */
+  private def bandStructsCol(evCol: Column, dim: Int, numPlanes: Int,
+                             bands: Int, seed: Long): Column = {
+    require(numPlanes % bands == 0, "numPlanes must be divisible by bands")
+    val perBand = numPlanes / bands
+    val planes = hyperplanes(dim, numPlanes, seed)
+    array((0 until bands).map { b =>
+      val sub = planes.slice(b * perBand, (b + 1) * perBand)
+      struct(lit(b).as("band"), lshSignature(evCol, sub).as("bkey"))
+    }: _*)
   }
 
   /**
@@ -604,17 +749,10 @@ object Similarity {
                          threshold: Double, dim: Int,
                          numPlanes: Int = 16, bands: Int = 4,
                          seed: Long = 42L): DataFrame = {
-    require(numPlanes % bands == 0)
-    val perBand = numPlanes / bands
     val v = df.select(col(idCol).as("vid"), asD(col(vecCol)).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val banded = (0 until bands).map { b =>
-      val sub = planes.slice(b * perBand, (b + 1) * perBand)
-      struct(lit(b).as("band"), lshSignature(col("ev"), sub).as("bkey"))
-    }
     val buckets = v.select(col("vid"), col("ev"), col("nrm"),
-      explode(array(banded: _*)).as("bb"))
+      explode(bandStructsCol(col("ev"), dim, numPlanes, bands, seed)).as("bb"))
       .select(col("vid"), col("ev"), col("nrm"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     buckets.as("a")
@@ -628,6 +766,123 @@ object Similarity {
       // otherwise carried once per shared band)
       .filter(col("sim") >= threshold)
       .dropDuplicates("id1", "id2")
+  }
+
+  /**
+   * The persistable banded-LSH index of an embedding corpus: one row per
+   * (vid, band, bkey) — the [[Dedup.minhashBandIndex]] of the embedding
+   * family. Build ONCE at corpus time, write it out (bucket by `bkey`
+   * so probes co-locate), and every later batch near-dups against the
+   * corpus via [[nearDupAgainstStored]] — never by re-pairing the corpus
+   * with itself. Same signature math as [[cosineNearDupPairs]] (shared
+   * [[bandStructsCol]]), so index and inline banding agree
+   * bucket-for-bucket. Build-time skew guard: the job FAILS via
+   * `assert_true` if any (band, bkey) bucket exceeds `maxBucket` —
+   * a degenerate bucket (e.g. a zero-vector pile-up all hashing to one
+   * signature) would make every later probe of that bucket quadratic,
+   * and the honest place to catch it is the one-time build, not each
+   * nightly probe.
+   */
+  def embedBandIndex(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, numPlanes: Int = 16, bands: Int = 4,
+                     seed: Long = 42L, maxBucket: Int = 1 << 16): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    val byBucket = Window.partitionBy("band", "bkey")
+    df.select(col(idCol).as("vid"),
+      explode(bandStructsCol(asD(col(vecCol)), dim, numPlanes, bands, seed))
+        .as("bb"))
+      .select(col("vid"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("__bsz", count(lit(1)).over(byBucket))
+      .filter(assert_true(col("__bsz") <= maxBucket,
+        concat(lit("embedBandIndex bucket ("), col("band"), lit(","),
+          col("bkey"), lit(") holds "), col("__bsz"),
+          lit(s" vectors > maxBucket=$maxBucket — raise numPlanes or " +
+            "investigate the degenerate direction"))).isNull)
+      .drop("__bsz")
+  }
+
+  /**
+   * Incremental embedding near-dup: probe a NEW batch of vectors against
+   * an EXISTING corpus via its prebuilt [[embedBandIndex]] — the
+   * [[Dedup.lshPairsAgainstStored]] of the embedding family. The delta
+   * is banded in ONE pass (its ev/nrm ride the bucket rows, so the
+   * exact verify never rescans the delta); candidates form only inside
+   * shared (band, bkey) buckets; exact cosine ≥ threshold verifies each
+   * candidate against the corpus vector fetched by id. Corpus text/
+   * embeddings are scanned only by that candidate-keyed verify join —
+   * the index artifact is the only corpus-wide input. The delta-side
+   * bucket cut (`maxNewBucket`, the both-sides discipline of
+   * [[Winnowing.pairsAgainstStored]]) bounds a degenerate delta
+   * direction's join volume; the index side was bounded at build time.
+   * Output: (new_id, corpus_id, sim) for every cross pair ≥ threshold.
+   */
+  def nearDupAgainstStored(newVecs: DataFrame, idCol: String, vecCol: String,
+                           corpus: DataFrame, index: DataFrame,
+                           threshold: Double, dim: Int,
+                           numPlanes: Int = 16, bands: Int = 4,
+                           seed: Long = 42L,
+                           maxNewBucket: Int = 1 << 16): DataFrame = {
+    require(maxNewBucket >= 1, "maxNewBucket must be >= 1")
+    val byBucket = Window.partitionBy("band", "bkey")
+    val nb = newVecs
+      .select(col(idCol).as("new_id"), asD(col(vecCol)).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+      .select(col("new_id"), col("ev"), col("nrm"),
+        explode(bandStructsCol(col("ev"), dim, numPlanes, bands, seed)).as("bb"))
+      .select(col("new_id"), col("ev"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .withColumn("__bsz", count(lit(1)).over(byBucket))
+      .filter(col("__bsz") <= maxNewBucket)
+      .drop("__bsz")
+    val cands = nb
+      .join(index.select(col("vid").as("corpus_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      // (ev, nrm) are determined by new_id — the dedup keeps them without
+      // a second delta scan
+      .dropDuplicates("new_id", "corpus_id")
+    val cv = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    cands.join(cv, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        cosine(col("ev"), col("cv"), col("nrm"), col("cn")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * Streaming embedding near-dup against the stored band index — the
+   * stored-index streaming twin of the embedding family
+   * ([[Winnowing.decontaminationStream]] /
+   * [[ExactSubstr.decontaminationStream]] are the text siblings). Each
+   * micro-batch probes the index independently (stateless across
+   * batches: a vector's band signatures all arrive with it, so batch
+   * boundaries cannot split a (new_id, corpus_id) candidate), and
+   * matches land under `outPath/batch=<id>` via idempotent per-batch
+   * OVERWRITE — a replayed batch rewrites its own directory, making
+   * restart parity exact. Read results back with
+   * `spark.read.parquet(outPath)`.
+   */
+  def nearDupStream(stream: DataFrame, idCol: String, vecCol: String,
+                    corpus: DataFrame, index: DataFrame,
+                    threshold: Double, dim: Int,
+                    outPath: String, checkpoint: String,
+                    numPlanes: Int = 16, bands: Int = 4,
+                    seed: Long = 42L,
+                    maxNewBucket: Int = 1 << 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate BEFORE the stream starts — a bad argument must not
+    // surface as an async first-batch failure
+    require(numPlanes % bands == 0, "numPlanes must be divisible by bands")
+    require(maxNewBucket >= 1, "maxNewBucket must be >= 1")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        nearDupAgainstStored(batch.toDF(), idCol, vecCol, corpus, index,
+          threshold, dim, numPlanes, bands, seed, maxNewBucket)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
   }
 
   /**

@@ -521,6 +521,46 @@ class PlanSpec extends SparkTestBase {
     assert(probe.count() > 0)
   }
 
+  test("ANN stored-index probe: one assignments scan; corpus vectors appear only via the rerank fetch") {
+    val s2 = spark
+    import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_probe_plan").toString
+    val corpus = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.01 * i); v(i % 3 * 2) += 5.0
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(s"$tmp/corpus")
+    corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .write.mode("overwrite").parquet(s"$tmp/delta")
+    val c = spark.read.parquet(s"$tmp/corpus")
+    val (cdf, bdf, adf) = graft.pipeline.Similarity.annIndexBuild(
+      c, "vec_id", "embedding", dim = 8, nlist = 3, m = 4, ksub = 8, iters = 2)
+    cdf.write.mode("overwrite").parquet(s"$tmp/cents")
+    bdf.write.mode("overwrite").parquet(s"$tmp/books")
+    adf.write.mode("overwrite").parquet(s"$tmp/assign")
+    spark.catalog.clearCache()
+    val probe = graft.pipeline.Similarity.annIndexProbe(
+      spark.read.parquet(s"$tmp/delta"), "vec_id", "embedding",
+      spark.read.parquet(s"$tmp/cents"), spark.read.parquet(s"$tmp/books"),
+      spark.read.parquet(s"$tmp/assign"),
+      rerankVecs = spark.read.parquet(s"$tmp/corpus"),
+      k = 2, dim = 8, nprobe = 2, rerank = 5)
+    val p = probe.queryExecution.executedPlan.toString
+    // centroids + codebooks were collected at plan-build time (driver
+    // literals) — the EXECUTED plan scans exactly: the assignments
+    // artifact once (the ADC pass), the delta once, and the corpus file
+    // once (the candidate-keyed rerank fetch). A second assignments or
+    // corpus scan means the probe re-derived what the artifact stores.
+    def scansOf(path: String) =
+      p.linesIterator.count(l => l.contains("Scan parquet") && l.contains(path))
+    assert(scansOf("assign") === 1, s"assignments must scan once:\n${p.take(2000)}")
+    assert(scansOf("delta") === 1, s"delta must scan once:\n${p.take(2000)}")
+    assert(scansOf("corpus") === 1,
+      s"corpus vectors may appear only as the single rerank fetch:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(probe.count() === 6) // 3 queries x k=2
+  }
+
   test("incremental exact-substr probe: the md5 anchor pass runs ONLY on the delta side") {
     val p = plan("q_dedup_substr_incr")
     val anchorPasses = "mod_anchor_positions".r.findAllIn(p).size

@@ -154,4 +154,56 @@ class ScaleSmokeSpec extends SparkTestBase {
       "verbatim-replica delta must span exactly 10x the base probe")
     spark.catalog.clearCache()
   }
+
+  test("ANN/embed stored-index probes: 10x DELTA against FIXED artifacts scales matches ~10x") {
+    // the embedding family's delta-proportionality evidence, same shape
+    // as the text-probe test above: artifacts built ONCE from the 1x
+    // corpus, the query/delta batch grows 10x via verbatim re-id'd
+    // replicas, and both the ADC top-k and the banded near-dup must
+    // return exactly 10x the base rows with per-replica results equal to
+    // the base replica's (determinism + no corpus-side rework).
+    val emb = SparkEntry.rd(spark, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("ann_scale").toString
+    val (cdf, bdf, adf) = graft.pipeline.Similarity.annIndexBuild(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, m = 8, ksub = 16, iters = 2)
+    cdf.write.mode("overwrite").parquet(s"$tmp/cents")
+    bdf.write.mode("overwrite").parquet(s"$tmp/books")
+    adf.write.mode("overwrite").parquet(s"$tmp/assign")
+    // EVERY replica is re-id'd (r+1 offset), base included: a query
+    // keeping a corpus id would self-exclude its own vector from the
+    // top-k while the re-id'd replicas keep it — uniform ids make the
+    // per-replica result sets comparable
+    def queries(n: Int): DataFrame = (0 until n).map { r =>
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + lit((r + 1) * 1000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    def annProbe(n: Int) = graft.pipeline.Similarity.annIndexProbe(
+      queries(n), "vec_id", "embedding",
+      spark.read.parquet(s"$tmp/cents"), spark.read.parquet(s"$tmp/books"),
+      spark.read.parquet(s"$tmp/assign"), rerankVecs = emb,
+      k = 5, dim = 64, nprobe = 3, rerank = 20)
+    val base = annProbe(1).collect()
+      .map(r => (r.getLong(0) % 1000000L, r.getLong(1))).toSet
+    assert(base.size === 25, s"5 queries x k=5 expected, got ${base.size}")
+    val x10 = annProbe(10).collect()
+      .map(r => (r.getLong(0) % 1000000L, r.getLong(1))).toSet
+    // every replica returns the base replica's neighbors exactly
+    assert(x10 === base, "replica results diverged from the base probe")
+    assert(annProbe(10).count() === 250)
+    // banded near-dup: same 10x-delta discipline
+    val idx = graft.pipeline.Similarity.embedBandIndex(
+      emb, "vec_id", "embedding", dim = 64, numPlanes = 16, bands = 8)
+      .localCheckpoint(true)
+    def ndProbe(n: Int): Long = graft.pipeline.Similarity.nearDupAgainstStored(
+      queries(n), "vec_id", "embedding", emb, idx,
+      threshold = 0.4, dim = 64, numPlanes = 16, bands = 8).count()
+    val nd1 = ndProbe(1)
+    assert(nd1 > 0, "near-dup probe found nothing — fixture broke")
+    assert(ndProbe(10) === nd1 * 10,
+      "verbatim-replica delta must pair exactly 10x the base probe")
+    spark.catalog.clearCache()
+  }
 }

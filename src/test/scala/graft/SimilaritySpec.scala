@@ -354,4 +354,115 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("maxDim"))
   }
+
+  test("annIndexBuild/Probe: the stored-artifact probe equals the monolithic ivfPqTopK exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_spec").toString
+    val corpus = separated
+    val queries = corpus.filter(col("vec_id") < 3)
+    val (cdf, bdf, adf) = Similarity.annIndexBuild(corpus, "vec_id", "embedding",
+      dim = 8, nlist = 3, m = 4, ksub = 8, iters = 3)
+    cdf.write.mode("overwrite").parquet(s"$dir/centroids")
+    bdf.write.mode("overwrite").parquet(s"$dir/codebooks")
+    adf.write.mode("overwrite").parquet(s"$dir/assignments")
+    val centsDf = spark.read.parquet(s"$dir/centroids")
+    val booksDf = spark.read.parquet(s"$dir/codebooks")
+    val fromArtifacts = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+      centsDf, booksDf, spark.read.parquet(s"$dir/assignments"),
+      rerankVecs = corpus, k = 5, dim = 8, nprobe = 2, rerank = 20)
+    val mono = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, dim = 8, nlist = 3, nprobe = 2, m = 4, ksub = 8, rerank = 20,
+      centroids = Some(Similarity.loadCentroids(centsDf)),
+      codebooks = Some(Similarity.loadCodebooks(booksDf)))
+    // bit-exact both ways: doubles round-trip parquet exactly, both paths
+    // share the one ADC body
+    assert(fromArtifacts.exceptAll(mono).isEmpty && mono.exceptAll(fromArtifacts).isEmpty)
+    assert(fromArtifacts.count() === 15)
+  }
+
+  test("loadCentroids/loadCodebooks: empty, holey, and oversized artifacts fail loudly") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Int, Seq[Double])].toDF("cell", "centroid")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadCentroids(empty)
+    }.getMessage.contains("empty"))
+    val holey = Seq((0, Seq(1.0)), (2, Seq(2.0))).toDF("cell", "centroid")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadCentroids(holey)
+    }.getMessage.contains("missing"))
+    val big = (0 until 10).map(i => (i, Seq(1.0))).toDF("cell", "centroid")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadCentroids(big, maxCells = 4)
+    }.getMessage.contains("maxCells"))
+    val holeyBooks = Seq((0, 0, Seq(1.0)), (1, 1, Seq(2.0))).toDF("s", "code", "centroid")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadCodebooks(holeyBooks)
+    }.getMessage.contains("missing"))
+  }
+
+  test("nearDupAgainstStored recovers exactly the cross pairs; batch-split-invariant") {
+    val corpus = vecs.filter(col("vec_id") <= 20L) // includes id 1 (base)
+    val delta = vecs.filter(col("vec_id") > 20L)   // 101 (near-dup of 1) + 200
+    val idx = Similarity.embedBandIndex(corpus, "vec_id", "embedding",
+      dim = 8, numPlanes = 16, bands = 8)
+    def rows(nd: org.apache.spark.sql.DataFrame) =
+      Similarity.nearDupAgainstStored(nd, "vec_id", "embedding", corpus, idx,
+        threshold = 0.999, dim = 8, numPlanes = 16, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = rows(delta)
+    // exact baseline: every cross pair at the threshold (computed, not
+    // hardcoded — the jittered cluster can legitimately put a second
+    // corpus vector inside 0.999 of the near-dup)
+    val exact = delta.as("n").crossJoin(corpus.as("c"))
+      .select(col("n.vec_id").as("nid"), col("c.vec_id").as("cid"),
+        (Similarity.dotd(col("n.embedding").cast("array<double>"),
+          col("c.embedding").cast("array<double>")) /
+          (sqrt(Similarity.dotd(col("n.embedding").cast("array<double>"),
+            col("n.embedding").cast("array<double>"))) *
+           sqrt(Similarity.dotd(col("c.embedding").cast("array<double>"),
+             col("c.embedding").cast("array<double>"))))).as("sim"))
+      .filter(col("sim") >= 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(whole === exact, s"probe $whole != exact cross pairs $exact")
+    assert(whole.contains((101L, 1L)), "the planted near-dup must be caught")
+    // identical-vector recall is structural: same vector -> same signature
+    val unioned = rows(delta.filter(col("vec_id") % 2 === 0)) ++
+      rows(delta.filter(col("vec_id") % 2 === 1))
+    assert(whole === unioned, "batch split changed the stored-index probe")
+  }
+
+  test("embedBandIndex build-time bucket guard trips on a degenerate pile-up") {
+    val s = spark
+    import s.implicits._
+    val same = (1L to 50L).map(i => (i, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.embedBandIndex(same, "vec_id", "embedding",
+        dim = 8, numPlanes = 16, bands = 8, maxBucket = 10).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxBucket"),
+      s"expected the bucket guard message, got: ${e.getMessage}")
+  }
+
+  test("oracle-parity guard: the embed-stream fixture's max bucket sits far under the default cuts") {
+    // q_embed_neardup_stream's oracle does not model the maxBucket /
+    // maxNewBucket cuts — parity rests on the fixture's bucket sizes
+    // staying far under the 65536 defaults. Executable on every
+    // available SF, 10x margin (same discipline as WinnowingSpec's df
+    // guard).
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    assert(dirs.nonEmpty, "no testdata fixture present")
+    dirs.foreach { d =>
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      val maxBucket = Similarity.embedBandIndex(e, "vec_id", "embedding",
+          dim = 64, numPlanes = 16, bands = 8)
+        .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      assert(maxBucket < 6554,
+        s"$d: max band bucket $maxBucket is within 10x of the 65536 cut — " +
+          "the stream entry's oracle no longer models the probe")
+    }
+  }
 }

@@ -307,6 +307,51 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got === Seq((100L, 1L, 39L), (101L, 1L, 39L)), got.toString)
   }
 
+  test("nearDupStream: committed batch not re-emitted after restart; post-crash batch still probes the band index") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-embed-in"); val ckpt = tmp("graft-embed-ckpt")
+    val outDir = tmp("graft-embed-out") + "/pairs"
+    val idxDir = tmp("graft-embed-idx") + "/idx"
+    def axis(a: Int): Seq[Double] =
+      (0 until 8).map(i => if (i == a) 1.0 else 0.0)
+    val corpus = Seq((1L, axis(0)), (2L, axis(3)), (3L, axis(6)))
+      .toDF("vec_id", "embedding")
+    graft.pipeline.Similarity.embedBandIndex(corpus, "vec_id", "embedding",
+        dim = 8, numPlanes = 16, bands = 8)
+      .write.mode("overwrite").parquet(idxDir)
+    def start() = graft.pipeline.Similarity.nearDupStream(
+      s.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+      "vec_id", "embedding", corpus, s.read.parquet(idxDir),
+      threshold = 0.99, dim = 8, outPath = outDir, checkpoint = ckpt,
+      numPlanes = 16, bands = 8)
+    def vecJson(id: Long, a: Int): String =
+      s"""{"vec_id": $id, "embedding": [${axis(a).mkString(",")}]}"""
+
+    // phase 1: one near-dup arrival (copy of corpus vector 1), committed,
+    // then CRASH
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(vecJson(100L, 0)))
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+
+    // while down: a second near-dup (copy of corpus vector 2) lands
+    writeFile(inDir, "f2.json", Seq(vecJson(101L, 3)))
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = s.read.parquet(outDir)
+      .select(col("new_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // exactly one pair per arrival: the committed batch-0 output was NOT
+    // re-emitted on restart (idempotent per-batch overwrite + resumed
+    // offsets), and the post-crash batch probed the same stored index
+    assert(got === Seq((100L, 1L), (101L, 2L)), got.toString)
+  }
+
   test("statefulSessions: an open session spans the crash and closes with pre-crash events") {
     val s = spark
     import s.implicits._
