@@ -3669,19 +3669,79 @@ object SparkEntry {
       adf.write.mode("overwrite").parquet(s"$base/assignments")
       val centsDf = s.read.parquet(s"$base/centroids")
       val booksDf = s.read.parquet(s"$base/codebooks")
+      // both 50-row probe results materialize ONCE: each feeds two
+      // exceptAll directions (and approx the final agg too) — without
+      // the checkpoint the whole probe pipeline re-executes per consumer
       val approx = Similarity.annIndexProbe(queries, "vec_id", "embedding",
         centsDf, booksDf, s.read.parquet(s"$base/assignments"),
         rerankVecs = emb, k = 10, dim = 64, nprobe = 3, rerank = 50)
+        .localCheckpoint(true)
       val mono = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
         k = 10, dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 16,
         rerank = 50,
         centroids = Some(Similarity.loadCentroids(centsDf)),
         codebooks = Some(Similarity.loadCodebooks(booksDf)))
+        .localCheckpoint(true)
       val parityOk = approx.exceptAll(mono).isEmpty && mono.exceptAll(approx).isEmpty
       val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
       Similarity.epsilonRecallPerQuery(approx, exact, eps = 1e-3)
         .agg(count(lit(1)).cast("long").as("n_queries"),
           (avg(col("recall")) >= 0.95).as("recall_ok"))
+        .withColumn("parity_ok", lit(parityOk))
+    }),
+
+    // STREAMING ANN probe against the stored index — the ANN family's
+    // streaming twin, completing the stored-index streaming matrix
+    // (winnowing, exact-substr, embedding near-dup, now ANN top-k):
+    // query vectors arrive in micro-batches and probe the SAME persisted
+    // centroids/codebooks/assignments, results landing per batch with
+    // idempotent overwrite. Per-query top-k depends only on the query's
+    // own vector and the fixed index, so the drive is batch-split-
+    // invariant by construction; the gate pins union-of-batches EXACTLY
+    // equal to the one-shot artifact probe over the same queries.
+    "q_ann_index_stream" -> ((s, dir) => {
+      val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val base = scratch("ann_stream_idx")
+      val (cdf, bdf, adf) = Similarity.annIndexBuild(emb, "vec_id", "embedding",
+        dim = 64, nlist = 8, m = 8, ksub = 16, iters = 2)
+      cdf.write.mode("overwrite").parquet(s"$base/centroids")
+      bdf.write.mode("overwrite").parquet(s"$base/codebooks")
+      adf.write.mode("overwrite").parquet(s"$base/assignments")
+      // re-id'd queries (no corpus-id collision -> no self-exclusion
+      // asymmetry between replica runs)
+      val queries = emb.filter(col("vec_id") < 6)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val b1 = queries.filter(col("vec_id") % 2 === 0)
+      val b2 = queries.filter(col("vec_id") % 2 === 1)
+      val inP = scratch("ann_stream_in")
+      val outP = scratch("ann_stream_out")
+      val ckP = scratch("ann_stream_ck")
+      Seq(inP, outP, ckP).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      }
+      val q = Similarity.annProbeStream(
+        s.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inP),
+        "vec_id", "embedding",
+        s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/codebooks"),
+        s.read.parquet(s"$base/assignments"), rerankVecs = emb,
+        k = 10, dim = 64, nprobe = 3, rerank = 50,
+        outPath = outP, checkpoint = ckP)
+      try {
+        b1.write.mode("append").json(inP); q.processAllAvailable()
+        b2.write.mode("append").json(inP); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = s.read.parquet(outP)
+        .select("query_id", "neighbor_id", "sim").localCheckpoint(true)
+      val oneShot = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+        s.read.parquet(s"$base/centroids"), s.read.parquet(s"$base/codebooks"),
+        s.read.parquet(s"$base/assignments"), rerankVecs = emb,
+        k = 10, dim = 64, nprobe = 3, rerank = 50).localCheckpoint(true)
+      val parityOk = streamed.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(streamed).isEmpty
+      streamed.agg(count(lit(1)).cast("long").as("n_results"))
         .withColumn("parity_ok", lit(parityOk))
     }),
 
@@ -4643,6 +4703,9 @@ object SparkEntry {
         |) WHERE sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin.replace("\n", " "),
     "q_ann_index_incr" ->
       ("SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok, " +
+        "CAST(1 AS BOOLEAN) AS parity_ok"),
+    "q_ann_index_stream" ->
+      ("SELECT CAST(60 AS BIGINT) AS n_results, " +
         "CAST(1 AS BOOLEAN) AS parity_ok"),
     "q_semdedup" ->
       "SELECT CAST(200 AS BIGINT) AS n_vectors, CAST(1 AS BOOLEAN) AS survivors_ok",

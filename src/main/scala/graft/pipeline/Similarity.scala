@@ -740,6 +740,47 @@ object Similarity {
   }
 
   /**
+   * Streaming ANN probe against the stored [[annIndexBuild]] artifacts —
+   * the ANN family's streaming twin (the [[nearDupStream]] /
+   * [[Winnowing.decontaminationStream]] discipline): each micro-batch of
+   * arriving query vectors probes the SAME persisted index (centroids +
+   * codebooks loaded ONCE, before the stream starts — not per batch),
+   * top-k results land under `outPath/batch=<id>` via idempotent
+   * per-batch OVERWRITE. Stateless across batches: per-query top-k
+   * depends only on the query's own vector and the fixed index, so the
+   * drive is batch-split-invariant by construction (q_ann_index_stream
+   * pins union-of-batches == one-shot probe executably).
+   */
+  def annProbeStream(stream: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     assignments: DataFrame, rerankVecs: DataFrame,
+                     k: Int, dim: Int, nprobe: Int, rerank: Int,
+                     outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate + collect the driver-bounded artifacts BEFORE the stream
+    // starts: a bad artifact must not surface as an async first-batch
+    // failure, and re-collecting per micro-batch would be waste
+    require(rerank >= k, "rerank horizon must be >= k")
+    val cents = loadCentroids(centroids)
+    val books = loadCodebooks(codebooks)
+    require(dim % books.length == 0,
+      s"dim=$dim not divisible by the artifact's m=${books.length}")
+    val enc = assignments.select(col("neighbor_id"), col("cell"), col("codes"))
+    val rv = rerankVecs.select(col(idCol).as("neighbor_id"),
+      asD(col(vecCol)).as("cv"))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        adcProbe(batch.toDF(), idCol, vecCol, enc, rv, cents, books,
+          k, dim, nprobe, rerank)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
    * (any of `bands` sub-signatures) become candidates; candidates are
    * verified with exact cosine ≥ threshold. The standard banded-LSH dedup

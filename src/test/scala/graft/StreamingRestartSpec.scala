@@ -352,6 +352,59 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got === Seq((100L, 1L), (101L, 2L)), got.toString)
   }
 
+  test("annProbeStream: committed batch not re-emitted after restart; post-crash batch still probes the stored index") {
+    val s = spark
+    import s.implicits._
+    val inDir = tmp("graft-ann-in"); val ckpt = tmp("graft-ann-ckpt")
+    val outDir = tmp("graft-ann-out") + "/topk"
+    val idxDir = tmp("graft-ann-idx")
+    // 3 well-separated axis clusters, 8 dims, ids 0..29
+    val corpus = (0 until 30).map { i =>
+      val v = Array.fill(8)(0.05 * (i % 5)); v((i % 3) * 2) += 10.0
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (cdf, bdf, adf) = graft.pipeline.Similarity.annIndexBuild(
+      corpus, "vec_id", "embedding", dim = 8, nlist = 3, m = 4, ksub = 8, iters = 2)
+    cdf.write.mode("overwrite").parquet(s"$idxDir/cents")
+    bdf.write.mode("overwrite").parquet(s"$idxDir/books")
+    adf.write.mode("overwrite").parquet(s"$idxDir/assign")
+    def start() = graft.pipeline.Similarity.annProbeStream(
+      s.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+      "vec_id", "embedding",
+      s.read.parquet(s"$idxDir/cents"), s.read.parquet(s"$idxDir/books"),
+      s.read.parquet(s"$idxDir/assign"), rerankVecs = corpus,
+      k = 3, dim = 8, nprobe = 2, rerank = 10,
+      outPath = outDir, checkpoint = ckpt)
+    def qJson(id: Long, like: Int): String = {
+      val v = Array.fill(8)(0.05 * (like % 5)); v((like % 3) * 2) += 10.0
+      s"""{"vec_id": $id, "embedding": [${v.mkString(",")}]}"""
+    }
+
+    val q1 = start()
+    try {
+      writeFile(inDir, "f1.json", Seq(qJson(1000L, 0))) // cluster-0 query
+      q1.processAllAvailable()
+      awaitCommitted(ckpt)
+    } finally q1.stop()
+
+    // while down: a cluster-1 query lands
+    writeFile(inDir, "f2.json", Seq(qJson(1001L, 1)))
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = s.read.parquet(outDir)
+      .select(col("query_id"), col("neighbor_id"), col("sim")).collect()
+    // exactly k rows per arrival — the committed batch-0 output was NOT
+    // re-emitted on restart; the post-crash batch probed the same index
+    assert(got.length === 6, got.mkString(", "))
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(1000L, 1001L))
+    // each query's top neighbor is its own source vector (sim 1.0)
+    assert(byQ(1000L).maxBy(_.getDouble(2)).getLong(1) === 0L)
+    assert(byQ(1001L).maxBy(_.getDouble(2)).getLong(1) === 1L)
+  }
+
   test("statefulSessions: an open session spans the crash and closes with pre-crash events") {
     val s = spark
     import s.implicits._
