@@ -3662,8 +3662,11 @@ object SparkEntry {
       val emb = clusteredEmbeddings(rd(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 5)
       val base = scratch("ann_idx")
+      // iters=2: the parity gate is iteration-count-invariant (both
+      // paths share the trained parameters) and the separated fixture
+      // converges by the second Lloyd round; 2 fewer collect jobs
       val (cdf, bdf, adf) = Similarity.annIndexBuild(emb, "vec_id", "embedding",
-        dim = 64, nlist = 8, m = 8, ksub = 16, iters = 3)
+        dim = 64, nlist = 8, m = 8, ksub = 16, iters = 2)
       cdf.write.mode("overwrite").parquet(s"$base/centroids")
       bdf.write.mode("overwrite").parquet(s"$base/codebooks")
       adf.write.mode("overwrite").parquet(s"$base/assignments")
