@@ -395,14 +395,7 @@ object Bench {
     // GC, never released by the old clearCache contract either
     var residualMax = 0
     def residualCheck(session: SparkSession): Unit = {
-      val residual =
-        try {
-          val withBlocks = session.sparkContext.getRDDStorageInfo
-            .filter(_.numCachedPartitions > 0).map(_.id).toSet
-          session.sparkContext.getPersistentRDDs.values
-            .count(r => withBlocks.contains(r.id) && !r.isCheckpointed &&
-              !r.toString.contains("at localCheckpoint at"))
-        } catch { case _: Throwable => 0 }
+      val residual = graft.plans.CacheScope.residualOperatorPersists(session)
       if (residual > 0) {
         residualMax = math.max(residualMax, residual)
         try session.catalog.clearCache() catch { case _: Throwable => () }
@@ -838,52 +831,26 @@ object Bench {
       try sys.env.getOrElse("SPARK_GRAFT_READJ_MAX", "12").trim.toInt
       catch { case _: Throwable => 12 }
     val readjBudgetMs = 360000L
-    // adjudication-time canary: the box state the fresh re-times will
-    // actually run under (median-of-3, ~2 s warm). Skipped when there
-    // is nothing to adjudicate.
-    val adjCanary: Double =
-      if (candidates.isEmpty || only.isDefined) -1.0 else canaryMedian3()
-    val adjCpuFactor =
-      if (adjCanary > 0 && canaryBest > 0) math.max(1.0, adjCanary / canaryBest)
-      else 1.0
-    // ANCHOR probe (r13): the CPU canary cannot see the IO/scheduling
-    // burst class (the r13 validation run measured its fastest-ever
-    // canary, 0.579 s, in the same window where fresh-JVM re-times ran
-    // 3x their idle-box values and 6/6 flags later disproved idle).
-    // The anchor is GRAFT-SHAPED: a fresh-JVM BenchOne min-of-3 of a
-    // small, stable entry (JVM startup + parquet scan + shuffle + agg),
-    // compared against its own ratcheted fresh floor ("__anchor") —
-    // like-for-like across runs, and the burst class moves it. The
-    // adjudication factor is the max of both probes.
-    val AnchorEntry = "q_group_all"
-    val anchorBest = if (histProtocol == CurrentProtocol)
-      histAll.getOrElse("__anchor", -1.0) else -1.0
-    val anchorMin: Double =
-      if (candidates.isEmpty || only.isDefined) -1.0 else {
-        val (rc, out) = spawn("graft.BenchOne", Seq(AnchorEntry, sfDir), Map(
-          "SPARK_GRAFT_SAMPLES" -> "3",
-          "SPARK_GRAFT_CPUS" -> cpus), 3 * 60 * 1000L)
-        if (rc != 0) -1.0
-        else """"samples":\[([0-9.,eE+-]+)\]""".r.findFirstMatchIn(out)
-          .map(_.group(1).split(",").map(_.toDouble).min).getOrElse(-1.0)
-      }
-    val anchorFactor =
-      if (anchorMin > 0 && anchorBest > 0) math.max(1.0, anchorMin / anchorBest)
-      else 1.0 // first run seeds the anchor floor below
-    val adjFactor = math.max(adjCpuFactor, anchorFactor)
     // within-run disproof shortcut: b12 already re-timed the slowest
     // entries on a FRESH constricted (local[8]) session — a flagged
     // entry whose b12 time sits inside the UNSCALED envelope is
     // disproved by evidence from this very run (constricted-at-1/4-cores
     // inside the envelope is strictly stronger than a wide fresh pass),
-    // without spending re-time budget.
+    // without spending re-time budget. Partitioned BEFORE any
+    // adjudication probe so a fully-b12-disproved run spends nothing.
     val b12Times: Map[String, Double] =
       b12.map { case (k, v) => k.stripPrefix("b12:") -> v }.toMap
-    // PRELIMINARY summary BEFORE the adjudication spawns: if an external
-    // wall budget kills the run during fresh-JVM re-timing, the stdout
-    // tail still carries a parseable line — with the box verdict, so
-    // even a killed degraded-window run's tail is honest. The final
-    // lines print after adjudication and supersede this one.
+    val (b12Disproved, needSpawn) = candidates
+      .sortBy { case (_, v, best) => -(v / (best * boxFactor)) }
+      .partition { case (k, _, best) =>
+        b12Times.get(k).exists(t => !breachAt(best, t, 1.0)) }
+    // PRELIMINARY summary BEFORE any adjudication spawn (the anchor and
+    // canary probes included — the anchor is a child JVM that can run
+    // minutes): if an external wall budget kills the run during
+    // adjudication, the stdout tail still carries a parseable line —
+    // with the box verdict, so even a killed degraded-window run's tail
+    // is honest. The final lines print after adjudication and supersede
+    // this one.
     locally {
       def r3p(v: Double) = math.rint(v * 1000) / 1000
       val qs = results.sortBy(-_._2).take(10)
@@ -897,12 +864,44 @@ object Bench {
         s""""n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"queries":{$qs},"sf":"$sfDir"}""")
     }
+    // ANCHOR probe (r13): the CPU canary cannot see the IO/scheduling
+    // burst class (the r13 validation run measured its fastest-ever
+    // canary, 0.579 s, in the same window where fresh-JVM re-times ran
+    // 3x their idle-box values and 6/6 flags later disproved idle).
+    // The anchor is GRAFT-SHAPED: a fresh-JVM BenchOne min-of-3 of a
+    // small, stable entry (JVM startup + parquet scan + shuffle + agg),
+    // compared against its own ratcheted fresh floor ("__anchor") —
+    // like-for-like across runs, and the burst class moves it. The
+    // adjudication factor is the max of both probes. Measured on EVERY
+    // full run (not only candidate-bearing ones) so calm runs seed and
+    // ratchet the floor — otherwise a first seed taken in a burst
+    // window would leave the probe blind to later bursts.
+    val AnchorEntry = "q_group_all"
+    val anchorBest = if (histProtocol == CurrentProtocol)
+      histAll.getOrElse("__anchor", -1.0) else -1.0
+    val anchorMin: Double =
+      if (only.isDefined) -1.0 else {
+        val (rc, out) = spawn("graft.BenchOne", Seq(AnchorEntry, sfDir), Map(
+          "SPARK_GRAFT_SAMPLES" -> "3",
+          "SPARK_GRAFT_CPUS" -> cpus), 3 * 60 * 1000L)
+        if (rc != 0) -1.0
+        else """"samples":\[([0-9.,eE+-]+)\]""".r.findFirstMatchIn(out)
+          .map(_.group(1).split(",").map(_.toDouble).min).getOrElse(-1.0)
+      }
+    val anchorFactor =
+      if (anchorMin > 0 && anchorBest > 0) math.max(1.0, anchorMin / anchorBest)
+      else 1.0 // first run seeds the anchor floor below
+    // adjudication-time canary: the box state the fresh re-times will
+    // actually run under (median-of-3, ~2 s warm). Skipped when no
+    // fresh spawn will run.
+    val adjCanary: Double =
+      if (needSpawn.isEmpty || only.isDefined) -1.0 else canaryMedian3()
+    val adjCpuFactor =
+      if (adjCanary > 0 && canaryBest > 0) math.max(1.0, adjCanary / canaryBest)
+      else 1.0
+    val adjFactor = math.max(adjCpuFactor, anchorFactor)
     val readjStart = System.currentTimeMillis()
     // b12-disproved rows consume no budget slot; only real spawns count
-    val (b12Disproved, needSpawn) = candidates
-      .sortBy { case (_, v, best) => -(v / (best * boxFactor)) }
-      .partition { case (k, _, best) =>
-        b12Times.get(k).exists(t => !breachAt(best, t, 1.0)) }
     val adjudicated: Seq[AdjRow] =
       b12Disproved.map { case (k, v, best) =>
         val t = b12Times(k)
@@ -946,9 +945,14 @@ object Bench {
     // systematically below segment-child best-of-2, so min-ratcheting
     // drifts floors into a population the suite can never reproduce
     // and the same entries burn the re-time budget every run (the
-    // tf_dot stale-floor class)
+    // tf_dot stale-floor class). b12-disproved rows are EXCLUDED: their
+    // "fresh" value is a constricted local[8] time — a shuffle-light
+    // entry can run FASTER there than any wide-session sample, and
+    // ratcheting it in would create the same unreachable-floor class.
+    val b12DisprovedNames = b12Disproved.map(_._1).toSet
     val freshBests = adjudicated
-      .collect { case AdjRow(k, _, _, _, Some(med)) => k -> med }.toMap
+      .collect { case AdjRow(k, _, _, _, Some(med))
+        if !b12DisprovedNames(k) => k -> med }.toMap
     // A protocol-mismatch re-seed rewrites the file from THIS run's
     // entries only — legitimate for a full run, but under `only` a
     // single-entry iteration run would silently and permanently wipe

@@ -40,32 +40,16 @@ object Verify {
     // Residual blocks ENTERING an entry mean some operator persisted
     // outside persistTracked (or handed work to another thread) — count
     // that loudly, then clearCache so the leak can't tax this entry.
-    // localCheckpoint(true) blocks (isCheckpointed) are EXCLUDED
-    // from the residual count: they are deliberate lineage-truncating
-    // materializations (unpersist would lose the only copy of the data
-    // mid-plan), are reclaimed by the ContextCleaner on GC, and were
-    // never released by the old clearCache contract either — counting
-    // them would cry wolf on a benign, self-cleaning class.
+    // localCheckpoint blocks are excluded from the residual count (see
+    // CacheScope.residualOperatorPersists — the shared heuristic).
     var residualMax = 0
     val failed = entries.toSeq.flatMap { case (name, fn) =>
       try {
-        val leaked =
-          try {
-            val withBlocks = spark.sparkContext.getRDDStorageInfo
-              .filter(_.numCachedPartitions > 0).map(_.id).toSet
-            spark.sparkContext.getPersistentRDDs.values
-              .filter(r => withBlocks.contains(r.id) && !r.isCheckpointed &&
-                // a LAZY localCheckpoint's doCheckpoint may not have run
-                // yet when we look (ContextCleaner reclaims it either
-                // way) — the creation site identifies the class
-                // deterministically
-                !r.toString.contains("at localCheckpoint at"))
-              .toSeq
-          } catch { case _: Throwable => Seq.empty }
-        if (leaked.nonEmpty) {
-          residualMax = math.max(residualMax, leaked.size)
-          System.err.println(s"[verify] residual before $name: " +
-            leaked.map(r => s"${r.id}:${r.toString}").mkString("; "))
+        val residual =
+          graft.plans.CacheScope.residualOperatorPersists(spark)
+        if (residual > 0) {
+          residualMax = math.max(residualMax, residual)
+          System.err.println(s"[verify] residual before $name: $residual blocks")
           spark.catalog.clearCache()
         }
         graft.plans.CacheScope(spark) {

@@ -670,9 +670,19 @@ object Similarity {
     require(rows.length <= maxCells,
       s"centroid artifact has ${rows.length} rows > maxCells=$maxCells — " +
         "this collect is bounded by nlist, never corpus size")
+    // ids bound the ALLOCATION, so validate them BEFORE sizing the
+    // array: one corrupted row with cell = 10^9 would otherwise OOM the
+    // driver (or overflow to NegativeArraySizeException) before the
+    // missing-cells require could fire
+    val badId = rows.find(r => r.getInt(0) < 0 || r.getInt(0) >= maxCells)
+    require(badId.isEmpty,
+      s"centroid artifact has out-of-range cell id ${badId.get.getInt(0)} " +
+        s"(valid: 0 until maxCells=$maxCells) — corrupted artifact")
     val arr = new Array[Array[Double]](rows.map(_.getInt(0)).max + 1)
     rows.foreach(r => arr(r.getInt(0)) = r.getSeq[Double](1).toArray)
     require(arr.forall(_ != null), "centroid artifact has missing cells")
+    require(arr.forall(_.length == arr(0).length),
+      "centroid artifact has mixed dimensionality")
     arr
   }
 
@@ -685,12 +695,23 @@ object Similarity {
     require(rows.nonEmpty, "codebook artifact is empty")
     require(rows.length <= maxEntries,
       s"codebook artifact has ${rows.length} rows > maxEntries=$maxEntries")
+    // ids bound the allocation — validate before Array.ofDim (see
+    // loadCentroids)
+    val badId = rows.find(r => r.getInt(0) < 0 || r.getInt(1) < 0 ||
+      r.getInt(0).toLong * (r.getInt(1) + 1L) > maxEntries)
+    require(badId.isEmpty,
+      s"codebook artifact has out-of-range (s, code) = " +
+        s"(${badId.get.getInt(0)}, ${badId.get.getInt(1)}) — corrupted artifact")
     val m = rows.map(_.getInt(0)).max + 1
     val ksub = rows.map(_.getInt(1)).max + 1
+    require(m.toLong * ksub <= maxEntries,
+      s"codebook artifact spans $m x $ksub entries > maxEntries=$maxEntries")
     val books = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     require(books.forall(_.forall(_ != null)),
       "codebook artifact has missing (subspace, code) entries")
+    require(books.forall(_.forall(_.length == books(0)(0).length)),
+      "codebook artifact has mixed sub-dimensionality")
     books
   }
 
@@ -707,6 +728,23 @@ object Similarity {
    * IDENTICAL rows — the executable definition of "the artifact is the
    * index".
    */
+  /** `dim` must MATCH the artifacts, not merely divide by m: VecDot
+    * truncates to the shorter array, so a mismatched probe would return
+    * silently wrong neighbors instead of erroring. Checked at
+    * plan-build time, driver-side, for both probe entry points. */
+  private def validateArtifactDims(cents: Array[Array[Double]],
+                                   books: Array[Array[Array[Double]]],
+                                   dim: Int): Unit = {
+    require(dim % books.length == 0,
+      s"dim=$dim not divisible by the artifact's m=${books.length}")
+    require(cents(0).length == dim,
+      s"dim=$dim but the centroid artifact is ${cents(0).length}-dimensional")
+    require(books(0)(0).length == dim / books.length,
+      s"dim=$dim / m=${books.length} implies ${dim / books.length}-dim " +
+        s"sub-vectors but the codebook artifact holds " +
+        s"${books(0)(0).length}-dim entries")
+  }
+
   def annIndexProbe(queries: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, codebooks: DataFrame,
                     assignments: DataFrame, rerankVecs: DataFrame,
@@ -715,8 +753,7 @@ object Similarity {
     require(rerank >= k, "rerank horizon must be >= k")
     val cents = loadCentroids(centroids)
     val books = loadCodebooks(codebooks)
-    require(dim % books.length == 0,
-      s"dim=$dim not divisible by the artifact's m=${books.length}")
+    validateArtifactDims(cents, books, dim)
     adcProbe(queries, idCol, vecCol,
       assignments.select(col("neighbor_id"), col("cell"), col("codes")),
       rerankVecs.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv")),
@@ -763,8 +800,7 @@ object Similarity {
     require(rerank >= k, "rerank horizon must be >= k")
     val cents = loadCentroids(centroids)
     val books = loadCodebooks(codebooks)
-    require(dim % books.length == 0,
-      s"dim=$dim not divisible by the artifact's m=${books.length}")
+    validateArtifactDims(cents, books, dim)
     val enc = assignments.select(col("neighbor_id"), col("cell"), col("codes"))
     val rv = rerankVecs.select(col(idCol).as("neighbor_id"),
       asD(col(vecCol)).as("cv"))

@@ -66,6 +66,24 @@ object CacheScope {
     df
   }
 
+  /** Count of persisted RDDs currently HOLDING blocks that are not
+    * checkpoint materializations — the residual an operator leaked past
+    * [[persistTracked]]. localCheckpoint frames are excluded twice over
+    * (eager via isCheckpointed, lazy via the creation site, since a lazy
+    * mark's doCheckpoint may not have run when we look): they are
+    * deliberate lineage-truncating materializations, reclaimed by the
+    * ContextCleaner on GC, and unpersisting them would lose the only
+    * copy of their data mid-plan. Shared by Bench and Verify's
+    * per-entry isolation telemetry — one heuristic, one place. */
+  def residualOperatorPersists(spark: SparkSession): Int =
+    try {
+      val withBlocks = spark.sparkContext.getRDDStorageInfo
+        .filter(_.numCachedPartitions > 0).map(_.id).toSet
+      spark.sparkContext.getPersistentRDDs.values
+        .count(r => withBlocks.contains(r.id) && !r.isCheckpointed &&
+          !r.toString.contains("at localCheckpoint at"))
+    } catch { case _: Throwable => 0 }
+
   def apply[A](spark: SparkSession)(body: => A): A = {
     val own = mutable.ArrayBuffer.empty[DataFrame]
     active.set(own :: active.get())

@@ -398,6 +398,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       Similarity.loadCodebooks(holeyBooks)
     }.getMessage.contains("missing"))
+    // a corrupted id must fail BEFORE sizing the driver array — one row
+    // with cell = 10^9 would otherwise allocate gigabytes
+    val corrupt = Seq((0, Seq(1.0)), (1000000000, Seq(2.0))).toDF("cell", "centroid")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.loadCentroids(corrupt)
+    }.getMessage.contains("out-of-range"))
+  }
+
+  test("annIndexProbe rejects a dim that does not match the artifacts (silent-truncation guard)") {
+    val corpus = separated
+    val (cdf, bdf, adf) = Similarity.annIndexBuild(corpus, "vec_id", "embedding",
+      dim = 8, nlist = 3, m = 4, ksub = 8, iters = 1)
+    // 16 % 4 == 0 passes the divisibility check alone — the dimension
+    // match is what catches it
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annIndexProbe(corpus.limit(1), "vec_id", "embedding",
+        cdf, bdf, adf, rerankVecs = corpus, k = 2, dim = 16, nprobe = 2, rerank = 5)
+    }
+    assert(e.getMessage.contains("8-dimensional"), e.getMessage)
   }
 
   test("nearDupAgainstStored recovers exactly the cross pairs; batch-split-invariant") {
