@@ -868,28 +868,33 @@ object Bench {
     // burst class (the r13 validation run measured its fastest-ever
     // canary, 0.579 s, in the same window where fresh-JVM re-times ran
     // 3x their idle-box values and 6/6 flags later disproved idle).
-    // The anchor is GRAFT-SHAPED: a fresh-JVM BenchOne min-of-3 of a
-    // small, stable entry (JVM startup + parquet scan + shuffle + agg),
-    // compared against its own ratcheted fresh floor ("__anchor") —
-    // like-for-like across runs, and the burst class moves it. The
-    // adjudication factor is the max of both probes. Measured on EVERY
-    // full run (not only candidate-bearing ones) so calm runs seed and
-    // ratchet the floor — otherwise a first seed taken in a burst
-    // window would leave the probe blind to later bursts.
+    // The anchor is GRAFT-SHAPED: a fresh-JVM BenchOne run of a small,
+    // stable entry (JVM startup + parquet scan + shuffle + agg),
+    // compared against its own ratcheted floor — like-for-like across
+    // runs, and the burst class moves it. The statistic is the MEDIAN
+    // of 3 samples against the best MEDIAN on record ("__anchor_med"):
+    // the anchor is a window-state probe, not a reproduce decision —
+    // the question is "what will a typical re-time sample experience",
+    // and a burst that lets one calm sample through fools a min but
+    // not a median (run 4 shipped 6 window-product flags at
+    // min-anchor 1.2 exactly that way). The adjudication factor is the
+    // max of both probes. Measured on EVERY full run so calm runs seed
+    // and ratchet the floor — a first seed taken in a burst window
+    // must not leave the probe blind to later bursts.
     val AnchorEntry = "q_group_all"
     val anchorBest = if (histProtocol == CurrentProtocol)
-      histAll.getOrElse("__anchor", -1.0) else -1.0
-    val anchorMin: Double =
+      histAll.getOrElse("__anchor_med", -1.0) else -1.0
+    val anchorMed: Double =
       if (only.isDefined) -1.0 else {
         val (rc, out) = spawn("graft.BenchOne", Seq(AnchorEntry, sfDir), Map(
           "SPARK_GRAFT_SAMPLES" -> "3",
           "SPARK_GRAFT_CPUS" -> cpus), 3 * 60 * 1000L)
         if (rc != 0) -1.0
-        else """"samples":\[([0-9.,eE+-]+)\]""".r.findFirstMatchIn(out)
-          .map(_.group(1).split(",").map(_.toDouble).min).getOrElse(-1.0)
+        else """"value":([0-9.eE+-]+)""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble).getOrElse(-1.0) // BenchOne's median
       }
     val anchorFactor =
-      if (anchorMin > 0 && anchorBest > 0) math.max(1.0, anchorMin / anchorBest)
+      if (anchorMed > 0 && anchorBest > 0) math.max(1.0, anchorMed / anchorBest)
       else 1.0 // first run seeds the anchor floor below
     // adjudication-time canary: the box state the fresh re-times will
     // actually run under (median-of-3, ~2 s warm). Skipped when no
@@ -962,15 +967,15 @@ object Bench {
       // the canary floor min-ratchets like any entry: the factor is
       // always "today over the box's best recorded day"
       val canaryMin = (Seq(canarySec, canaryBest).filter(_ > 0) :+ Double.MaxValue).min
-      // the anchor floor min-ratchets like the canary: always "this
-      // adjudication window over the box's best recorded fresh anchor"
-      val anchorFloor = (Seq(anchorMin, anchorBest).filter(_ > 0) :+ Double.MaxValue).min
+      // the anchor floor ratchets to the best MEDIAN ever: always "this
+      // adjudication window's typical sample over the box's best"
+      val anchorFloor = (Seq(anchorMed, anchorBest).filter(_ > 0) :+ Double.MaxValue).min
       val meta = Seq(s""" "__protocol": $CurrentProtocol""") ++
         (if (canaryMin < Double.MaxValue)
           Seq(s""" "__canary": ${math.rint(canaryMin * 1000) / 1000}""")
         else Seq.empty) ++
         (if (anchorFloor < Double.MaxValue)
-          Seq(s""" "__anchor": ${math.rint(anchorFloor * 1000) / 1000}""")
+          Seq(s""" "__anchor_med": ${math.rint(anchorFloor * 1000) / 1000}""")
         else Seq.empty)
       // record EVERY clean timing (incl. b8, which the watch excludes as
       // a fixed-duration wall) so a protocol-mismatch re-seed never drops
