@@ -533,8 +533,9 @@ object Similarity {
    * bound the BYTES per scanned vector (m codes instead of dim floats),
    * and the exact rerank bounds what quantization error can cost. The
    * corpus is stored as (cell, codes) — at 100 TB that is the entire
-   * per-vector footprint outside the rerank fetch; cluster the storage
-   * by cell so a probe reads contiguous ranges.
+   * per-vector footprint outside the rerank fetch; persisted under the
+   * [[annIndexBuild]] `partitionBy("cell")` contract the probe reads
+   * only the probed cells' partitions.
    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String, k: Int, dim: Int,
@@ -579,6 +580,23 @@ object Similarity {
       }: _*)
       slice(reverse(array_sort(scored)), 1, nprobe)
     }
+    // CELL PRUNING: a true IVF probe reads ~nprobe/nlist of the index,
+    // not all of it. The probed-cell set is computable up front — the
+    // query batch is bounded (it gets broadcast below), so collect its
+    // distinct routed cells from a slim projection (no ADC tables built
+    // here) and push them into the assignments side as an `isin` on
+    // literal values. When the artifact is written `partitionBy("cell")`
+    // (the annIndexBuild contract), this becomes STATIC partition
+    // pruning at the file source — the scan touches only the probed
+    // cells' directories (PlanSpec pins it); for the inline ivfPqTopK
+    // path it is an ordinary pushed filter. Bounded: ≤ nlist values by
+    // construction (cells are centroid indices).
+    val probedCells: Seq[Int] = queries
+      .select(asD(col(vecCol)).as("qv"))
+      .select(explode(probeCells(col("qv"))).as("p"))
+      .select(col("p.i").cast("int").as("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val encPruned = enc.filter(col("cell").isin(probedCells.map(Int.box): _*))
     val norms = books.flatMap(_.map(_.map(x => x * x).sum)).toSeq
     val q = queries
       .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
@@ -595,7 +613,7 @@ object Similarity {
     val cn2 = (0 until m).map(s =>
       element_at(typedLit(norms), lit(s * ksub) +
         element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-    val cands = enc.join(broadcast(q), Seq("cell"))
+    val cands = encPruned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
         when(cn2 > 0, adot / (col("qn") * sqrt(cn2))).otherwise(lit(-2.0))
@@ -629,8 +647,11 @@ object Similarity {
    *    narrow row per corpus vector, computed in a SINGLE pass over the
    *    corpus (cell assignment + all m sub-codes in one projection; no
    *    self-join, no second scan). At 100 TB the assignments table is
-   *    the entire per-vector index footprint — cluster/bucket it by
-   *    `cell` on write so a probe reads contiguous ranges.
+   *    the entire per-vector index footprint — the storage CONTRACT is
+   *    `write.partitionBy("cell")`: the probe pushes its probed-cell
+   *    set into the scan as literal partition filters, so a query batch
+   *    reads only ~nprobe/nlist of the index (static partition pruning,
+   *    pinned by PlanSpec).
    *
    * Doubles round-trip bit-exactly through parquet, so a probe against
    * the written artifacts reproduces the in-memory math EXACTLY
@@ -645,19 +666,67 @@ object Similarity {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, maxTrainRows)
     val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters,
       maxTrainRows)
-    val sub = dim / m
     val centroidsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
     val codebooksDf = (for { s <- books.indices; c <- books(s).indices }
       yield (s, c, books(s)(c).toSeq)).toDF("s", "code", "centroid")
-    val assignments = corpus
-      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("v"))
+    (centroidsDf, codebooksDf,
+      encodeAssignments(corpus, idCol, vecCol, cents, books, dim))
+  }
+
+  /** The one-pass (neighbor_id, cell, codes) encoding — cell assignment
+    * plus all m sub-codes in a single projection over the vectors; no
+    * self-join, no second scan. Shared by [[annIndexBuild]] (initial
+    * build) and [[annIndexAppend]] (delta encode against the stored
+    * parameters), so appended rows are byte-identical to what a full
+    * re-encode would produce — the maintenance parity gate's basis. */
+  private def encodeAssignments(df: DataFrame, idCol: String, vecCol: String,
+                                cents: Array[Array[Double]],
+                                books: Array[Array[Array[Double]]],
+                                dim: Int): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    df.select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("v"))
       .select(col("neighbor_id"),
         ivfAssign(col("v"), cents).as("cell"),
         array((0 until m).map(s =>
           l2Assign(slice(col("v"), s * sub + 1, sub), books(s))): _*).as("codes"))
-    (centroidsDf, codebooksDf, assignments)
   }
+
+  /**
+   * Index MAINTENANCE, append side: encode a delta of new vectors
+   * against the STORED centroids/codebooks — no retraining, no touch of
+   * the existing assignments — returning new (neighbor_id, cell, codes)
+   * rows for the caller to append under the same `partitionBy("cell")`
+   * layout. Cost ∝ delta by construction (one pass over the delta; the
+   * artifacts are driver-bounded collects), pinned by ScaleSmokeSpec.
+   * Because the parameters are fixed, appended rows equal exactly what a
+   * full re-encode of those vectors would produce (q_ann_index_maint
+   * pins probe parity vs a one-shot re-encode of the whole live corpus).
+   */
+  def annIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     dim: Int): DataFrame = {
+    val cents = loadCentroids(centroids)
+    val books = loadCodebooks(codebooks)
+    validateArtifactDims(cents, books, dim)
+    encodeAssignments(delta, idCol, vecCol, cents, books, dim)
+  }
+
+  /**
+   * Index MAINTENANCE, delete side: takedowns can't rewrite an immutable
+   * parquet index in place, so they ride as a TOMBSTONE frame
+   * (`neighbor_id`) next to it; this applies them as a left-anti join
+   * before a probe. Tombstone sets are takedown-sized (tiny vs the
+   * index), so Catalyst/AQE broadcasts the anti side and the assignments
+   * never shuffle; a compaction that physically rewrites the partitioned
+   * artifact folds the tombstones in and resets the frame.
+   */
+  def annApplyTombstones(assignments: DataFrame, tombstones: DataFrame)
+      : DataFrame =
+    assignments.join(
+      tombstones.select(col("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_anti")
 
   /** Collect a (cell, centroid) artifact back to the driver array —
     * bounded by `maxCells` (nlist-sized by construction, never corpus-
@@ -698,7 +767,7 @@ object Similarity {
     // ids bound the allocation — validate before Array.ofDim (see
     // loadCentroids)
     val badId = rows.find(r => r.getInt(0) < 0 || r.getInt(1) < 0 ||
-      r.getInt(0).toLong * (r.getInt(1) + 1L) > maxEntries)
+      (r.getInt(0) + 1L) * (r.getInt(1) + 1L) > maxEntries)
     require(badId.isEmpty,
       s"codebook artifact has out-of-range (s, code) = " +
         s"(${badId.get.getInt(0)}, ${badId.get.getInt(1)}) — corrupted artifact")

@@ -530,14 +530,17 @@ class PlanSpec extends SparkTestBase {
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "embedding")
     corpus.write.mode("overwrite").parquet(s"$tmp/corpus")
-    corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    // ONE query vector → exactly nprobe=2 probed cells of nlist=3, so
+    // the partition pruning below is observable and deterministic
+    corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
       .write.mode("overwrite").parquet(s"$tmp/delta")
     val c = spark.read.parquet(s"$tmp/corpus")
     val (cdf, bdf, adf) = graft.pipeline.Similarity.annIndexBuild(
       c, "vec_id", "embedding", dim = 8, nlist = 3, m = 4, ksub = 8, iters = 2)
     cdf.write.mode("overwrite").parquet(s"$tmp/cents")
     bdf.write.mode("overwrite").parquet(s"$tmp/books")
-    adf.write.mode("overwrite").parquet(s"$tmp/assign")
+    // the storage contract: partitioned by cell
+    adf.write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/assign")
     spark.catalog.clearCache()
     val probe = graft.pipeline.Similarity.annIndexProbe(
       spark.read.parquet(s"$tmp/delta"), "vec_id", "embedding",
@@ -551,14 +554,40 @@ class PlanSpec extends SparkTestBase {
     // artifact once (the ADC pass), the delta once, and the corpus file
     // once (the candidate-keyed rerank fetch). A second assignments or
     // corpus scan means the probe re-derived what the artifact stores.
+    // Counted over the plan TREE (not the text): the static isin prune
+    // also triggers a redundant-but-harmless DPP subquery whose
+    // dynamicpruningexpression REPRINTS the delta subtree while reusing
+    // the already-built broadcast at runtime.
+    def allScans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.inputPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    val scanNodes = allScans(probe.queryExecution.executedPlan)
     def scansOf(path: String) =
-      p.linesIterator.count(l => l.contains("Scan parquet") && l.contains(path))
+      scanNodes.count(_.metadata.getOrElse("Location", "").contains(path))
     assert(scansOf("assign") === 1, s"assignments must scan once:\n${p.take(2000)}")
     assert(scansOf("delta") === 1, s"delta must scan once:\n${p.take(2000)}")
     assert(scansOf("corpus") === 1,
       s"corpus vectors may appear only as the single rerank fetch:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(probe.count() === 6) // 3 queries x k=2
+    assert(probe.count() === 2) // 1 query x k=2
+    // CELL PRUNING pin: the probe pushes its probed-cell set (literal
+    // isin — one query × nprobe=2 cells here) into the partitioned
+    // artifact as STATIC partition filters — the scan must read a
+    // strict subset of the 3 cell directories, i.e. ~nprobe/nlist of
+    // the index, not all of it.
+    val scan = scanNodes
+      .find(_.metadata.get("Location").exists(_.contains("assign"))).get
+    assert(scan.relation.partitionSchema.fieldNames.contains("cell"),
+      "assignments artifact must be cell-partitioned")
+    assert(scan.metadata.get("PartitionFilters").exists(f =>
+        f.contains("cell") && f.toUpperCase.contains("IN")),
+      s"probed cells must push as partition filters: ${scan.metadata.get("PartitionFilters")}")
+    val partsRead = scan.selectedPartitions.partitionCount
+    assert(partsRead > 0 && partsRead <= 2,
+      s"probe must read only the probed cells' partitions (<=2 of 3), read $partsRead")
   }
 
   test("incremental exact-substr probe: the md5 anchor pass runs ONLY on the delta side") {

@@ -204,6 +204,22 @@ class ScaleSmokeSpec extends SparkTestBase {
     assert(nd1 > 0, "near-dup probe found nothing — fixture broke")
     assert(ndProbe(10) === nd1 * 10,
       "verbatim-replica delta must pair exactly 10x the base probe")
+    // MAINTENANCE append: encoding a 10x delta against the FIXED stored
+    // parameters costs one pass over the delta — rows exactly 10x, and
+    // per-replica (cell, codes) equal to the base replica's
+    // (deterministic encode, no retraining, artifacts untouched).
+    def append(n: Int) = graft.pipeline.Similarity.annIndexAppend(
+      queries(n), "vec_id", "embedding",
+      spark.read.parquet(s"$tmp/cents"), spark.read.parquet(s"$tmp/books"),
+      dim = 64)
+    val a1 = append(1).collect()
+      .map(r => (r.getLong(0) % 1000000L, r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(a1.size === 5, s"5 appended rows expected, got ${a1.size}")
+    val a10 = append(10).collect()
+      .map(r => (r.getLong(0) % 1000000L, r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(a10 === a1, "replica encodes diverged from the base replica")
+    assert(append(10).count() === 50,
+      "10x delta must append exactly 10x the assignment rows")
     spark.catalog.clearCache()
   }
 }

@@ -379,6 +379,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(fromArtifacts.count() === 15)
   }
 
+  test("annIndexAppend + annApplyTombstones: maintained index probes identically to a one-shot re-encode") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_maint_spec").toString
+    val corpus = separated
+    val corpus0 = corpus.filter(col("vec_id") % 4 =!= 1)
+    val delta = corpus.filter(col("vec_id") % 4 === 1)
+    val tomb = corpus.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id").as("neighbor_id"))
+    val (cdf, bdf, adf) = Similarity.annIndexBuild(corpus0, "vec_id",
+      "embedding", dim = 8, nlist = 3, m = 4, ksub = 8, iters = 3)
+    cdf.write.mode("overwrite").parquet(s"$dir/centroids")
+    bdf.write.mode("overwrite").parquet(s"$dir/codebooks")
+    adf.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    val centsDf = spark.read.parquet(s"$dir/centroids")
+    val booksDf = spark.read.parquet(s"$dir/codebooks")
+    Similarity.annIndexAppend(delta, "vec_id", "embedding",
+        centsDf, booksDf, dim = 8)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+    val maintained = Similarity.annApplyTombstones(
+      spark.read.parquet(s"$dir/assignments"), tomb)
+    val live = corpus.join(tomb.select(col("neighbor_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val viaMaint = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+      centsDf, booksDf, maintained, rerankVecs = live,
+      k = 5, dim = 8, nprobe = 2, rerank = 20)
+    // the gate: maintenance (append files + tombstone anti-join) must be
+    // invisible to the math — identical rows to a one-shot re-encode of
+    // the whole live corpus with the same stored parameters
+    val reenc = Similarity.annIndexAppend(live, "vec_id", "embedding",
+      centsDf, booksDf, dim = 8)
+    val viaReenc = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+      centsDf, booksDf, reenc, rerankVecs = live,
+      k = 5, dim = 8, nprobe = 2, rerank = 20)
+    assert(viaMaint.exceptAll(viaReenc).isEmpty &&
+      viaReenc.exceptAll(viaMaint).isEmpty)
+    assert(viaMaint.count() === 15)
+    // tombstoned ids are truly gone from the candidate set
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    assert(viaMaint.collect().forall(r => !tombIds.contains(r.getLong(1))))
+  }
+
   test("loadCentroids/loadCodebooks: empty, holey, and oversized artifacts fail loudly") {
     val s = spark
     import s.implicits._
