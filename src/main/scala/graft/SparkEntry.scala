@@ -3161,14 +3161,16 @@ object SparkEntry {
 
     // Deflate compression-ratio quality signal (CCNet-family):
     // boilerplate compresses far better than prose, junk barely at
-    // all. No SQL twin exists (DuckDB has no deflate), so the entry is
-    // SELF-GATED: each doc plants a boiler (40-char seed × 30) and a
-    // junk (xxhash64 hex chain) twin, and the class ordering
-    // boiler < natural < junk — exact BIGINT cross-multiplied, no
-    // float thresholds — rides the plan as assert_true. If DEFLATE
-    // ever stops discriminating the planted classes the entry FAILS
-    // loudly instead of emitting unvalidated ratios; the emitted rows
-    // are the exact per-class integer sums (deterministic).
+    // all. DuckDB has no deflate, so the entry emits the SQL-expressible
+    // projection of the invariant and keeps the deflate math self-gated
+    // in-plan: each doc plants a boiler (40-char seed × 30) and a junk
+    // (fixed-width xxhash64 hex chain, exactly 1024 bytes) twin; the
+    // class ordering boiler < natural < junk — exact DECIMAL(38)
+    // cross-multiplied, no float thresholds — rides the plan as
+    // assert_true AND surfaces as ratio_rank computed from the measured
+    // deflate sums. The oracle replays n_docs/raw_bytes as plain byte
+    // arithmetic over documents and pins ratio_rank 1/2/3, so a
+    // deflate-ordering break fails the hash even without the gate.
     "q_compression" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.pipeline.Compression.classRatioReport(
@@ -4782,6 +4784,21 @@ object SparkEntry {
     "q_ann_index_stream" ->
       ("SELECT CAST(60 AS BIGINT) AS n_results, " +
         "CAST(1 AS BOOLEAN) AS parity_ok"),
+    // the SQL-expressible projection of the compression invariant:
+    // n_docs + raw_bytes are byte arithmetic over documents (junk is
+    // fixed-width -> 1024 B/doc), ratio_rank pins the deflate ordering
+    // (1 = boiler compresses best, 3 = junk worst) that Spark COMPUTES
+    // from the measured sums — an ordering break fails this hash
+    "q_compression" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) > 0), " +
+        "c AS (" +
+        "SELECT 'boiler' AS class, count(*) AS n_docs, " +
+        "CAST(sum(strlen(repeat(substring(text, 1, 40), 30))) AS BIGINT) AS raw_bytes, " +
+        "CAST(1 AS BIGINT) AS ratio_rank FROM d " +
+        "UNION ALL SELECT 'junk', count(*), CAST(count(*) * 1024 AS BIGINT), CAST(3 AS BIGINT) FROM d " +
+        "UNION ALL SELECT 'natural', count(*), CAST(sum(strlen(text)) AS BIGINT), CAST(2 AS BIGINT) FROM d) " +
+        "SELECT class, n_docs, raw_bytes, ratio_rank FROM c ORDER BY class"),
     // appended/tombstoned replay as plain modulus counts over the
     // embeddings table (delta = vec_id%5==1, takedowns = vec_id%7==3;
     // build ∪ append covers every vector exactly once)

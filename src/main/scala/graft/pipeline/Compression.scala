@@ -54,22 +54,34 @@ object Compression {
   /**
    * Self-gated compression report over PLANTED determinism classes —
    * the checkable form of the quality signal (no SQL engine ships
-   * deflate, so the oracle-less entry carries its own invariant). Each
-   * document contributes three rows:
+   * deflate, so the deflate math carries its own in-plan invariant).
+   * Each document contributes three rows:
    *
    *  - `natural`: the text as-is;
    *  - `boiler`:  its first 40 chars repeated 30× — the template-spam
    *    shape the heuristic exists to catch (ratio ≪ natural);
-   *  - `junk`:    a 64-block xxhash64 hex chain keyed on the id — the
-   *    ~4 bits/char incompressible end (ratio > natural prose).
+   *  - `junk`:    a 64-block fixed-width (lpad-16) xxhash64 hex chain
+   *    keyed on the id — the ~4 bits/char incompressible end (ratio >
+   *    natural prose). Fixed width makes the junk raw length an exact
+   *    1024 bytes/doc, SQL-replayable without the hash.
    *
    * The class ordering `boiler < natural < junk` (by aggregate
-   * deflated/raw, compared with exact BIGINT cross-multiplication — no
-   * float thresholds) rides the plan as `assert_true`: if DEFLATE ever
-   * stops discriminating the planted classes, the entry FAILS instead
-   * of emitting unvalidated ratios. Output: one row per class with the
-   * exact integer sums. Same single narrow mapPartitions pass as
-   * [[deflateRatio]]; the gate is a 1-row conditional aggregate.
+   * deflated/raw, compared with exact DECIMAL(38) cross-multiplication
+   * — no float thresholds) rides the plan as `assert_true`: if DEFLATE
+   * ever stops discriminating the planted classes, the entry FAILS
+   * instead of emitting unvalidated ratios.
+   *
+   * Output: one row per class with (n_docs, raw_bytes, ratio_rank) —
+   * every column DuckDB-replayable, which is what makes q_compression
+   * a hash-checked oracle entry: n_docs and raw_bytes are plain byte
+   * arithmetic over the documents table (natural = UTF-8 byte length,
+   * boiler = bytes of the 40-char×30 repeat, junk = 1024·n), and
+   * ratio_rank is COMPUTED from the actual deflate sums by the same
+   * exact cross-multiplication as the gate (1 = compresses best), so
+   * the oracle's pinned 1/2/3 constants re-assert the deflate ordering
+   * through the hash, independent of the in-plan gate. The deflate
+   * sums themselves stay in-plan (gate + rank inputs). Same single
+   * narrow mapPartitions pass as [[deflateRatio]].
    */
   def classRatioReport(df: DataFrame, idCol: String, textCol: String)
                       (implicit spark: SparkSession): DataFrame = {
@@ -82,7 +94,7 @@ object Compression {
         repeat(substring(col("t"), 1, 40), 30).as("ct")))
       .union(d.select((col("did") * 4 + 2).as("cid"),
         array_join(transform(sequence(lit(1L), lit(64L)),
-          i => hex(xxhash64(col("did"), i))), "").as("ct")))
+          i => lpad(hex(xxhash64(col("did"), i)), 16, "0")), "").as("ct")))
     // 3 rows, materialized ONCE — both the gate aggregate and the output
     // read it, and recomputing would run the whole deflate pass twice
     val byClass = deflateRatio(planted, "cid", "ct")
@@ -103,7 +115,19 @@ object Compression {
     // should keep working — not ANSI-error — exactly when the corpus is
     // large enough to matter
     def d38(c: Column): Column = c.cast("decimal(38,0)")
-    byClass
+    // ratio_rank = 1 + |other classes with strictly smaller deflated/raw|,
+    // by the SAME exact cross-multiplication as the gate — derived from
+    // the measured deflate sums, never assumed. 3×3 broadcast cross on a
+    // checkpointed 3-row frame.
+    val others = byClass.select(col("cls").as("o_cls"),
+      col("raw_bytes").as("o_raw"), col("deflated_bytes").as("o_defl"))
+    val ranked = byClass.crossJoin(broadcast(others))
+      .groupBy("cls", "n_docs", "raw_bytes", "deflated_bytes")
+      .agg((lit(1) + sum(when(col("o_cls") =!= col("cls") &&
+          d38(col("o_defl")) * d38(col("raw_bytes")) <
+            d38(col("deflated_bytes")) * d38(col("o_raw")), 1)
+        .otherwise(0))).cast("long").as("ratio_rank"))
+    ranked
       .crossJoin(broadcast(gate))
       .filter(assert_true(
         d38(col("d_b")) * d38(col("r_n")) < d38(col("d_n")) * d38(col("r_b")) &&
@@ -116,7 +140,7 @@ object Compression {
       .select(
         element_at(typedLit(Seq("natural", "boiler", "junk")),
           col("cls").cast("int") + 1).as("class"),
-        col("n_docs"), col("raw_bytes"), col("deflated_bytes"))
+        col("n_docs"), col("raw_bytes"), col("ratio_rank"))
       .orderBy("class")
   }
 }

@@ -59,11 +59,15 @@ class HierarchySpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._1).toSeq === Seq("boiler", "junk", "natural"))
     assert(rows.forall(_._2 === 20L))
-    // the gate already enforced ordering in-plan; re-derive it here so a
-    // silently-weakened gate can't pass
-    val m = rows.map(r => r._1 -> (r._3, r._4)).toMap
-    def ratioLt(a: (Long, Long), b: (Long, Long)) = a._2 * b._1 < b._2 * a._1
-    assert(ratioLt(m("boiler"), m("natural")) && ratioLt(m("natural"), m("junk")))
+    // ratio_rank is COMPUTED from the measured deflate sums by exact
+    // cross-multiplication — asserting 1/2/3 re-verifies the ordering
+    // independently of the in-plan gate (a silently-weakened gate still
+    // can't pass), and it is exactly what the DuckDB oracle pins
+    val ranks = rows.map(r => r._1 -> r._4).toMap
+    assert(ranks === Map("boiler" -> 1L, "natural" -> 2L, "junk" -> 3L))
+    // raw_bytes replayability: junk is fixed-width (64 blocks x 16 hex
+    // chars = 1024 bytes/doc) so the oracle needs no hash function
+    assert(rows.collectFirst { case ("junk", _, raw, _) => raw }.get === 20L * 1024L)
   }
 
   test("classRatioReport gate TRIPS when classes stop discriminating") {
