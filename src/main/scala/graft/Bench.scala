@@ -65,8 +65,18 @@ object Bench {
         require(eqRunnerPass(s, d, 1000) == 1000, "eq runner lost queries"))
       case "b14_runner_10k_eq" => Some((s, d) =>
         require(eqRunnerPass(s, d, 10000) == 10000, "eq runner lost queries"))
+      case "b14_mixed_1k" => Some((s, d) =>
+        require(mixedAdmissionPass(s, d, 1000) == 1000, "mixed runner lost queries"))
+      case "b14_mixed_10k" => Some((s, d) =>
+        require(mixedAdmissionPass(s, d, 10000) == 10000, "mixed runner lost queries"))
       case _ => None
     }
+
+  /** Every name [[runnerBody]] resolves — BenchOne's usage text. */
+  private[graft] val runnerBenchNames: Seq[String] = Seq(
+    "b7_runner_100q", "b9_runner_200eq", "b10_runner_200eq_tuple",
+    "b11_runner_1000q", "b14_runner_1k_eq", "b14_runner_10k_eq",
+    "b14_mixed_1k", "b14_mixed_10k")
 
   /** One regression-watch adjudication row: in-suite seconds, committed
     * floor, fresh-JVM minimum + median (None = the re-time budget never
@@ -120,6 +130,69 @@ object Bench {
       val (repro, noise) = timed.partition(r => breachAt(r.best, r.freshMin.get, adjFactor))
       (repro, noise, untimed)
     }
+  }
+
+  /** JSON string escape (object-level: shared by main and
+    * [[baselineBlock]]). Spark exception messages carry newlines/tabs; a
+    * raw control char inside a JSON string invalidates the whole summary
+    * line (the r7 bench emitted errors and the driver recorded
+    * parsed:null). */
+  private[graft] def jstr(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }.mkString("\"", "", "\"")
+
+  /** BASELINE.md §2's measured floors — the SINGLE committed source the
+    * emitted `baseline` block compares against. BaselineTableSpec pins
+    * these literals to the doc table so the two can't silently drift
+    * when floors are re-measured. */
+  private[graft] val BaselineTargets: Seq[(String, Double)] = Seq(
+    "q_raw_filter" -> 0.114, "q_filter_project" -> 0.138,
+    "q_group_all" -> 0.127, "q_group_by" -> 0.204,
+    "q_count_distinct" -> 0.112, "q_dist_pmf" -> 0.158,
+    "q_topk" -> 0.396,
+    "b7_runner_100q" -> 1.466, "b11_runner_1000q" -> 6.453)
+
+  /** Which walls may feed the published `baseline` block, and under what
+    * provenance. In-suite walls from a degraded window are measurement
+    * noise dressed as ratios (BENCH_r13 published q_filter_project at
+    * 27.89× from exactly that; adjudication disproved all three >2×
+    * rows) — so when the run verdict is degraded the block must be
+    * re-emitted from fresh-JVM probe minima, and if the probe produced
+    * nothing the block still BRANDS itself rather than pass polluted
+    * walls as `in_suite`. Fresh values override in-suite ones; entries
+    * the probe missed keep their in-suite wall under `fresh_partial`. */
+  private[graft] def baselineValues(inSuite: Map[String, Double],
+                                    fresh: Map[String, Double],
+                                    degraded: Boolean)
+      : (Map[String, Double], String) =
+    if (!degraded) (inSuite, "in_suite")
+    else if (fresh.isEmpty) (inSuite, "in_suite_degraded")
+    else if (BaselineTargets.forall { case (k, _) =>
+        fresh.contains(k) || !inSuite.contains(k) })
+      (inSuite ++ fresh, "fresh")
+    else (inSuite ++ fresh, "fresh_partial")
+
+  /** The BASELINE.md §2 comparison block. RAW ratios (not box-scaled) —
+    * read them through `source`/the line's verdict; sf_match=false
+    * brands ratios taken at a different scale factor as non-binding.
+    * b8 is always in-suite (a fixed-duration live stream has no
+    * fresh-probe equivalent); its pass/fail criteria are absolute. */
+  private[graft] def baselineBlock(values: Map[String, Double],
+                                   source: String, sfMatch: Boolean,
+                                   b8ok: Boolean): String = {
+    val ratios = BaselineTargets.flatMap { case (k, t) =>
+      values.get(k).filter(_ > 0).map(v => k -> math.rint(v / t * 100) / 100)
+    }
+    val worst = ratios.sortBy(-_._2).headOption
+    val rowsJ = ratios.map { case (k, r) => s"${jstr(k)}:$r" }.mkString("{", ",", "}")
+    s"""{"source":${jstr(source)},"ratios":$rowsJ,""" +
+      s""""n_over_2x":${ratios.count(_._2 > 2.0)},""" +
+      s""""worst":${worst.map(w => jstr(w._1)).getOrElse("null")},""" +
+      s""""worst_ratio":${worst.map(_._2).getOrElse(-1.0)},""" +
+      s""""b8_ok":$b8ok,"sf_match":$sfMatch}"""
   }
 
   /** JVM health probes for the per-entry telemetry — the evidence that
@@ -240,6 +313,40 @@ object Bench {
         filter = Some(NAry(NAryOp.AND, Seq(
           Binary(Field("event_type"), Lit(types(i % types.size)), BinOp.EQUALS),
           Binary(Field("user_id"), Lit(i.toLong), BinOp.EQUALS)))),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 3600000L))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
+    runner.finishAll()
+    runner.results.count(_.signal.contains("COMPLETE"))
+  }
+
+  /** MIXED-population admission probe (b14_mixed): 80% equality queries
+    * (`user_id == i`, one shared aggregation signature — the fold-into-
+    * one-groupBy population) + 20% arbitrary-predicate queries
+    * (`value > t_i`, same aggregation signature but unfoldable — each
+    * keeps its own conditional-aggregate columns in the shared pass).
+    * The graded claim: the unfoldable minority's per-query cost stays
+    * flat as the foldable majority amortizes — admission pruning must
+    * not depend on every query being equality-shaped. */
+  private def mixedAdmissionPass(spark: SparkSession, sfDir: String, n: Int): Long = {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val nEq = n * 4 / 5
+    (0 until nEq).foreach { i =>
+      runner.register(QuerySpec(s"mx_eq$i",
+        filter = Some(Binary(Field("user_id"), Lit(i.toLong), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 3600000L))
+    }
+    (nEq until n).foreach { i =>
+      runner.register(QuerySpec(s"mx_arb$i",
+        filter = Some(Binary(Field("value"), Lit((i % 89).toDouble),
+          BinOp.GREATER_THAN)),
         aggregation = GroupAll(Seq(
           GroupOp(GroupOpType.COUNT, None, "cnt"),
           GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
@@ -540,6 +647,18 @@ object Bench {
       // fold into ONE groupBy job, so ms/query stays flat vs the 1k run
       val finished = eqRunnerPass(spark, sfDir, 10000)
       require(finished == 10000, s"eq runner finished $finished of 10000")
+    } :+ warmed("b14_mixed_1k") {
+      mixedAdmissionPass(spark, sfDir, 1000)
+    } {
+      val finished = mixedAdmissionPass(spark, sfDir, 1000)
+      require(finished == 1000, s"mixed runner finished $finished of 1000")
+    } :+ warmed("b14_mixed_10k") {
+      // the mixed-population claim: the 20% arbitrary-predicate minority
+      // keeps flat per-query cost while the 80% eq majority folds
+      mixedAdmissionPass(spark, sfDir, 10000)
+    } {
+      val finished = mixedAdmissionPass(spark, sfDir, 10000)
+      require(finished == 10000, s"mixed runner finished $finished of 10000")
     } :+ timedOnce("b8_stream_tumbling") {
       b8 = b8Pass(spark, b8Secs)
     }
@@ -640,7 +759,7 @@ object Bench {
       if (only.isDefined || sys.env.get("SPARK_GRAFT_100X").contains("0")) Seq.empty
       else {
         import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.functions.{col, lit, translate}
+        import org.apache.spark.sql.functions.{col, concat, length, lit, substring, translate}
         val sf001 = {
           val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
           val sib = p.getParent.resolve("sf0.01")
@@ -685,6 +804,25 @@ object Bench {
           // replica, so rows track ~linearly rather than exactly.
           ("minhash", n => graft.pipeline.Dedup.minhashLshPairs(
             docsRep(n), "doc_id", "text", n = 3, threshold = 0.5).count()),
+          // exact-substr (r14): the last guarded pair-join family with
+          // one measured decade — content-sampled anchor bucket-join +
+          // char-verified extension. Each replica plants spliced
+          // 160-char partial copies of its OWN first 15 docs (the
+          // q_dedup_substr fixture shape), so true spans are
+          // replica-local and their volume exactly linear; anchor
+          // sampling is md5-content-based, so natural-span counts per
+          // replica vary hash-by-hash and total rows track ~linearly.
+          ("substr", n => {
+            val d = docsRep(n)
+            val planted = d
+              .filter(col("doc_id") % 10000000L < 15 && length(col("text")) >= 220)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(lit("P-"), col("doc_id").cast("string"), lit(": "),
+                  substring(col("text"), 31, 160), lit(" :S")).as("text"))
+            graft.pipeline.ExactSubstr.sharedSpans(d.unionByName(planted),
+              "doc_id", "text", k = 20, stride = 4, minLen = 100,
+              maxDocFreq = 8, maxOccPerDoc = 16).count()
+          }),
           ("kcore", n => graft.pipeline.Graph.kCore(
             graft.pipeline.Graph.cooccurrenceEdges(edgesRep(n), "g", "i"),
             "a", "b", k = 12).count()))
@@ -890,7 +1028,11 @@ object Bench {
           "SPARK_GRAFT_SAMPLES" -> "3",
           "SPARK_GRAFT_CPUS" -> cpus), 3 * 60 * 1000L)
         if (rc != 0) -1.0
-        else """"value":([0-9.eE+-]+)""".r.findFirstMatchIn(out)
+        // anchored on the full summary line (metric+entry+value) — a
+        // future log line containing a bare "value": ahead of the
+        // summary must not silently become the anchor (ADVICE r13)
+        else (""""metric":"median","entry":"""" + AnchorEntry +
+          """","value":([0-9.eE+-]+)""").r.findFirstMatchIn(out)
           .map(_.group(1).toDouble).getOrElse(-1.0) // BenchOne's median
       }
     val anchorFactor =
@@ -945,6 +1087,30 @@ object Bench {
       else if (adjFactor >= DegradedBoxFactor && unadjudicated.nonEmpty)
         "adjudication_degraded"
       else "ok"
+    // NEVER publish the baseline block from a polluted window (r13: the
+    // degraded official run shipped q_filter_project at 27.89× in an
+    // otherwise honest file — all three >2x rows disproved): when the
+    // verdict is degraded, re-time the ~9 committed BASELINE §2 entries
+    // in ONE fresh child JVM (min-of-3 — the baseline question is "can
+    // the plan still reach its floor", the min is that statistic;
+    // cheap entries first so the runner benches' Janino surface can't
+    // tax them) and emit the block from those with source="fresh".
+    val freshBaseline: Map[String, Double] =
+      if (verdict == "ok" || only.isDefined) Map.empty
+      else {
+        val names = BaselineTargets.map(_._1)
+        val (rc, out) = spawn("graft.BenchOne",
+          Seq(names.mkString(","), sfDir),
+          Map("SPARK_GRAFT_SAMPLES" -> "3", "SPARK_GRAFT_CPUS" -> cpus),
+          8 * 60 * 1000L)
+        if (rc != 0) Map.empty
+        else {
+          """"metric":"median","entry":"([^"]+)","value":[0-9.eE+-]+,"unit":"sec","samples":\[([0-9.,eE+-]+)\]""".r
+            .findAllMatchIn(out)
+            .map(m => m.group(1) -> m.group(2).split(",").map(_.toDouble).min)
+            .toMap
+        }
+      }
     // fresh MEDIANS are the protocol-valid floor ratchet samples; the
     // MIN stays reproduce-decision-only — fresh-JVM minima run
     // systematically below segment-child best-of-2, so min-ratcheting
@@ -991,15 +1157,6 @@ object Bench {
         (meta ++ merged).mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // history refresh must never kill the summary
 
-    // Spark exception messages carry newlines/tabs; a raw control char
-    // inside a JSON string invalidates the whole summary line (the r7
-    // bench emitted errors and the driver recorded parsed:null).
-    def jstr(s: String) = s.flatMap {
-      case '\\' => "\\\\"
-      case '"'  => "\\\""
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    }.mkString("\"", "", "\"")
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -1039,36 +1196,48 @@ object Bench {
       s"${jstr(name)}:{\"x1\":${r3r(t1)},\"x10\":${r3r(t10)},\"ratio\":$ratio,\"rows1\":$r1,\"rows10\":$r10}"
     }.mkString("{", ",", "}")
     val b14Json = {
-      def ms(name: String, nq: Int): Double = results
-        .collectFirst { case (`name`, t) => t * 1000.0 / nq }.getOrElse(-1.0)
+      def sec(name: String): Double = results
+        .collectFirst { case (`name`, t) => t }.getOrElse(-1.0)
+      def ms(name: String, nq: Int): Double = {
+        val s = sec(name); if (s > 0) s * 1000.0 / nq else -1.0
+      }
       val m1k = ms("b14_runner_1k_eq", 1000)
       val m10k = ms("b14_runner_10k_eq", 10000)
       val ratio = if (m1k > 0) math.rint(m10k / m1k * 100) / 100 else -1.0
-      s"""{"ms_per_query_1k":${r3r(m1k)},"ms_per_query_10k":${r3r(m10k)},"ratio":$ratio}"""
+      // mixed population (80% eq-foldable / 20% arbitrary-predicate):
+      // the arb sub-population's ms/query is the MARGINAL cost of the
+      // mixed pass over the all-eq pass, per arbitrary query (the eq
+      // 4/5 folds into the same one groupBy job either way, so the
+      // difference is what the unfoldable minority adds); the flatness
+      // claim is arb_ratio ≈ 1 from 1k to 10k.
+      val (x1k, x10k) = (sec("b14_mixed_1k"), sec("b14_mixed_10k"))
+      val (e1k, e10k) = (sec("b14_runner_1k_eq"), sec("b14_runner_10k_eq"))
+      val arb1k =
+        if (x1k > 0 && e1k > 0) math.max(0.0, x1k - e1k) * 1000.0 / 200 else -1.0
+      val arb10k =
+        if (x10k > 0 && e10k > 0) math.max(0.0, x10k - e10k) * 1000.0 / 2000 else -1.0
+      val arbRatio = if (arb1k > 0) math.rint(arb10k / arb1k * 100) / 100 else -1.0
+      val mx1k = if (x1k > 0) r3r(x1k * 1000.0 / 1000) else -1.0
+      val mx10k = if (x10k > 0) r3r(x10k * 1000.0 / 10000) else -1.0
+      s"""{"ms_per_query_1k":${r3r(m1k)},"ms_per_query_10k":${r3r(m10k)},"ratio":$ratio,""" +
+        s""""mixed":{"wall_1k":${r3r(x1k)},"wall_10k":${r3r(x10k)},""" +
+        s""""ms_per_query_mixed_1k":$mx1k,"ms_per_query_mixed_10k":$mx10k,""" +
+        s""""ms_per_query_arb_1k":${r3r(arb1k)},"ms_per_query_arb_10k":${r3r(arb10k)},""" +
+        s""""arb_ratio":$arbRatio}}"""
     }
-    // BASELINE.md §2: this run against the committed measured targets,
-    // so the 2x criterion binds against a committed table instead of
-    // bench_history archaeology. RAW ratios (not box-scaled) — read
-    // them through the line's verdict; sf_match=false brands ratios
-    // taken at a different scale factor as non-binding.
+    // BASELINE.md §2: this run against the committed measured targets
+    // (Bench.BaselineTargets — single source, spec-pinned to the doc
+    // table), so the 2x criterion binds against a committed table
+    // instead of bench_history archaeology. Values come from the
+    // in-suite walls on an `ok` verdict and from the fresh-JVM probe on
+    // a degraded one; the block's `source` field carries which.
     val baselineJson = {
-      val targets = Seq(
-        "q_raw_filter" -> 0.114, "q_filter_project" -> 0.138,
-        "q_group_all" -> 0.127, "q_group_by" -> 0.204,
-        "q_count_distinct" -> 0.112, "q_dist_pmf" -> 0.158,
-        "q_topk" -> 0.396,
-        "b7_runner_100q" -> 1.466, "b11_runner_1000q" -> 6.453)
-      val ratios = targets.flatMap { case (k, t) =>
-        results.collectFirst { case (`k`, v) if v > 0 =>
-          k -> math.rint(v / t * 100) / 100 }
-      }
-      val worst = ratios.sortBy(-_._2).headOption
-      val rowsJ = ratios.map { case (k, r) => s"${jstr(k)}:$r" }.mkString("{", ",", "}")
-      s"""{"ratios":$rowsJ,"n_over_2x":${ratios.count(_._2 > 2.0)},""" +
-        s""""worst":${worst.map(w => jstr(w._1)).getOrElse("null")},""" +
-        s""""worst_ratio":${worst.map(_._2).getOrElse(-1.0)},""" +
-        s""""b8_ok":${b8._1 >= b8Secs && b8._3 == 0 && b8._2 >= 0 && b8._2 < 100},""" +
-        s""""sf_match":${sfDir.contains("sf0.1")}}"""
+      val inSuite = results.filter(_._2 > 0).toMap
+      val (vals, source) =
+        baselineValues(inSuite, freshBaseline, degraded = verdict != "ok")
+      baselineBlock(vals, source,
+        sfMatch = sfDir.contains("sf0.1"),
+        b8ok = b8._1 >= b8Secs && b8._3 == 0 && b8._2 >= 0 && b8._2 < 100)
     }
     // b13_100x rows: wall + row volume at x1/x10/x100 and the per-decade
     // growth ratios (r10 = x10/x1, r100 = x100/x10)
@@ -1094,7 +1263,7 @@ object Bench {
         s""""canary_sec":${r3r(canarySec)},"canary_factor":${r3r(canaryFactor)},""" +
         s""""box_factor":${r3r(boxFactor)},"adj_canary_factor":${r3r(adjCpuFactor)},""" +
         s""""adj_anchor_factor":${r3r(anchorFactor)},"adj_factor":${r3r(adjFactor)},""" +
-        s""""box_anomaly":${boxFactor > canaryFactor * 1.3},""" +
+        s""""box_anomaly":${boxFactor > math.max(1.0, canaryFactor) * 1.3},""" +
         s""""residual_blocks_max":$residualMax,"segmented":$segmented}"""
     }
     try {

@@ -69,6 +69,38 @@ class BenchWatchSpec extends AnyFunSuite {
     assert(regWarm.isEmpty && noiseWarm.nonEmpty) // 1.7 <= 1.75
   }
 
+  test("baseline block: a degraded verdict re-emits from fresh probes, branded by source") {
+    import Bench.{baselineBlock, baselineValues, BaselineTargets}
+    // r13 replay: a burst window inflated the in-suite walls ~20x
+    // (q_filter_project shipped at 27.89x) while fresh-JVM probes sat
+    // near their floors
+    val polluted = BaselineTargets.map { case (k, t) => k -> t * 20 }.toMap
+    val fresh = BaselineTargets.map { case (k, t) => k -> t * 1.05 }.toMap
+    // ok verdict: in-suite walls are the driver-comparable numbers
+    val (v1, s1) = baselineValues(polluted, fresh, degraded = false)
+    assert(s1 == "in_suite" && v1 == polluted)
+    // degraded + full fresh coverage: every ratio comes from the probe
+    val (v2, s2) = baselineValues(polluted, fresh, degraded = true)
+    assert(s2 == "fresh")
+    BaselineTargets.foreach { case (k, _) => assert(v2(k) == fresh(k)) }
+    val block = baselineBlock(v2, s2, sfMatch = true, b8ok = true)
+    assert(block.contains(""""source":"fresh""""), block)
+    assert(block.contains(""""n_over_2x":0"""), block)
+    // degraded + partial fresh: fresh rows win, block brands the gap
+    val (v3, s3) = baselineValues(polluted, fresh - "q_topk", degraded = true)
+    assert(s3 == "fresh_partial" && v3("q_topk") == polluted("q_topk"))
+    // degraded + probe failed entirely: polluted walls must never pass
+    // under the plain in_suite brand
+    val (_, s4) = baselineValues(polluted, Map.empty, degraded = true)
+    assert(s4 == "in_suite_degraded")
+    // and had the polluted walls been published, the block would have
+    // carried the false n_over_2x signal this machinery exists to stop
+    val pollutedBlock = baselineBlock(polluted, "in_suite", sfMatch = true,
+      b8ok = true)
+    assert(pollutedBlock.contains(s""""n_over_2x":${BaselineTargets.size}"""),
+      pollutedBlock)
+  }
+
   test("degraded threshold is the committed constant") {
     assert(DegradedBoxFactor == 1.3)
     // exactly at the threshold = degraded (>= semantics)

