@@ -171,16 +171,22 @@ object AggState {
     * (QueryRunner.includeOpenNow — batch-granularity, the coalescing
     * deviation of SURVEY §7.3). M == N is the plain sliding window: no
     * cap, so the per-batch coalesced emit keeps every matched record. */
+  /** The effective RAW take-n cap for a spec — shared by the driver-held
+    * [[RawState]] and the transformWithState twin ([[RawTws]]) so the
+    * two backends agree on the window-include interaction. */
+  def rawCap(spec: QuerySpec): Int = spec.aggregation match {
+    case Raw(size) => spec.window match {
+      case Some(w) if w.emitUnit == WindowUnit.RECORD &&
+          w.includeUnit == WindowUnit.RECORD &&
+          w.includeFirst > 0 && w.includeFirst < w.emitEvery =>
+        math.min(size.toLong, w.includeFirst).toInt
+      case _ => size
+    }
+    case _ => throw new IllegalArgumentException(s"not a RAW spec: ${spec.id}")
+  }
+
   def forQuery(spec: QuerySpec): AggState = spec.aggregation match {
-    case Raw(size) =>
-      val cap = spec.window match {
-        case Some(w) if w.emitUnit == WindowUnit.RECORD &&
-            w.includeUnit == WindowUnit.RECORD &&
-            w.includeFirst > 0 && w.includeFirst < w.emitEvery =>
-          math.min(size.toLong, w.includeFirst).toInt
-        case _ => size
-      }
-      new RawState(cap)
+    case _: Raw => new RawState(rawCap(spec))
     case GroupAll(ops)        => new GroupAllState(ops)
     case GroupBy(f, ops, e)   => new GroupByState(f, ops, e)
     case cd: CountDistinct    => new CountDistinctState(cd)

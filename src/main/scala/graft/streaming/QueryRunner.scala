@@ -833,6 +833,23 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     sq
   }
 
+  /** The FLAGGED scale-out backend for this runner's registered RAW
+    * queries ([[RawTws]]): per-query take-n state lives in RocksDB-backed
+    * `transformWithState` ValueState on the executors and taken records
+    * flow straight to `outPath/batch=<id>` — never through driver
+    * memory. Choose it over [[runStream]]'s driver-held [[RawState]]
+    * when queries × cap outgrows the driver (pipeline-sized takes);
+    * the default path remains right for the reference's interactive
+    * sizes. Record rendering and caps are shared with the driver path
+    * (parity pinned by QueryRunnerSpec); non-RAW queries are not served
+    * by this drive — run them through [[runStream]]. */
+  def runStreamRawTws(stream: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val rawSpecs = synchronized(queries.values.map(_.spec)
+      .filter(_.aggregation.isInstanceOf[Raw]).toSeq)
+    RawTws.drive(stream, rawSpecs, outPath, checkpoint)
+  }
+
   // -------------------------------------------------------------------------
   // Shared-pass plan construction (FilterBolt partials)
   // -------------------------------------------------------------------------

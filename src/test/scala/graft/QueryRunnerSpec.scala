@@ -1306,6 +1306,81 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("b0").records.head)("cnt") === 1)
     assert(parse(byId("b1").records.head)("cnt") === 2)
   }
+
+  test("RAW tws backend (flagged): parity with the driver-held RawState path + restart") {
+    // The scale-out RAW backend (QueryRunner.runStreamRawTws -> RawTws:
+    // per-query take-n counts in transformWithState ValueState, records
+    // straight to the sink) against the default driver-held RawState on
+    // the SAME specs and batches. Rendering and caps are shared code, so
+    // under-cap queries must agree record-for-record and an over-cap
+    // query must stop at exactly the cap on both; the checkpointed
+    // per-query count must survive a restart (a capped query never
+    // takes again).
+    val inP = java.nio.file.Files.createTempDirectory("tws_in").toString
+    val outP = java.nio.file.Files.createTempDirectory("tws_out").toString
+    val ckP = java.nio.file.Files.createTempDirectory("tws_ck").toString
+    val specs = Seq(
+      // 5 matches < cap 100: record-for-record parity
+      QuerySpec("r_under",
+        filter = Some(Binary(Field("event_id"), Lit(95L), BinOp.GREATER_THAN)),
+        aggregation = Raw(100), durationMs = 600000L),
+      // 33 clicks > cap 7: both backends stop at exactly 7
+      QuerySpec("r_over",
+        filter = Some(Binary(Field("etype"), Lit("click"), BinOp.EQUALS)),
+        aggregation = Raw(7), durationMs = 600000L),
+      // computed projection: identical compiled rendering on both paths
+      QuerySpec("r_proj",
+        filter = Some(Binary(Field("event_id"), Lit(90L), BinOp.GREATER_THAN)),
+        projection = Some(Seq("eid" -> Field("event_id"),
+          "double_v" -> Binary(Field("value"), Lit(2.0), BinOp.MUL))),
+        aggregation = Raw(100), durationMs = 600000L))
+    val b1 = events.filter(col("event_id") <= 50)
+    val b2 = events.filter(col("event_id") > 50)
+
+    // driver-held path
+    val clock = new ManualClock(0)
+    val drv = new QueryRunner(spark, clock)
+    specs.foreach(s => assert(drv.register(s).isEmpty))
+    drv.processBatch(b1); drv.processBatch(b2)
+    drv.finishAll()
+    def drvRecords(id: String): Seq[String] =
+      drv.results.filter(_.queryId == id).flatMap(_.records)
+
+    // tws path over the same batches as a file stream
+    val tws = new QueryRunner(spark)
+    specs.foreach(s => assert(tws.register(s).isEmpty))
+    val ddl = "event_id LONG, etype STRING, value DOUBLE, user STRING"
+    def stream = spark.readStream.schema(ddl).json(inP)
+    val sq = tws.runStreamRawTws(stream, outP, ckP)
+    try {
+      b1.write.mode("append").json(inP); sq.processAllAvailable()
+      b2.write.mode("append").json(inP); sq.processAllAvailable()
+    } finally sq.stop()
+    def twsRecords(id: String): Seq[String] = spark.read.parquet(outP)
+      .filter(col("query_id") === id).select("record")
+      .collect().map(_.getString(0)).toSeq
+
+    assert(twsRecords("r_under").sorted === drvRecords("r_under").sorted,
+      "under-cap RAW must agree record-for-record")
+    assert(twsRecords("r_proj").sorted === drvRecords("r_proj").sorted,
+      "projected RAW must render identically on both backends")
+    assert(drvRecords("r_over").size === 7 && twsRecords("r_over").size === 7,
+      "over-cap RAW must stop at exactly the cap on both backends")
+
+    // restart on the same checkpoint: r_over is at cap, so a batch of
+    // fresh clicks (ids <= 90: matches r_over ONLY) must add zero rows
+    val spark2 = spark
+    import spark2.implicits._
+    val before = spark.read.parquet(outP).count()
+    val b3 = (60L to 80L).map(i => (i, "click", i.toDouble, s"u${i % 7}"))
+      .toDF("event_id", "etype", "value", "user")
+    val sq2 = tws.runStreamRawTws(stream, outP, ckP)
+    try {
+      b3.write.mode("append").json(inP); sq2.processAllAvailable()
+    } finally sq2.stop()
+    assert(spark.read.parquet(outP).count() === before,
+      "a capped query must take nothing after restart (persisted count)")
+  }
 }
 
 /** Executor-side fault injection for the transient-failure tests: an
