@@ -27,6 +27,22 @@ class BaselineTableSpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** Same parse for the "BenchOne med3" column (the fresh-JVM
+    * population targets) — cell index 6, parentheticals stripped so
+    * B2's "(anchor floor __anchor_med 0.261)" note doesn't parse. */
+  private def docBenchOneTargets: Map[String, Double] = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8").linesIterator.toSeq
+    val entryRe = """`([^`]+)`""".r
+    val numRe = """\d+\.\d+""".r
+    lines.filter(l => l.startsWith("| B") && l.count(_ == '|') >= 7).flatMap { l =>
+      val cells = l.split("\\|").map(_.trim)
+      val entries = entryRe.findAllMatchIn(cells(3)).map(_.group(1)).toSeq
+      val med3 = numRe.findAllIn(cells(6).replaceAll("\\(.*?\\)", "")).toSeq
+      entries.zip(med3.map(_.toDouble))
+    }.toMap
+  }
+
   test("Bench.BaselineTargets literals match the BASELINE.md section-2 table") {
     val doc = docTargets
     assert(doc.nonEmpty, "BASELINE.md section-2 table parsed empty")
@@ -36,6 +52,18 @@ class BaselineTableSpec extends AnyFunSuite {
       assert(doc(entry) == value,
         s"$entry: code says $value, BASELINE.md says ${doc(entry)} — " +
           "update both together")
+    }
+  }
+
+  test("Bench.BaselineTargetsBenchOne literals match the doc's BenchOne med3 column") {
+    val doc = docBenchOneTargets
+    assert(doc.nonEmpty, "BenchOne med3 column parsed empty")
+    Bench.BaselineTargetsBenchOne.foreach { case (entry, value) =>
+      assert(doc.contains(entry),
+        s"$entry is in BaselineTargetsBenchOne but not in the doc column")
+      assert(doc(entry) == value,
+        s"$entry: code says $value, BASELINE.md med3 column says " +
+          s"${doc(entry)} — update both together")
     }
   }
 }

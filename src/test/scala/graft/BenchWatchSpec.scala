@@ -86,6 +86,10 @@ class BenchWatchSpec extends AnyFunSuite {
     val block = baselineBlock(v2, s2, sfMatch = true, b8ok = true)
     assert(block.contains(""""source":"fresh""""), block)
     assert(block.contains(""""n_over_2x":0"""), block)
+    // fresh values judge against the fresh-JVM population's targets —
+    // a fresh probe on suite floors reads a structural 2-4x while
+    // measuring nothing (the r14 validation run's phantom 2.61)
+    assert(block.contains(""""targets_population":"benchone_med3""""), block)
     // degraded + partial fresh: fresh rows win, block brands the gap
     val (v3, s3) = baselineValues(polluted, fresh - "q_topk", degraded = true)
     assert(s3 == "fresh_partial" && v3("q_topk") == polluted("q_topk"))
