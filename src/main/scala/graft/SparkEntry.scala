@@ -3822,6 +3822,70 @@ object SparkEntry {
         .withColumn("tombstoned_rows", lit(nRemoved))
     }),
 
+    // STREAMING index append — the maintenance matrix's streaming twin
+    // (annIndexAppendStream): new vectors arrive in micro-batches, each
+    // batch encodes against the STORED centroids/codebooks and lands
+    // under appends/batch=<id> with cell partitioning inside the batch
+    // dir (idempotent overwrite — a replayed batch can never
+    // double-append). The gate pins the probe over base ∪ streamed
+    // appends EXACTLY equal (exceptAll both ways) to a probe over base
+    // ∪ a one-shot batch append of the same delta — streaming arrival
+    // must be invisible to the index math.
+    "q_ann_index_append_stream" -> ((s, dir) => {
+      val full = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val base = scratch("ann_idx_astream")
+      val corpus0 = full.filter(col("vec_id") % 5 =!= 1)
+      val delta = full.filter(col("vec_id") % 5 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val (cdf, bdf, adf) = Similarity.annIndexBuild(corpus0, "vec_id",
+        "embedding", dim = 64, nlist = 8, m = 8, ksub = 16, iters = 2)
+      cdf.write.mode("overwrite").parquet(s"$base/centroids")
+      bdf.write.mode("overwrite").parquet(s"$base/codebooks")
+      adf.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$base/assignments")
+      val centsDf = s.read.parquet(s"$base/centroids")
+      val booksDf = s.read.parquet(s"$base/codebooks")
+      val inP = scratch("ann_astream_in")
+      val apP = scratch("ann_astream_appends")
+      val ckP = scratch("ann_astream_ck")
+      Seq(inP, apP, ckP).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      }
+      val q = Similarity.annIndexAppendStream(
+        s.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inP),
+        "vec_id", "embedding", centsDf, booksDf, dim = 64,
+        appendsPath = apP, checkpoint = ckP)
+      try {
+        delta.filter(col("vec_id") % 2 === 0).write.mode("append").json(inP)
+        q.processAllAvailable()
+        delta.filter(col("vec_id") % 2 === 1).write.mode("append").json(inP)
+        q.processAllAvailable()
+      } finally q.stop()
+      val appends = s.read.parquet(apP)
+        .select(col("neighbor_id"), col("cell"), col("codes"))
+      val nAppended = appends.count()
+      val baseIdx = s.read.parquet(s"$base/assignments")
+        .select(col("neighbor_id"), col("cell"), col("codes"))
+      val queries = full.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val viaStream = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+        centsDf, booksDf, baseIdx.unionByName(appends), rerankVecs = full,
+        k = 10, dim = 64, nprobe = 3, rerank = 50).localCheckpoint(true)
+      val viaBatch = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+        centsDf, booksDf,
+        baseIdx.unionByName(Similarity.annIndexAppend(delta, "vec_id",
+          "embedding", centsDf, booksDf, dim = 64)),
+        rerankVecs = full,
+        k = 10, dim = 64, nprobe = 3, rerank = 50).localCheckpoint(true)
+      val parityOk = viaStream.exceptAll(viaBatch).isEmpty &&
+        viaBatch.exceptAll(viaStream).isEmpty
+      viaStream.agg(count(lit(1)).cast("long").as("n_results"))
+        .withColumn("parity_ok", lit(parityOk))
+        .withColumn("n_appended", lit(nAppended))
+    }),
+
     // ADDITIVE (cumulative, include ALL) window through the streaming
     // runner, pinned by a batch oracle: 3 deterministic batches
     // (event_id mod 3), one emission per tick with NO state reset, so a
@@ -4807,6 +4871,9 @@ object SparkEntry {
         "CAST(1 AS BOOLEAN) AS parity_ok, " +
         "CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 1) AS BIGINT) AS appended_rows, " +
         "CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS BIGINT) AS tombstoned_rows"),
+    "q_ann_index_append_stream" ->
+      ("SELECT CAST(50 AS BIGINT) AS n_results, CAST(1 AS BOOLEAN) AS parity_ok, " +
+        "CAST((SELECT count(*) FROM embeddings WHERE vec_id % 5 = 1) AS BIGINT) AS n_appended"),
     "q_semdedup" ->
       "SELECT CAST(200 AS BIGINT) AS n_vectors, CAST(1 AS BOOLEAN) AS survivors_ok",
     "q_csv_ingest" ->

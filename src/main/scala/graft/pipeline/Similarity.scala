@@ -714,6 +714,40 @@ object Similarity {
   }
 
   /**
+   * Streaming twin of [[annIndexAppend]] — the maintenance matrix's
+   * last cell (every dedup family's stored index already has batch +
+   * streaming forms for both probe and build): new vectors arrive in
+   * micro-batches, each batch is encoded against the STORED
+   * centroids/codebooks (loaded + validated ONCE before the stream
+   * starts) and lands under `appendsPath/batch=<id>` with
+   * `partitionBy("cell")` INSIDE the batch directory and idempotent
+   * per-batch overwrite — a replayed batch overwrites its own dir and
+   * can never double-append (the exactly-once discipline a naive
+   * mode=append into the artifact root would break). Reading
+   * `appendsPath` back discovers the nested `batch=<id>/cell=<c>`
+   * layout as two partition columns, so a probe over base ∪ appends
+   * still prunes on `cell`.
+   */
+  def annIndexAppendStream(stream: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, codebooks: DataFrame,
+                           dim: Int, appendsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = loadCentroids(centroids)
+    val books = loadCodebooks(codebooks)
+    validateArtifactDims(cents, books, dim)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        encodeAssignments(batch.toDF(), idCol, vecCol, cents, books, dim)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$appendsPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Index MAINTENANCE, delete side: takedowns can't rewrite an immutable
    * parquet index in place, so they ride as a TOMBSTONE frame
    * (`neighbor_id`) next to it; this applies them as a left-anti join

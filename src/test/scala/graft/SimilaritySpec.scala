@@ -419,6 +419,18 @@ class SimilaritySpec extends SparkTestBase {
     // tombstoned ids are truly gone from the candidate set
     val tombIds = tomb.collect().map(_.getLong(0)).toSet
     assert(viaMaint.collect().forall(r => !tombIds.contains(r.getLong(1))))
+    // COMPACTION: physically rewriting the artifact with the tombstones
+    // folded in (maintained frame -> new partitioned path, tombstone
+    // frame resets) probes identically — compaction is a storage event,
+    // never a semantic one
+    maintained.select(col("neighbor_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments_compacted")
+    val viaCompacted = Similarity.annIndexProbe(queries, "vec_id", "embedding",
+      centsDf, booksDf, spark.read.parquet(s"$dir/assignments_compacted"),
+      rerankVecs = live, k = 5, dim = 8, nprobe = 2, rerank = 20)
+    assert(viaCompacted.exceptAll(viaMaint).isEmpty &&
+      viaMaint.exceptAll(viaCompacted).isEmpty)
   }
 
   test("loadCentroids/loadCodebooks: empty, holey, and oversized artifacts fail loudly") {
