@@ -369,6 +369,46 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // Winnowing index MAINTENANCE — append + tombstone on the text
+    // index (the ANN q_ann_index_maint discipline): the artifact stores
+    // UNCUT postings per part (base + appended delta, idempotent batch
+    // dirs) because the df boilerplate cut is corpus-GLOBAL — baking it
+    // into an appended part would disagree with a rebuild whenever a
+    // fingerprint's df crosses the cut only across parts. Takedowns
+    // ride as a tombstone frame, applied by anti-join; the probe runs
+    // against Winnowing.maintainedIndex (union parts, drop tombstoned,
+    // cut over the LIVE union — postings-equal to a full rebuild,
+    // WinnowingSpec pins the cross-part-df case executably). The oracle
+    // replays the whole screen over the live corpus doc set — so the
+    // maintained index's correctness is part of the hash, not just the
+    // spec.
+    "q_winnow_index_maint" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val corpusAll = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val corpus0 = corpusAll.filter(col("doc_id") % 10 =!= 3)
+      val delta = corpusAll.filter(col("doc_id") % 10 === 3)
+      val tomb = corpusAll.filter(col("doc_id") % 7 === 2).select("doc_id")
+      val base = scratch("winnow_idx_maint")
+      graft.pipeline.Winnowing.fingerprintPostings(corpus0, "doc_id", "text",
+          k = 24, w = 8)
+        .write.mode("overwrite").parquet(s"$base/postings/batch=0")
+      graft.pipeline.Winnowing.fingerprintPostings(delta, "doc_id", "text",
+          k = 24, w = 8)
+        .write.mode("overwrite").parquet(s"$base/postings/batch=1")
+      tomb.write.mode("overwrite").parquet(s"$base/tombstones")
+      val maintained = graft.pipeline.Winnowing.maintainedIndex(
+        Seq(s.read.parquet(s"$base/postings")),
+        s.read.parquet(s"$base/tombstones"), maxDocFreq = 10)
+      val newBatch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.pipeline.Winnowing.pairsAgainstStored(newBatch, "doc_id", "text",
+          maintained, k = 24, w = 8, minShared = 3)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // STREAMING winnowing decontamination — q_winnow_index_persist's
     // probe driven from a micro-batch stream (foreachBatch over the
     // stored fingerprint index, idempotent per-batch overwrite). Two
@@ -4526,6 +4566,7 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY corpus_id, probe_id""".stripMargin.replace("\n", " "),
     "q_winnow_index_persist" -> winnowIndexProbeOracleSql,
+    "q_winnow_index_maint" -> winnowMaintOracleSql,
     // identical replay: the streaming drive is batch-split-invariant on
     // this fixture (per-doc fingerprint atomicity + identity delta cut),
     // so one whole-delta probe IS the union of the per-batch probes
@@ -6737,16 +6778,27 @@ object SparkEntry {
   }
 
   /** DuckDB replay of the stored-winnowing-index probe — shared by
-    * q_winnow_index_persist (one batch probe) and q_winnow_index_stream
-    * (two micro-batches whose union is provably the same probe): corpus
-    * fingerprints with the build-time df cut, delta fingerprints, the
+    * q_winnow_index_persist (one batch probe), q_winnow_index_stream
+    * (two micro-batches whose union is provably the same probe), and
+    * q_winnow_index_maint (maintained index == rebuild over the live
+    * doc set, so the same replay binds with the live-corpus predicate):
+    * corpus fingerprints with the df cut, delta fingerprints, the
     * posting join, and the minShared HAVING. */
   private def winnowIndexProbeOracleSql: String =
-    """WITH cg AS (
+    winnowIndexOracleSql("doc_id < 250")
+
+  /** q_winnow_index_maint: the live corpus after maintenance =
+    * (build ∪ appended delta = all doc_id < 250) minus the tombstoned
+    * doc_id % 7 = 2 takedowns. */
+  private def winnowMaintOracleSql: String =
+    winnowIndexOracleSql("doc_id < 250 AND doc_id % 7 <> 2")
+
+  private def winnowIndexOracleSql(corpusWhere: String): String =
+    s"""WITH cg AS (
         |  SELECT doc_id, i AS pos,
         |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 24)), 1, 14)) AS BIGINT) AS h
         |  FROM documents, unnest(range(1, length(text) - 22)) AS r(i)
-        |  WHERE doc_id < 250 AND text IS NOT NULL AND length(text) >= 31),
+        |  WHERE ($corpusWhere) AND text IS NOT NULL AND length(text) >= 31),
         |cwm AS (
         |  SELECT doc_id,
         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,

@@ -229,6 +229,46 @@ object Winnowing {
     fp.join(rare, "fp").select(col("fp"), col("doc_id"))
   }
 
+  /** UNCUT (fp, doc_id) postings — the index MAINTENANCE storage form
+    * (r14, the ANN-family append/tombstone discipline on the text
+    * index): the df boilerplate cut is corpus-GLOBAL, so a maintained
+    * index stores raw postings per part (base + appended deltas) and
+    * applies the cut over the live union at probe time
+    * ([[maintainedIndex]]). Baking the cut into each part — what
+    * appending [[fingerprintIndex]] outputs would do — silently
+    * disagrees with a full rebuild whenever a fingerprint's df crosses
+    * the cut only globally (df 6 in the base + 6 in a delta passes both
+    * local cuts at 10 and must be CUT at 12; WinnowingSpec pins exactly
+    * that case). One pass over the part's text, distinct (fp, doc) by
+    * native selection. */
+  def fingerprintPostings(part: DataFrame, idCol: String, textCol: String,
+                          k: Int, w: Int): DataFrame =
+    fingerprintsNative(part, idCol, textCol, k, w)
+      .select(col("fp"), col("doc_id"))
+
+  /** The maintained fingerprint index: stored posting parts unioned,
+    * tombstoned docs removed by anti-join, the global df cut applied
+    * over what remains — postings-for-postings EQUAL to
+    * [[fingerprintIndex]] of the live corpus (spec-pinned), at the cost
+    * of one pass over the NARROW postings, never corpus text. Append =
+    * write another part (idempotent per-batch dirs); takedown = add to
+    * the tombstone frame; compaction = materialize this result as the
+    * new single part and reset the tombstones. */
+  def maintainedIndex(parts: Seq[DataFrame], tombstones: DataFrame,
+                      maxDocFreq: Int = 1000): DataFrame = {
+    require(parts.nonEmpty, "no posting parts")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val live = parts.map(_.select(col("fp"), col("doc_id")))
+      .reduce(_ unionByName _)
+      .join(tombstones.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .transform(graft.plans.CacheScope.persistTracked)
+    val rare = live.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fp")
+    live.join(rare, "fp").select(col("fp"), col("doc_id"))
+  }
+
   /**
    * Incremental winnowing probe against a STORED fingerprint index:
    * (new_id, corpus_id, shared) for every new document sharing ≥

@@ -146,6 +146,45 @@ class WinnowingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("maintainedIndex == full rebuild; the df cut binds GLOBALLY across parts") {
+    // 12 docs share one long boilerplate run, split 6 (base) / 6
+    // (appended delta); unique tails keep each doc fingerprint-bearing.
+    // With maxDocFreq = 8 the boilerplate fingerprints pass either
+    // part's LOCAL cut (df 6) but must be CUT over the live union
+    // (df 10 after the two takedowns) — the case a locally-cut
+    // appended part gets silently
+    // wrong, and exactly why maintenance stores UNCUT postings.
+    val boiler = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN"
+    val docs = (1L to 12L).map(i =>
+      (i, s"$boiler tail-$i-" + ('a' + i.toInt).toChar.toString * 20))
+      .toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") <= 6)
+    val delta = docs.filter(col("doc_id") > 6)
+    val tomb = Seq(4L, 9L).toDF("doc_id") // one takedown per part
+    val p0 = Winnowing.fingerprintPostings(base, "doc_id", "text", k = 8, w = 4)
+    val p1 = Winnowing.fingerprintPostings(delta, "doc_id", "text", k = 8, w = 4)
+    val maintained = Winnowing.maintainedIndex(Seq(p0, p1), tomb, maxDocFreq = 8)
+    val live = docs.filter(!col("doc_id").isin(4L, 9L))
+    val rebuilt = Winnowing.fingerprintIndex(live, "doc_id", "text",
+      k = 8, w = 4, maxDocFreq = 8)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "maintained postings must equal a full rebuild of the live corpus")
+    // the global cut actually FIRED: a locally-cut union keeps the
+    // boilerplate postings (each part sees df 6 <= 8) that the rebuild
+    // cuts at the global df 10 > 8
+    val locallyCut = Winnowing.maintainedIndex(
+      Seq(Winnowing.fingerprintIndex(base, "doc_id", "text", k = 8, w = 4,
+            maxDocFreq = 8),
+          Winnowing.fingerprintIndex(delta, "doc_id", "text", k = 8, w = 4,
+            maxDocFreq = 8)),
+      tomb, maxDocFreq = Int.MaxValue)
+    assert(locallyCut.count() > maintained.count(),
+      "fixture must exercise a fingerprint whose df crosses the cut only globally")
+    // tombstoned docs are gone
+    assert(maintained.filter(col("doc_id").isin(4L, 9L)).count() === 0)
+  }
+
   test("oracle-parity guard: the index-probe fixtures' max delta-side df sits far under the default cut") {
     // winnowIndexProbeOracleSql (shared by q_winnow_index_persist and
     // q_winnow_index_stream) does NOT model pairsAgainstStored's
