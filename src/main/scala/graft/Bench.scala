@@ -69,6 +69,10 @@ object Bench {
         require(mixedAdmissionPass(s, d, 1000) == 1000, "mixed runner lost queries"))
       case "b14_mixed_10k" => Some((s, d) =>
         require(mixedAdmissionPass(s, d, 10000) == 10000, "mixed runner lost queries"))
+      case "b14_unfold_1k" => Some((s, d) =>
+        require(unfoldAdmissionPass(s, d, 1000) == 1000, "unfold runner lost queries"))
+      case "b14_unfold_10k" => Some((s, d) =>
+        require(unfoldAdmissionPass(s, d, 10000) == 10000, "unfold runner lost queries"))
       case _ => None
     }
 
@@ -76,7 +80,7 @@ object Bench {
   private[graft] val runnerBenchNames: Seq[String] = Seq(
     "b7_runner_100q", "b9_runner_200eq", "b10_runner_200eq_tuple",
     "b11_runner_1000q", "b14_runner_1k_eq", "b14_runner_10k_eq",
-    "b14_mixed_1k", "b14_mixed_10k")
+    "b14_mixed_1k", "b14_mixed_10k", "b14_unfold_1k", "b14_unfold_10k")
 
   /** One regression-watch adjudication row: in-suite seconds, committed
     * floor, fresh-JVM minimum + median (None = the re-time budget never
@@ -351,13 +355,14 @@ object Bench {
   }
 
   /** MIXED-population admission probe (b14_mixed): 80% equality queries
-    * (`user_id == i`, one shared aggregation signature — the fold-into-
-    * one-groupBy population) + 20% arbitrary-predicate queries
-    * (`value > t_i`, same aggregation signature but unfoldable — each
-    * keeps its own conditional-aggregate columns in the shared pass).
-    * The graded claim: the unfoldable minority's per-query cost stays
-    * flat as the foldable majority amortizes — admission pruning must
-    * not depend on every query being equality-shaped. */
+    * (`user_id == i`, folded to one groupBy by the equality partitioner)
+    * + 20% threshold queries (`value > t_i`) — which since r14 ALSO fold,
+    * through the RANGE partitioner (one bucketed groupBy + driver
+    * suffix folds), so this bench now measures BOTH partitioners
+    * engaging on one batch: the r14 pre-partitioner floor (1.527 s at
+    * 1k, the 20% paying per-query conditional-aggregate columns) is the
+    * committed before/after line. The genuinely-unfoldable population
+    * moved to [[unfoldAdmissionPass]]. */
   private def mixedAdmissionPass(spark: SparkSession, sfDir: String, n: Int): Long = {
     val runner = new QueryRunner(spark, new ManualClock(0))
     val nEq = n * 4 / 5
@@ -373,6 +378,42 @@ object Bench {
       runner.register(QuerySpec(s"mx_arb$i",
         filter = Some(Binary(Field("value"), Lit((i % 89).toDouble),
           BinOp.GREATER_THAN)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 3600000L))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    runner.processBatch(spark.read.parquet(s"$sfDir/events.parquet"))
+    runner.finishAll()
+    runner.results.count(_.signal.contains("COMPLETE"))
+  }
+
+  /** UNFOLDABLE-minority admission probe (b14_unfold): 80% equality
+    * queries + 20% genuinely arbitrary predicates (`value * 2 > t_i` —
+    * arithmetic on the left defeats BOTH the equality and the range
+    * partitioner by design, so each query keeps its own
+    * conditional-aggregate columns in the generic shared pass). The
+    * graded claim this bench carries: the unfoldable minority's
+    * per-query cost stays flat as the foldable majority amortizes —
+    * admission pruning must not depend on every query being
+    * partitioner-shaped. */
+  private def unfoldAdmissionPass(spark: SparkSession, sfDir: String, n: Int): Long = {
+    val runner = new QueryRunner(spark, new ManualClock(0))
+    val nEq = n * 4 / 5
+    (0 until nEq).foreach { i =>
+      runner.register(QuerySpec(s"uf_eq$i",
+        filter = Some(Binary(Field("user_id"), Lit(i.toLong), BinOp.EQUALS)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 3600000L))
+    }
+    (nEq until n).foreach { i =>
+      runner.register(QuerySpec(s"uf_arb$i",
+        filter = Some(Binary(
+          Binary(Field("value"), Lit(2.0), BinOp.MUL),
+          Lit((i % 89).toDouble * 2), BinOp.GREATER_THAN)),
         aggregation = GroupAll(Seq(
           GroupOp(GroupOpType.COUNT, None, "cnt"),
           GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
@@ -679,12 +720,23 @@ object Bench {
       val finished = mixedAdmissionPass(spark, sfDir, 1000)
       require(finished == 1000, s"mixed runner finished $finished of 1000")
     } :+ warmed("b14_mixed_10k") {
-      // the mixed-population claim: the 20% arbitrary-predicate minority
-      // keeps flat per-query cost while the 80% eq majority folds
+      // both partitioners engage: 80% eq-folded + 20% range-folded
       mixedAdmissionPass(spark, sfDir, 10000)
     } {
       val finished = mixedAdmissionPass(spark, sfDir, 10000)
       require(finished == 10000, s"mixed runner finished $finished of 10000")
+    } :+ warmed("b14_unfold_1k") {
+      unfoldAdmissionPass(spark, sfDir, 1000)
+    } {
+      val finished = unfoldAdmissionPass(spark, sfDir, 1000)
+      require(finished == 1000, s"unfold runner finished $finished of 1000")
+    } :+ warmed("b14_unfold_10k") {
+      // the genuinely-unfoldable minority: flat per-query cost as the
+      // foldable majority amortizes
+      unfoldAdmissionPass(spark, sfDir, 10000)
+    } {
+      val finished = unfoldAdmissionPass(spark, sfDir, 10000)
+      require(finished == 10000, s"unfold runner finished $finished of 10000")
     } :+ timedOnce("b8_stream_tumbling") {
       b8 = b8Pass(spark, b8Secs)
     }
@@ -1230,26 +1282,32 @@ object Bench {
       val m1k = ms("b14_runner_1k_eq", 1000)
       val m10k = ms("b14_runner_10k_eq", 10000)
       val ratio = if (m1k > 0) math.rint(m10k / m1k * 100) / 100 else -1.0
-      // mixed population (80% eq-foldable / 20% arbitrary-predicate):
-      // the arb sub-population's ms/query is the MARGINAL cost of the
-      // mixed pass over the all-eq pass, per arbitrary query (the eq
-      // 4/5 folds into the same one groupBy job either way, so the
-      // difference is what the unfoldable minority adds); the flatness
-      // claim is arb_ratio ≈ 1 from 1k to 10k.
+      // per-population marginal ms/query: the minority's cost is the
+      // mixed pass's wall over the all-eq pass, per minority query (the
+      // eq 4/5 folds into the same one groupBy job either way). b14_mixed's
+      // 20% is `value > t` — RANGE-FOLDED since r14 (pre-partitioner
+      // committed floor 6.4 ms/query at 1k); b14_unfold's 20% is
+      // `value*2 > t` — genuinely unfoldable, carrying the flatness
+      // claim (unfold_ratio ≈ 1 or below from 1k to 10k).
+      def marginal(wall: Double, eqWall: Double, nArb: Int): Double =
+        if (wall > 0 && eqWall > 0) math.max(0.0, wall - eqWall) * 1000.0 / nArb
+        else -1.0
       val (x1k, x10k) = (sec("b14_mixed_1k"), sec("b14_mixed_10k"))
+      val (u1k, u10k) = (sec("b14_unfold_1k"), sec("b14_unfold_10k"))
       val (e1k, e10k) = (sec("b14_runner_1k_eq"), sec("b14_runner_10k_eq"))
-      val arb1k =
-        if (x1k > 0 && e1k > 0) math.max(0.0, x1k - e1k) * 1000.0 / 200 else -1.0
-      val arb10k =
-        if (x10k > 0 && e10k > 0) math.max(0.0, x10k - e10k) * 1000.0 / 2000 else -1.0
-      val arbRatio = if (arb1k > 0) math.rint(arb10k / arb1k * 100) / 100 else -1.0
-      val mx1k = if (x1k > 0) r3r(x1k * 1000.0 / 1000) else -1.0
-      val mx10k = if (x10k > 0) r3r(x10k * 1000.0 / 10000) else -1.0
+      val rng1k = marginal(x1k, e1k, 200)
+      val rng10k = marginal(x10k, e10k, 2000)
+      val rngRatio = if (rng1k > 0) math.rint(rng10k / rng1k * 100) / 100 else -1.0
+      val unf1k = marginal(u1k, e1k, 200)
+      val unf10k = marginal(u10k, e10k, 2000)
+      val unfRatio = if (unf1k > 0) math.rint(unf10k / unf1k * 100) / 100 else -1.0
       s"""{"ms_per_query_1k":${r3r(m1k)},"ms_per_query_10k":${r3r(m10k)},"ratio":$ratio,""" +
         s""""mixed":{"wall_1k":${r3r(x1k)},"wall_10k":${r3r(x10k)},""" +
-        s""""ms_per_query_mixed_1k":$mx1k,"ms_per_query_mixed_10k":$mx10k,""" +
-        s""""ms_per_query_arb_1k":${r3r(arb1k)},"ms_per_query_arb_10k":${r3r(arb10k)},""" +
-        s""""arb_ratio":$arbRatio}}"""
+        s""""ms_per_query_range_1k":${r3r(rng1k)},"ms_per_query_range_10k":${r3r(rng10k)},""" +
+        s""""range_ratio":$rngRatio},""" +
+        s""""unfold":{"wall_1k":${r3r(u1k)},"wall_10k":${r3r(u10k)},""" +
+        s""""ms_per_query_unfold_1k":${r3r(unf1k)},"ms_per_query_unfold_10k":${r3r(unf10k)},""" +
+        s""""unfold_ratio":$unfRatio}}"""
     }
     // BASELINE.md §2: this run against the committed measured targets
     // (Bench.BaselineTargets — single source, spec-pinned to the doc

@@ -105,6 +105,12 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     lazy val eqKeys: Option[Seq[(String, Any)]] = computeEqPartitionKeys(spec)
   }
 
+  /** How many queries the LAST batch served through the range
+    * partitioner's bucketed jobs — a test observable (the fold is
+    * result-identical to the generic path by design, so only a
+    * structural probe can prove it engaged). */
+  private[graft] var lastBatchRangeFused: Int = 0
+
   /** Set at [[processBatch]] entry; read by [[mergePartial]] for the
     * per-batch filter-latency gauge. Guarded by the runner lock. */
   private var batchStartNanos: Long = System.nanoTime()
@@ -493,9 +499,23 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       .groupBy(rq => eqPartitionKeys(rq).get.map(_._1))
       .filter(_._2.size >= 2)
     val eqSet = eqByField.values.flatten.toSet
+    // RANGE partitioner (the equality partitioner generalized, r14): ≥2
+    // ungrouped GROUP(all) queries whose whole filter is `field op
+    // numeric-literal` (op ∈ >, >=, <, <=) over the SAME numeric field
+    // share ONE bucketed groupBy job — per-record cost is a single
+    // binary search over the group's distinct thresholds, and every
+    // query reads its answer from driver-side prefix/suffix folds of
+    // ≤ 2·thresholds+1 bucket rows (see collectRangePartitioned).
+    val rangeByField = active
+      .filter(rq => !rq.isGrouped && !eqSet.contains(rq) &&
+        rangeKeyOf(rq, batch.schema).isDefined)
+      .groupBy(rq => rangeKeyOf(rq, batch.schema).get._1)
+      .filter(_._2.size >= 2)
+    val rangeSet = rangeByField.values.flatten.toSet
+    lastBatchRangeFused = rangeSet.size
     // grouped queries stay in the shared pass for their UNGROUPED matched
     // counts (partialColumns emits only the count column for GroupBy)
-    val simple = active.filterNot(eqSet.contains)
+    val simple = active.filterNot(rq => eqSet.contains(rq) || rangeSet.contains(rq))
     // GROUP BY fusion: queries with the same (key fields, projection)
     // share one grouped job regardless of filter — each query's metric
     // columns are gated by its OWN predicate inside the shared aggregate
@@ -507,7 +527,8 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
     val groupedSigs = grouped.groupBy(rq =>
       (rq.spec.aggregation.asInstanceOf[GroupBy].fields, rq.spec.projection))
       .values.map(_.toSeq).toSeq
-    val jobCount = (if (simple.nonEmpty) 1 else 0) + eqByField.size + groupedSigs.size
+    val jobCount = (if (simple.nonEmpty) 1 else 0) + eqByField.size +
+      rangeByField.size + groupedSigs.size
     val needsCache = jobCount > 1
     val df = if (needsCache) batch.persist() else batch
     try {
@@ -567,6 +588,9 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       val eqF = eqByField.toSeq.map { case (f, rqs) =>
         (rqs.toSeq, Future(collectEqPartitioned(f, rqs.toSeq, df)))
       }
+      val rangeF = rangeByField.toSeq.map { case (f, rqs) =>
+        (rqs.toSeq, Future(collectRangePartitioned(f, rqs.toSeq, df)))
+      }
       val groupedF = groupedSigs.map(g => (g, Future(collectGrouped(g, df))))
       val sharedC = sharedF.map { f =>
         try Right(Await.result(f, Duration.Inf))
@@ -579,6 +603,13 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         catch { case NonFatal(_) =>
           // eq-partitioned queries are ungrouped by construction: the
           // generic single-query shared pass is the safe fallback
+          (rqs, Left(perQuery(rqs)(rq => collectShared(Seq(rq), df))))
+        }
+      }
+      val rangeC = rangeF.map { case (rqs, f) =>
+        try (rqs, Right(Await.result(f, Duration.Inf)))
+        catch { case NonFatal(_) =>
+          // same fallback shape as eq: range-fused queries are ungrouped
           (rqs, Left(perQuery(rqs)(rq => collectShared(Seq(rq), df))))
         }
       }
@@ -638,6 +669,13 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
       eqC.foreach {
         case (rqs, Right((sigs, byValue))) =>
           applyEqPartitioned(rqs, sigs, byValue, applyOne)
+        case (_, Left(outs)) => outs.foreach {
+          case (rq, Right(row)) => applyOne(rq)(mergePartial(rq, row))
+          case (rq, Left(e))    => failQuery(rq, e)
+        }
+      }
+      rangeC.foreach {
+        case (rqs, Right(job)) => applyRangePartitioned(rqs, job, applyOne)
         case (_, Left(outs)) => outs.foreach {
           case (rq, Right(row)) => applyOne(rq)(mergePartial(rq, row))
           case (rq, Left(e))    => failQuery(rq, e)
@@ -777,6 +815,237 @@ final class QueryRunner(spark: SparkSession, clock: Clock = SystemClock,
         }
       }
     }
+
+  /** RANGE admission detection — the equality partitioner (SURVEY §4,
+    * reference SimpleEqualityPartitioner.java:40-75) generalized to
+    * half-line predicates: a query admits iff it is ungrouped
+    * GROUP(all) with a single `Field op numeric-literal` filter,
+    * op ∈ {>, >=, <, <=}, over a plain numeric column, in a
+    * (field type, literal type) combination where bucket comparisons
+    * reproduce Spark's own coercion EXACTLY:
+    *  - integral column + integral literals → 64-bit compare (exact,
+    *    no 2^53 hazard);
+    *  - double column + any numeric literal → double compare (Spark
+    *    promotes the same way, so any loss is identical on both paths);
+    *  - float column + Float/Double literal, or an integral literal
+    *    inside float's exact range (|v| ≤ 2^24) → double compare
+    *    (float→double is exact and monotone).
+    * Integral column + Float literal is REJECTED: Spark compares those
+    * as floats (long→float is lossy) and a double-side bucket could
+    * disagree near the 2^24 boundary — such queries keep the generic
+    * compiled path. */
+  private def rangeKeyOf(rq: RQ, schema: StructType)
+      : Option[(String, BinOp.Value, Any)] = rq.spec.aggregation match {
+    case _: GroupAll => rq.spec.filter match {
+      case Some(Binary(Field(f, None), Lit(v), op))
+          if op == BinOp.GREATER_THAN || op == BinOp.GREATER_OR_EQUALS ||
+             op == BinOp.LESS_THAN || op == BinOp.LESS_OR_EQUALS =>
+        import org.apache.spark.sql.types._
+        val ft = schema.find(_.name == f).map(_.dataType)
+        val integralF = ft.exists {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val ok = (ft, v) match {
+          case (None, _) => false
+          case (Some(DoubleType),
+                _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => true
+          case (Some(FloatType), _: Float | _: Double) => true
+          case (Some(FloatType), x: Number)
+            if (x.isInstanceOf[Byte] || x.isInstanceOf[Short] ||
+                x.isInstanceOf[Int] || x.isInstanceOf[Long]) &&
+              math.abs(x.longValue) <= (1L << 24) => true
+          case (_, _: Byte | _: Short | _: Int | _: Long) if integralF => true
+          case _ => false
+        }
+        if (ok) Some((f, op, v)) else None
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The per-group result of [[collectRangePartitioned]]: distinct
+    * signature classes, each query's (reads-suffix?, bucket-index
+    * bound), and the collected per-bucket partial rows. */
+  private final case class RangeJob(sigs: Seq[Seq[RQ]],
+    lookups: Map[String, (Boolean, Int)], rows: Array[Row])
+
+  /** One bucketed job for a fused same-field threshold group: records
+    * bucket by binary search over the group's distinct thresholds
+    * ([[graft.functions.RangeBucketL]]/[[graft.functions.RangeBucketD]]
+    * — ONE probe per record regardless of query count, where the
+    * generic shared pass pays one predicate per query), one
+    * groupBy(bucket) computes every distinct (aggregation, projection)
+    * signature's partial columns once, and ≤ 2·thresholds+1 tiny rows
+    * come back for the driver's prefix/suffix folds. A single-DIRECTION
+    * group (all >/>= or all </<=) additionally pushes its covered
+    * half-line to the scan as a plain range filter. */
+  private def collectRangePartitioned(field: String, rqs: Seq[RQ],
+      df: DataFrame): RangeJob = {
+    val schema = df.schema
+    import org.apache.spark.sql.types._
+    val keys = rqs.map(rq => rq.spec.id -> rangeKeyOf(rq, schema).get).toMap
+    val integralField = schema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val longMode = integralField && rqs.forall(rq => keys(rq.spec.id)._3 match {
+      case _: Byte | _: Short | _: Int | _: Long => true
+      case _ => false
+    })
+    // predicate → pure bucket-index bound (see RangeBucket's scaladoc):
+    //   v >  b_j ⇔ idx ≥ 2j+2     v <  b_j ⇔ idx ≤ 2j
+    //   v ≥  b_j ⇔ idx ≥ 2j+1     v ≤  b_j ⇔ idx ≤ 2j+1
+    def boundOf(op: BinOp.Value, j: Int): (Boolean, Int) = op match {
+      case BinOp.GREATER_THAN      => (true, 2 * j + 2)
+      case BinOp.GREATER_OR_EQUALS => (true, 2 * j + 1)
+      case BinOp.LESS_THAN         => (false, 2 * j)
+      case _                       => (false, 2 * j + 1)
+    }
+    val (bucketCol, lookups) =
+      if (longMode) {
+        val bs = rqs.map(rq => keys(rq.spec.id)._3.asInstanceOf[Number].longValue)
+          .distinct.sorted
+        val at = bs.zipWithIndex.toMap
+        (graft.functions.RangeBucketL.col(col(field).cast("long"), bs),
+          rqs.map { rq =>
+            val (_, op, v) = keys(rq.spec.id)
+            rq.spec.id -> boundOf(op, at(v.asInstanceOf[Number].longValue))
+          }.toMap)
+      } else {
+        def norm(d: Double) = if (d == 0d) 0d else d // −0.0 == 0.0 in Spark
+        val bs = rqs.map(rq => norm(keys(rq.spec.id)._3.asInstanceOf[Number].doubleValue))
+          .distinct.sorted
+        val at = bs.zipWithIndex.toMap
+        (graft.functions.RangeBucketD.col(col(field).cast("double"), bs),
+          rqs.map { rq =>
+            val (_, op, v) = keys(rq.spec.id)
+            rq.spec.id -> boundOf(op, at(norm(v.asInstanceOf[Number].doubleValue)))
+          }.toMap)
+      }
+    // single-direction groups: push the covered half-line (the loosest
+    // threshold, inclusive — a superset of every member's predicate;
+    // NaN-correct under Spark's NaN-largest ordering: NaN passes a >=
+    // push exactly when the member GT/GE predicates are true for it).
+    // The literal is one of the originals, so scan-side coercion is the
+    // generic path's own.
+    val dirSet = rqs.map(rq => keys(rq.spec.id)._2).toSet
+    val lits = rqs.map(rq => keys(rq.spec.id)._3)
+    val pre0 = col(field).isNotNull
+    val pre =
+      if (dirSet.subsetOf(Set(BinOp.GREATER_THAN, BinOp.GREATER_OR_EQUALS)))
+        pre0 && col(field) >= lit(lits.minBy(_.asInstanceOf[Number].doubleValue))
+      else if (dirSet.subsetOf(Set(BinOp.LESS_THAN, BinOp.LESS_OR_EQUALS)))
+        pre0 && col(field) <= lit(lits.maxBy(_.asInstanceOf[Number].doubleValue))
+      else pre0
+    val sigs = rqs.groupBy(rq => (rq.spec.aggregation, rq.spec.projection)).values.toSeq
+    val sigCols = sigs.zipWithIndex.flatMap { case (sigRqs, i) =>
+      partialColumns(sigRqs.head, schema, lit(true), s"__rsig$i")
+    }
+    val rows = df.filter(pre)
+      .groupBy(bucketCol.as("__rbucket"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .collect()
+    RangeJob(sigs, lookups, rows)
+  }
+
+  private def applyRangePartitioned(rqs: Seq[RQ], job: RangeJob,
+      applyOne: RQ => (=> Unit) => Unit): Unit = {
+    val RangeJob(sigs, lookups, rows) = job
+    if (rows.isEmpty) {
+      rqs.foreach(rq => applyOne(rq) { rq.batchesSeen += 1 })
+      return
+    }
+    val sorted = rows.sortBy(_.getAs[Int]("__rbucket"))
+    val idxs = sorted.map(_.getAs[Int]("__rbucket"))
+    val rowSchema = sorted.head.schema
+    // null-safe, Long-preserving combines — the MetricsAcc.num2
+    // discipline, so folded partials merge into query state exactly as
+    // per-bucket mergePartial calls would, without m extra batch counts
+    def add(a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: Long, y: Long) => x + y
+      case (x: Number, y: Number) => x.doubleValue + y.doubleValue
+    }
+    def mnC(a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: Long, y: Long) => math.min(x, y)
+      case (x: Number, y: Number) => math.min(x.doubleValue, y.doubleValue)
+    }
+    def mxC(a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: Long, y: Long) => math.max(x, y)
+      case (x: Number, y: Number) => math.max(x.doubleValue, y.doubleValue)
+    }
+    val combine: Map[String, (Any, Any) => Any] = sigs.zipWithIndex.flatMap {
+      case (sigRqs, i) =>
+        val id = s"__rsig$i"
+        val ops = sigRqs.head.spec.aggregation.asInstanceOf[GroupAll].ops
+        Seq(n(id) -> (add _)) ++ ops.zipWithIndex.flatMap { case (op, j) =>
+          import GroupOpType._
+          op.op match {
+            case MIN => Seq(m(id, j) -> (mnC _))
+            case MAX => Seq(m(id, j) -> (mxC _))
+            case AVG => Seq(m(id, j) -> (add _), c(id, j) -> (add _))
+            case _   => Seq(m(id, j) -> (add _))
+          }
+        }
+    }.toMap
+    val fieldCombine: Array[Option[(Any, Any) => Any]] =
+      rowSchema.fieldNames.map(combine.get)
+    def foldInto(r: Row, acc: Array[Any]): Unit = {
+      var k = 0
+      while (k < acc.length) {
+        fieldCombine(k) match {
+          case Some(f) => acc(k) = f(r.get(k), acc(k))
+          case None    => ()
+        }
+        k += 1
+      }
+    }
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    val nR = sorted.length
+    val suffix = new Array[Row](nR)
+    var acc = new Array[Any](rowSchema.length)
+    var k = nR - 1
+    while (k >= 0) {
+      acc = acc.clone(); foldInto(sorted(k), acc)
+      suffix(k) = new GenericRowWithSchema(acc, rowSchema)
+      k -= 1
+    }
+    val prefix = new Array[Row](nR)
+    acc = new Array[Any](rowSchema.length)
+    k = 0
+    while (k < nR) {
+      acc = acc.clone(); foldInto(sorted(k), acc)
+      prefix(k) = new GenericRowWithSchema(acc, rowSchema)
+      k += 1
+    }
+    sigs.zipWithIndex.foreach { case (sigRqs, i) =>
+      val id = s"__rsig$i"
+      sigRqs.foreach { rq =>
+        applyOne(rq) {
+          val (isSuffix, bound) = lookups(rq.spec.id)
+          // bucket keys are distinct and sorted: binarySearch gives the
+          // exact hit or the insertion point directly
+          val hit = java.util.Arrays.binarySearch(idxs, bound)
+          val pos =
+            if (isSuffix) { if (hit >= 0) hit else -(hit + 1) } // first >= bound
+            else { if (hit >= 0) hit else -(hit + 1) - 1 }      // last <= bound
+          val rowOpt =
+            if (isSuffix) { if (pos < nR) Some(suffix(pos)) else None }
+            else { if (pos >= 0) Some(prefix(pos)) else None }
+          rowOpt match {
+            case Some(r) => mergePartial(rq, r, id)
+            case None    => rq.batchesSeen += 1 // no qualifying buckets this batch
+          }
+        }
+      }
+    }
+  }
 
   /** FAIL one query whose per-batch job threw even after per-query retry
     * (the reference's single-Querier error clip, JoinBolt.java:297-308):

@@ -1307,6 +1307,123 @@ class QueryRunnerSpec extends SparkTestBase {
     assert(parse(byId("b1").records.head)("cnt") === 2)
   }
 
+  test("range partitioner: threshold queries match the generic path (all ops, boundaries, both field types)") {
+    // every (op, threshold) combination incl. thresholds EXACTLY equal
+    // to data values (the point-bucket boundary cases), folded 8-at-a-
+    // time on one field vs each query alone in its own runner (a single
+    // query per field never folds -> the generic compiled path)
+    val clock = new ManualClock(0)
+    def spec(id: String, field: String, op: BinOp.Value, v: Any) = QuerySpec(id,
+      filter = Some(Binary(Field(field), Lit(v), op)),
+      aggregation = GroupAll(Seq(
+        GroupOp(GroupOpType.COUNT, None, "cnt"),
+        GroupOp(GroupOpType.SUM, Some("value"), "sv"),
+        GroupOp(GroupOpType.MIN, Some("value"), "mv"),
+        GroupOp(GroupOpType.MAX, Some("value"), "xv"),
+        GroupOp(GroupOpType.AVG, Some("value"), "av"))),
+      durationMs = 600000L)
+    val specs =
+      Seq(BinOp.GREATER_THAN, BinOp.GREATER_OR_EQUALS,
+          BinOp.LESS_THAN, BinOp.LESS_OR_EQUALS).zipWithIndex.flatMap {
+        case (op, i) => Seq(
+          spec(s"rv_$i", "value", op, 50.0),        // exact data value
+          spec(s"rv2_$i", "value", op, 33.5),       // between data values
+          spec(s"re_$i", "event_id", op, 97L),      // long field, long literal
+          spec(s"re2_$i", "event_id", op, 1L))      // boundary at the edge
+      } :+ spec("rv_dup", "value", BinOp.GREATER_THAN, 50.0) // duplicate threshold
+    val folded = new QueryRunner(spark, clock)
+    specs.foreach(s0 => assert(folded.register(s0).isEmpty))
+    // two batches: the fold must merge partials across batches like the
+    // generic path does
+    folded.processBatch(events.filter(col("event_id") <= 60))
+    folded.processBatch(events.filter(col("event_id") > 60))
+    clock.advance(700000); val foldedClips = folded.onTick()
+    val foldedById = foldedClips.map(c => c.queryId -> c).toMap
+    specs.foreach { s0 =>
+      val solo = new QueryRunner(spark, new ManualClock(0))
+      assert(solo.register(s0).isEmpty)
+      solo.processBatch(events.filter(col("event_id") <= 60))
+      solo.processBatch(events.filter(col("event_id") > 60))
+      val want = solo.finishAll().head
+      val got = foldedById(s0.id)
+      assert(got.records.map(parse) === want.records.map(parse),
+        s"${s0.id}: folded ${got.records} != generic ${want.records}")
+      // matched-record metrics must fold identically too
+      assert(got.meta("records_seen") === want.meta("records_seen"), s0.id)
+    }
+  }
+
+  test("range partitioner: 20 same-field threshold queries ride the bucketed fold") {
+    val clock = new ManualClock(0)
+    val runner = new QueryRunner(spark, clock)
+    (0 until 20).foreach { i =>
+      runner.register(QuerySpec(s"rj_$i",
+        filter = Some(Binary(Field("value"), Lit(i * 4.0), BinOp.GREATER_THAN)),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("value"), "sv"))),
+        durationMs = 600000L))
+    }
+    runner.processBatch(events)
+    // the fold is result-identical to the generic path by design, so
+    // the structural probe is what proves it ENGAGED (and stays
+    // engaged — a silently-narrowed admission rule fails here)
+    assert(runner.lastBatchRangeFused === 20,
+      s"all 20 threshold queries must ride the bucketed fold, " +
+        s"fused ${runner.lastBatchRangeFused}")
+    // and the answers are right: query i counts values > 4i among 1..100
+    clock.advance(700000)
+    val byId = runner.onTick().map(c => c.queryId -> c).toMap
+    (0 until 20).foreach { i =>
+      val cnt = parse(byId(s"rj_$i").records.head)("cnt").asInstanceOf[Number].longValue
+      assert(cnt === (100 - i * 4).toLong, s"rj_$i")
+    }
+  }
+
+  test("range partitioner differential: random ops/thresholds/nulls/NaN vs the generic path") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(424242L)
+    // data with nulls, NaN, -0.0, +0.0, exact-threshold hits
+    val data = ((1 to 120).map { i =>
+      (i.toLong, if (i % 11 == 0) null.asInstanceOf[java.lang.Double]
+        else if (i % 17 == 0) java.lang.Double.valueOf(Double.NaN)
+        else if (i % 23 == 0) java.lang.Double.valueOf(-0.0)
+        else java.lang.Double.valueOf((i % 40).toDouble / 2))
+    }).toDF("event_id", "value")
+    val allOps = Seq(BinOp.GREATER_THAN, BinOp.GREATER_OR_EQUALS,
+      BinOp.LESS_THAN, BinOp.LESS_OR_EQUALS)
+    val specs = (0 until 24).map { i =>
+      val t: Any = rnd.nextInt(4) match {
+        case 0 => (rnd.nextInt(40).toDouble / 2)  // exact data value
+        case 1 => 0.0
+        case 2 => rnd.nextDouble() * 20
+        case _ => rnd.nextInt(20).toLong          // integral literal, double col
+      }
+      QuerySpec(s"rd_$i",
+        filter = Some(Binary(Field("value"), Lit(t), allOps(rnd.nextInt(4)))),
+        aggregation = GroupAll(Seq(
+          GroupOp(GroupOpType.COUNT, None, "cnt"),
+          GroupOp(GroupOpType.SUM, Some("event_id"), "se"))),
+        durationMs = 600000L)
+    }
+    val clock = new ManualClock(0)
+    val folded = new QueryRunner(spark, clock)
+    specs.foreach(s0 => assert(folded.register(s0).isEmpty))
+    folded.processBatch(data)
+    clock.advance(700000)
+    val foldedById = folded.onTick().map(c => c.queryId -> c).toMap
+    specs.foreach { s0 =>
+      val solo = new QueryRunner(spark, new ManualClock(0))
+      assert(solo.register(s0).isEmpty)
+      solo.processBatch(data)
+      val want = solo.finishAll().head
+      assert(foldedById(s0.id).records.map(parse) === want.records.map(parse),
+        s"${s0.id} (${s0.filter}): folded=${foldedById(s0.id).records} " +
+          s"generic=${want.records}")
+    }
+  }
+
   test("RAW tws backend (flagged): parity with the driver-held RawState path + restart") {
     // The scale-out RAW backend (QueryRunner.runStreamRawTws -> RawTws:
     // per-query take-n counts in transformWithState ValueState, records
