@@ -172,11 +172,11 @@ object Bench {
     * committed envelope", not floor-chasing. Spec-pinned to the doc
     * table like [[BaselineTargets]]. */
   private[graft] val BaselineTargetsBenchOne: Seq[(String, Double)] = Seq(
-    "q_raw_filter" -> 0.463, "q_filter_project" -> 0.505,
-    "q_group_all" -> 0.420, "q_group_by" -> 0.686,
-    "q_count_distinct" -> 0.375, "q_dist_pmf" -> 0.443,
+    "q_raw_filter" -> 0.338, "q_filter_project" -> 0.335,
+    "q_group_all" -> 0.279, "q_group_by" -> 0.480,
+    "q_count_distinct" -> 0.253, "q_dist_pmf" -> 0.443,
     "q_topk" -> 0.695,
-    "b7_runner_100q" -> 1.577, "b11_runner_1000q" -> 6.928)
+    "b7_runner_100q" -> 1.488, "b11_runner_1000q" -> 6.842)
 
   /** Which walls may feed the published `baseline` block, and under what
     * provenance. In-suite walls from a degraded window are measurement
