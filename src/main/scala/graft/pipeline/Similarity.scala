@@ -176,10 +176,6 @@ object Similarity {
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, iters: Int = 5,
                       maxTrainRows: Long = 2000000L): Array[Array[Double]] = {
-    def norm(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
     // Materialized ONCE: the upstream plan (joins, scans) must not
     // re-execute per Lloyd iteration, and init must draw from the same
     // null-filtered set the iterations see.
@@ -187,6 +183,22 @@ object Similarity {
       .filter(col("v").isNotNull)
       .localCheckpoint(true)
     requireTrainBound(vecs, maxTrainRows, "kmeansCentroids")
+    kmeansOnVecs(vecs, nlist, iters)
+  }
+
+  /** Lloyd loop over a PRE-materialized, bound-checked (id, v) frame —
+    * shared with [[annIndexBuild]], which trains k-means AND the PQ
+    * codebooks off ONE checkpointed frame instead of re-scanning and
+    * re-counting the corpus per trainer (r14: the ANN stored-index
+    * entries are job-latency-bound; every removed driver job is wall
+    * time). Identical math and identical per-(cell, dim, partition)
+    * deterministic fold as the public entry point. */
+  private[graft] def kmeansOnVecs(vecs: DataFrame, nlist: Int,
+                                  iters: Int): Array[Array[Double]] = {
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
     var cents = vecs.orderBy(col("id")).limit(nlist)
       .select(col("v")).collect()
       .map(r => norm(r.getSeq[Double](0).toArray))
@@ -317,8 +329,12 @@ object Similarity {
       .groupBy("query_id")
       .agg((sum(when(col("sim") >= col("kth") - eps, 1).otherwise(0))
         .cast("double") / count(lit(1))).as("recall"))
-    // tiny |queries|-row left join fills the absent queries with 0.0
-    kth.select("query_id").join(perQuery, Seq("query_id"), "left")
+    // tiny |queries|-row left join fills the absent queries with 0.0;
+    // perQuery is ≤ |queries| rows but sits behind an aggregate the
+    // planner can't size — the explicit broadcast turns a SortMergeJoin
+    // LeftOuter (2 Exchanges + 2 Sorts on every ANN entry's tail) into a
+    // BroadcastHashJoin (guide §3.1)
+    kth.select("query_id").join(broadcast(perQuery), Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("recall"), lit(0.0)).as("recall"))
   }
 
@@ -408,6 +424,32 @@ object Similarity {
         "frame and collects per-(subspace, cell, dim, partition) " +
         "partials; train on a bounded sample (Sampling.hashSample) and " +
         "encode the full corpus once with the returned codebooks")
+    pqLloydOnSliced(sliced, m, ksub, iters)
+  }
+
+  /** PQ training off a PRE-materialized, bound-checked (id, v) frame —
+    * the [[annIndexBuild]] fast path: slicing is a narrow map over the
+    * already-checkpointed vectors (no second corpus scan, no second
+    * checkpoint job, no second count job). Same joint Lloyd loop. */
+  private[graft] def pqBooksOnVecs(vecs: DataFrame, dim: Int, m: Int,
+                                   ksub: Int, iters: Int)
+      : Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val sliced = vecs
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * sub + 1, sub).as("sv"))): _*))
+        .as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.sv").as("v"))
+    pqLloydOnSliced(sliced, m, ksub, iters)
+  }
+
+  /** The joint all-subspace Lloyd loop over a sliced (id, s, v) frame.
+    * `sliced` must be materialized or a narrow map over a materialized
+    * frame — each iteration scans it once. Deterministic fold: one
+    * partial per (s, cell, i, pid), driver-summed in sorted order. */
+  private def pqLloydOnSliced(sliced: DataFrame, m: Int, ksub: Int,
+                              iters: Int): Array[Array[Array[Double]]] = {
     val wInit = Window.partitionBy("s").orderBy(col("id"))
     var books: Array[Array[Array[Double]]] = {
       val rows = sliced.withColumn("rn", row_number().over(wInit))
@@ -518,7 +560,9 @@ object Similarity {
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       asD(col(vecCol)).as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    val exact = shortlist.join(cv, "neighbor_id")
+    // candidate-sized shortlist vs corpus-sized cv: broadcast the small
+    // side (guide §3.1) — see adcProbe for the sizing argument
+    val exact = broadcast(shortlist).join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val wE = Window.partitionBy("query_id")
@@ -549,9 +593,14 @@ object Similarity {
       kmeansCentroids(corpus, idCol, vecCol, nlist, iters))
     val books = codebooks.getOrElse(
       pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters))
-    val enc = pqEncode(corpus, idCol, vecCol, dim, books)
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        ivfAssign(asD(col(vecCol)), cents).as("cell")), "neighbor_id")
+    // cell + codes are BOTH per-row functions of the same vector — one
+    // projection (the shared encodeAssignments body), not a self-join of
+    // two corpus scans (r14: the former pqEncode ⋈ ivfAssign shape cost a
+    // SortMergeJoin + 2 Exchanges + a second full corpus scan; guide
+    // §2.4 "remove shuffles outright"). Identical rows by construction
+    // for unique ids — and annIndexBuild's artifacts already come from
+    // this body, so the monolithic and stored paths now share it too.
+    val enc = encodeAssignments(corpus, idCol, vecCol, cents, books, dim)
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       asD(col(vecCol)).as("cv"))
     adcProbe(queries, idCol, vecCol, enc, cv, cents, books,
@@ -625,7 +674,12 @@ object Similarity {
     val cv = rerankVecs
       .select(col("neighbor_id"), col("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    val exact = shortlist.join(cv, "neighbor_id")
+    // the shortlist is candidate-sized (O(queries·rerank), bounded by the
+    // same contract that lets `q` broadcast above) while rerankVecs is
+    // corpus-sized: broadcast the small side explicitly — the planner
+    // can't size a post-window filter and was picking SortMergeJoin,
+    // shuffling the CORPUS by neighbor_id for a point-fetch (guide §3.1)
+    val exact = broadcast(shortlist).join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val wE = Window.partitionBy("query_id")
@@ -663,9 +717,16 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, maxTrainRows)
-    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters,
-      maxTrainRows)
+    // ONE materialized (id, v) frame and ONE bound check feed BOTH
+    // trainers (guide §1.2: remove passes first) — the former
+    // per-trainer shape re-scanned the corpus, re-checkpointed and
+    // re-counted it for PQ after k-means had already done all three.
+    val vecs = corpus.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+    requireTrainBound(vecs, maxTrainRows, "annIndexBuild")
+    val cents = kmeansOnVecs(vecs, nlist, iters)
+    val books = pqBooksOnVecs(vecs, dim, m, ksub, iters)
     val centroidsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
     val codebooksDf = (for { s <- books.indices; c <- books(s).indices }
@@ -706,9 +767,20 @@ object Similarity {
    */
   def annIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, codebooks: DataFrame,
+                     dim: Int): DataFrame =
+    annIndexAppend(delta, idCol, vecCol,
+      loadCentroids(centroids), loadCodebooks(codebooks), dim)
+
+  /** Pre-loaded-artifact overload: a caller that appends AND probes in
+    * one job (q_ann_index_maint, q_ann_index_append_stream) collects the
+    * driver-bounded centroid/codebook artifacts ONCE and reuses them —
+    * every avoided re-collect is a driver job (guide §5: the driver
+    * should do almost no data work, and these entries are measured
+    * job-latency-bound). */
+  def annIndexAppend(delta: DataFrame, idCol: String, vecCol: String,
+                     cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]],
                      dim: Int): DataFrame = {
-    val cents = loadCentroids(centroids)
-    val books = loadCodebooks(codebooks)
     validateArtifactDims(cents, books, dim)
     encodeAssignments(delta, idCol, vecCol, cents, books, dim)
   }
@@ -731,9 +803,17 @@ object Similarity {
   def annIndexAppendStream(stream: DataFrame, idCol: String, vecCol: String,
                            centroids: DataFrame, codebooks: DataFrame,
                            dim: Int, appendsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    annIndexAppendStream(stream, idCol, vecCol,
+      loadCentroids(centroids), loadCodebooks(codebooks),
+      dim, appendsPath, checkpoint)
+
+  /** Pre-loaded-artifact overload — see [[annIndexAppend]]'s twin. */
+  def annIndexAppendStream(stream: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]],
+                           dim: Int, appendsPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val cents = loadCentroids(centroids)
-    val books = loadCodebooks(codebooks)
     validateArtifactDims(cents, books, dim)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -852,10 +932,22 @@ object Similarity {
                     centroids: DataFrame, codebooks: DataFrame,
                     assignments: DataFrame, rerankVecs: DataFrame,
                     k: Int, dim: Int, nprobe: Int = 3,
-                    rerank: Int = 50): DataFrame = {
+                    rerank: Int = 50): DataFrame =
+    annIndexProbe(queries, idCol, vecCol,
+      loadCentroids(centroids), loadCodebooks(codebooks),
+      assignments, rerankVecs, k, dim, nprobe, rerank)
+
+  /** Pre-loaded-artifact overload — see [[annIndexAppend]]'s twin: the
+    * parity-gated entries probe the SAME artifacts twice (stored path vs
+    * re-encode path); collecting centroids/codebooks once per entry
+    * instead of once per probe removes 2 driver jobs per extra probe. */
+  def annIndexProbe(queries: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]],
+                    books: Array[Array[Array[Double]]],
+                    assignments: DataFrame, rerankVecs: DataFrame,
+                    k: Int, dim: Int, nprobe: Int,
+                    rerank: Int): DataFrame = {
     require(rerank >= k, "rerank horizon must be >= k")
-    val cents = loadCentroids(centroids)
-    val books = loadCodebooks(codebooks)
     validateArtifactDims(cents, books, dim)
     adcProbe(queries, idCol, vecCol,
       assignments.select(col("neighbor_id"), col("cell"), col("codes")),
@@ -896,13 +988,23 @@ object Similarity {
                      assignments: DataFrame, rerankVecs: DataFrame,
                      k: Int, dim: Int, nprobe: Int, rerank: Int,
                      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    annProbeStream(stream, idCol, vecCol,
+      loadCentroids(centroids), loadCodebooks(codebooks),
+      assignments, rerankVecs, k, dim, nprobe, rerank, outPath, checkpoint)
+
+  /** Pre-loaded-artifact overload — see [[annIndexAppend]]'s twin. */
+  def annProbeStream(stream: DataFrame, idCol: String, vecCol: String,
+                     cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]],
+                     assignments: DataFrame, rerankVecs: DataFrame,
+                     k: Int, dim: Int, nprobe: Int, rerank: Int,
+                     outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // validate + collect the driver-bounded artifacts BEFORE the stream
     // starts: a bad artifact must not surface as an async first-batch
     // failure, and re-collecting per micro-batch would be waste
     require(rerank >= k, "rerank horizon must be >= k")
-    val cents = loadCentroids(centroids)
-    val books = loadCodebooks(codebooks)
     validateArtifactDims(cents, books, dim)
     val enc = assignments.select(col("neighbor_id"), col("cell"), col("codes"))
     val rv = rerankVecs.select(col(idCol).as("neighbor_id"),
