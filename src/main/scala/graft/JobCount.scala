@@ -48,10 +48,13 @@ object JobCount {
         sys.error(s"unknown entry '$name'"))
       Thread.sleep(1000) // drain any tail events from the previous entry
       jobs.set(0); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
       graft.plans.CacheScope(spark) { fn(spark, sfDir).count(); () }
+      val wallMs = (System.nanoTime() - t0) / 1e6
       Thread.sleep(1000) // let the listener bus drain before reading
       println(s"""{"entry":"$name","jobs":${jobs.get},""" +
-        s""""stages":${stages.get},"tasks":${tasks.get}}""")
+        s""""stages":${stages.get},"tasks":${tasks.get},""" +
+        s""""wall_ms":${math.rint(wallMs)}}""")
     }
     spark.stop()
   }

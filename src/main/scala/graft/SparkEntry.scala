@@ -3319,18 +3319,18 @@ object SparkEntry {
           .otherwise(col("c_mktsegment")).as("r_seg"),
         when(col("c_custkey") % 3 === 0, col("c_acctbal") + 500.0)
           .otherwise(col("c_acctbal")).as("r_bal"))
-      // project to ids + agreement flags BEFORE score: the scored frame
-      // is persisted across two passes, and the raw pair columns
-      // (names, segments, balances) are dead weight once the agree_*
-      // flags exist — the persist holds 6 scalars/row instead of 9
-      // (Σblock² rows make per-row width the bill)
-      val pairs = Linkage.blockedPairs(left, right, Seq("c_nationkey"), Seq(
-          "name" -> Linkage.fieldEq("l_name", "r_name"),
-          "seg" -> Linkage.fieldEq("l_seg", "r_seg"),
-          "bal" -> (floor(col("l_bal") / 1000) === floor(col("r_bal") / 1000))))
-        .withColumn("is_match", col("l_id") === col("r_id"))
-        .select("l_id", "r_id", "agree_name", "agree_seg", "agree_bal", "is_match")
-      Linkage.score(pairs, Seq("name", "seg", "bal"), "is_match")
+      // r14: m/u come from VALUE FREQUENCIES (Splink's term-frequency
+      // discipline), so the Σblock² pair frame is enumerated ONCE and
+      // never persisted — the former blockedPairs+score shape scanned
+      // the 9M-row pair set twice with a 9M-row cache between (guide §8:
+      // decide with small rows, emit big rows once). Counts are exact
+      // integers either way, so the weights and scores are bit-identical
+      // (oracle-pinned).
+      Linkage.scoreBlockedByFrequency(left, right, Seq("c_nationkey"), Seq(
+          ("name", col("l_name"), col("r_name")),
+          ("seg", col("l_seg"), col("r_seg")),
+          ("bal", floor(col("l_bal") / 1000), floor(col("r_bal") / 1000))),
+          "l_id", "r_id")
         .filter(col("score") >= 2.0)
         .select(col("l_id"), col("r_id"), col("score"), col("is_match"))
         .orderBy("l_id", "r_id")

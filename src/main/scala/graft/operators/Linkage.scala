@@ -88,4 +88,109 @@ object Linkage {
   def fieldEq(l: String, r: String, nullAgrees: Boolean = false): Column =
     if (nullAgrees) col(l) <=> col(r)
     else col(l).isNotNull && col(r).isNotNull && col(l) === col(r)
+
+  /**
+   * Fellegi–Sunter scoring with m/u estimated from VALUE FREQUENCIES —
+   * the pair set is enumerated exactly ONCE (r14, guide §8: decide with
+   * small rows, move/emit big rows once). [[score]] materializes the
+   * Σblock² pair frame and scans it twice (count aggregate + scoring
+   * pass); but every count the estimator needs is computable WITHOUT
+   * enumerating pairs, the way production linkage (Splink's
+   * term-frequency path) does it:
+   *
+   *   agree_total(f) = Σ_block Σ_key  cnt_left(block, key) · cnt_right(block, key)
+   *   total_pairs    = Σ_block        cnt_left(block) · cnt_right(block)
+   *   n_m, am(f)     = one |ids|-sized equi-join on (block, id) — the
+   *                    labeled-match sample, NOT the pair space
+   *   n_u = total_pairs − n_m;  au(f) = agree_total(f) − am(f)
+   *
+   * All of these are exact integer counts — bit-identical to what the
+   * pair-enumerating aggregate produces (both are < 2^53, so the final
+   * cast to double is exact) — so the per-field weights and pair scores
+   * are bit-for-bit the same as [[score]]'s. The blocking join then runs
+   * once, un-persisted, straight into the weight projection.
+   *
+   * Each comparison field must be expressible as left-key = right-key
+   * agreement (`kl`/`kr` non-null and equal — [[fieldEq]] generalized to
+   * derived keys, e.g. `floor(bal/1000)`); that is what makes the
+   * frequency factorization valid. Scale shape: the heavy Σblock² frame
+   * is touched once; everything else is value-frequency-sized (≤ input
+   * rows), and the count row re-enters as a broadcast, exactly like
+   * [[score]]'s.
+   */
+  def scoreBlockedByFrequency(left: DataFrame, right: DataFrame,
+                              blockCols: Seq[String],
+                              fields: Seq[(String, Column, Column)],
+                              lId: String, rId: String): DataFrame = {
+    require(blockCols.nonEmpty, "blocking columns required — never cross-join")
+    require(fields.nonEmpty, "at least one comparison field")
+    val bc = blockCols.map(col)
+    val fieldNames = fields.map(_._1)
+    // ONE narrow projection per side — (block, id, derived keys) —
+    // persisted spillably and feeding every pass below (the naive form
+    // re-scanned each input once per frequency aggregate: 24 scans / 26
+    // jobs measured vs 8). Persisting N input-sized rows is strictly
+    // cheaper than [[score]]'s Σblock² pair-frame persist.
+    val lp = graft.plans.CacheScope.persistTracked(left.select(
+      (bc :+ col(lId)) ++ fields.map { case (f, kl, _) => kl.as(s"lk_$f") }: _*))
+    val rp = graft.plans.CacheScope.persistTracked(right.select(
+      (bc :+ col(rId)) ++ fields.map { case (f, _, kr) => kr.as(s"rk_$f") }: _*))
+    // total pairs per block: cnt_l(block) · cnt_r(block)
+    val tl = lp.groupBy(bc: _*).agg(count(lit(1)).as("cl"))
+    val tr = rp.groupBy(bc: _*).agg(count(lit(1)).as("cr"))
+    val total = tl.join(tr, blockCols)
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("n_all"))
+    // per-field agreement totals from (block, key) frequencies; the
+    // inner join drops null keys, matching fieldEq's both-non-null rule
+    val agreeTotals = fields.map { case (f, _, _) =>
+      val al = lp.filter(col(s"lk_$f").isNotNull)
+        .groupBy((bc :+ col(s"lk_$f").as("k")): _*)
+        .agg(count(lit(1)).as("cl"))
+      val ar = rp.filter(col(s"rk_$f").isNotNull)
+        .groupBy((bc :+ col(s"rk_$f").as("k")): _*)
+        .agg(count(lit(1)).as("cr"))
+      al.join(ar, blockCols :+ "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as(s"at_$f"))
+    }
+    def agreeCol(f: String): Column =
+      col(s"lk_$f").isNotNull && col(s"rk_$f").isNotNull &&
+        col(s"lk_$f") === col(s"rk_$f")
+    // labeled-match sample: the (block, id) equi-join — |ids|-sized,
+    // never pair-space-sized
+    val matchAggs = count(lit(1)).cast("long").as("n_m") +:
+      fieldNames.map { f =>
+        coalesce(sum(agreeCol(f).cast("long")), lit(0L)).as(s"am_$f")
+      }
+    val idJoin = lp.join(rp, blockCols).filter(col(lId) === col(rId))
+    val mAgg = idJoin.agg(matchAggs.head, matchAggs.tail: _*)
+    // one-row count frame: total ⨯ per-field agree totals ⨯ match counts
+    val countsRaw = (total +: agreeTotals).reduce(_ crossJoin _)
+      .crossJoin(mAgg)
+    // derive the [[score]]-shaped count columns (exact integers, cast
+    // to double exactly as score()'s sums are)
+    val counts = countsRaw.select(
+      (Seq(col("n_m").cast("double").as("n_m"),
+        (col("n_all") - col("n_m")).cast("double").as("n_u")) ++
+        fieldNames.flatMap(f => Seq(
+          col(s"am_$f").cast("double").as(s"am_$f"),
+          (col(s"at_$f") - col(s"am_$f")).cast("double").as(s"au_$f")))): _*)
+    // single pair enumeration with agree flags + is_match
+    val pairs = fieldNames.foldLeft(lp.join(rp, blockCols)) { (d, f) =>
+      d.withColumn(s"agree_$f", agreeCol(f).cast("int"))
+    }.withColumn("is_match", col(lId) === col(rId))
+      .select((Seq(lId, rId) ++ fieldNames.map(f => s"agree_$f") :+
+        "is_match").map(col): _*)
+    val withW = pairs.crossJoin(broadcast(counts))
+    val weightCols = fieldNames.map { f =>
+      val m = (col(s"am_$f") + lit(0.5)) / (col("n_m") + lit(1.0))
+      val u = (col(s"au_$f") + lit(0.5)) / (col("n_u") + lit(1.0))
+      when(col(s"agree_$f") === 1, log2(m / u))
+        .otherwise(log2((lit(1.0) - m) / (lit(1.0) - u))).as(s"w_$f")
+    }
+    val scoredDf = withW.select(
+      (pairs.columns.map(col).toSeq ++ weightCols): _*)
+    scoredDf.withColumn("score",
+      round(fieldNames.map(f => col(s"w_$f")).reduce(_ + _), 4))
+      .drop(fieldNames.map(f => s"w_$f"): _*)
+  }
 }

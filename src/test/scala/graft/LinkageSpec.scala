@@ -70,4 +70,40 @@ class LinkageSpec extends SparkTestBase {
       .select("score").as[Double].collect()
     assert(out.forall(v => !v.isInfinite && !v.isNaN))
   }
+
+  test("scoreBlockedByFrequency is bit-identical to blockedPairs+score (r14 single-pass rewrite)") {
+    // nulls, a derived bucket key, unbalanced blocks, ids present on one
+    // side only — every branch the frequency factorization must match
+    val left = Seq[(java.lang.Long, Integer, String, java.lang.Double)](
+      (1L, 1, "a", 100.0), (2L, 1, "b", 1100.0), (3L, 1, null, 2100.0),
+      (4L, 2, "a", 950.0), (5L, 2, "a", null), (7L, 2, "c", 3100.0))
+      .toDF("l_id", "blk", "l_name", "l_bal")
+    val right = Seq[(java.lang.Long, Integer, String, java.lang.Double)](
+      (1L, 1, "a", 140.0), (2L, 1, "x", 1900.0), (3L, 1, null, 2050.0),
+      (4L, 2, "a", 80.0), (6L, 2, "a", 999.0), (5L, 2, null, 777.0))
+      .toDF("r_id", "blk", "r_name", "r_bal")
+    val fields = Seq(
+      ("name", col("l_name"), col("r_name")),
+      ("bal", floor(col("l_bal") / 1000), floor(col("r_bal") / 1000)))
+    val viaPairs = Linkage.score(
+      Linkage.blockedPairs(left, right, Seq("blk"), Seq(
+          "name" -> Linkage.fieldEq("l_name", "r_name"),
+          "bal" -> (col("l_bal").isNotNull && col("r_bal").isNotNull &&
+            floor(col("l_bal") / 1000) === floor(col("r_bal") / 1000))))
+        .withColumn("is_match", col("l_id") === col("r_id"))
+        .select("l_id", "r_id", "agree_name", "agree_bal", "is_match"),
+      Seq("name", "bal"), "is_match")
+    val viaFreq = Linkage.scoreBlockedByFrequency(left, right, Seq("blk"),
+      fields, "l_id", "r_id")
+      .select("l_id", "r_id", "agree_name", "agree_bal", "is_match", "score")
+    val a = viaPairs.select("l_id", "r_id", "agree_name", "agree_bal",
+      "is_match", "score")
+      .as[(Long, Long, Int, Int, Boolean, Double)].collect().sorted
+    val b = viaFreq.as[(Long, Long, Int, Int, Boolean, Double)]
+      .collect().sorted
+    // exact equality, doubles included: the counts are the same integers
+    // on both paths, so the weight math is bit-for-bit the same
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
 }
