@@ -461,6 +461,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+
+      // AQE may re-coalesce cached-plan output (persistTracked frames)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -737,6 +740,25 @@ object Bench {
     } {
       val finished = unfoldAdmissionPass(spark, sfDir, 10000)
       require(finished == 10000, s"unfold runner finished $finished of 10000")
+    } :+ timed("b15_noop_filter_project") {
+      // guide §1.4: `.count()` lets the optimizer prune computed
+      // projection columns, so the count-timed q_filter_project floor
+      // times the filter, not the projection. These b15 rows time the
+      // SAME entries through the noop sink (computes every column of
+      // every row, discards the result) — ADDED alongside, never
+      // replacing, the count-timed entries, so the committed floors and
+      // the driver's cross-round comparisons stay on one methodology.
+      entries.getOrElse("q_filter_project",
+        SparkEntry.queries("q_filter_project"))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } :+ timed("b15_noop_raw_filter") {
+      entries.getOrElse("q_raw_filter",
+        SparkEntry.queries("q_raw_filter"))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } :+ timed("b15_noop_expr_ops") {
+      entries.getOrElse("q_expr_ops",
+        SparkEntry.queries("q_expr_ops"))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     } :+ timedOnce("b8_stream_tumbling") {
       b8 = b8Pass(spark, b8Secs)
     }
@@ -947,6 +969,9 @@ object Bench {
       val s8 = SparkSession.builder()
         .master(s"local[$b12Cpus]")
         .config("spark.sql.shuffle.partitions", b12Cpus)
+
+        // AQE may re-coalesce cached-plan output (persistTracked frames)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s8.sparkContext.setLogLevel("WARN")

@@ -71,9 +71,18 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
-    val sym = symmetrize(edges, srcCol, dstCol)
+    // loop invariants materialize ONCE (r14): left lazy, every iteration
+    // re-derived all three from the raw edge input — the executed plan
+    // carried 20 scans of the edge source at iters=3 (scan_baseline).
+    // sym is edge-sized → spillable persist; nodes is consumed per
+    // iteration → eager localCheckpoint; deg stays lazy (a single
+    // map-side aggregate off the cached sym — a checkpoint job costs
+    // more than the recompute it saves, measured r14).
+    val sym = graft.plans.CacheScope.persistTracked(
+      symmetrize(edges, srcCol, dstCol))
     val deg = sym.groupBy("s").agg(count(lit(1)).cast("double").as("d"))
     val nodes = sym.select(col("s").as("node")).distinct()
+      .localCheckpoint(true)
     var r = nodes.withColumn("r", lit(1.0))
     for (i <- 1 to iters) {
       val contrib = sym.join(r.withColumnRenamed("node", "s"), "s")
@@ -116,7 +125,9 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
-    val sym = symmetrize(edges, srcCol, dstCol)
+    // loop invariants materialize ONCE — see [[pageRank]] (r14)
+    val sym = graft.plans.CacheScope.persistTracked(
+      symmetrize(edges, srcCol, dstCol))
     val deg = sym.groupBy("s").agg(count(lit(1)).cast("double").as("d"))
     val nodes = sym.select(col("s").as("node")).distinct()
     val sInd = nodes
@@ -463,10 +474,15 @@ object Graph {
       (col("da") === col("db") && col("a") < col("b"))
     // each oriented edge carries its HEAD's degree so wedges can
     // canonicalize their closing lookup without another degree join
-    val oriented = withDeg.select(
+    // oriented feeds THREE plan references (both wedge sides + the
+    // closing-edge lookup) — left lazy, each re-derived the degree
+    // aggregation + both degree joins from the raw edge input (30 scans
+    // in q_triangles_skew's executed plan, scan_baseline r13). Edge-sized
+    // → spillable persist (r14).
+    val oriented = graft.plans.CacheScope.persistTracked(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("t"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dt"))
+      when(aFirst, col("db")).otherwise(col("da")).as("dt")))
     // wedge s→u, s→v (dedup via the (deg, id) order on the heads): the
     // closing edge between u and v — the orientation being total —
     // runs from the lower-(deg, id) head to the higher, so ordering the

@@ -169,13 +169,19 @@ object Retrieval {
       s"tfDotPairs is a THRESHOLDED candidate scorer: minDot=$minDot must " +
         "be >= 1 — minDot <= 0 asks for every doc pair (n²/2 rows sharing " +
         "no token), which is not a candidate-scorer plan at any scale")
-    val tf = df
+    // tf feeds FOUR consumers (df-aggregate, doc-id universe, dense head
+    // assembly, tail pair join) — left unpersisted, the corpus-text
+    // explode + per-doc aggregate re-executed once per consumer (the
+    // verify-skill double-execution class, r14). Spillable + evictable:
+    // tf is Σ per-doc distinct tokens, far smaller than the text it
+    // derives from, and a pathological corpus degrades to recompute.
+    val tf = graft.plans.CacheScope.persistTracked(df
       .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), xxhash64(col("tok")).as("t"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
 
     def pairDots(side: DataFrame): DataFrame = side.as("a")
       .join(side.as("b"),

@@ -447,9 +447,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("vec_dot_long"), "head dot must be the codegen'd native expression")
     // the tail pair table and the rank map ride broadcasts too: the only
     // hash exchanges allowed are the tf/tail aggregations, never a
-    // pair-keyed one
-    assert(!p.contains("SortMergeJoin"), p.linesIterator
+    // pair-keyed one. (r14: tf is persisted, so the doc-keyed
+    // docIds⋈dense left join may plan as an EXCHANGE-FREE SortMergeJoin
+    // over the cache's aligned partitioning — allowed; what stays
+    // forbidden is any shuffle or sort-merge on the PAIR key.)
+    assert(p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .forall(_.contains("doc_id")), p.linesIterator
       .filter(_.contains("SortMergeJoin")).mkString("\n"))
+    assert(!p.contains("hashpartitioning(id1") && !p.contains("hashpartitioning(id2"),
+      "no pair-keyed hash exchange:\n" + p.linesIterator
+        .filter(_.contains("hashpartitioning(id")).mkString("\n"))
   }
 
   test("q_triangles_skew: degree orientation stays on equi-joins — no nested loop on the hub") {
