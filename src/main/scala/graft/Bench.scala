@@ -494,10 +494,17 @@ object Bench {
     val segmented = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_SEGMENTS").contains("0") && segSize > 0
     val emitPerEntry = sys.env.get("SPARK_GRAFT_EMIT").contains("perentry")
-    // per-entry JVM telemetry rows: (name, sec, ccMb, gcMs, jitMs, heapMb)
-    val telemetry = mutable.ArrayBuffer.empty[(String, Double, Double, Long, Long, Double)]
-    def recordTel(name: String, sec: Double): Unit = {
-      telemetry += ((name, sec, Jvm.codeCacheUsedMb, Jvm.gcMs, Jvm.jitMs,
+    // per-entry JVM telemetry rows:
+    // (name, sec, firstSec, ccMb, gcMs, jitMs, heapMb) — `firstSec` is
+    // the FIRST of the best-of-2 samples (VERDICT r14 item 9: best-of-2
+    // runs inside one CacheScope, so run 2 of a persisting entry re-reads
+    // run 1's cached frames and persist-heavy changes are flattered by
+    // the best; the first-run column makes the cold-cache cost visible
+    // without touching the committed best-of-2 floor methodology).
+    // -1 = not a best-of-2 row (warmups, markers, single-run walls).
+    val telemetry = mutable.ArrayBuffer.empty[(String, Double, Double, Double, Long, Long, Double)]
+    def recordTel(name: String, sec: Double, firstSec: Double = -1.0): Unit = {
+      telemetry += ((name, sec, firstSec, Jvm.codeCacheUsedMb, Jvm.gcMs, Jvm.jitMs,
         Jvm.heapUsedMb))
       // "__"-prefixed rows are JVM telemetry markers, not entries: a
       // segment child emitting them as GRAFT_ENTRY lines would hand the
@@ -591,15 +598,15 @@ object Bench {
           val first = once()
           // a failed SECOND run doesn't invalidate the first sample — keep it
           val best = try math.min(first, once()) catch { case _: Throwable => first }
-          name -> best
+          (name, best, first)
         }
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-          name -> 0.0
+          (name, 0.0, -1.0)
       }
-      recordTel(res._1, res._2)
-      res
+      recordTel(res._1, res._2, res._3)
+      (res._1, res._2)
     }
 
     // Wall-clock single run — for bodies that must not execute twice
@@ -648,11 +655,11 @@ object Bench {
           try {
             val txt = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(segTel)), "UTF-8")
-            """\{"name":"([^"]+)","sec":([0-9.eE+-]+),"cc_mb":([0-9.eE+-]+),"gc_ms":(-?\d+),"jit_ms":(-?\d+),"heap_mb":([0-9.eE+-]+)\}""".r
+            """\{"name":"([^"]+)","sec":([0-9.eE+-]+),"first":([0-9.eE+-]+),"cc_mb":([0-9.eE+-]+),"gc_ms":(-?\d+),"jit_ms":(-?\d+),"heap_mb":([0-9.eE+-]+)\}""".r
               .findAllMatchIn(txt).foreach { m =>
                 telemetry += ((s"seg$i:${m.group(1)}", m.group(2).toDouble,
-                  m.group(3).toDouble, m.group(4).toLong, m.group(5).toLong,
-                  m.group(6).toDouble))
+                  m.group(3).toDouble, m.group(4).toDouble, m.group(5).toLong,
+                  m.group(6).toLong, m.group(7).toDouble))
               }
           } catch { case _: Throwable => () }
           val gotNames = got.map(_._1).toSet
@@ -1361,8 +1368,8 @@ object Bench {
     // JVM health summary + the full per-entry telemetry sidecar file —
     // the evidence stream for adjudicating any residual late-suite drift
     val jvmJson = {
-      val gc0 = telemetry.headOption.map(_._4).getOrElse(0L)
-      val jit0 = telemetry.headOption.map(_._5).getOrElse(0L)
+      val gc0 = telemetry.headOption.map(_._5).getOrElse(0L)
+      val jit0 = telemetry.headOption.map(_._6).getOrElse(0L)
       // box_anomaly: box_factor far above canary_factor = the
       // IO/scheduling burst class (entries slow, CPU canary calm) OR a
       // >half-the-suite code regression the median absorbed — either
@@ -1377,55 +1384,68 @@ object Bench {
     }
     try {
       val telPath = sys.env.getOrElse("SPARK_GRAFT_TELEMETRY", "bench_telemetry.json")
-      val rows = telemetry.map { case (n, sec, cc, gc, jit, heap) =>
-        s"""{"name":${jstr(n)},"sec":${r3r(sec)},"cc_mb":${r3r(cc)},"gc_ms":$gc,"jit_ms":$jit,"heap_mb":${r3r(heap)}}"""
+      val rows = telemetry.map { case (n, sec, first, cc, gc, jit, heap) =>
+        s"""{"name":${jstr(n)},"sec":${r3r(sec)},"first":${r3r(first)},"cc_mb":${r3r(cc)},"gc_ms":$gc,"jit_ms":$jit,"heap_mb":${r3r(heap)}}"""
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(telPath),
         rows.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // telemetry must never kill the summary
-    println(s"""{"metric":"total","value":$total,"unit":"sec","verdict":"$verdict","queries":$qs,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"b13":$b13Json,"b13_100x":$b13_100xJson,"b14":$b14Json,"baseline":$baselineJson,"regressions":$regJson,"suite_noise":$noiseJson,"unadjudicated":$unadjJson,"jvm":$jvmJson,"sf":"$sfDir"}""")
-    // The harness keeps only the LAST ~2000 chars of stdout; with 160+
-    // entries the full line above scrolls past that window and no round's
-    // summary has ever been machine-parseable from the tail. Emit a second,
-    // compact line LAST — full fidelity lives in the line above, the tail
-    // always carries a complete JSON summary (slowest entries only, 3-dp).
+    // Full-fidelity summary: printed first (it scrolls past the tail
+    // window) AND written to a committed artifact (VERDICT r14 item 2 —
+    // the ~15 KB per-query map overflowed the driver's 2000-char tail
+    // capture, so PERF compared 5 queries and manufactured 8 phantom
+    // "dropped_from_bench" rows; the full map now lives in
+    // `bench_full.json` where a cross-round comparison can read ALL
+    // entries, and the printed tail line below stays compact). The file
+    // additionally carries `queries_first` — the first-of-2 sample per
+    // entry (cold-cache cost; `queries` stays the best-of-2 floor
+    // methodology).
+    val firstJson = telemetry
+      .filter { case (n, _, first, _, _, _, _) =>
+        first >= 0 && !n.startsWith("__") }
+      .map { case (n, _, first, _, _, _, _) =>
+        s"${jstr(n.replaceFirst("^seg\\d+:", ""))}:${r3r(first)}" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","verdict":"$verdict","queries":$qs,"queries_first":$firstJson,"errors":$errJson,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,"b12":$b12Json,"b13":$b13Json,"b13_100x":$b13_100xJson,"b14":$b14Json,"baseline":$baselineJson,"regressions":$regJson,"suite_noise":$noiseJson,"unadjudicated":$unadjJson,"jvm":$jvmJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_FULL", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // the artifact must never kill the summary
+    // The harness keeps only the LAST ~2000 chars of stdout, and that
+    // window holds the END of the stream: the LAST line must be a
+    // complete JSON summary AND short enough that sbt's trailing
+    // "[success] ..." line doesn't push its head out of the window
+    // (exactly what happened to r14's compact line — b12/b13/b14 blocks
+    // grew it past ~2.1 KB and the driver's tail lost the head). The
+    // compact line therefore carries ONLY totals/verdict/baseline/jvm +
+    // the slowest entries that fit a hard overall cap; everything else
+    // (b12/b13/b14, full queries map, per-entry errors) lives in the
+    // full line above and in bench_full.json, which "full" points at.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val slowest = results.sortBy(-_._2)
-    // The tail window is ~2000 chars and keeps the END of stdout: the
-    // compact line must fit alongside sbt's trailing "[success] ..." line
-    // or its HEAD gets cut and nothing parses. ~420 chars of fixed fields
-    // + ~400 of b12 rows + this budget + ~100 chars of trailer stays
-    // safely inside.
-    // (lowered from 800 to make room for the regressions array, then
-    // again for the b13/b14 blocks, then the b13_100x/jvm blocks)
-    val budget = 300
+    val errNames = errors.keys.toSeq.sorted.take(5).map(jstr).mkString("[", ",", "]")
+    // at most 3 adjudication rows inline — the rest by count + file
+    val regCompact = regressions.take(3).map(adjRowJson).mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","verdict":"$verdict",""" +
+      s""""n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
+      s""""baseline":$baselineJson,""" +
+      s""""n_regressions":${regressions.size},"regressions":$regCompact,""" +
+      s""""n_suite_noise":${suiteNoise.size},"n_unadjudicated":${unadjudicated.size},"jvm":$jvmJson,""" +
+      s""""full":${jstr(fullPath)},"queries":{"""
+    val tailPart = s"""},"sf":"$sfDir"}"""
+    // hard cap for the whole line: 2000-char window − ~120 chars of sbt
+    // trailer − slack. Queries take whatever budget remains.
+    val lineCap = 1800
+    val budget = math.max(0, lineCap - head.length - tailPart.length)
     val sb = new StringBuilder
     var taken = 0
     slowest.foreach { case (k, v) =>
       val frag = s"${jstr(k)}:${r3(v)}"
       if (sb.length + frag.length < budget) { if (taken > 0) sb.append(','); sb.append(frag); taken += 1 }
     }
-    val errNames = errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")
-    // compact line carries at most 6 regressions so the tail budget holds
-    val regCompact = regressions.take(6).map(adjRowJson).mkString("[", ",", "]")
-    // compact b13: ratios only — the full line above has the walls/rows
-    val b13Compact = b13.map { case (name, t1, t10, _, _) =>
-      s"${jstr(name)}:${if (t1 > 0) math.rint(t10 / t1 * 100) / 100 else -1.0}"
-    }.mkString("{", ",", "}")
-    val b13_100xCompact = b13_100x.map { case (name, pts) =>
-      def at(n: Int) = pts.collectFirst { case (`n`, t, _) => t }.getOrElse(0.0)
-      val rB = if (at(10) > 0) math.rint(at(100) / at(10) * 100) / 100 else -1.0
-      s"${jstr(name)}:$rB"
-    }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","verdict":"$verdict",""" +
-      s""""n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"error_names":$errNames,"b7":$b7Json,"b11":$b11Json,"b8":$b8Json,""" +
-      s""""b12":$b12Json,"b13_ratio":$b13Compact,"b13_100x_r100":$b13_100xCompact,"b14":$b14Json,""" +
-      s""""baseline":$baselineJson,""" +
-      s""""n_regressions":${regressions.size},"regressions":$regCompact,""" +
-      s""""n_suite_noise":${suiteNoise.size},"n_unadjudicated":${unadjudicated.size},"jvm":$jvmJson,""" +
-      s""""queries":{${sb.toString}},"sf":"$sfDir"}"""
-    println(compact)
+    println(head + sb.toString + tailPart)
     lastSession.stop()
   }
 }

@@ -89,13 +89,22 @@ class SessionSoakSpec extends SparkTestBase {
 
     // 3. the reference op after ~30 uncleared persists: same plan, warm
     // JVM — any degradation is pure storage/GC tax, and it must stay
-    // inside the committed factor
+    // inside the committed factor. ALL wall-clock assertions are gated
+    // behind SPARK_GRAFT_TIMING_ASSERTS (VERDICT r14 item 3): this spec
+    // failed the driver's run twice on a box running 1.4–7x degraded,
+    // and a wall assertion in shared-box CI is a coin flip — the
+    // deterministic content of this spec is the block-spillability and
+    // storage-bound assertions above, which run unconditionally.
     val soaked = medianOf3(reference())
     val factor = 8.0
-    assert(soaked <= fresh * factor + 0.5,
-      f"reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx after the soak " +
-        f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — the clearCache contract " +
-        "is no longer survivable; unpersist-on-terminal needs a mechanism")
+    if (sys.env.get("SPARK_GRAFT_TIMING_ASSERTS").contains("1"))
+      assert(soaked <= fresh * factor + 0.5,
+        f"reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx after the soak " +
+          f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — the clearCache contract " +
+          "is no longer survivable; unpersist-on-terminal needs a mechanism")
+    else info(f"soak wall (unasserted, set SPARK_GRAFT_TIMING_ASSERTS=1 to " +
+      f"assert): fresh $fresh%.3fs -> soaked $soaked%.3fs " +
+      f"(${soaked / math.max(fresh, 1e-9)}%.1fx)")
 
     s.catalog.clearCache() // leave the shared session clean for other suites
   }
@@ -156,23 +165,73 @@ class SessionSoakSpec extends SparkTestBase {
     }
 
     val soaked = medianOf3(reference())
-    // Two bounds (ADVICE r13): the SURVIVAL bound is unconditional — a
-    // genuine session-state pathology (the r10 q_coreset 6x class rides
-    // well past 20x on 30 scoped runs) must always fail — while the
-    // TIGHT near-fresh bound (1.5x + 0.5 s) is a wall-clock assertion
-    // on a shared box where concurrent compiles poison medians 2-4x, so
-    // it is opt-in for idle boxes via SPARK_GRAFT_TIMING_ASSERTS=1.
-    // The per-iteration zero-residue assertions above (the
-    // deterministic part) ran unconditionally either way.
-    assert(soaked <= fresh * 20 + 5.0,
-      f"scoped reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx " +
-        f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — session state is " +
-        "accumulating despite CacheScope (survival bound)")
-    if (sys.env.get("SPARK_GRAFT_TIMING_ASSERTS").contains("1"))
+    // ALL wall-clock bounds are env-gated (VERDICT r14 item 3): the r13
+    // "unconditional survival bound" (20x + 5 s) still failed in the
+    // driver's CI run on a degraded box — wall time in shared-box CI is
+    // a coin flip at any factor. The DETERMINISTIC content of this spec
+    // is the per-iteration zero-residue assertions above, which ran
+    // unconditionally; accumulation pathologies surface there (a leaked
+    // persist is a leaked RDD id) rather than via a timing proxy. Set
+    // SPARK_GRAFT_TIMING_ASSERTS=1 on an idle box to assert walls too.
+    if (sys.env.get("SPARK_GRAFT_TIMING_ASSERTS").contains("1")) {
+      assert(soaked <= fresh * 20 + 5.0,
+        f"scoped reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx " +
+          f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — session state is " +
+          "accumulating despite CacheScope (survival bound)")
       assert(soaked <= fresh * 1.5 + 0.5,
         f"scoped reference op degraded ${soaked / math.max(fresh, 1e-9)}%.1fx " +
           f"(fresh $fresh%.3fs -> soaked $soaked%.3fs) — CacheScope is not " +
           "delivering the documented near-fresh steady state")
+    } else info(f"scoped soak wall (unasserted, set SPARK_GRAFT_TIMING_ASSERTS=1 " +
+      f"to assert): fresh $fresh%.3fs -> soaked $soaked%.3fs " +
+      f"(${soaked / math.max(fresh, 1e-9)}%.1fx)")
+  }
+
+  test("newly-persisting operators (pageRank, personalizedPageRank, " +
+    "triangleCountsByDegree, tfDotPairs, scoreBlockedByFrequency) leave " +
+    "zero residue past their CacheScope") {
+    // ADVICE r14: the r14 diff added persistTracked frames to the graph
+    // iteratives and the tf pair scorer — pin their lifecycle with the
+    // same deterministic ID-set discipline as the scoped-soak test, so a
+    // persist that escapes its scope is a red test, not a soak-wall blip.
+    val s = spark
+    import s.implicits._
+    s.catalog.clearCache()
+    val edges = (1L to 60L).flatMap(i => Seq((i, i % 20 + 100L), (i, (i * 7) % 20 + 100L)))
+      .toDF("a", "b").localCheckpoint(true)
+    val docs = (1L to 80L).map { i =>
+      (i, s"alpha beta gamma tok$i delta " + (s"common${i % 5} " * 3))
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    val seeds = Seq(101L, 102L).toDF("node").localCheckpoint(true)
+    val cust = (1L to 50L).map(i => (i, i % 5, s"name$i", i % 3, i * 10.0))
+      .toDF("id", "blk", "nm", "sg", "bal").localCheckpoint(true)
+    val baseline = s.sparkContext.getPersistentRDDs.keySet.toSet
+    val bodies: Seq[(String, () => Unit)] = Seq(
+      ("pageRank", () => { graft.pipeline.Graph.pageRank(edges, "a", "b", iters = 3).count(); () }),
+      ("personalizedPageRank", () => { graft.pipeline.Graph.personalizedPageRank(
+        edges, "a", "b", seeds, iters = 3).count(); () }),
+      ("triangleCountsByDegree", () => { graft.pipeline.Graph.triangleCountsByDegree(
+        edges.select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b")).distinct()).count(); () }),
+      ("tfDotPairs", () => { graft.pipeline.Retrieval.tfDotPairs(
+        docs, "doc_id", "text", minDot = 2).count(); () }),
+      ("scoreBlockedByFrequency", () => { graft.operators.Linkage.scoreBlockedByFrequency(
+        cust.select($"id".as("l_id"), $"blk", $"nm".as("l_nm"), $"sg".as("l_sg"), $"bal".as("l_bal")),
+        cust.select($"id".as("r_id"), $"blk", $"nm".as("r_nm"), $"sg".as("r_sg"), $"bal".as("r_bal")),
+        Seq("blk"),
+        Seq(("nm", $"l_nm", $"r_nm"), ("sg", $"l_sg", $"r_sg")),
+        "l_id", "r_id").count(); () }))
+    bodies.foreach { case (name, body) =>
+      graft.plans.CacheScope(s) { body() }
+      val residue = s.sparkContext.getPersistentRDDs.keySet.toSet.diff(baseline)
+      // localCheckpoint materializations are deliberate and excluded by
+      // the same rule residualOperatorPersists applies
+      val leaked = residue.filter { id =>
+        s.sparkContext.getPersistentRDDs.get(id)
+          .exists(r => !r.isCheckpointed && !r.toString.contains("at localCheckpoint at"))
+      }
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persisted RDDs past its CacheScope")
+    }
   }
 
   test("CacheScope releases exactly its own persists; results stay correct after the scope") {
