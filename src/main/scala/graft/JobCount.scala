@@ -38,9 +38,24 @@ object JobCount {
     val jobs = new AtomicLong
     val stages = new AtomicLong
     val tasks = new AtomicLong
+    // SPARK_GRAFT_JOBLOG=1: additionally print one line per job (call
+    // site + description) — the breakdown view for deciding WHICH jobs
+    // a pass-removal optimization should target.
+    val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (jobLog) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("")
+          println(s"[job] id=${j.jobId} stages=${j.stageInfos.size} " +
+            s"site=$site desc=${desc.take(120)}")
+        }
+      }
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =

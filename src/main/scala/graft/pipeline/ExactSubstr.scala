@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,9 +65,14 @@ object ExactSubstr {
     * per partner, so at `maxOccPerDoc` the job fails with the remedy
     * instead of silently exploding. Expects (doc_id, __t) input. */
   private def guardedAnchors(docs: DataFrame, k: Int, stride: Int,
-                             maxOccPerDoc: Int): DataFrame = {
+                             maxOccPerDoc: Int,
+                             prePartition: Option[Column] = None): DataFrame = {
     val byDocG = Window.partitionBy("doc_id", "g")
-    anchors(docs, "doc_id", "__t", k, stride)
+    // optional caller-chosen clustering for the anchor frame: hash-
+    // partitioning by a SUBSET of every downstream window/join key lets
+    // the whole chain ride one exchange (see spansAgainstStored)
+    val base = anchors(docs, "doc_id", "__t", k, stride)
+    prePartition.fold(base)(c => base.repartition(c))
       .withColumn("__occ", count(lit(1)).over(byDocG))
       .filter(assert_true(col("__occ") <= maxOccPerDoc,
         concat(lit("exactSubstr: doc "), col("doc_id"),
@@ -198,7 +203,19 @@ object ExactSubstr {
     // build uses the map-side-combinable groupBy shape instead.
     val byGDoc = Window.partitionBy("g", "doc_id").orderBy("pos")
     val byG = Window.partitionBy("g")
-    val cand = guardedAnchors(delta, k, stride, maxOccPerDoc)
+    // ONE gram-keyed exchange feeds the whole delta-side chain (r15,
+    // guide §2.4): hash-clustering by g alone satisfies every window
+    // here — guardedAnchors' (doc_id, g) occurrence guard and both df
+    // windows only need rows of one (composite) key co-located, and
+    // partitioning by the g subset co-locates them — and the posting
+    // join is g-keyed too, so the delta side reaches it already
+    // clustered. Left to EnsureRequirements, each window picked its own
+    // full-key hash partitioning: 3 exchanges per probe (per BATCH in
+    // the streaming twin) where one suffices. Skew bound: a hot gram
+    // concentrates in one partition exactly as the byG window already
+    // forced today; maxOccPerDoc + the df cut bound the volume.
+    val cand = guardedAnchors(delta, k, stride, maxOccPerDoc,
+        Some(col("g")))
       .withColumn("__first",
         when(row_number().over(byGDoc) === 1, 1L).otherwise(0L))
       .withColumn("__df", sum(col("__first")).over(byG))
@@ -206,7 +223,12 @@ object ExactSubstr {
       .select(col("g"), col("doc_id").as("new_id"), col("pos").as("pn"))
       .join(storedAnchors
         .select(col("g"), col("doc_id").as("corpus_id"), col("pos").as("pc")), "g")
-      .select("new_id", "pn", "corpus_id", "pc").distinct()
+      // no dedup here: (new_id, pn, corpus_id, pc) tuples are unique by
+      // construction — g is a function of (doc, pos) and both anchor
+      // sets hold one row per (g, doc, pos) — so the old distinct() was
+      // a pure extra exchange per probe; the FINAL distinct below still
+      // collapses anchor pairs that extend to the same maximal span.
+      .select("new_id", "pn", "corpus_id", "pc")
     val ct = corpusText.filter(col(textCol).isNotNull)
       .select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
     cand
@@ -249,12 +271,20 @@ object ExactSubstr {
                             maxDocFreq: Int = 8, maxOccPerDoc: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(minLen >= k, s"minLen ($minLen) must be >= the anchor gram k ($k)")
+    // hoist the stored-artifact load out of the per-batch plan (r15,
+    // VERDICT r14 item 5): the anchor index is probed in full by every
+    // micro-batch, so it materializes ONCE here (spillable, registered
+    // with the caller's CacheScope on this thread) instead of
+    // re-scanning its parquet per batch. Corpus TEXT stays lazy — each
+    // batch touches it only through the candidate-keyed extension fetch.
+    val anchors = graft.plans.CacheScope.persistTracked(
+      storedAnchors.select(col("g"), col("doc_id"), col("pos")))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         spansAgainstStored(batch.toDF(), idCol, textCol, corpusText,
-          storedAnchors, k, stride, minLen, maxDocFreq, maxOccPerDoc)
+          anchors, k, stride, minLen, maxDocFreq, maxOccPerDoc)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
