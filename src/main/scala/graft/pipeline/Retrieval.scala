@@ -189,6 +189,12 @@ object Retrieval {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
 
+    // A guard trip below must not leak the persisted tf into the session
+    // when the caller runs outside a CacheScope (ADVICE r14): any
+    // exception past this point unpersists tf before propagating. The
+    // normal (lazy) return keeps the persist — the returned plan reads it.
+    try {
+
     // ONE doc-frequency aggregate (materialized: vocab-sized,
     // distributed) feeds both planning decisions — the head-token list
     // and the tail join volume. Head tokens to the driver are bounded by
@@ -251,6 +257,11 @@ object Retrieval {
       .select(col("id1"), col("id2"),
         (col("hdot") + coalesce(col("tdot"), lit(0L))).as("dot"))
       .filter(col("dot") >= minDot)
+
+    } catch { case t: Throwable =>
+      try { tf.unpersist(blocking = false); () } catch { case _: Throwable => () }
+      throw t
+    }
   }
 
   /**

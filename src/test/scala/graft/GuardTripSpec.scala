@@ -250,6 +250,27 @@ class GuardTripSpec extends SparkTestBase {
       e.getMessage.contains("multiply-adds"), e.getMessage)
   }
 
+  test("tfDotPairs guard trip outside any CacheScope leaves no persisted residue") {
+    // ADVICE r14: the tf persist precedes the head guards, so a trip
+    // used to leak a cached frame into the session whenever the caller
+    // ran outside a CacheScope. The guard path now unpersists on throw.
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"the w$i")).toDF("doc_id", "text")
+    val baseline = s.sparkContext.getPersistentRDDs.keySet.toSet
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Retrieval.tfDotPairs(docs, "doc_id", "text",
+        minDot = 1L, denseDf = 20, maxHeadMadds = 500L)
+    }
+    val leaked = s.sparkContext.getPersistentRDDs.keySet.toSet.diff(baseline)
+      .filter { id =>
+        s.sparkContext.getPersistentRDDs.get(id)
+          .exists(r => !r.isCheckpointed && !r.toString.contains("at localCheckpoint at"))
+      }
+    assert(leaked.isEmpty,
+      s"tfDotPairs guard trip leaked ${leaked.size} persisted RDDs")
+  }
+
   test("Survival time-domain bound: raw-ns durations fail naming the bucketing remedy") {
     val s = spark
     import s.implicits._
