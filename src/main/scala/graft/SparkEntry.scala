@@ -32,6 +32,33 @@ object SparkEntry {
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
+
+  /** Run independent Spark ACTIONS concurrently (guide §2.6: actions are
+    * only sequential because driver code calls them sequentially; the
+    * scheduler back-fills each job's straggler tail with the other's
+    * tasks). For the job-latency-bound entries (the ANN index family —
+    * BENCH b12 pins their wall to count-of-jobs × per-job latency, not
+    * compute) overlapping two ~10-job chains removes the shorter chain
+    * from the critical path entirely. Results are unchanged: each body
+    * is a deterministic computation over its own frames, and Spark's
+    * scheduler is job-order-independent for independent jobs. Failures
+    * propagate (Await rethrows). NOTE: bodies must not call
+    * persistTracked — CacheScope registration is thread-local and a
+    * worker-thread persist would outlive the entry's scope; the ANN
+    * bodies only localCheckpoint (ContextCleaner-reclaimed). */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
+  private def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    val (ab, rc) = par2(par2(a, b), c)
+    (ab._1, ab._2, rc)
+  }
   private[graft] def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts arrives as epoch-nanos LONG everywhere downstream; the
     // physical parquet type has varied across testdata generations
@@ -3709,30 +3736,38 @@ object SparkEntry {
       // converges by the second Lloyd round; 2 fewer collect jobs
       val (cdf, bdf, adf) = Similarity.annIndexBuild(emb, "vec_id", "embedding",
         dim = 64, nlist = 8, m = 8, ksub = 16, iters = 2)
-      cdf.write.mode("overwrite").parquet(s"$base/centroids")
-      bdf.write.mode("overwrite").parquet(s"$base/codebooks")
-      // the storage contract: partitioned by cell, so the probe's
-      // pushed cell set reads only ~nprobe/nlist of the index
-      adf.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/assignments")
+      // the three artifact writes are independent actions — overlapped
+      // (guide §2.6; the entry is job-latency-bound, b12), the
+      // assignments write (the big one) keeps the storage contract:
+      // partitioned by cell, so the probe's pushed cell set reads only
+      // ~nprobe/nlist of the index
+      par3(
+        cdf.write.mode("overwrite").parquet(s"$base/centroids"),
+        bdf.write.mode("overwrite").parquet(s"$base/codebooks"),
+        adf.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$base/assignments"))
       // the driver-bounded artifacts collect ONCE and feed both paths
       // (r14: each extra load was 2 driver jobs on a job-latency-bound
       // entry; the shared arrays also pin "same trained parameters" by
-      // construction rather than by re-read)
-      val cents = Similarity.loadCentroids(s.read.parquet(s"$base/centroids"))
-      val books = Similarity.loadCodebooks(s.read.parquet(s"$base/codebooks"))
+      // construction rather than by re-read), the two loads overlapped
+      val (cents, books) = par2(
+        Similarity.loadCentroids(s.read.parquet(s"$base/centroids")),
+        Similarity.loadCodebooks(s.read.parquet(s"$base/codebooks")))
       // both 50-row probe results materialize ONCE: each feeds two
       // exceptAll directions (and approx the final agg too) — without
-      // the checkpoint the whole probe pipeline re-executes per consumer
-      val approx = Similarity.annIndexProbe(queries, "vec_id", "embedding",
-        cents, books, s.read.parquet(s"$base/assignments"),
-        rerankVecs = emb, k = 10, dim = 64, nprobe = 3, rerank = 50)
-        .localCheckpoint(true)
-      val mono = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
-        k = 10, dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 16,
-        rerank = 50,
-        centroids = Some(cents), codebooks = Some(books))
-        .localCheckpoint(true)
+      // the checkpoint the whole probe pipeline re-executes per consumer.
+      // The two chains are independent ~10-job pipelines over the same
+      // artifacts — overlapped, the shorter leaves the critical path.
+      val (approx, mono) = par2(
+        Similarity.annIndexProbe(queries, "vec_id", "embedding",
+          cents, books, s.read.parquet(s"$base/assignments"),
+          rerankVecs = emb, k = 10, dim = 64, nprobe = 3, rerank = 50)
+          .localCheckpoint(true),
+        Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+          k = 10, dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 16,
+          rerank = 50,
+          centroids = Some(cents), codebooks = Some(books))
+          .localCheckpoint(true))
       // symmetric-difference parity in ONE action (both sides are
       // checkpointed 50-row frames): union the two exceptAll directions
       // — empty(A\B ∪ B\A) ⟺ empty(A\B) ∧ empty(B\A) — instead of two

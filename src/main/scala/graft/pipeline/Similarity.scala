@@ -725,14 +725,109 @@ object Similarity {
       .filter(col("v").isNotNull)
       .localCheckpoint(true)
     requireTrainBound(vecs, maxTrainRows, "annIndexBuild")
-    val cents = kmeansOnVecs(vecs, nlist, iters)
-    val books = pqBooksOnVecs(vecs, dim, m, ksub, iters)
+    val (cents, books) = fusedLloyd(vecs, nlist, dim, m, ksub, iters)
     val centroidsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
     val codebooksDf = (for { s <- books.indices; c <- books(s).indices }
       yield (s, c, books(s)(c).toSeq)).toDF("s", "code", "centroid")
     (centroidsDf, codebooksDf,
       encodeAssignments(corpus, idCol, vecCol, cents, books, dim))
+  }
+
+  /** Both trainers' Lloyd loops fused to ONE collect job per iteration
+    * (r15): the k-means and PQ iterations are independent scans of the
+    * same checkpointed training frame with the same partial-aggregate
+    * shape, so each round unions the two partial frames under a
+    * disjoint tag (s = -1 for the full-vector k-means, s >= 0 per PQ
+    * subspace) and collects once. Bit-stability is preserved: the tag
+    * keys the branches into disjoint groups, the union concatenates
+    * partitions in branch order so each group still holds exactly one
+    * partial per original partition and the driver folds them in the
+    * same sorted order — the trained arrays equal what the separate
+    * [[kmeansOnVecs]]/[[pqBooksOnVecs]] loops produce (the entries'
+    * parity gates and the DuckDB oracle pin it end to end). On a
+    * job-latency-bound entry (BENCH b12: more cores make the index
+    * entries SLOWER) this halves the per-iteration driver-job count. */
+  private def fusedLloyd(vecs: DataFrame, nlist: Int, dim: Int, m: Int,
+                         ksub: Int, iters: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sub = dim / m
+    val sliced = vecs
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * sub + 1, sub).as("sv"))): _*))
+        .as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.sv").as("v"))
+    // seeds: identical expressions to the standalone trainers
+    var cents = vecs.orderBy(col("id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(r => norm(r.getSeq[Double](0).toArray))
+    var books: Array[Array[Array[Double]]] = {
+      val wInit = Window.partitionBy("s").orderBy(col("id"))
+      val rows = sliced.withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= ksub)
+        .select(col("s"), col("rn"), col("v")).collect()
+      val b = Array.ofDim[Array[Double]](m, ksub)
+      rows.foreach(r => b(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Double](2).toArray)
+      require(b.forall(_.forall(_ != null)),
+        s"annIndexBuild needs >= $ksub vectors to seed every subspace codebook")
+      b
+    }
+    for (_ <- 1 to iters) {
+      val kmPart = vecs
+        .withColumn("cell", ivfAssign(col("v"), cents))
+        .withColumn("pid", spark_partition_id())
+        .select(lit(-1).as("s"), col("cell"), col("pid"),
+          posexplode(col("v")).as(Seq("i", "x")))
+      val assign = (0 until m).map(s =>
+        when(col("s") === s, l2Assign(col("v"), books(s)))
+      ).reduce((a, b) => coalesce(a, b))
+      val pqPart = sliced
+        .withColumn("cell", assign)
+        .withColumn("pid", spark_partition_id())
+        .select(col("s"), col("cell"), col("pid"),
+          posexplode(col("v")).as(Seq("i", "x")))
+      val partials = kmPart.union(pqPart)
+        .groupBy("s", "cell", "i", "pid")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val (kmRows, pqRows) = partials.partition(_.getAs[Int]("s") == -1)
+      val nextC = cents.map(_.clone())
+      kmRows.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val d = cents(cell).length
+        val sums = new Array[Double](d)
+        val counts = new Array[Long](d)
+        rows.sortBy(r => (r.getAs[Int]("i"), r.getAs[Int]("pid"))).foreach { r =>
+          val i = r.getAs[Int]("i")
+          sums(i) += r.getAs[Double]("sx")
+          counts(i) += r.getAs[Long]("n")
+        }
+        val mean = Array.tabulate(d)(i =>
+          if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+        nextC(cell) = norm(mean)
+      }
+      cents = nextC
+      val nextB = books.map(_.map(_.clone()))
+      pqRows.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cell")))
+        .foreach { case ((s, cell), rows) =>
+          val d = books(s)(cell).length
+          val sums = new Array[Double](d)
+          val counts = new Array[Long](d)
+          rows.sortBy(r => (r.getAs[Int]("i"), r.getAs[Int]("pid"))).foreach { r =>
+            val i = r.getAs[Int]("i")
+            sums(i) += r.getAs[Double]("sx")
+            counts(i) += r.getAs[Long]("n")
+          }
+          nextB(s)(cell) = Array.tabulate(d)(i =>
+            if (counts(i) > 0) sums(i) / counts(i) else books(s)(cell)(i))
+        }
+      books = nextB
+    }
+    (cents, books)
   }
 
   /** The one-pass (neighbor_id, cell, codes) encoding — cell assignment
