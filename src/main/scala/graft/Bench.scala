@@ -1239,7 +1239,12 @@ object Bench {
     // single-entry iteration run would silently and permanently wipe
     // every other floor. Partial run + stale protocol → no write at all
     // (floors stay stale-tagged until the next full run re-seeds them).
-    if (histProtocol == CurrentProtocol || only.isEmpty) try {
+    // The floors are sf0.1 best-seconds by definition: a run at any
+    // other SF must never ratchet them (r15 — an sf0.01 SPARK_GRAFT_ONLY
+    // smoke run min-ratcheted q_linkage's floor to its sf0.01 wall,
+    // which would have flagged every honest sf0.1 sample as a breach).
+    val floorsSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    if (floorsSf && (histProtocol == CurrentProtocol || only.isEmpty)) try {
       // the canary floor min-ratchets like any entry: the factor is
       // always "today over the box's best recorded day"
       val canaryMin = (Seq(canarySec, canaryBest).filter(_ > 0) :+ Double.MaxValue).min
