@@ -64,6 +64,14 @@ object Graph {
    * plan grows with `iters` — exponential-ish for the optimizer past
    * ~10 rounds and fully re-executed on any task retry. Leave 0 only
    * for shallow, oracle-replayable iteration counts.
+   *
+   * EAGER AT CALL TIME (r14, documented per ADVICE): the node universe
+   * materializes via `localCheckpoint(true)` when this method is
+   * CALLED, so plan-only callers (explain, tests inspecting
+   * queryExecution) execute real Spark jobs here; the edge persist also
+   * registers with the caller's CacheScope (or follows the session
+   * clearCache contract outside one). The returned rank frame itself
+   * stays lazy.
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
@@ -116,7 +124,9 @@ object Graph {
    * is consumed every iteration, so it is materialized ONCE
    * (`localCheckpoint`) — node-sized, never corpus-sized. Seeds are a
    * DataFrame with a `node` column; unknown seed ids are ignored
-   * (they have no edges to flow through).
+   * (they have no edges to flow through). Like [[pageRank]], calling
+   * this method EXECUTES jobs (the seed-indicator checkpoint) — see the
+   * eager-at-call-time note there.
    */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iters: Int,

@@ -710,6 +710,12 @@ object Similarity {
    * Doubles round-trip bit-exactly through parquet, so a probe against
    * the written artifacts reproduces the in-memory math EXACTLY
    * (q_ann_index_incr's parity gate pins this).
+   *
+   * NOTE: EAGER AT CALL TIME — the training frame checkpoints, the
+   * bound check counts, and the Lloyd iterations collect when this
+   * method is CALLED (training is driver-bounded by contract); only
+   * the returned assignments frame is lazy. Plan-only callers execute
+   * real jobs here (documented per ADVICE r14).
    */
   def annIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
                     dim: Int, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
